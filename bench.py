@@ -1,0 +1,61 @@
+"""Headline benchmark: runs the suite's headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS]
+and prints ONE JSON line {"metric", "value", "unit", "queries", "sf"}.
+
+Each query is forced end-to-end with a count-style noop action
+(``df.write.format("noop")``) so the full plan — scan, shuffle, window —
+executes without collecting results to the driver.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+from window_aggregation_spark.session import get_spark  # noqa: E402
+from window_aggregation_spark.suite import SUITE, headline_queries  # noqa: E402
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+    run_all = os.environ.get("SPARK_GRAFT_BENCH_ALL") == "1"
+    queries = SUITE if run_all else headline_queries()
+
+    spark = get_spark("window_aggregation_spark_bench")
+
+    # warm the JVM + parquet footers once, outside the timed region
+    next(iter(queries.values())).build(spark, sf_dir).write.format("noop").mode(
+        "overwrite"
+    ).save()
+
+    timings: dict[str, float] = {}
+    total = 0.0
+    for name, q in sorted(queries.items()):
+        t0 = time.perf_counter()
+        q.build(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        dt = round(time.perf_counter() - t0, 3)
+        timings[name] = dt
+        total += dt
+
+    print(
+        json.dumps(
+            {
+                "metric": "suite_headline_wall_clock",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

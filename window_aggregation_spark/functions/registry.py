@@ -1,0 +1,287 @@
+"""The window-function registry: all 14 functions of the reference surface.
+
+Each entry declares (mirroring the reference ``Function`` enum,
+``WindowAggregationConfig.java:318-402``):
+
+- clause constraints for partitionBy / orderBy / frame (enforced by the
+  validator, ``WindowAggregation.java:213-270``),
+- the numeric-input constraint where the reference has one
+  (``numericSchema()`` = INT|LONG|FLOAT|DOUBLE, ``WindowAggregationConfig.java:111-114``;
+  we additionally accept short/byte/decimal as a superset),
+- the declared output type ('int', 'float', 'double', or ``None`` =
+  input-type passthrough, matching ``Function.getOutputSchema`` semantics),
+- a DataFrame-API column builder, and
+- a SQL renderer for the generated-SQL backend (the analogue of the
+  reference's BigQuery pushdown templates, ``WindowAggregation.java:75-93``).
+
+All builders produce pure built-in Catalyst expressions — no Python UDFs, so
+every function stays JVM-side inside ``WindowExec`` / whole-stage codegen.
+The single genuinely custom function, DISCRETE_PERCENTILE (reference UDAF
+``function/DiscretePercentile.java:40-168``), is composed from builtins; see
+:func:`_discrete_percentile` below.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from enum import Enum
+from typing import Callable
+
+from pyspark.sql import Column, WindowSpec
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from window_aggregation_spark.spec import AggregateDef, WindowSpecDef, quote_ident
+
+# The reference's "numeric" union INT/LONG/FLOAT/DOUBLE plus the natural
+# Spark superset (short/byte/decimal) — SURVEY §1.3.
+NUMERIC_TYPES = (
+    T.ByteType,
+    T.ShortType,
+    T.IntegerType,
+    T.LongType,
+    T.FloatType,
+    T.DoubleType,
+    T.DecimalType,
+)
+
+
+class Clause(Enum):
+    REQUIRED = "required"
+    OPTIONAL = "optional"
+    NOT_SUPPORTED = "not_supported"
+
+
+def _effective_ignore_nulls(agg: AggregateDef) -> bool:
+    """FIRST/LAST quirk: args[0], when present, is OR-ed into the spec-level
+    ignoreNulls flag (``WindowsAggregationUtil.java:158-171``)."""
+    from_args = bool(agg.args) and agg.args[0].strip().lower() == "true"
+    return agg.ignore_nulls or from_args
+
+
+def _int_arg(agg: AggregateDef, default: int | None = None) -> int:
+    if not agg.args:
+        if default is None:
+            raise ValueError(f"Function '{agg.function}' requires an integer argument.")
+        return default
+    return int(agg.args[0].strip())
+
+
+def _float_arg(agg: AggregateDef) -> float:
+    return float(agg.args[0].strip())
+
+
+# --------------------------------------------------------------------------
+# Column builders.  Signature: (agg, window_spec, spec_def) -> Column
+# (the returned Column is complete — `.over(...)` already applied).
+# --------------------------------------------------------------------------
+
+def _rank(agg: AggregateDef, w: WindowSpec, _: WindowSpecDef) -> Column:
+    return F.rank().over(w)
+
+
+def _dense_rank(agg: AggregateDef, w: WindowSpec, _: WindowSpecDef) -> Column:
+    return F.dense_rank().over(w)
+
+
+def _percent_rank(agg: AggregateDef, w: WindowSpec, _: WindowSpecDef) -> Column:
+    # Spark computes double; the reference's declared schema is FLOAT
+    # (WindowAggregationConfig.java:332-336) — downcast at the boundary.
+    return F.percent_rank().over(w).cast(T.FloatType())
+
+
+def _ntile(agg: AggregateDef, w: WindowSpec, _: WindowSpecDef) -> Column:
+    return F.ntile(_int_arg(agg)).over(w)
+
+
+def _row_number(agg: AggregateDef, w: WindowSpec, _: WindowSpecDef) -> Column:
+    return F.row_number().over(w)
+
+
+def _median(agg: AggregateDef, w: WindowSpec, _: WindowSpecDef) -> Column:
+    # Exact interpolated percentile at 0.5 — the reference calls Hive's
+    # `percentile` UDAF (WindowsAggregationUtil.java:140-141); Spark ≥3.5 has
+    # it as a native builtin aggregate, usable over a window.
+    return F.percentile(F.col(agg.field), F.lit(0.5)).over(w).cast(T.DoubleType())
+
+
+def _continuous_percentile(agg: AggregateDef, w: WindowSpec, _: WindowSpecDef) -> Column:
+    return (
+        F.percentile(F.col(agg.field), F.lit(_float_arg(agg)))
+        .over(w)
+        .cast(T.DoubleType())
+    )
+
+
+def _discrete_percentile(agg: AggregateDef, w: WindowSpec, _: WindowSpecDef) -> Column:
+    """PERCENTILE_DISC: smallest actual value whose cumulative distribution
+    within the frame is >= p.
+
+    Matches the reference UDAF's walk over a sorted frequency map
+    (``DiscretePercentile.java:142-168``) including null-skipping (``:105-107``
+    — ``collect_list`` likewise drops nulls): for the sorted non-null frame
+    values v_1..v_n, return v_k with k = max(ceil(p*n), 1); empty frame -> null.
+
+    Composed entirely from builtin Catalyst expressions, so it works over any
+    frame (including the running default frame) and — unlike the reference,
+    which re-registers its UDAF under one global name
+    (``WindowsAggregationUtil.java:113-114``) — multiple percentiles in one
+    plan can't clobber each other.
+
+    Scale note: memory is O(frame size) per row. For 100 TB hot partitions use
+    the sketch-based alternative ``approx_percentile`` (accepted here as
+    function name "approx_discrete_percentile").
+    """
+    p = _float_arg(agg)
+    vals = F.array_sort(F.collect_list(F.col(agg.field)).over(w))
+    n = F.size(vals)
+    k = F.greatest(F.ceil(F.lit(p) * n), F.lit(1)).cast(T.IntegerType())
+    return F.get(vals, k - F.lit(1))
+
+
+def _approx_discrete_percentile(agg: AggregateDef, w: WindowSpec, _: WindowSpecDef) -> Column:
+    # The 100 TB-scale variant: t-digest style sketch, fixed memory per frame.
+    p = _float_arg(agg)
+    return F.approx_percentile(F.col(agg.field), F.lit(p), F.lit(10000)).over(w)
+
+
+def _lead(agg: AggregateDef, w: WindowSpec, _: WindowSpecDef) -> Column:
+    return F.lead(F.col(agg.field), _int_arg(agg)).over(w)
+
+
+def _lag(agg: AggregateDef, w: WindowSpec, _: WindowSpecDef) -> Column:
+    return F.lag(F.col(agg.field), _int_arg(agg)).over(w)
+
+
+def _first(agg: AggregateDef, w: WindowSpec, _: WindowSpecDef) -> Column:
+    return F.first(F.col(agg.field), ignorenulls=_effective_ignore_nulls(agg)).over(w)
+
+
+def _last(agg: AggregateDef, w: WindowSpec, _: WindowSpecDef) -> Column:
+    return F.last(F.col(agg.field), ignorenulls=_effective_ignore_nulls(agg)).over(w)
+
+
+def _cume_dist(agg: AggregateDef, w: WindowSpec, _: WindowSpecDef) -> Column:
+    return F.cume_dist().over(w).cast(T.DoubleType())
+
+
+def _accumulate(agg: AggregateDef, w: WindowSpec, _: WindowSpecDef) -> Column:
+    # Running / framed SUM; output type = input type per the reference's
+    # schema passthrough (Spark widens int->long, so cast back at the edge).
+    return F.sum(F.col(agg.field)).over(w)
+
+
+# --------------------------------------------------------------------------
+# SQL renderers.  Signature: (agg, over_sql, dialect) -> str expression.
+# The generated-SQL backend (mirrors reference O12, WindowAggregation.java:631-661).
+# --------------------------------------------------------------------------
+
+def _sql_simple(template: str) -> Callable[[AggregateDef, str, str], str]:
+    def render(agg: AggregateDef, over: str, dialect: str) -> str:
+        field = quote_ident(agg.field, dialect) if agg.field else ""
+        args = [a.strip() for a in agg.args]
+        return template.format(field=field, args=args, a0=args[0] if args else "") + " " + over
+
+    return render
+
+
+def _sql_percent_rank(agg: AggregateDef, over: str, dialect: str) -> str:
+    target = "FLOAT" if dialect == "spark" else "REAL"
+    return f"CAST(percent_rank() {over} AS {target})"
+
+
+def _sql_first_last(name: str) -> Callable[[AggregateDef, str, str], str]:
+    def render(agg: AggregateDef, over: str, dialect: str) -> str:
+        field = quote_ident(agg.field, dialect)
+        if _effective_ignore_nulls(agg):
+            return f"{name}({field}) IGNORE NULLS {over}"
+        return f"{name}({field}) {over}"
+
+    return render
+
+
+def _sql_discrete_percentile(agg: AggregateDef, over: str, dialect: str) -> str:
+    field = quote_ident(agg.field, dialect)
+    p = float(agg.args[0])
+    vals = f"array_sort(collect_list({field}) {over})"
+    return (
+        f"get({vals}, CAST(greatest(ceil({p!r} * size({vals})), 1) AS INT) - 1)"
+    )
+
+
+@dataclass(frozen=True)
+class FunctionDef:
+    """One registry entry; see module docstring for field meanings."""
+
+    name: str  # engine name (snake_case)
+    ref_name: str  # reference enum constant, for spec-string compat
+    partitioning: Clause
+    ordering: Clause
+    frame: Clause
+    numeric_input: bool
+    output_type: str | None  # 'int'|'float'|'double'|None(=input passthrough)
+    takes_field: bool
+    n_args: int  # required positional args (FIRST/LAST optional arg handled ad hoc)
+    build: Callable[[AggregateDef, WindowSpec, WindowSpecDef], Column]
+    sql: Callable[[AggregateDef, str, str], str]
+
+
+_R, _O, _N = Clause.REQUIRED, Clause.OPTIONAL, Clause.NOT_SUPPORTED
+
+FUNCTIONS: dict[str, FunctionDef] = {
+    f.name: f
+    for f in [
+        FunctionDef("rank", "RANK", _R, _R, _N, False, "int", False, 0,
+                    _rank, _sql_simple("rank()")),
+        FunctionDef("dense_rank", "DENSE_RANK", _R, _R, _N, False, "int", False, 0,
+                    _dense_rank, _sql_simple("dense_rank()")),
+        FunctionDef("percent_rank", "PERCENT_RANK", _R, _R, _N, False, "float", False, 0,
+                    _percent_rank, _sql_percent_rank),
+        FunctionDef("ntile", "N_TILE", _R, _R, _N, True, "int", True, 1,
+                    _ntile, _sql_simple("ntile({a0})")),
+        FunctionDef("row_number", "ROW_NUMBER", _R, _R, _N, False, "int", False, 0,
+                    _row_number, _sql_simple("row_number()")),
+        FunctionDef("median", "MEDIAN", _R, _R, _N, False, "double", True, 0,
+                    _median, _sql_simple("percentile({field}, 0.5)")),
+        FunctionDef("continuous_percentile", "CONTINUOUS_PERCENTILE", _R, _N, _N,
+                    True, "double", True, 1,
+                    _continuous_percentile, _sql_simple("percentile({field}, {a0})")),
+        FunctionDef("discrete_percentile", "DISCRETE_PERCENTILE", _R, _R, _N,
+                    True, None, True, 1,
+                    _discrete_percentile, _sql_discrete_percentile),
+        FunctionDef("approx_discrete_percentile", "APPROX_DISCRETE_PERCENTILE",
+                    _R, _R, _N, True, None, True, 1,
+                    _approx_discrete_percentile,
+                    _sql_simple("approx_percentile({field}, {a0}, 10000)")),
+        FunctionDef("lead", "LEAD", _R, _R, _N, False, None, True, 1,
+                    _lead, _sql_simple("lead({field}, {a0})")),
+        FunctionDef("lag", "LAG", _R, _R, _N, False, None, True, 1,
+                    _lag, _sql_simple("lag({field}, {a0})")),
+        FunctionDef("first", "FIRST", _R, _R, _O, False, None, True, 0,
+                    _first, _sql_first_last("first_value")),
+        FunctionDef("last", "LAST", _R, _R, _O, False, None, True, 0,
+                    _last, _sql_first_last("last_value")),
+        FunctionDef("cume_dist", "CUMULATIVE_DISTRIBUTION", _R, _R, _N,
+                    True, "double", True, 0,
+                    _cume_dist, _sql_simple("cume_dist()")),
+        FunctionDef("accumulate", "ACCUMULATE", _R, _O, _O, True, None, True, 0,
+                    _accumulate, _sql_simple("sum({field})")),
+    ]
+}
+
+# reference-enum-name -> engine name, for the string-spec parser
+REF_NAME_TO_NAME: dict[str, str] = {f.ref_name: f.name for f in FUNCTIONS.values()}
+
+
+def lookup(name: str) -> FunctionDef:
+    """Resolve by engine name or reference enum name (case-insensitive)."""
+    key = name.strip().lower()
+    if key in FUNCTIONS:
+        return FUNCTIONS[key]
+    ref = name.strip().upper()
+    if ref in REF_NAME_TO_NAME:
+        return FUNCTIONS[REF_NAME_TO_NAME[ref]]
+    raise KeyError(
+        f"Unknown window function '{name}'. Known: {sorted(FUNCTIONS)} "
+        f"(or reference names {sorted(REF_NAME_TO_NAME)})."
+    )

@@ -1,0 +1,99 @@
+"""Sources and sinks.
+
+The reference plugin is a mid-pipeline transform; CDAP supplies I/O. Its
+shipped artifacts exercise CSV (header row, declared schema), `;`-delimited
+text, and the driver fixtures are parquet (SURVEY §2.4). Schema is declared,
+not inferred, matching the reference's design-time contract — pass a
+``StructType`` or DDL string; ``infer_schema=True`` is available for
+exploration but is not the production path (a schema inference pass reads
+the data twice and can mis-type at scale).
+
+All readers return plain DataFrames, so Catalyst pushdown/pruning applies:
+a filter above a :func:`read_parquet` reaches the scan as ``PushedFilters``,
+and a narrow projection prunes the read schema.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+SchemaLike = "T.StructType | str | None"
+
+
+def read_parquet(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.parquet(path)
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType | str | None = None,
+    *,
+    header: bool = True,
+    infer_schema: bool = False,
+    delimiter: str = ",",
+) -> DataFrame:
+    reader = spark.read.option("header", header).option("delimiter", delimiter)
+    if schema is not None:
+        reader = reader.schema(schema)
+    elif infer_schema:
+        reader = reader.option("inferSchema", True)
+    return reader.csv(path)
+
+
+def read_delimited(
+    spark: SparkSession,
+    path: str,
+    delimiter: str,
+    schema: T.StructType | str | None = None,
+    *,
+    header: bool = True,
+) -> DataFrame:
+    """The reference's example pipeline reads `;`-delimited GCS text
+    (``examples/WindowsSparkAIRealExample-cdap-data-pipeline.json``)."""
+    return read_csv(spark, path, schema, header=header, delimiter=delimiter)
+
+
+def read_json(
+    spark: SparkSession, path: str, schema: T.StructType | str | None = None
+) -> DataFrame:
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.json(path)
+
+
+def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one driver fixture table (TESTDATA.md layout).
+
+    ``events.ts`` is parquet TIMESTAMP(NANOS), which Spark has no native
+    type for — with ``spark.sql.legacy.parquet.nanosAsLong`` it arrives as
+    nanosecond longs; truncate to microseconds (exactly what DuckDB does
+    when it reads the same file) and expose a proper timestamp column.
+    """
+    from pyspark.sql import functions as F
+
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def write_parquet(
+    df: DataFrame,
+    path: str,
+    *,
+    mode: str = "overwrite",
+    partition_by: list[str] | None = None,
+) -> None:
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)
+
+
+def write_csv(
+    df: DataFrame, path: str, *, mode: str = "overwrite", header: bool = True
+) -> None:
+    df.write.mode(mode).option("header", header).csv(path)
