@@ -1,0 +1,115 @@
+"""Behavioral tests for the extension operators (dedup / similarity /
+multimodal) beyond the suite's oracle checks: recall against exact ground
+truth, determinism, stub contracts, batch shapes."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from window_aggregation_spark.operators import dedup as dd
+from window_aggregation_spark.operators import multimodal as mm
+from window_aggregation_spark.operators import similarity as sim
+from window_aggregation_spark.sources.io import read_table
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return read_table(spark, sf_dir, "documents").cache()
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return read_table(spark, sf_dir, "embeddings").cache()
+
+
+def test_exact_dedup_deterministic_representative(spark):
+    df = spark.createDataFrame(
+        [(3, "k"), (1, "k"), (2, "k"), (9, "j")], "id int, key string"
+    )
+    out = dd.exact_dedup(df, ["key"], order_by=["id"]).collect()
+    assert {(r["key"], r["id"]) for r in out} == {("k", 1), ("j", 9)}
+
+
+def test_minhash_recall_against_exact_jaccard(docs):
+    """Every high-similarity pair found by the exact blocked-Jaccard pass
+    must be recovered by MinHash-LSH (64 hashes / 16 bands catches
+    jaccard >= ~0.5 pairs with probability ~1)."""
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in dd.ngram_jaccard_pairs(
+            docs, "doc_id", block_prefix=40, threshold=0.6
+        ).collect()
+    }
+    assert exact, "fixture should contain near-duplicate pairs"
+    found = {
+        (r["id_a"], r["id_b"])
+        for r in dd.minhash_dedup_pairs(docs, "doc_id", threshold=0.5).collect()
+    }
+    missed = exact - found
+    assert len(missed) <= max(1, len(exact) // 10), (
+        f"minhash missed {len(missed)}/{len(exact)} strong pairs: {missed}"
+    )
+
+
+def test_minhash_dedup_removes_only_losers(docs):
+    pairs = dd.minhash_dedup_pairs(docs, "doc_id", threshold=0.3)
+    losers = {r["id_b"] for r in pairs.collect()}
+    kept = dd.minhash_dedup(docs, "doc_id", threshold=0.3)
+    kept_ids = {r["doc_id"] for r in kept.select("doc_id").collect()}
+    assert kept_ids.isdisjoint(losers)
+    assert kept_ids | losers == {
+        r["doc_id"] for r in docs.select("doc_id").collect()
+    }
+
+
+def test_simhash_pairs_have_low_hamming(docs):
+    rows = dd.simhash_dedup_pairs(docs, "doc_id", max_hamming=4).collect()
+    assert rows
+    assert all(r["hamming"] <= 4 for r in rows)
+    # verified against directly-computed simhash distance
+    sh = {r["doc_id"]: r["simhash"] for r in dd.simhash(docs, "doc_id").collect()}
+    for r in rows[:20]:
+        xor = sh[r["id_a"]] ^ sh[r["id_b"]]
+        assert bin(xor & (2**64 - 1)).count("1") == r["hamming"]
+
+
+def test_ann_lsh_recall_vs_bruteforce(emb):
+    queries = emb.where(F.col("vec_id") < 20)
+    corpus = emb.where(F.col("vec_id") >= 20)
+    exact = sim.cosine_topk(queries, corpus, k=5)
+    approx = sim.ann_lsh_topk(queries, corpus, k=5, nbits=4)
+    exact_set = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    approx_set = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
+    recall = len(exact_set & approx_set) / len(exact_set)
+    # 4-bit hyperplane LSH on 10-cluster data: recall is approximate by
+    # design; assert it beats random bucketing by a wide margin
+    assert recall >= 0.3, f"LSH recall {recall:.2f} suspiciously low"
+    # every approx neighbor must share the query's bucket -> sims correct
+    sims = {(r["query_id"], r["neighbor_id"]): r["cos_sim"] for r in exact.collect()}
+    for r in approx.collect():
+        key = (r["query_id"], r["neighbor_id"])
+        if key in sims:
+            assert sims[key] == pytest.approx(r["cos_sim"], abs=1e-6)
+
+
+def test_multimodal_decode_stub_and_schema(docs):
+    payloads = mm.attach_binary_payload(docs.limit(50))
+    assert dict(payloads.dtypes)["payload"] == "binary"
+    feats = mm.decode_image_features(payloads, n_features=8)
+    rows = feats.collect()
+    assert len(rows) == 50
+    for r in rows[:5]:
+        assert len(r["feat"]) == 8
+        assert r["feat"][0] == float(r["n_bytes"])  # deterministic fake
+    with pytest.raises(Exception, match="decoder"):
+        mm.decode_image_features(payloads, use_real_decoder=True).collect()
+
+
+def test_multimodal_frame_sampling(docs):
+    payloads = mm.attach_binary_payload(docs.limit(10))
+    frames = mm.sample_frames(payloads, every_n_bytes=64, max_frames=4)
+    pdf = frames.toPandas()
+    assert set(pdf.columns) == {"doc_id", "frame_idx", "frame_bytes"}
+    per_doc = pdf.groupby("doc_id").size()
+    assert (per_doc <= 4).all() and (per_doc >= 1).all()

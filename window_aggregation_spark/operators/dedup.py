@@ -1,0 +1,369 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Five strategies, all shuffle-bounded and driver-free (no collect, no
+per-group materialization beyond bounded signatures):
+
+- :func:`exact_dedup` — hash-groupBy on a key; deterministic representative
+  via row_number. One shuffle on the dedup key.
+- :func:`content_key` — md5 of normalized text (portable across engines).
+- :func:`minhash_dedup_pairs` — token-n-gram shingles -> minhash signature
+  (one xxhash64 pass + universal-hash permutations, all columnar) -> banded
+  LSH bucketing -> candidate pairs verified with exact Jaccard. The standard
+  100 TB near-dup path: cost is O(n * sig) + one shuffle on (band, key),
+  never O(n^2).
+- :func:`simhash` / :func:`simhash_dedup_pairs` — 64-bit SimHash computed in
+  a single array-accumulator fold; candidates = pairs sharing any 16-bit
+  chunk (pigeonhole: catches all pairs within Hamming distance 3 when split
+  into 4 chunks), verified with ``bit_count(a XOR b)``.
+- :func:`ngram_jaccard_pairs` — exact Jaccard over shingle sets for pairs
+  sharing a cheap blocking key (e.g. text prefix). SQL-expressible, used as
+  the oracle-checkable variant.
+- :func:`embedding_dup_pairs` — cosine-similarity pairs over an embedding
+  column; brute-force O(n^2) pair join for modest n, with the LSH-bucketed
+  variant in :mod:`window_aggregation_spark.operators.similarity` as the
+  scale path.
+
+Everything is built from built-in functions (xxhash64, transform, aggregate,
+zip_with, bit_count) — no Python UDFs in any hot path.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from window_aggregation_spark.operators.text import tokens
+
+_MERSENNE = 2147483647  # 2^31-1, prime — universal-hash modulus
+
+# Deterministic permutation parameters (fixed seed: results must be stable
+# across runs and sessions).
+_rng = random.Random(42)
+_HASH_A = [(_rng.randrange(1, _MERSENNE) | 1) for _ in range(256)]
+_HASH_B = [_rng.randrange(0, _MERSENNE) for _ in range(256)]
+
+
+# ---------------------------------------------------------------------------
+# exact
+# ---------------------------------------------------------------------------
+
+def exact_dedup(
+    df: DataFrame, keys: list[str], *, order_by: list[str] | None = None
+) -> DataFrame:
+    """Keep exactly one row per distinct ``keys`` combination.
+
+    A deterministic representative (the first row under ``order_by``, which
+    must be a total order within groups) — unlike ``dropDuplicates``, whose
+    survivor is whichever task finishes first. One hash shuffle on ``keys``.
+    """
+    order = order_by or keys
+    w = Window.partitionBy(*keys).orderBy(*[F.col(c) for c in order])
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def content_key(text: Column) -> Column:
+    """md5 of the lowercased text — a portable exact-content dedup key."""
+    return F.md5(F.lower(text))
+
+
+# ---------------------------------------------------------------------------
+# shingles + minhash LSH
+# ---------------------------------------------------------------------------
+
+def shingles(text: Column, n: int = 3) -> Column:
+    """Distinct token n-gram shingles of the text."""
+    toks = tokens(text)
+    count = F.size(toks) - (n - 1)
+    return F.when(count <= 0, F.array(F.concat_ws(" ", toks))).otherwise(
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), count),
+                lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+            )
+        )
+    )
+
+
+def minhash_signature(shingle_col: Column, num_hashes: int = 64) -> Column:
+    """Minhash signature: one xxhash64 per shingle, then ``num_hashes``
+    universal-hash permutations ``(a*h + b) mod p``, min per permutation.
+    Entirely columnar — evaluated inside codegen, no UDF."""
+    if num_hashes > len(_HASH_A):
+        raise ValueError(f"num_hashes must be <= {len(_HASH_A)}")
+    base = F.transform(shingle_col, lambda s: F.pmod(F.xxhash64(s), F.lit(_MERSENNE)))
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+        lambda i: F.array_min(
+            F.transform(
+                base,
+                lambda h: F.pmod(
+                    F.element_at(F.array(*[F.lit(a) for a in _HASH_A]), i + 1) * h
+                    + F.element_at(F.array(*[F.lit(b) for b in _HASH_B]), i + 1),
+                    F.lit(_MERSENNE),
+                ),
+            )
+        ),
+    )
+
+
+def jaccard(a: Column, b: Column) -> Column:
+    """Exact Jaccard similarity of two distinct-element arrays."""
+    inter = F.size(F.array_intersect(a, b))
+    union = F.size(F.array_union(a, b))
+    return F.when(union == 0, F.lit(0.0)).otherwise(inter / union)
+
+
+def minhash_dedup_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    *,
+    ngram: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Near-duplicate pairs via MinHash+LSH, verified with exact Jaccard.
+
+    Pipeline: shingle -> signature -> explode ``bands`` band keys -> shuffle
+    on (band, key) -> candidate pairs within buckets -> distinct -> verify.
+    Returns ``(id_a, id_b, jaccard)`` with id_a < id_b and jaccard >= t.
+    """
+    rows = num_hashes // bands
+    base = df.select(
+        F.col(id_col).alias("__id"),
+        shingles(F.col(text_col), ngram).alias("__sh"),
+    ).withColumn("__sig", minhash_signature(F.col("__sh"), num_hashes))
+
+    banded = base.select(
+        "__id",
+        "__sh",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.xxhash64(
+                        b, F.concat_ws(",", F.slice("__sig", b * rows + 1, rows))
+                    ).alias("key"),
+                ),
+            )
+        ).alias("bk"),
+    ).select("__id", "__sh", "bk.band", "bk.key")
+
+    left = banded.alias("l")
+    right = banded.alias("r")
+    candidates = (
+        left.join(
+            right,
+            on=[
+                F.col("l.band") == F.col("r.band"),
+                F.col("l.key") == F.col("r.key"),
+                F.col("l.__id") < F.col("r.__id"),
+            ],
+        )
+        .select(
+            F.col("l.__id").alias("id_a"),
+            F.col("r.__id").alias("id_b"),
+            F.col("l.__sh").alias("sh_a"),
+            F.col("r.__sh").alias("sh_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return (
+        candidates.withColumn("jaccard", F.round(jaccard("sh_a", "sh_b"), 4))
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def minhash_dedup(
+    df: DataFrame, id_col: str, text_col: str = "text", **kwargs
+) -> DataFrame:
+    """Greedy one-pass dedup: drop every row that near-duplicates a
+    lower-id row. (Not full connected components — a chain a~b~c with
+    a!~c keeps a and may keep c; the standard practical compromise.)"""
+    pairs = minhash_dedup_pairs(df, id_col, text_col, **kwargs)
+    losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    return df.join(losers, on=id_col, how="left_anti")
+
+
+# ---------------------------------------------------------------------------
+# simhash
+# ---------------------------------------------------------------------------
+
+def simhash(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame:
+    """64-bit SimHash of each row's token stream -> (id_col, simhash long).
+
+    Shape chosen for scale AND local speed: explode tokens, hash each once,
+    then ONE groupBy with 64 plain ``sum`` aggregates (per-bit +1/-1
+    contributions; positive sum -> bit set). Plain sums run inside
+    whole-stage codegen with map-side partial aggregation, so the shuffle
+    carries 64 longs per document — unlike an array-fold expression, which
+    Catalyst evaluates interpreted (measured ~50x slower).
+    """
+    hashed = df.select(
+        F.col(id_col),
+        F.explode_outer(tokens(F.col(text_col))).alias("__t"),
+    ).select(id_col, F.xxhash64("__t").alias("__h"))
+    sums = hashed.groupBy(id_col).agg(
+        *[
+            F.sum(
+                (F.shiftright(F.col("__h"), i).bitwiseAND(F.lit(1)) * 2 - 1)
+            ).alias(f"__b{i}")
+            for i in range(64)
+        ]
+    )
+    value = F.lit(0).cast("long")
+    for i in range(64):
+        bit = F.lit(1 << i if i < 63 else -(1 << 63)).cast("long")
+        value = value.bitwiseOR(
+            F.when(F.col(f"__b{i}") > 0, bit).otherwise(F.lit(0).cast("long"))
+        )
+    return sums.select(F.col(id_col), value.alias("simhash"))
+
+
+def simhash_dedup_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    *,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-duplicate pairs with SimHash Hamming distance <= ``max_hamming``.
+
+    Candidate generation by the pigeonhole principle: split the 64-bit hash
+    into 4 16-bit chunks; any pair within Hamming distance 3 must agree on
+    at least one chunk, so a shuffle on (chunk_idx, chunk_value) finds all
+    of them without an O(n^2) join.
+    """
+    base = simhash(df, id_col, text_col).select(
+        F.col(id_col).alias("__id"), F.col("simhash").alias("__sh")
+    )
+    chunked = base.select(
+        "__id",
+        "__sh",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("chunk"),
+                        F.shiftrightunsigned(F.col("__sh"), i * 16)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("val"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("ck"),
+    ).select("__id", "__sh", "ck.chunk", "ck.val")
+
+    l, r = chunked.alias("l"), chunked.alias("r")
+    return (
+        l.join(
+            r,
+            on=[
+                F.col("l.chunk") == F.col("r.chunk"),
+                F.col("l.val") == F.col("r.val"),
+                F.col("l.__id") < F.col("r.__id"),
+            ],
+        )
+        .select(
+            F.col("l.__id").alias("id_a"),
+            F.col("r.__id").alias("id_b"),
+            F.bit_count(
+                F.col("l.__sh").bitwiseXOR(F.col("r.__sh"))
+            ).alias("hamming"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+        .where(F.col("hamming") <= max_hamming)
+    )
+
+
+# ---------------------------------------------------------------------------
+# blocked exact n-gram Jaccard (the SQL-oracle-able variant)
+# ---------------------------------------------------------------------------
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    *,
+    ngram: int = 3,
+    block_prefix: int = 40,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact token-n-gram Jaccard for pairs sharing a text-prefix blocking
+    key. Blocking bounds the join to same-prefix groups (one shuffle on the
+    prefix); exact and fully SQL-expressible."""
+    base = df.select(
+        F.col(id_col).alias("__id"),
+        F.substring(F.col(text_col), 1, block_prefix).alias("__blk"),
+        shingles(F.col(text_col), ngram).alias("__sh"),
+    )
+    l, r = base.alias("l"), base.alias("r")
+    return (
+        l.join(
+            r,
+            on=[
+                F.col("l.__blk") == F.col("r.__blk"),
+                F.col("l.__id") < F.col("r.__id"),
+            ],
+        )
+        .select(
+            F.col("l.__id").alias("id_a"),
+            F.col("r.__id").alias("id_b"),
+            F.round(jaccard(F.col("l.__sh"), F.col("r.__sh")), 4).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+# ---------------------------------------------------------------------------
+# embedding cosine near-dup
+# ---------------------------------------------------------------------------
+
+def cosine(a: Column, b: Column) -> Column:
+    """Cosine similarity of two float arrays, computed in double."""
+    dot = F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    norm = lambda v: F.sqrt(  # noqa: E731
+        F.aggregate(
+            F.transform(v, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    return dot / (norm(a) * norm(b))
+
+
+def embedding_dup_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    *,
+    threshold: float = 0.9,
+) -> DataFrame:
+    """All pairs with cosine >= threshold. Brute-force O(n^2) pair join —
+    fine to a few 10^4 vectors; beyond that use
+    ``similarity.ann_lsh_topk``'s hyperplane bucketing to restrict pairs."""
+    base = df.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"))
+    l, r = base.alias("l"), base.alias("r")
+    return (
+        l.join(r, on=[F.col("l.__id") < F.col("r.__id")])
+        .select(
+            F.col("l.__id").alias("id_a"),
+            F.col("r.__id").alias("id_b"),
+            F.round(cosine(F.col("l.__v"), F.col("r.__v")), 4).alias("cos_sim"),
+        )
+        .where(F.col("cos_sim") >= threshold)
+    )

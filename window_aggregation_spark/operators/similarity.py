@@ -1,0 +1,150 @@
+"""Similarity search over an embedding column (``array<float>``).
+
+- :func:`cosine_topk` — exact brute-force top-k: broadcast the (small) query
+  set against the corpus, cosine in double precision, per-query top-k via
+  one window. The right baseline and the recall yardstick. Scale shape:
+  corpus-side scan is embarrassingly parallel; the only shuffle is the
+  final per-query top-k (tiny: k rows per query per partition after the
+  window's partial rank pushdown).
+- :func:`hyperplane_buckets` / :func:`ann_lsh_topk` — the 100 TB path:
+  random-hyperplane LSH (sign bits of ``nbits`` fixed seeded projections)
+  buckets the corpus once; queries probe only their own bucket. Approximate
+  (recall measured in tests against brute force); candidate set per query is
+  |corpus| / 2^nbits in expectation, and multi-probe (flip one bit) trades
+  compute for recall.
+
+All expression-level (zip_with / aggregate) — no UDFs, stays in codegen.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from window_aggregation_spark.operators.dedup import cosine
+
+_PLANES_SEED = 42
+
+
+def _planes(nbits: int, dim: int) -> list[list[float]]:
+    rng = np.random.RandomState(_PLANES_SEED)
+    return rng.standard_normal((nbits, dim)).round(6).tolist()
+
+
+def cosine_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    *,
+    k: int = 5,
+    query_id: str = "vec_id",
+    corpus_id: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k nearest corpus vectors per query vector by cosine.
+
+    Returns (query_id, neighbor_id, cos_sim, nn_rank). Ties broken by
+    neighbor id so results are deterministic.
+    """
+    q = queries.select(
+        F.col(query_id).alias("query_id"), F.col(vec_col).alias("__qv")
+    )
+    c = corpus.select(
+        F.col(corpus_id).alias("neighbor_id"), F.col(vec_col).alias("__cv")
+    )
+    scored = F.broadcast(q).crossJoin(c).select(
+        "query_id",
+        "neighbor_id",
+        F.round(cosine(F.col("__qv"), F.col("__cv")), 4).alias("cos_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("nn_rank", F.row_number().over(w))
+        .where(F.col("nn_rank") <= k)
+    )
+
+
+def hyperplane_buckets(
+    df: DataFrame, *, vec_col: str = "embedding", nbits: int = 8, dim: int = 64
+) -> Column:
+    """LSH bucket id: sign bits of ``nbits`` fixed random projections."""
+    planes = _planes(nbits, dim)
+    vec = F.col(vec_col)
+    bits = [
+        F.when(
+            F.aggregate(
+                F.zip_with(
+                    vec,
+                    F.array(*[F.lit(x) for x in plane]),
+                    lambda a, b: a.cast("double") * b,
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+            > 0,
+            F.lit(1 << i),
+        ).otherwise(F.lit(0))
+        for i, plane in enumerate(planes)
+    ]
+    out = bits[0]
+    for b in bits[1:]:
+        out = out + b
+    return out.cast("int")
+
+
+def ann_lsh_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    *,
+    k: int = 5,
+    nbits: int = 8,
+    dim: int = 64,
+    multi_probe: bool = True,
+    query_id: str = "vec_id",
+    corpus_id: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: compare each query only against corpus vectors in
+    the same hyperplane bucket. One shuffle on the bucket id; candidate
+    count per query ~ |corpus| / 2^nbits.
+
+    ``multi_probe`` additionally probes every bucket one bit-flip away
+    (nbits+1 buckets per query) — the standard recall/compute trade: near
+    neighbors that straddle a single hyperplane are recovered at the cost
+    of scanning ~(nbits+1)/2^nbits of the corpus.
+    """
+    q_bucket = hyperplane_buckets(queries, vec_col=vec_col, nbits=nbits, dim=dim)
+    if multi_probe:
+        probes = F.array(
+            q_bucket, *[q_bucket.bitwiseXOR(F.lit(1 << i)) for i in range(nbits)]
+        )
+        bucket_col = F.explode(probes).alias("__bucket")
+    else:
+        bucket_col = q_bucket.alias("__bucket")
+    q = queries.select(
+        F.col(query_id).alias("query_id"),
+        F.col(vec_col).alias("__qv"),
+        bucket_col,
+    )
+    c = corpus.select(
+        F.col(corpus_id).alias("neighbor_id"),
+        F.col(vec_col).alias("__cv"),
+        hyperplane_buckets(corpus, vec_col=vec_col, nbits=nbits, dim=dim).alias(
+            "__bucket"
+        ),
+    )
+    scored = q.join(c, on="__bucket").select(
+        "query_id",
+        "neighbor_id",
+        F.round(cosine(F.col("__qv"), F.col("__cv")), 4).alias("cos_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("nn_rank", F.row_number().over(w))
+        .where(F.col("nn_rank") <= k)
+    )

@@ -1,0 +1,198 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+Everything here is a pure built-in Catalyst expression over a string column —
+no Python UDFs — so the operators run JVM-side inside whole-stage codegen,
+scale linearly with no shuffle (they are per-row projections), and push
+column pruning down to the parquet scan. Each has an exact ANSI-SQL
+equivalent (used as the DuckDB oracle in the suite).
+
+Operators:
+
+- :func:`tokens` — lowercase alphanumeric tokenization.
+- :func:`text_profile` — length / token / punctuation / stopword statistics
+  plus a deterministic quality score.
+- :func:`language_id` — stopword-hit-count heuristic over small per-language
+  wordlists; deterministic arg-max with a fixed priority order.
+- :func:`token_counts` — whitespace tokens and a BPE-ish regex token count
+  (letters / digits / single non-space symbols), the standard cheap proxy
+  for LLM token budgeting.
+- :func:`fingerprint` — 31-base polynomial rolling hash of the
+  alnum-normalized text modulo 2^31-1; stable across engines, usable as a
+  cheap near-exact dedup key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+TOKEN_RE = "[a-z0-9]+"
+# letters / digits / single non-alnum-non-space symbol — a BPE-ish split
+BPE_RE = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"
+PUNCT_RE = "[.,;:!?]"
+_MOD = 2147483647  # 2^31 - 1
+
+# Small public stopword lists — enough signal for a heuristic language ID.
+STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "to", "in", "is", "it", "that", "for"),
+    "es": ("el", "la", "de", "que", "y", "en", "un", "por", "con", "los"),
+    "de": ("der", "die", "das", "und", "ist", "von", "mit", "den", "ein", "zu"),
+    "fr": ("le", "la", "de", "et", "les", "des", "est", "dans", "que", "pour"),
+    "zh": ("的", "了", "是", "我", "不", "在", "人", "有", "他", "这"),
+}
+# deterministic tie-break: first language in this order wins
+LANG_PRIORITY: tuple[str, ...] = ("en", "es", "de", "fr", "zh")
+
+
+def tokens(text: Column) -> Column:
+    return F.regexp_extract_all(F.lower(text), F.lit(TOKEN_RE), 0)
+
+
+def _stopword_hits(toks: Column, lang: str) -> Column:
+    words = list(STOPWORDS[lang])
+    return F.size(F.filter(toks, lambda t: t.isin(words)))
+
+
+def text_profile(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Append length/token/punctuation/stopword statistics and a quality
+    score in [0,1]. One projection; no shuffle."""
+    text = F.col(text_col)
+    toks = tokens(text)
+    n_tokens = F.size(toks)
+    alnum_chars = F.length(F.regexp_replace(F.lower(text), "[^a-z0-9]", ""))
+    n_chars = F.length(text)
+    punct = n_chars - F.length(F.regexp_replace(text, PUNCT_RE, ""))
+    stop_hits = _stopword_hits(toks, "en")
+
+    avg_token_len = F.when(
+        n_tokens > 0, F.round(alnum_chars / n_tokens, 4)
+    ).otherwise(F.lit(0.0))
+    punct_ratio = F.when(
+        n_chars > 0, F.round(punct / n_chars, 4)
+    ).otherwise(F.lit(0.0))
+    stopword_ratio = F.when(
+        n_tokens > 0, F.round(stop_hits / n_tokens, 4)
+    ).otherwise(F.lit(0.0))
+    # Deterministic quality heuristic: enough tokens, some stopword signal,
+    # word lengths in a natural-language band.
+    quality = F.round(
+        F.least(n_tokens / F.lit(200.0), F.lit(1.0)) * 0.5
+        + F.least(stopword_ratio * 4.0, F.lit(1.0)) * 0.3
+        + F.when((avg_token_len >= 3.0) & (avg_token_len <= 8.0), 0.2).otherwise(0.0),
+        4,
+    )
+    return df.select(
+        "*",
+        n_tokens.alias("n_tokens"),
+        avg_token_len.alias("avg_token_len"),
+        punct_ratio.alias("punct_ratio"),
+        stopword_ratio.alias("stopword_ratio"),
+        quality.alias("quality_score"),
+    )
+
+
+def text_profile_oracle_exprs(text_col: str = "text") -> str:
+    """The DuckDB SQL mirror of :func:`text_profile`'s appended columns."""
+    toks = f"regexp_extract_all(lower({text_col}), '{TOKEN_RE}')"
+    n_tokens = f"len({toks})"
+    alnum = f"length(regexp_replace(lower({text_col}), '[^a-z0-9]', '', 'g'))"
+    n_chars = f"length({text_col})"
+    punct = f"({n_chars} - length(regexp_replace({text_col}, '{PUNCT_RE}', '', 'g')))"
+    stop_in = ", ".join(f"'{w}'" for w in STOPWORDS["en"])
+    stop_hits = f"len(list_filter({toks}, t -> t IN ({stop_in})))"
+    avg_tok = f"CASE WHEN {n_tokens} > 0 THEN ROUND({alnum} / {n_tokens}, 4) ELSE 0.0 END"
+    punct_ratio = f"CASE WHEN {n_chars} > 0 THEN ROUND({punct} / {n_chars}, 4) ELSE 0.0 END"
+    stop_ratio = (
+        f"CASE WHEN {n_tokens} > 0 THEN ROUND({stop_hits} / {n_tokens}, 4) "
+        f"ELSE 0.0 END"
+    )
+    quality = (
+        f"ROUND(least({n_tokens} / 200.0, 1.0) * 0.5"
+        f" + least(({stop_ratio}) * 4.0, 1.0) * 0.3"
+        f" + CASE WHEN ({avg_tok}) BETWEEN 3.0 AND 8.0 THEN 0.2 ELSE 0.0 END, 4)"
+    )
+    return (
+        f"CAST({n_tokens} AS INT) AS n_tokens, {avg_tok} AS avg_token_len, "
+        f"{punct_ratio} AS punct_ratio, {stop_ratio} AS stopword_ratio, "
+        f"{quality} AS quality_score"
+    )
+
+
+def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Append ``lang_pred``: the language whose stopword list scores the most
+    token hits (priority-ordered arg-max; 'und' when nothing matches)."""
+    toks = tokens(F.col(text_col))
+    scores = {lang: _stopword_hits(toks, lang) for lang in LANG_PRIORITY}
+    # build the CASE from the lowest-priority language upward, so the
+    # earliest language in LANG_PRIORITY wins score ties
+    pred = F.lit("und")
+    for lang in reversed(LANG_PRIORITY):
+        others = [scores[o] for o in LANG_PRIORITY if o != lang]
+        pred = F.when(
+            (scores[lang] > 0) & (scores[lang] >= F.greatest(*others)),
+            F.lit(lang),
+        ).otherwise(pred)
+    return df.select("*", pred.alias("lang_pred"))
+
+
+def language_id_oracle_expr(text_col: str = "text") -> str:
+    toks = f"regexp_extract_all(lower({text_col}), '{TOKEN_RE}')"
+
+    def hits(lang: str) -> str:
+        stop_in = ", ".join(f"'{w}'" for w in STOPWORDS[lang])
+        return f"len(list_filter({toks}, t -> t IN ({stop_in})))"
+
+    expr = "'und'"
+    for lang in reversed(LANG_PRIORITY):
+        others = ", ".join(hits(o) for o in LANG_PRIORITY if o != lang)
+        expr = (
+            f"CASE WHEN {hits(lang)} > 0 AND {hits(lang)} >= greatest({others}) "
+            f"THEN '{lang}' ELSE {expr} END"
+        )
+    return f"{expr} AS lang_pred"
+
+
+def token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Append ``ws_tokens`` (whitespace-separated) and ``bpe_tokens``
+    (letters / digit-runs / symbols — a cheap BPE-count proxy)."""
+    text = F.col(text_col)
+    return df.select(
+        "*",
+        F.size(F.regexp_extract_all(text, F.lit("\\S+"), 0)).alias("ws_tokens"),
+        F.size(F.regexp_extract_all(text, F.lit(BPE_RE), 0)).alias("bpe_tokens"),
+    )
+
+
+def token_counts_oracle_exprs(text_col: str = "text") -> str:
+    return (
+        f"CAST(len(regexp_extract_all({text_col}, '\\S+')) AS INT) AS ws_tokens, "
+        f"CAST(len(regexp_extract_all({text_col}, '{BPE_RE}')) AS INT) AS bpe_tokens"
+    )
+
+
+def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Append ``fp``: polynomial rolling hash (base 31, mod 2^31-1) over the
+    alnum-normalized character stream. Engine-portable (same value in any
+    SQL engine with ascii()+fold), suitable as a near-exact dedup key."""
+    norm = F.regexp_replace(F.lower(F.col(text_col)), "[^a-z0-9]", "")
+    chars = F.filter(F.split(norm, ""), lambda c: c != "")
+    fp = F.when(F.length(norm) == 0, F.lit(0)).otherwise(
+        F.aggregate(
+            chars,
+            F.lit(0).cast("long"),
+            lambda acc, c: (acc * 31 + F.ascii(c)) % _MOD,
+        )
+    )
+    return df.select("*", fp.cast("long").alias("fp"))
+
+
+def fingerprint_oracle_expr(text_col: str = "text") -> str:
+    norm = f"regexp_replace(lower({text_col}), '[^a-z0-9]', '', 'g')"
+    codes = (
+        f"list_prepend(CAST(0 AS BIGINT), "
+        f"list_transform(string_split({norm}, ''), c -> CAST(ascii(c) AS BIGINT)))"
+    )
+    return (
+        f"CAST(CASE WHEN length({norm}) = 0 THEN 0 ELSE "
+        f"list_reduce({codes}, (a, b) -> (a * 31 + b) % {_MOD}) END AS BIGINT) AS fp"
+    )

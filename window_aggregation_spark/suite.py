@@ -585,5 +585,273 @@ def w_events_running(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("run_value", F.round("run_value", 4))
 
 
+# ---------------------------------------------------------------------------
+# Extension operators: text analysis (SURVEY §7.6 / BASELINE north star)
+# ---------------------------------------------------------------------------
+
+def _text_oracle(select_exprs: str) -> str:
+    return f"SELECT doc_id, lang, source, {select_exprs} FROM documents"
+
+
+def _register_text() -> None:
+    from window_aggregation_spark.operators import text as tx
+
+    @_register("text_profile", _text_oracle(tx.text_profile_oracle_exprs()),
+               headline=True)
+    def text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+        df = read_table(spark, sf_dir, "documents").select("doc_id", "lang",
+                                                           "source", "text")
+        return tx.text_profile(df).drop("text")
+
+    @_register("text_language_id", _text_oracle(tx.language_id_oracle_expr()))
+    def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+        df = read_table(spark, sf_dir, "documents").select("doc_id", "lang",
+                                                           "source", "text")
+        return tx.language_id(df).drop("text")
+
+    @_register("text_token_counts", _text_oracle(tx.token_counts_oracle_exprs()))
+    def text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+        df = read_table(spark, sf_dir, "documents").select("doc_id", "lang",
+                                                           "source", "text")
+        return tx.token_counts(df).drop("text")
+
+    @_register("text_fingerprint", _text_oracle(tx.fingerprint_oracle_expr()))
+    def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+        df = read_table(spark, sf_dir, "documents").select("doc_id", "lang",
+                                                           "source", "text")
+        return tx.fingerprint(df).drop("text")
+
+
+_register_text()
+
+
+# ---------------------------------------------------------------------------
+# Extension operators: deduplication
+# ---------------------------------------------------------------------------
+
+# DuckDB mirror of operators.dedup.shingles (token 3-grams, distinct)
+_DUCK_TOKENS = "regexp_extract_all(lower(text), '[a-z0-9]+')"
+_DUCK_SHINGLES = f"""
+    CASE WHEN len({_DUCK_TOKENS}) <= 3 - 1
+         THEN [array_to_string({_DUCK_TOKENS}, ' ')]
+         ELSE list_distinct(list_transform(
+                generate_series(1, len({_DUCK_TOKENS}) - 2),
+                i -> {_DUCK_TOKENS}[i] || ' ' || {_DUCK_TOKENS}[i+1]
+                     || ' ' || {_DUCK_TOKENS}[i+2]))
+    END
+"""
+
+# DuckDB mirror of operators.dedup.cosine — explicit double folds in the
+# same left-to-right order as Spark's F.aggregate, so values match exactly.
+def _duck_cosine(a: str, b: str) -> str:
+    def dot(x: str, y: str) -> str:
+        return (
+            f"list_reduce(list_prepend(0.0, list_transform("
+            f"generate_series(1, len({x})), "
+            f"i -> CAST({x}[i] AS DOUBLE) * CAST({y}[i] AS DOUBLE))), "
+            f"(acc, v) -> acc + v)"
+        )
+
+    return f"({dot(a, b)} / (sqrt({dot(a, a)}) * sqrt({dot(b, b)})))"
+
+
+def _register_dedup() -> None:
+    from window_aggregation_spark.operators import dedup as dd
+
+    @_register(
+        "dedup_exact_key",
+        """
+        SELECT doc_id, lang, source, n_chars FROM (
+          SELECT doc_id, lang, source, n_chars,
+                 row_number() OVER (PARTITION BY lang, source
+                                    ORDER BY doc_id ASC) AS rn
+          FROM documents) WHERE rn = 1
+        """,
+    )
+    def dedup_exact_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+        df = read_table(spark, sf_dir, "documents").select(
+            "doc_id", "lang", "source", "n_chars"
+        )
+        return dd.exact_dedup(df, ["lang", "source"], order_by=["doc_id"])
+
+    @_register(
+        "dedup_content_md5",
+        """
+        SELECT doc_id, ckey FROM (
+          SELECT doc_id, md5(lower(text)) AS ckey,
+                 row_number() OVER (PARTITION BY md5(lower(text))
+                                    ORDER BY doc_id ASC) AS rn
+          FROM documents) WHERE rn = 1
+        """,
+    )
+    def dedup_content_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+        df = (
+            read_table(spark, sf_dir, "documents")
+            .select("doc_id", dd.content_key(F.col("text")).alias("ckey"))
+        )
+        return dd.exact_dedup(df, ["ckey"], order_by=["doc_id"])
+
+    @_register(
+        "dedup_ngram_jaccard",
+        f"""
+        WITH base AS (
+          SELECT doc_id, substr(text, 1, 40) AS blk, {_DUCK_SHINGLES} AS sh
+          FROM documents)
+        SELECT l.doc_id AS id_a, r.doc_id AS id_b,
+               ROUND(CASE WHEN len(list_distinct(list_concat(l.sh, r.sh))) = 0
+                          THEN 0.0
+                          ELSE len(list_intersect(l.sh, r.sh))
+                               / len(list_distinct(list_concat(l.sh, r.sh)))
+                     END, 4) AS jaccard
+        FROM base l JOIN base r
+          ON l.blk = r.blk AND l.doc_id < r.doc_id
+        WHERE ROUND(CASE WHEN len(list_distinct(list_concat(l.sh, r.sh))) = 0
+                         THEN 0.0
+                         ELSE len(list_intersect(l.sh, r.sh))
+                              / len(list_distinct(list_concat(l.sh, r.sh)))
+                    END, 4) >= 0.3
+        """,
+        headline=True,
+    )
+    def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+        df = read_table(spark, sf_dir, "documents")
+        return dd.ngram_jaccard_pairs(
+            df, "doc_id", block_prefix=40, threshold=0.3
+        )
+
+    @_register("dedup_minhash_lsh", None, headline=True)
+    def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+        df = read_table(spark, sf_dir, "documents")
+        return dd.minhash_dedup_pairs(df, "doc_id", threshold=0.3)
+
+    @_register("dedup_simhash", None)
+    def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+        df = read_table(spark, sf_dir, "documents")
+        return dd.simhash_dedup_pairs(df, "doc_id", max_hamming=8)
+
+    @_register(
+        "dedup_embedding_cosine",
+        f"""
+        WITH e AS (SELECT vec_id, embedding FROM embeddings)
+        SELECT l.vec_id AS id_a, r.vec_id AS id_b,
+               ROUND({_duck_cosine('l.embedding', 'r.embedding')}, 4) AS cos_sim
+        FROM e l JOIN e r ON l.vec_id < r.vec_id
+        WHERE ROUND({_duck_cosine('l.embedding', 'r.embedding')}, 4) >= 0.4
+        """,
+    )
+    def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+        df = read_table(spark, sf_dir, "embeddings")
+        return dd.embedding_dup_pairs(df, threshold=0.4)
+
+
+_register_dedup()
+
+
+# ---------------------------------------------------------------------------
+# Extension operators: similarity search
+# ---------------------------------------------------------------------------
+
+def _register_similarity() -> None:
+    from window_aggregation_spark.operators import similarity as sim
+
+    @_register(
+        "sim_topk_bruteforce",
+        f"""
+        WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+                   FROM embeddings WHERE vec_id < 8),
+             c AS (SELECT vec_id AS neighbor_id, embedding AS cv
+                   FROM embeddings WHERE vec_id >= 8),
+             scored AS (
+               SELECT q.query_id, c.neighbor_id,
+                      ROUND({_duck_cosine('q.qv', 'c.cv')}, 4) AS cos_sim
+               FROM q CROSS JOIN c)
+        SELECT query_id, neighbor_id, cos_sim,
+               CAST(rn AS INT) AS nn_rank
+        FROM (SELECT *, row_number() OVER (
+                PARTITION BY query_id
+                ORDER BY cos_sim DESC, neighbor_id ASC) AS rn
+              FROM scored)
+        WHERE rn <= 5
+        """,
+        headline=True,
+    )
+    def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+        emb = read_table(spark, sf_dir, "embeddings")
+        queries = emb.where(F.col("vec_id") < 8)
+        corpus = emb.where(F.col("vec_id") >= 8)
+        return sim.cosine_topk(queries, corpus, k=5)
+
+    @_register("sim_topk_lsh", None)
+    def sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+        emb = read_table(spark, sf_dir, "embeddings")
+        queries = emb.where(F.col("vec_id") < 8)
+        corpus = emb.where(F.col("vec_id") >= 8)
+        return sim.ann_lsh_topk(queries, corpus, k=5, nbits=4)
+
+
+_register_similarity()
+
+
+# ---------------------------------------------------------------------------
+# Extension operators: multimodal plumbing + streaming-shaped aggregations
+# ---------------------------------------------------------------------------
+
+def _register_multimodal_streaming() -> None:
+    from window_aggregation_spark.operators import multimodal as mm
+    from window_aggregation_spark.streaming.window_stream import (
+        sessionize,
+        tumbling_counts,
+    )
+
+    @_register("mm_decode_features", None)
+    def mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+        df = read_table(spark, sf_dir, "documents")
+        payloads = mm.attach_binary_payload(df)
+        feats = mm.decode_image_features(payloads)
+        return feats.select(
+            "doc_id", "mime", "n_bytes", F.element_at("feat", 1).alias("feat_len")
+        )
+
+    @_register(
+        "stream_tumbling_counts",
+        """
+        SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+               event_type, count(*) AS n_events,
+               ROUND(sum(value), 4) AS sum_value
+        FROM events GROUP BY 1, 2
+        """,
+        headline=True,
+    )
+    def stream_tumbling_counts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        events = read_table(spark, sf_dir, "events")
+        return tumbling_counts(events, window_duration="1 hour")
+
+    @_register(
+        "stream_sessionize",
+        """
+        SELECT event_id, user_id,
+               CAST(sum(is_new) OVER (PARTITION BY user_id
+                    ORDER BY ts ASC, event_id ASC) AS INT) AS session_id
+        FROM (
+          SELECT event_id, user_id, ts,
+                 CASE WHEN lag(ts) OVER (PARTITION BY user_id
+                                         ORDER BY ts ASC, event_id ASC) IS NULL
+                        OR epoch(ts) - epoch(lag(ts) OVER (
+                             PARTITION BY user_id
+                             ORDER BY ts ASC, event_id ASC)) > 1800
+                      THEN 1 ELSE 0 END AS is_new
+          FROM events)
+        """,
+    )
+    def stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+        events = read_table(spark, sf_dir, "events")
+        return sessionize(events, gap="30 minutes").select(
+            "event_id", "user_id", "session_id"
+        )
+
+
+_register_multimodal_streaming()
+
+
 def headline_queries() -> dict[str, SuiteQuery]:
     return {k: q for k, q in SUITE.items() if q.headline}
