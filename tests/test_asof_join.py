@@ -1,0 +1,94 @@
+"""Semantics tests for the as-of join operator: <= matching, no-match
+nulls, equal-timestamp inclusion, tie-break determinism, atomic payload."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from window_aggregation_spark.operators.asof_join import asof_join
+
+
+def _ts(s: str):
+    return s
+
+
+def test_asof_basic_and_no_match(spark):
+    left = spark.createDataFrame(
+        [
+            (1, 10, "2024-01-01 10:00:00"),
+            (2, 10, "2024-01-01 12:00:00"),
+            (3, 20, "2024-01-01 09:00:00"),  # no right row at or before
+        ],
+        "lid long, k long, ts_s string",
+    ).withColumn("ts", F.to_timestamp("ts_s")).drop("ts_s")
+    right = spark.createDataFrame(
+        [
+            (100, 10, "2024-01-01 09:30:00", 1.0),
+            (101, 10, "2024-01-01 11:00:00", 2.0),
+            (102, 20, "2024-01-01 09:30:00", 3.0),
+        ],
+        "rid long, k long, ts_s string, v double",
+    ).withColumn("ts", F.to_timestamp("ts_s")).drop("ts_s")
+
+    out = {
+        r["lid"]: (r["rid"], r["v"])
+        for r in asof_join(
+            left, right, on=["k"], ts_col="ts", right_cols=["rid", "v"],
+            tiebreak="rid",
+        ).collect()
+    }
+    assert out == {1: (100, 1.0), 2: (101, 2.0), 3: (None, None)}
+
+
+def test_asof_equal_ts_included_and_tiebreak(spark):
+    left = spark.createDataFrame(
+        [(1, 5, "2024-01-01 10:00:00")], "lid long, k long, ts_s string"
+    ).withColumn("ts", F.to_timestamp("ts_s")).drop("ts_s")
+    # two right rows at exactly left.ts: <= includes them; larger tiebreak wins
+    right = spark.createDataFrame(
+        [
+            (200, 5, "2024-01-01 10:00:00", 1.0),
+            (201, 5, "2024-01-01 10:00:00", 2.0),
+        ],
+        "rid long, k long, ts_s string, v double",
+    ).withColumn("ts", F.to_timestamp("ts_s")).drop("ts_s")
+    (row,) = asof_join(
+        left, right, on=["k"], ts_col="ts", right_cols=["rid", "v"], tiebreak="rid"
+    ).collect()
+    assert (row["rid"], row["v"]) == (201, 2.0)
+
+
+def test_asof_payload_is_atomic(spark):
+    """Both carried columns must come from the SAME right row even when an
+    earlier right row exists."""
+    left = spark.createDataFrame(
+        [(1, 7, "2024-01-01 12:00:00")], "lid long, k long, ts_s string"
+    ).withColumn("ts", F.to_timestamp("ts_s")).drop("ts_s")
+    right = spark.createDataFrame(
+        [
+            (300, 7, "2024-01-01 10:00:00", 10.0),
+            (301, 7, "2024-01-01 11:00:00", 20.0),
+        ],
+        "rid long, k long, ts_s string, v double",
+    ).withColumn("ts", F.to_timestamp("ts_s")).drop("ts_s")
+    (row,) = asof_join(
+        left, right, on=["k"], ts_col="ts", right_cols=["rid", "v"], tiebreak="rid"
+    ).collect()
+    assert (row["rid"], row["v"]) == (301, 20.0)
+
+
+def test_asof_overlapping_names_get_suffix(spark):
+    left = spark.createDataFrame(
+        [(1, 7, "2024-01-01 12:00:00", 5.0)],
+        "lid long, k long, ts_s string, v double",
+    ).withColumn("ts", F.to_timestamp("ts_s")).drop("ts_s")
+    right = spark.createDataFrame(
+        [(300, 7, "2024-01-01 10:00:00", 10.0)],
+        "rid long, k long, ts_s string, v double",
+    ).withColumn("ts", F.to_timestamp("ts_s")).drop("ts_s")
+    out = asof_join(
+        left, right, on=["k"], ts_col="ts", right_cols=["v"], tiebreak="rid"
+    )
+    assert "v_asof" in out.columns and "v" in out.columns
+    (row,) = out.collect()
+    assert row["v"] == 5.0 and row["v_asof"] == 10.0

@@ -853,5 +853,57 @@ def _register_multimodal_streaming() -> None:
 _register_multimodal_streaming()
 
 
+def _register_asof() -> None:
+    from window_aggregation_spark.operators.asof_join import asof_join
+
+    @_register(
+        "asof_join_events",
+        """
+        WITH l AS (SELECT event_id, user_id, ts, value FROM events
+                   WHERE event_type = 'purchase'),
+             r AS (SELECT event_id, user_id, ts, value FROM events
+                   WHERE event_type = 'signup'),
+             u AS (
+               SELECT event_id, user_id, ts, value, 1 AS side,
+                      NULL::BIGINT AS tb, NULL::BIGINT AS r_eid,
+                      NULL::DOUBLE AS r_val
+               FROM l
+               UNION ALL
+               SELECT NULL, user_id, ts, NULL, 0, event_id, event_id, value
+               FROM r),
+             c AS (
+               SELECT *,
+                      last_value(r_eid IGNORE NULLS) OVER w AS m_eid,
+                      last_value(r_val IGNORE NULLS) OVER w AS m_val
+               FROM u
+               WINDOW w AS (PARTITION BY user_id
+                            ORDER BY ts ASC, side ASC, tb ASC))
+        SELECT event_id, user_id, ts, value,
+               m_eid AS event_id_asof, m_val AS value_asof
+        FROM c WHERE side = 1
+        """,
+        headline=True,
+    )
+    def asof_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """As-of join: each purchase event annotated with the latest signup
+        event (id + value) of the same user at or before it."""
+        events = read_table(spark, sf_dir, "events").select(
+            "event_id", "user_id", "ts", "value", "event_type"
+        )
+        purchases = events.where(F.col("event_type") == "purchase").drop("event_type")
+        signups = events.where(F.col("event_type") == "signup").drop("event_type")
+        return asof_join(
+            purchases,
+            signups,
+            on=["user_id"],
+            ts_col="ts",
+            right_cols=["event_id", "value"],
+            tiebreak="event_id",
+        )
+
+
+_register_asof()
+
+
 def headline_queries() -> dict[str, SuiteQuery]:
     return {k: q for k, q in SUITE.items() if q.headline}
