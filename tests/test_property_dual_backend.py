@@ -1,0 +1,121 @@
+"""Property test: for randomized window plans, the DataFrame-API backend and
+the generated-SQL backend (plans.sql_gen -> spark.sql) must produce identical
+results. This is the engine's own dual-path consistency guarantee (the
+reference kept one config IR with two executors; so do we) and gives broad
+randomized coverage of function x frame x direction combinations.
+"""
+
+from __future__ import annotations
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from window_aggregation_spark.operators.window_aggregation import window_aggregate
+from window_aggregation_spark.plans.sql_gen import plan_to_sql
+from window_aggregation_spark.spec import (
+    UNBOUNDED_FOLLOWING,
+    UNBOUNDED_PRECEDING,
+    AggregateDef,
+    Direction,
+    FrameType,
+    OrderKey,
+    WindowPlan,
+    WindowSpecDef,
+)
+
+ROWS = [
+    (i, ["x", "y", "z"][i % 3], float(v), (i * 7) % 5)
+    for i, v in enumerate([3, 1, 4, 1, 5, 9, 2, 6, 5, 3, 5, 8, 9, 7, 9, 3, 2, 3, 8, 4])
+]
+SCHEMA = "id int, grp string, val double, small int"
+
+# (function, field, args) combos; frame-capable vs frame-free handled below
+FRAME_FREE = [
+    ("rank", None, ()),
+    ("dense_rank", None, ()),
+    ("percent_rank", None, ()),
+    ("row_number", None, ()),
+    ("ntile", "val", ("3",)),
+    ("cume_dist", "val", ()),
+    ("lead", "val", ("2",)),
+    ("lag", "small", ("1",)),
+    ("median", "val", ()),
+    ("discrete_percentile", "val", ("0.35",)),
+]
+FRAME_CAPABLE = [
+    ("first", "val", ()),
+    ("last", "small", ()),
+    ("accumulate", "val", ()),
+]
+
+frame_free_agg = st.sampled_from(FRAME_FREE)
+frame_capable_agg = st.sampled_from(FRAME_CAPABLE)
+direction = st.sampled_from([Direction.ASCENDING, Direction.DESCENDING])
+bound = st.sampled_from([UNBOUNDED_PRECEDING, -3, -1, 0, 1, 2, UNBOUNDED_FOLLOWING])
+
+
+@st.composite
+def framed_plan(draw):
+    fns = draw(st.lists(frame_capable_agg, min_size=1, max_size=3, unique=True))
+    start = draw(bound.filter(lambda b: b < UNBOUNDED_FOLLOWING))
+    end = draw(bound.filter(lambda b: b > UNBOUNDED_PRECEDING))
+    if start > end:
+        start, end = end, start
+    spec = WindowSpecDef(
+        partition_by=("grp",),
+        order_by=(OrderKey("val", draw(direction)), OrderKey("id")),
+        frame_type=FrameType.ROW,
+        start=start,
+        end=end,
+    )
+    aggs = tuple(
+        AggregateDef(f"a{i}", fn, field=field, args=args)
+        for i, (fn, field, args) in enumerate(fns)
+    )
+    return WindowPlan(spec=spec, aggregates=aggs)
+
+
+@st.composite
+def unframed_plan(draw):
+    fns = draw(st.lists(frame_free_agg, min_size=1, max_size=4, unique=True))
+    spec = WindowSpecDef(
+        partition_by=("grp",),
+        order_by=(OrderKey("val", draw(direction)), OrderKey("id")),
+    )
+    aggs = tuple(
+        AggregateDef(f"a{i}", fn, field=field, args=args)
+        for i, (fn, field, args) in enumerate(fns)
+    )
+    return WindowPlan(spec=spec, aggregates=aggs)
+
+
+def _run_both(spark, plan: WindowPlan):
+    df = spark.createDataFrame(ROWS, SCHEMA)
+    api = window_aggregate(df, plan).orderBy("id").collect()
+    df.createOrReplaceTempView("prop_input")
+    sql = plan_to_sql(plan, "prop_input", df.columns, dialect="spark")
+    via_sql = spark.sql(sql).orderBy("id").collect()
+    return api, via_sql
+
+
+@settings(
+    max_examples=25,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(plan=unframed_plan())
+def test_unframed_plans_dual_backend(spark, plan):
+    api, via_sql = _run_both(spark, plan)
+    assert api == via_sql
+
+
+@settings(
+    max_examples=25,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(plan=framed_plan())
+def test_framed_plans_dual_backend(spark, plan):
+    api, via_sql = _run_both(spark, plan)
+    assert api == via_sql

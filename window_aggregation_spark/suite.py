@@ -905,5 +905,36 @@ def _register_asof() -> None:
 _register_asof()
 
 
+def _register_skew() -> None:
+    from window_aggregation_spark.operators.skew import salted_running_sum
+
+    @_register(
+        "skew_salted_running_sum",
+        """
+        SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity,
+               sum(l_quantity) OVER (PARTITION BY l_returnflag
+                                     ORDER BY l_quantity ASC
+                                     RANGE BETWEEN UNBOUNDED PRECEDING
+                                           AND CURRENT ROW) AS run_qty
+        FROM lineitem
+        """,
+        headline=True,
+    )
+    def skew_salted_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Two-phase salted running sum over the 3 hot l_returnflag keys —
+        the oracle is the PLAIN range-frame running sum, proving exact
+        equivalence of the decomposition."""
+        df = read_table(spark, sf_dir, "lineitem").select(
+            *_LI_KEYS, "l_returnflag", "l_quantity"
+        )
+        return salted_running_sum(
+            df, ["l_returnflag"], "l_quantity", "l_quantity",
+            chunks=32, alias="run_qty",
+        )
+
+
+_register_skew()
+
+
 def headline_queries() -> dict[str, SuiteQuery]:
     return {k: q for k, q in SUITE.items() if q.headline}
