@@ -171,6 +171,30 @@ def _accumulate(agg: AggregateDef, w: WindowSpec, _: WindowSpecDef) -> Column:
     return F.sum(F.col(agg.field)).over(w)
 
 
+# Extension aggregates beyond the reference's 14 (same clause shape as
+# ACCUMULATE: partition required, order and frame optional).
+
+def _min(agg: AggregateDef, w: WindowSpec, _: WindowSpecDef) -> Column:
+    return F.min(F.col(agg.field)).over(w)
+
+
+def _max(agg: AggregateDef, w: WindowSpec, _: WindowSpecDef) -> Column:
+    return F.max(F.col(agg.field)).over(w)
+
+
+def _avg(agg: AggregateDef, w: WindowSpec, _: WindowSpecDef) -> Column:
+    return F.avg(F.col(agg.field)).over(w).cast(T.DoubleType())
+
+
+def _count(agg: AggregateDef, w: WindowSpec, _: WindowSpecDef) -> Column:
+    return F.count(F.col(agg.field)).over(w)
+
+
+def _approx_count_distinct(agg: AggregateDef, w: WindowSpec, _: WindowSpecDef) -> Column:
+    # HyperLogLog++ sketch — the fixed-memory cardinality path for 100 TB.
+    return F.approx_count_distinct(F.col(agg.field)).over(w)
+
+
 # --------------------------------------------------------------------------
 # SQL renderers.  Signature: (agg, over_sql, dialect) -> str expression.
 # The generated-SQL backend (mirrors reference O12, WindowAggregation.java:631-661).
@@ -266,6 +290,19 @@ FUNCTIONS: dict[str, FunctionDef] = {
                     _cume_dist, _sql_simple("cume_dist()")),
         FunctionDef("accumulate", "ACCUMULATE", _R, _O, _O, True, None, True, 0,
                     _accumulate, _sql_simple("sum({field})")),
+        # extension aggregates (not in the reference's enum)
+        FunctionDef("min", "MIN", _R, _O, _O, False, None, True, 0,
+                    _min, _sql_simple("min({field})")),
+        FunctionDef("max", "MAX", _R, _O, _O, False, None, True, 0,
+                    _max, _sql_simple("max({field})")),
+        FunctionDef("avg", "AVG", _R, _O, _O, True, "double", True, 0,
+                    _avg, _sql_simple("avg({field})")),
+        FunctionDef("count", "COUNT", _R, _O, _O, False, "long", True, 0,
+                    _count, _sql_simple("count({field})")),
+        FunctionDef("approx_count_distinct", "APPROX_COUNT_DISTINCT",
+                    _R, _O, _O, False, "long", True, 0,
+                    _approx_count_distinct,
+                    _sql_simple("approx_count_distinct({field})")),
     ]
 }
 

@@ -47,6 +47,7 @@ _DECLARED = {
     "int": T.IntegerType(),
     "float": T.FloatType(),
     "double": T.DoubleType(),
+    "long": T.LongType(),
 }
 
 

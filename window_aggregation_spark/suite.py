@@ -905,6 +905,63 @@ def _register_asof() -> None:
 _register_asof()
 
 
+@_register(
+    "w_extended_aggregates",
+    f"""
+    SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity,
+           min(l_quantity) OVER w AS min_qty,
+           max(l_quantity) OVER w AS max_qty,
+           CAST(avg(l_quantity) OVER w AS DOUBLE) AS avg_qty,
+           count(l_quantity) OVER w AS cnt_qty
+    FROM lineitem
+    WINDOW w AS (PARTITION BY l_returnflag ORDER BY {_LI_TIEBREAK_SQL})
+    """,
+)
+def w_extended_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension aggregates beyond the reference enum (min/max/avg/count),
+    running over the default frame — same registry/validator machinery."""
+    df = read_table(spark, sf_dir, "lineitem")
+    plan = WindowPlan(
+        spec=WindowSpecDef(partition_by=("l_returnflag",), order_by=_LI_TIEBREAK),
+        aggregates=(
+            AggregateDef("min_qty", "min", field="l_quantity"),
+            AggregateDef("max_qty", "max", field="l_quantity"),
+            AggregateDef("avg_qty", "avg", field="l_quantity"),
+            AggregateDef("cnt_qty", "count", field="l_quantity"),
+        ),
+        declared_schema=(*_LI_KEYS, "l_returnflag", "l_quantity",
+                         "min_qty", "max_qty", "avg_qty", "cnt_qty"),
+    )
+    return window_aggregate(df, plan)
+
+
+@_register(
+    "w_range_interval_frame",
+    """
+    SELECT event_id, event_type, value,
+           ROUND(sum(value) OVER (PARTITION BY event_type ORDER BY ts
+             RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW), 4)
+             AS hour_value
+    FROM events
+    """,
+    headline=True,
+)
+def w_range_interval_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-based sliding RANGE frame (INTERVAL bounds) — expressed through
+    the engine's SQL surface; the DataFrame rangeBetween API only takes
+    numeric offsets, so interval frames are the SQL backend's value-add."""
+    read_table(spark, sf_dir, "events").createOrReplaceTempView("events_ivl")
+    return spark.sql(
+        """
+        SELECT event_id, event_type, value,
+               ROUND(sum(value) OVER (PARTITION BY event_type ORDER BY ts
+                 RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW), 4)
+                 AS hour_value
+        FROM events_ivl
+        """
+    )
+
+
 def _register_skew() -> None:
     from window_aggregation_spark.operators.skew import salted_running_sum
 
