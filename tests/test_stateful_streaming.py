@@ -1,0 +1,77 @@
+"""Custom stateful streaming operator: EWMA state must carry across
+micro-batches and reproduce the batch computation exactly."""
+
+from __future__ import annotations
+
+import os
+import time
+
+import pandas as pd
+import pytest
+
+from pyspark.sql import functions as F
+
+from window_aggregation_spark.streaming.stateful import batch_ewma, streaming_ewma
+
+SCHEMA = "event_id long, user_id long, ts timestamp, value double"
+
+
+@pytest.fixture()
+def staged_stream(tmp_path):
+    """60 events / 4 users split into 3 time-ordered files so the file
+    stream delivers 3 micro-batches in ts order (state must carry over)."""
+    rows = []
+    for i in range(60):
+        rows.append(
+            {
+                "event_id": i,
+                "user_id": i % 4,
+                "ts": pd.Timestamp("2024-01-01") + pd.Timedelta(minutes=i),
+                "value": float((i * 37) % 100) / 10.0,
+            }
+        )
+    pdf = pd.DataFrame(rows)
+    d = tmp_path / "stream"
+    d.mkdir()
+    for part, chunk in enumerate([pdf[:20], pdf[20:40], pdf[40:]]):
+        p = d / f"part-{part}.parquet"
+        chunk.to_parquet(
+            p, index=False, coerce_timestamps="us", allow_truncated_timestamps=True
+        )
+        mtime = time.time() - 300 + part * 10
+        os.utime(p, (mtime, mtime))
+    return str(d), pdf
+
+
+def test_streaming_ewma_state_spans_batches(spark, staged_stream):
+    src_dir, pdf = staged_stream
+    full = spark.createDataFrame(pdf)
+    expected = {
+        r["event_id"]: r["ewma"] for r in batch_ewma(full, alpha=0.3).collect()
+    }
+
+    stream = (
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    q = (
+        streaming_ewma(stream, alpha=0.3)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("ewma_out")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        batches = q.recentProgress
+    finally:
+        q.stop()
+
+    got = {
+        r["event_id"]: r["ewma"] for r in spark.table("ewma_out").collect()
+    }
+    assert len(got) == 60
+    assert got == pytest.approx(expected)
+    # state really spanned multiple micro-batches
+    assert len([b for b in batches if b["numInputRows"] > 0]) >= 3

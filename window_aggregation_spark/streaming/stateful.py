@@ -1,0 +1,99 @@
+"""Custom stateful streaming operator: per-key exponentially-weighted moving
+average (EWMA) via ``applyInPandasWithState``.
+
+This is the pattern for operators Structured Streaming's built-in windowed
+aggregations can't express: arbitrary per-key state carried across
+micro-batches (online anomaly scores, CDC merge, stream-time dedup). The
+state here is one (count, ewma) pair per key — O(keys) total, no growth with
+stream length — and the same update logic runs in batch mode via
+``applyInPandas`` so batch and stream results can be asserted equal.
+
+At 100 TB/day rates the knobs that matter: state is hash-partitioned by key
+across executors (scales horizontally), and a watermark-based timeout
+(``GroupStateTimeout``) evicts idle keys; the smoke path uses NoTimeout for
+determinism.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+
+OUTPUT_SCHEMA = "user_id long, event_id long, value double, ewma double"
+STATE_SCHEMA = "count long, ewma double"
+
+
+def _ewma_update(
+    pdf: pd.DataFrame, alpha: float, prev: float | None
+) -> tuple[pd.Series, float | None]:
+    pdf = pdf.sort_values(["ts", "event_id"])
+    out = []
+    cur = prev
+    for v in pdf["value"]:
+        cur = v if cur is None else alpha * v + (1 - alpha) * cur
+        out.append(cur)
+    return pd.Series(out, index=pdf.index), cur
+
+
+def streaming_ewma(
+    events: DataFrame, *, alpha: float = 0.3, key_col: str = "user_id"
+) -> DataFrame:
+    """Streaming per-key EWMA with state carried across micro-batches."""
+
+    def update(key, batches: Iterator[pd.DataFrame], state) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            count, prev = state.get
+        else:
+            count, prev = 0, None
+        outs = []
+        for pdf in batches:
+            ewma, prev = _ewma_update(pdf, alpha, prev)
+            count += len(pdf)
+            pdf = pdf.sort_values(["ts", "event_id"])
+            outs.append(
+                pd.DataFrame(
+                    {
+                        "user_id": pdf[key_col],
+                        "event_id": pdf["event_id"],
+                        "value": pdf["value"],
+                        "ewma": ewma.round(6),
+                    }
+                )
+            )
+        state.update((count, float(prev) if prev is not None else None))
+        yield from outs
+
+    return (
+        events.select(key_col, "event_id", "ts", "value")
+        .groupBy(key_col)
+        .applyInPandasWithState(
+            update, OUTPUT_SCHEMA, STATE_SCHEMA, "append", "NoTimeout"
+        )
+    )
+
+
+def batch_ewma(
+    events: DataFrame, *, alpha: float = 0.3, key_col: str = "user_id"
+) -> DataFrame:
+    """Batch twin of :func:`streaming_ewma` (one group = one 'batch')."""
+
+    def per_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        ewma, _ = _ewma_update(pdf, alpha, None)
+        pdf = pdf.sort_values(["ts", "event_id"])
+        return pd.DataFrame(
+            {
+                "user_id": pdf[key_col],
+                "event_id": pdf["event_id"],
+                "value": pdf["value"],
+                "ewma": ewma.round(6),
+            }
+        )
+
+    return (
+        events.select(key_col, "event_id", "ts", "value")
+        .groupBy(key_col)
+        .applyInPandas(per_group, OUTPUT_SCHEMA)
+    )

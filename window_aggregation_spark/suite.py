@@ -849,6 +849,16 @@ def _register_multimodal_streaming() -> None:
             "event_id", "user_id", "session_id"
         )
 
+    @_register("stream_stateful_ewma", None)
+    def stream_stateful_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Per-user EWMA — the batch twin of the applyInPandasWithState
+        streaming operator (tests assert stream == batch; EWMA's recursive
+        definition has no portable SQL oracle, so this is rows-only)."""
+        from window_aggregation_spark.streaming.stateful import batch_ewma
+
+        events = read_table(spark, sf_dir, "events")
+        return batch_ewma(events, alpha=0.3)
+
 
 _register_multimodal_streaming()
 
