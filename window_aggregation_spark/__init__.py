@@ -43,6 +43,7 @@ from window_aggregation_spark.operators.window_aggregation import (
     window_aggregate,
 )
 from window_aggregation_spark.session import get_spark
+from window_aggregation_spark.api import window
 
 __all__ = [
     "AggregateDef",
@@ -61,5 +62,6 @@ __all__ = [
     "derive_output_schema",
     "get_spark",
     "parse_aggregates",
+    "window",
     "window_aggregate",
 ]
