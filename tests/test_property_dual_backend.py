@@ -119,3 +119,72 @@ def test_unframed_plans_dual_backend(spark, plan):
 def test_framed_plans_dual_backend(spark, plan):
     api, via_sql = _run_both(spark, plan)
     assert api == via_sql
+
+
+# ---- null-rich data + RANGE frames --------------------------------------
+
+NULL_ROWS = [
+    (
+        i,
+        ["x", "y"][i % 2],
+        None if i % 4 == 0 else float(v),
+        None if i % 5 == 0 else (i * 3) % 7,
+    )
+    for i, v in enumerate([3, 1, 4, 1, 5, 9, 2, 6, 5, 3, 5, 8, 9, 7, 9, 3])
+]
+
+first_last = st.sampled_from(
+    [("first", True), ("first", False), ("last", True), ("last", False)]
+)
+
+
+@st.composite
+def range_plan(draw):
+    """RANGE frame over a single numeric order key (the Catalyst rule),
+    bounds in value units."""
+    start = draw(st.sampled_from([UNBOUNDED_PRECEDING, -4, -2, 0]))
+    end = draw(st.sampled_from([0, 2, 5, UNBOUNDED_FOLLOWING]))
+    spec = WindowSpecDef(
+        partition_by=("grp",),
+        order_by=(OrderKey("id"),),  # unique ints -> deterministic RANGE
+        frame_type=FrameType.RANGE,
+        start=start,
+        end=end,
+    )
+    fn, ignore = draw(first_last)
+    aggs = (
+        AggregateDef("a0", "accumulate", field="val"),
+        AggregateDef("a1", fn, field="val", ignore_nulls=ignore),
+        AggregateDef("a2", "count", field="small"),
+    )
+    return WindowPlan(spec=spec, aggregates=aggs)
+
+
+@settings(
+    max_examples=20,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(plan=range_plan())
+def test_range_frames_with_nulls_dual_backend(spark, plan):
+    df = spark.createDataFrame(NULL_ROWS, SCHEMA)
+    api = window_aggregate(df, plan).orderBy("id").collect()
+    df.createOrReplaceTempView("prop_null_input")
+    sql = plan_to_sql(plan, "prop_null_input", df.columns, dialect="spark")
+    via_sql = spark.sql(sql).orderBy("id").collect()
+    assert api == via_sql
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(plan=unframed_plan())
+def test_unframed_plans_with_nulls_dual_backend(spark, plan):
+    df = spark.createDataFrame(NULL_ROWS, SCHEMA)
+    api = window_aggregate(df, plan).orderBy("id").collect()
+    df.createOrReplaceTempView("prop_null_input2")
+    sql = plan_to_sql(plan, "prop_null_input2", df.columns, dialect="spark")
+    via_sql = spark.sql(sql).orderBy("id").collect()
+    assert api == via_sql

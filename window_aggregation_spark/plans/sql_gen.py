@@ -21,7 +21,7 @@ from pyspark.sql import types as T
 from window_aggregation_spark.functions.registry import lookup
 from window_aggregation_spark.spec import WindowPlan, quote_ident
 
-_CAST_SQL = {"int": "INT", "float": "FLOAT", "double": "DOUBLE"}
+_CAST_SQL = {"int": "INT", "float": "FLOAT", "double": "DOUBLE", "long": "BIGINT"}
 
 
 def plan_to_sql(
