@@ -106,6 +106,31 @@ def test_multimodal_decode_stub_and_schema(docs):
         mm.decode_image_features(payloads, use_real_decoder=True).collect()
 
 
+def test_multimodal_png_metadata_expression_parse(spark):
+    """Width/height parsed from real PNG header bytes, JVM-side only."""
+    import struct
+
+    def fake_png(w: int, h: int) -> bytes:
+        return (
+            bytes.fromhex("89504E470D0A1A0A")
+            + struct.pack(">I", 13)
+            + b"IHDR"
+            + struct.pack(">II", w, h)
+            + b"\x08\x02\x00\x00\x00" + b"fakebody"
+        )
+
+    rows = [
+        (1, bytearray(fake_png(640, 480))),
+        (2, bytearray(fake_png(1920, 1080))),
+        (3, bytearray(b"not a png at all, just bytes")),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    out = {r["doc_id"]: r for r in mm.extract_png_meta(df).collect()}
+    assert (out[1]["png_width"], out[1]["png_height"]) == (640, 480)
+    assert (out[2]["png_width"], out[2]["png_height"]) == (1920, 1080)
+    assert out[3]["is_png"] is False and out[3]["png_width"] is None
+
+
 def test_multimodal_frame_sampling(docs):
     payloads = mm.attach_binary_payload(docs.limit(10))
     frames = mm.sample_frames(payloads, every_n_bytes=64, max_frames=4)

@@ -52,6 +52,35 @@ def attach_binary_payload(
     )
 
 
+PNG_MAGIC_HEX = "89504E470D0A1A0A"
+
+
+def extract_png_meta(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """Parse image metadata straight out of a binary column with pure
+    built-in expressions — no decode, no Python.
+
+    PNG layout: 8 magic bytes, 4-byte chunk length, 4-byte "IHDR", then
+    width and height as 4-byte big-endian ints at offsets 17 and 21
+    (1-based). ``hex(substring(bytes))`` -> ``conv(_, 16, 10)`` reads the
+    ints JVM-side, so a 100 TB scan extracting dimensions never leaves
+    whole-stage codegen and never materializes decoded pixels. Non-PNG
+    payloads yield ``is_png = false`` and null dimensions.
+    """
+    payload = F.col(payload_col)
+    magic = F.upper(F.hex(F.substring(payload, 1, 8)))
+
+    def be_int(offset: int) -> F.Column:
+        return F.conv(F.hex(F.substring(payload, offset, 4)), 16, 10).cast("int")
+
+    is_png = (magic == PNG_MAGIC_HEX) & (F.length(payload) >= 24)
+    return df.select(
+        "*",
+        is_png.alias("is_png"),
+        F.when(is_png, be_int(17)).alias("png_width"),
+        F.when(is_png, be_int(21)).alias("png_height"),
+    )
+
+
 def require_decoder(kind: str) -> None:
     """Where a real decoder plugs in. The v1 container ships no media
     libraries, so real decoding is explicitly unimplemented."""
