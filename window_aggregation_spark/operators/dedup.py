@@ -152,12 +152,15 @@ def minhash_dedup_pairs(
     num_hashes: int = 64,
     bands: int = 16,
     threshold: float = 0.5,
+    max_bucket_size: int | None = 10_000,
 ) -> DataFrame:
     """Near-duplicate pairs via MinHash+LSH, verified with exact Jaccard.
 
     Pipeline: shingle -> signature -> explode ``bands`` band keys -> shuffle
     on (band, key) -> candidate pairs within buckets -> distinct -> verify.
     Returns ``(id_a, id_b, jaccard)`` with id_a < id_b and jaccard >= t.
+    ``max_bucket_size`` drops degenerate buckets before the pair join (see
+    inline comment) — set None to disable.
     """
     rows = num_hashes // bands
     sigs = minhash_signatures(
@@ -180,6 +183,19 @@ def minhash_dedup_pairs(
             )
         ).alias("bk"),
     ).select("__id", "bk.band", "bk.key")
+
+    if max_bucket_size is not None:
+        # Degenerate-bucket guard: a bucket of k members yields k^2/2
+        # candidate pairs, so one boilerplate-heavy bucket (empty docs, a
+        # common template) can quadratically dominate the join at scale.
+        # Cap via one windowed count; dropped buckets mean those pair
+        # candidates are skipped (they're mostly boilerplate-to-boilerplate).
+        bucket_w = Window.partitionBy("band", "key")
+        banded = (
+            banded.withColumn("__bsz", F.count("*").over(bucket_w))
+            .where(F.col("__bsz") <= max_bucket_size)
+            .drop("__bsz")
+        )
 
     left = banded.alias("l")
     right = banded.alias("r")

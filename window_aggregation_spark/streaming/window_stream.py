@@ -29,18 +29,26 @@ def tumbling_counts(
     events: DataFrame,
     *,
     window_duration: str = "1 hour",
+    slide: str | None = None,
     ts_col: str = "ts",
     key_col: str = "event_type",
     value_col: str = "value",
     watermark: str | None = None,
 ) -> DataFrame:
     """Per-(window, key) count + sum. Works on batch and streaming frames;
-    pass ``watermark`` on streams to bound state."""
+    pass ``watermark`` on streams to bound state; pass ``slide`` for
+    overlapping (sliding) windows — each event then lands in
+    duration/slide windows."""
     df = events
     if watermark is not None:
         df = df.withWatermark(ts_col, watermark)
+    win = (
+        F.window(ts_col, window_duration, slide)
+        if slide
+        else F.window(ts_col, window_duration)
+    )
     return (
-        df.groupBy(F.window(ts_col, window_duration).alias("win"), key_col)
+        df.groupBy(win.alias("win"), key_col)
         .agg(
             F.count("*").alias("n_events"),
             F.round(F.sum(value_col), 4).alias("sum_value"),

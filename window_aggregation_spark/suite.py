@@ -849,6 +849,28 @@ def _register_multimodal_streaming() -> None:
             "event_id", "user_id", "session_id"
         )
 
+    @_register(
+        "stream_sliding_counts",
+        """
+        -- sliding windows = each event explodes into duration/slide
+        -- offset buckets (1 hour window, 15 minute slide -> 4)
+        SELECT window_start, event_type,
+               count(*) AS n_events, ROUND(sum(value), 4) AS sum_value
+        FROM (
+          SELECT time_bucket(INTERVAL '15 minutes', ts)
+                   - k * INTERVAL '15 minutes' AS window_start,
+                 event_type, value, ts
+          FROM events, generate_series(0, 3) AS g(k))
+        WHERE ts >= window_start AND ts < window_start + INTERVAL '1 hour'
+        GROUP BY 1, 2
+        """,
+    )
+    def stream_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+        events = read_table(spark, sf_dir, "events")
+        return tumbling_counts(
+            events, window_duration="1 hour", slide="15 minutes"
+        )
+
     @_register("stream_stateful_ewma", None)
     def stream_stateful_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
         """Per-user EWMA — the batch twin of the applyInPandasWithState
