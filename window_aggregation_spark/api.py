@@ -26,23 +26,22 @@ from dataclasses import dataclass, field as dc_field, replace
 
 from pyspark.sql import DataFrame
 
+from window_aggregation_spark.errors import FailureCollector
 from window_aggregation_spark.functions.registry import lookup
 from window_aggregation_spark.operators.window_aggregation import window_aggregate
 from window_aggregation_spark.plans.sql_gen import plan_to_sql
 from window_aggregation_spark.spec import (
     AggregateDef,
-    Direction,
     FrameType,
     OrderKey,
     WindowPlan,
     WindowSpecDef,
+    asc,
+    desc,
 )
+from window_aggregation_spark.validation import validate_plan
 
-asc = OrderKey  # asc("col") reads naturally
-
-
-def desc(col: str) -> OrderKey:
-    return OrderKey(col, Direction.DESCENDING)
+__all__ = ["asc", "desc", "window"]  # order helpers re-exported from spec
 
 
 @dataclass(frozen=True)
@@ -155,8 +154,15 @@ class WindowBuilder:
         return window_aggregate(self.df, self.plan(*aggs))
 
     def sql(self, table: str, *aggs: AggregateDef, dialect: str = "spark") -> str:
+        plan = self.plan(*aggs)
+        # same batched validation as .agg(): the SQL door must not render
+        # broken SQL (e.g. lead with no offset) that only fails later
+        collector = FailureCollector()
+        validate_plan(self.df.schema, plan, collector)
+        collector.get_or_throw()
         return plan_to_sql(
-            self.plan(*aggs), table, self.df.columns, dialect=dialect
+            plan, table, self.df.columns,
+            dialect=dialect, input_types=dict(self.df.dtypes),
         )
 
 

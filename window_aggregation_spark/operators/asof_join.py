@@ -52,10 +52,13 @@ def asof_join(
     payload_type = ", ".join(
         f"{c}: {dict(right.dtypes)[c]}" for c in right_cols
     )
+    # the tiebreak keeps its native type: casting to long would null out
+    # string/timestamp tiebreaks and silently reintroduce nondeterminism
+    tb_type = dict(right.dtypes)[tiebreak] if tiebreak else "int"
     l_tagged = left.select(
         *[F.col(c) for c in left.columns],
         F.lit(1).alias("__side"),
-        F.lit(None).cast("long").alias("__tb"),
+        F.lit(None).cast(tb_type).alias("__tb"),
         F.lit(None).cast(f"struct<{payload_type}>").alias("__r"),
     )
     r_tagged = right.select(
@@ -64,9 +67,7 @@ def asof_join(
             for c, t in left.dtypes
         ],
         F.lit(0).alias("__side"),
-        (F.col(tiebreak).cast("long") if tiebreak else F.lit(0).cast("long")).alias(
-            "__tb"
-        ),
+        (F.col(tiebreak) if tiebreak else F.lit(0)).cast(tb_type).alias("__tb"),
         F.struct(*[F.col(c) for c in right_cols]).alias("__r"),
     )
     unioned = l_tagged.unionByName(r_tagged)

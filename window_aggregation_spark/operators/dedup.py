@@ -286,11 +286,22 @@ def simhash_dedup_pairs(
 ) -> DataFrame:
     """Near-duplicate pairs with SimHash Hamming distance <= ``max_hamming``.
 
-    Candidate generation by the pigeonhole principle: split the 64-bit hash
-    into 4 16-bit chunks; any pair within Hamming distance 3 must agree on
-    at least one chunk, so a shuffle on (chunk_idx, chunk_value) finds all
-    of them without an O(n^2) join.
+    Candidate generation by the pigeonhole principle: the 64-bit hash splits
+    into ``max_hamming + 1`` chunks — a pair differing in at most
+    ``max_hamming`` bits must agree on at least one whole chunk — so a
+    shuffle on (chunk_idx, chunk_value) finds every qualifying pair without
+    an O(n^2) join. More chunks = smaller chunks = more spurious candidates;
+    the exact ``bit_count`` verify filters those.
     """
+    n_chunks = max_hamming + 1
+    if n_chunks > 64:
+        raise ValueError("max_hamming must be <= 63")
+    width = 64 // n_chunks
+    # chunk i covers bits [i*width, ...); the last chunk takes the remainder
+    bounds = [
+        (i * width, width if i < n_chunks - 1 else 64 - i * width)
+        for i in range(n_chunks)
+    ]
     base = simhash(df, id_col, text_col).select(
         F.col(id_col).alias("__id"), F.col("simhash").alias("__sh")
     )
@@ -302,11 +313,11 @@ def simhash_dedup_pairs(
                 *[
                     F.struct(
                         F.lit(i).alias("chunk"),
-                        F.shiftrightunsigned(F.col("__sh"), i * 16)
-                        .bitwiseAND(F.lit(0xFFFF))
+                        F.shiftrightunsigned(F.col("__sh"), off)
+                        .bitwiseAND(F.lit((1 << w) - 1))
                         .alias("val"),
                     )
-                    for i in range(4)
+                    for i, (off, w) in enumerate(bounds)
                 ]
             )
         ).alias("ck"),

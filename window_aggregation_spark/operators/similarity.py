@@ -68,9 +68,14 @@ def cosine_topk(
 
 
 def hyperplane_buckets(
-    df: DataFrame, *, vec_col: str = "embedding", nbits: int = 8, dim: int = 64
+    *, vec_col: str = "embedding", nbits: int = 8, dim: int = 64
 ) -> Column:
-    """LSH bucket id: sign bits of ``nbits`` fixed random projections."""
+    """LSH bucket id: sign bits of ``nbits`` fixed random projections.
+
+    A wrong ``dim`` raises at runtime: zip_with null-padding would
+    otherwise make every dot product null and silently funnel the whole
+    corpus into bucket 0 — degrading ANN to a full cross join.
+    """
     planes = _planes(nbits, dim)
     vec = F.col(vec_col)
     bits = [
@@ -92,7 +97,17 @@ def hyperplane_buckets(
     out = bits[0]
     for b in bits[1:]:
         out = out + b
-    return out.cast("int")
+    return (
+        F.when(F.size(vec) == dim, out.cast("int"))
+        .otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit(f"hyperplane_buckets: expected dim={dim}, got "),
+                    F.size(vec).cast("string"),
+                )
+            ).cast("int")
+        )
+    )
 
 
 def ann_lsh_topk(
@@ -116,7 +131,7 @@ def ann_lsh_topk(
     neighbors that straddle a single hyperplane are recovered at the cost
     of scanning ~(nbits+1)/2^nbits of the corpus.
     """
-    q_bucket = hyperplane_buckets(queries, vec_col=vec_col, nbits=nbits, dim=dim)
+    q_bucket = hyperplane_buckets(vec_col=vec_col, nbits=nbits, dim=dim)
     if multi_probe:
         probes = F.array(
             q_bucket, *[q_bucket.bitwiseXOR(F.lit(1 << i)) for i in range(nbits)]
@@ -132,7 +147,7 @@ def ann_lsh_topk(
     c = corpus.select(
         F.col(corpus_id).alias("neighbor_id"),
         F.col(vec_col).alias("__cv"),
-        hyperplane_buckets(corpus, vec_col=vec_col, nbits=nbits, dim=dim).alias(
+        hyperplane_buckets(vec_col=vec_col, nbits=nbits, dim=dim).alias(
             "__bucket"
         ),
     )

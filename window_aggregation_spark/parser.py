@@ -183,9 +183,38 @@ def config_to_plan(
                 continue
             order_keys.append(OrderKey(pieces[0].strip(), Direction.parse(pieces[1])))
 
-    frame = FrameType.parse(window_frame_type)
-    start = _parse_bound(preceding, unbounded_preceding, UNBOUNDED_PRECEDING)
-    end = _parse_bound(following, unbounded_following, UNBOUNDED_FOLLOWING)
+    try:
+        frame = FrameType.parse(window_frame_type)
+    except ValueError:
+        frame = FrameType.NONE
+        collector.add_failure(
+            f"Invalid window frame type '{window_frame_type}'.",
+            "Must be one of NONE, ROW, RANGE.",
+        )
+    start = end = CURRENT_ROW
+    try:
+        start = _parse_bound(preceding, unbounded_preceding, UNBOUNDED_PRECEDING)
+    except ValueError:
+        collector.add_failure(
+            f"Invalid 'preceding' bound '{preceding}'.",
+            "Must be a (signed) integer or empty for CURRENT ROW.",
+        )
+    try:
+        end = _parse_bound(following, unbounded_following, UNBOUNDED_FOLLOWING)
+    except ValueError:
+        collector.add_failure(
+            f"Invalid 'following' bound '{following}'.",
+            "Must be a (signed) integer or empty for CURRENT ROW.",
+        )
+    num_partitions = None
+    if number_of_partitions:
+        try:
+            num_partitions = int(number_of_partitions)
+        except ValueError:
+            collector.add_failure(
+                f"Invalid 'numberOfPartitions' '{number_of_partitions}'.",
+                "Must be an integer.",
+            )
 
     aggs = parse_aggregates(aggregates, collector)
     collector.get_or_throw()
@@ -196,7 +225,7 @@ def config_to_plan(
         frame_type=frame,
         start=start if frame is not FrameType.NONE else CURRENT_ROW,
         end=end if frame is not FrameType.NONE else CURRENT_ROW,
-        num_partitions=int(number_of_partitions) if number_of_partitions else None,
+        num_partitions=num_partitions,
     )
     return WindowPlan(
         spec=spec,

@@ -30,12 +30,17 @@ def plan_to_sql(
     input_columns: list[str],
     *,
     dialect: str = "spark",
+    input_types: dict[str, str] | None = None,
 ) -> str:
     """Render the plan as one SELECT over ``table``.
 
     ``input_columns`` is the input column order (the information the
     DataFrame path gets from ``df.columns``); alias collisions replace the
     input column in place, matching the operator's semantics.
+    ``input_types`` (``dict(df.dtypes)``) enables the input-type passthrough
+    casts the DataFrame backend applies — without it, widening aggregates
+    (e.g. ACCUMULATE over INT returns BIGINT in SQL) would diverge in type
+    from the DataFrame path's declared output schema.
     """
     over = plan.spec.over_sql(dialect)
 
@@ -45,6 +50,12 @@ def plan_to_sql(
         expr = fdef.sql(agg, over, dialect)
         if fdef.output_type is not None and fdef.name != "percent_rank":
             expr = f"CAST({expr} AS {_CAST_SQL[fdef.output_type]})"
+        elif (
+            fdef.output_type is None
+            and input_types is not None
+            and agg.field in input_types
+        ):
+            expr = f"CAST({expr} AS {input_types[agg.field]})"
         rendered[agg.alias] = f"{expr} AS {quote_ident(agg.alias, dialect)}"
 
     select_items = [

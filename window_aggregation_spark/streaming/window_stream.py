@@ -112,10 +112,13 @@ def sessionize(
     gap_seconds = _parse_gap_seconds(gap)
     w = Window.partitionBy(user_col).orderBy(F.col(ts_col), F.col("event_id"))
     prev_ts = F.lag(ts_col).over(w)
+    # gap must be measured at full timestamp precision: unix_timestamp()
+    # truncates to seconds, which mis-classifies gaps whose sub-second
+    # fractions straddle a second boundary (and diverges from both
+    # session_window and a fractional-epoch SQL oracle)
+    gap_micros = F.unix_micros(F.col(ts_col)) - F.unix_micros(prev_ts)
     new_session = F.when(
-        prev_ts.isNull()
-        | (F.unix_timestamp(ts_col) - F.unix_timestamp(prev_ts) > gap_seconds),
-        1,
+        prev_ts.isNull() | (gap_micros > gap_seconds * 1_000_000), 1
     ).otherwise(0)
     return events.withColumn("__new", new_session).withColumn(
         "session_id", F.sum("__new").over(w).cast("int")

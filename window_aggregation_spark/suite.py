@@ -527,7 +527,10 @@ def w_sql_backend(spark: SparkSession, sf_dir: str) -> DataFrame:
         declared_schema=(*_LI_KEYS, "l_suppkey", "l_quantity", "rnk", "run_qty"),
     )
     df.createOrReplaceTempView("lineitem_sqlgen")
-    sql = plan_to_sql(plan, "lineitem_sqlgen", df.columns, dialect="spark")
+    sql = plan_to_sql(
+        plan, "lineitem_sqlgen", df.columns,
+        dialect="spark", input_types=dict(df.dtypes),
+    )
     return spark.sql(sql)
 
 

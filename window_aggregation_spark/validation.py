@@ -141,6 +141,15 @@ def _validate_arguments(
             collector.add_failure(
                 f"{fdef.ref_name} needs a non-negative Integer argument."
             )
+    elif fdef.name in ("first", "last"):
+        pass  # optional boolean arg, OR-ed into ignoreNulls (reference quirk)
+    elif len(agg.args) < fdef.n_args:
+        # generic arity floor from the registry declaration, so a future
+        # function can't silently skip argument validation
+        collector.add_failure(
+            f"{fdef.ref_name} takes {fdef.n_args} argument(s), "
+            f"got {len(agg.args)}."
+        )
 
 
 def _validate_field(
