@@ -1,0 +1,70 @@
+"""Physical-plan regression tests: the plan *shapes* the engine promises
+(README "Execution-plan design") must survive refactors.
+
+These assert on executedPlan strings — the same checks done interactively
+with .explain("formatted"), pinned as tests.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from window_aggregation_spark.suite import SUITE
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_multi_aggregate_plan_has_single_window_and_shuffle(spark, sf_dir):
+    """8 aggregates sharing one spec -> ONE WindowExec, ONE exchange."""
+    plan = _plan(SUITE["w_multi_one_pass"].build(spark, sf_dir))
+    assert plan.count("Window ") == 1, plan[:500]
+    assert plan.count("Exchange") == 1, plan[:500]
+
+
+def test_column_pruning_reaches_parquet_scan(spark, sf_dir):
+    """Narrow projection above the window prunes the read schema to the
+    touched columns (4 of lineitem's 11)."""
+    plan = _plan(SUITE["w_rank_family"].build(spark, sf_dir))
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m, plan[:500]
+    cols = {c.split(":")[0] for c in m.group(1).split(",")}
+    assert cols == {"l_orderkey", "l_linenumber", "l_quantity", "l_returnflag"}
+
+
+def test_partition_key_filter_pushes_through_window(spark, sf_dir):
+    out = SUITE["w_rank_family"].build(spark, sf_dir).where(
+        F.col("l_returnflag") == "A"
+    )
+    plan = _plan(out)
+    assert "PushedFilters: [IsNotNull(l_returnflag), EqualTo(l_returnflag,A)]" in plan
+
+
+def test_discrete_percentile_uses_rank_join_not_arrays(spark, sf_dir):
+    plan = _plan(SUITE["w_discrete_percentile"].build(spark, sf_dir))
+    assert "collect_list" not in plan, "rank-join rewrite regressed"
+
+
+def test_unbounded_following_frame_is_reversed(spark, sf_dir):
+    """The O(n^2) [X, UNBOUNDED FOLLOWING] frame must be rewritten to a
+    running frame — no unboundedfollowing window frame may survive."""
+    plan = _plan(SUITE["w_unbounded_following"].build(spark, sf_dir)).lower()
+    assert "unboundedfollowing$(), currentrow" not in plan
+    assert "currentrow$(), unboundedfollowing" not in plan
+
+
+def test_brute_force_topk_broadcasts_queries(spark, sf_dir):
+    plan = _plan(SUITE["sim_topk_bruteforce"].build(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_no_python_eval_in_core_window_queries(spark, sf_dir):
+    """Core window + text queries must stay JVM-side (no Python eval nodes)."""
+    for name in ["w_multi_one_pass", "w_median_running", "text_profile",
+                 "text_fingerprint", "dedup_ngram_jaccard"]:
+        plan = _plan(SUITE[name].build(spark, sf_dir))
+        assert "EvalPython" not in plan, f"{name} dropped into Python"

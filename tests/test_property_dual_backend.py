@@ -175,6 +175,15 @@ def test_range_frames_with_nulls_dual_backend(spark, plan):
     assert api == via_sql
 
 
+@settings(max_examples=40, deadline=None)
+@given(plan=st.one_of(unframed_plan(), framed_plan(), range_plan()))
+def test_config_string_round_trip(plan):
+    """plan -> reference-shaped config strings -> plan must be lossless."""
+    from window_aggregation_spark.parser import config_to_plan, plan_to_config
+
+    assert config_to_plan(**plan_to_config(plan)) == plan
+
+
 @settings(
     max_examples=15,
     deadline=None,

@@ -29,6 +29,38 @@ def test_salted_equals_plain_running_sum(spark, sf_dir, chunks):
     assert mismatches == 0
 
 
+@pytest.mark.parametrize("agg", ["sum", "count", "min", "max"])
+def test_salted_generalized_aggregates(spark, sf_dir, agg):
+    from window_aggregation_spark.operators.skew import salted_running_agg
+
+    df = read_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_returnflag",
+        "l_quantity", "l_extendedprice",
+    )
+    w = Window.partitionBy("l_returnflag").orderBy("l_quantity")
+    plain_fn = {"sum": F.sum, "count": F.count, "min": F.min, "max": F.max}[agg]
+    plain = df.withColumn("expected", plain_fn("l_extendedprice").over(w))
+    salted = salted_running_agg(
+        df, ["l_returnflag"], "l_quantity", "l_extendedprice",
+        agg=agg, chunks=16, alias="got",
+    )
+    joined = plain.join(
+        salted,
+        on=["l_orderkey", "l_linenumber", "l_returnflag",
+            "l_quantity", "l_extendedprice"],
+    )
+    # sum of doubles: chunked addition order differs from the single-pass
+    # window, so compare within fp tolerance; others are exact
+    if agg == "sum":
+        bad = joined.where(
+            F.abs(F.col("expected") - F.col("got"))
+            > F.abs(F.col("expected")) * 1e-9
+        ).count()
+    else:
+        bad = joined.where(F.col("expected") != F.col("got")).count()
+    assert bad == 0
+
+
 def test_salted_handles_constant_order_column(spark):
     # degenerate sketch: all boundaries equal -> single chunk, still correct
     df = spark.createDataFrame(

@@ -27,18 +27,36 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
-def salted_running_sum(
+# aggregate name -> (partial fn over rows, combine fn over chunk partials,
+# merge of the local running value with the combined offset of all earlier
+# chunks). Requires decomposability: agg(A ∪ B) = merge(agg(A), agg(B));
+# note count COMBINES with sum (count of a union is the sum of counts).
+_DECOMPOSABLE = {
+    "sum": (F.sum, F.sum, lambda local, off: local + F.coalesce(off, F.lit(0))),
+    "count": (F.count, F.sum, lambda local, off: local + F.coalesce(off, F.lit(0))),
+    "min": (F.min, F.min, lambda local, off: F.least(local, F.coalesce(off, local))),
+    "max": (F.max, F.max, lambda local, off: F.greatest(local, F.coalesce(off, local))),
+}
+
+
+def salted_running_agg(
     df: DataFrame,
     keys: list[str],
     order_col: str,
     field: str,
     *,
+    agg: str = "sum",
     chunks: int = 32,
-    alias: str = "run_sum",
+    alias: str = "run_agg",
 ) -> DataFrame:
-    """Append ``alias`` = running (RANGE-semantics) sum of ``field`` per
+    """Append ``alias`` = running (RANGE-semantics) ``agg`` of ``field`` per
     ``keys`` ordered by ``order_col``, computed in two phases so no single
-    task owns a whole hot key."""
+    task owns a whole hot key. ``agg`` must be decomposable
+    (sum/count/min/max)."""
+    if agg not in _DECOMPOSABLE:
+        raise ValueError(f"agg must be one of {sorted(_DECOMPOSABLE)}")
+    fn, combine, merge = _DECOMPOSABLE[agg]
+
     probs = [i / chunks for i in range(1, chunks)]
     boundaries = df.approxQuantile(order_col, probs, 0.001) if probs else []
 
@@ -48,7 +66,7 @@ def salted_running_sum(
     chunked = df.withColumn("__chunk", bucket)
 
     w_local = Window.partitionBy(*keys, "__chunk").orderBy(F.col(order_col))
-    local = chunked.withColumn("__local", F.sum(field).over(w_local))
+    local = chunked.withColumn("__local", fn(field).over(w_local))
 
     w_off = (
         Window.partitionBy(*keys)
@@ -57,12 +75,27 @@ def salted_running_sum(
     )
     offsets = (
         chunked.groupBy(*keys, "__chunk")
-        .agg(F.sum(field).alias("__total"))
-        .withColumn("__offset", F.sum("__total").over(w_off))
+        .agg(fn(field).alias("__total"))
+        .withColumn("__offset", combine("__total").over(w_off))
         .select(*keys, "__chunk", "__offset")
     )
 
     joined = local.join(F.broadcast(offsets), on=[*keys, "__chunk"], how="left")
     return joined.withColumn(
-        alias, F.col("__local") + F.coalesce(F.col("__offset"), F.lit(0))
+        alias, merge(F.col("__local"), F.col("__offset"))
     ).drop("__chunk", "__local", "__offset")
+
+
+def salted_running_sum(
+    df: DataFrame,
+    keys: list[str],
+    order_col: str,
+    field: str,
+    *,
+    chunks: int = 32,
+    alias: str = "run_sum",
+) -> DataFrame:
+    """Running sum specialization of :func:`salted_running_agg`."""
+    return salted_running_agg(
+        df, keys, order_col, field, agg="sum", chunks=chunks, alias=alias
+    )

@@ -135,6 +135,44 @@ def parse_aggregates(
     return out
 
 
+def plan_to_config(plan: WindowPlan) -> dict:
+    """Inverse of :func:`config_to_plan`: render a plan back to the
+    reference-shaped string properties (round-trip guaranteed —
+    property-tested). Useful for exporting plans built with the fluent or
+    dataclass APIs into reference-compatible config files."""
+    from window_aggregation_spark.functions.registry import lookup
+
+    spec = plan.spec
+    props: dict = {
+        "partition_fields": ",".join(spec.partition_by),
+        "partition_order": ",".join(
+            f"{k.field}:{k.direction.value}" for k in spec.order_by
+        ),
+        "window_frame_type": spec.frame_type.value,
+    }
+    if spec.frame_type is not FrameType.NONE:
+        if spec.start <= UNBOUNDED_PRECEDING:
+            props["unbounded_preceding"] = True
+        else:
+            props["preceding"] = str(spec.start)
+        if spec.end >= UNBOUNDED_FOLLOWING:
+            props["unbounded_following"] = True
+        else:
+            props["following"] = str(spec.end)
+    lines = []
+    for agg in plan.aggregates:
+        ref = lookup(agg.function).ref_name
+        encoded = ",".join(a.replace(",", "%2C") for a in agg.args)
+        ignore = "true" if agg.ignore_nulls else "false"
+        lines.append(f"{agg.alias}:{ref}({agg.field or ''},{encoded},{ignore})")
+    props["aggregates"] = "\n".join(lines)
+    if spec.num_partitions:
+        props["number_of_partitions"] = str(spec.num_partitions)
+    if plan.declared_schema is not None:
+        props["output_schema"] = list(plan.declared_schema)
+    return props
+
+
 def _parse_bound(
     value: str | None, unbounded: bool | None, sentinel: int
 ) -> int:
