@@ -1028,5 +1028,63 @@ def _register_skew() -> None:
 _register_skew()
 
 
+def _register_pipeline() -> None:
+    from window_aggregation_spark.operators import dedup as dd
+    from window_aggregation_spark.operators import text as tx
+
+    @_register(
+        "pipeline_clean_corpus",
+        f"""
+        -- the same composition in SQL: profile -> quality filter ->
+        -- fingerprint dedup -> per-language quality rank
+        WITH profiled AS (
+          SELECT doc_id, lang, {tx.text_profile_oracle_exprs()},
+                 {tx.fingerprint_oracle_expr()}
+          FROM documents),
+        filtered AS (
+          SELECT * FROM profiled
+          WHERE quality_score >= 0.3 AND n_tokens >= 10),
+        deduped AS (
+          SELECT * FROM (
+            SELECT *, row_number() OVER (PARTITION BY fp
+                                         ORDER BY doc_id ASC) AS __rn
+            FROM filtered) WHERE __rn = 1)
+        SELECT doc_id, lang, n_tokens, quality_score,
+               CAST(row_number() OVER (PARTITION BY lang
+                    ORDER BY quality_score DESC, doc_id ASC) AS INT)
+                 AS lang_quality_rank
+        FROM deduped
+        """,
+        headline=True,
+    )
+    def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """End-to-end training-data pipeline composition, one lazy plan:
+        text profiling -> quality filter -> fingerprint dedup -> per-language
+        quality ranking via the window operator. Catalyst fuses all four
+        stages; the only shuffles are the dedup key and the final window."""
+        docs = read_table(spark, sf_dir, "documents").select(
+            "doc_id", "lang", "text"
+        )
+        profiled = tx.fingerprint(tx.text_profile(docs)).drop("text")
+        filtered = profiled.where(
+            (F.col("quality_score") >= 0.3) & (F.col("n_tokens") >= 10)
+        )
+        deduped = dd.exact_dedup(filtered, ["fp"], order_by=["doc_id"])
+        plan = WindowPlan(
+            spec=WindowSpecDef(
+                partition_by=("lang",),
+                order_by=(OrderKey("quality_score", Direction.DESCENDING),
+                          OrderKey("doc_id")),
+            ),
+            aggregates=(AggregateDef("lang_quality_rank", "row_number"),),
+            declared_schema=("doc_id", "lang", "n_tokens", "quality_score",
+                             "lang_quality_rank"),
+        )
+        return window_aggregate(deduped, plan)
+
+
+_register_pipeline()
+
+
 def headline_queries() -> dict[str, SuiteQuery]:
     return {k: q for k, q in SUITE.items() if q.headline}
