@@ -93,6 +93,23 @@ def test_ann_lsh_recall_vs_bruteforce(emb):
             assert sims[key] == pytest.approx(r["cos_sim"], abs=1e-6)
 
 
+def test_ivf_recall_vs_bruteforce(emb):
+    queries = emb.where(F.col("vec_id") < 20)
+    corpus = emb.where(F.col("vec_id") >= 20)
+    exact = sim.cosine_topk(queries, corpus, k=5)
+    approx = sim.ivf_topk(queries, corpus, k=5, n_centroids=16, nprobe=4)
+    exact_set = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    approx_set = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
+    recall = len(exact_set & approx_set) / len(exact_set)
+    assert recall >= 0.3, f"IVF recall {recall:.2f} suspiciously low"
+    # every returned similarity must agree with the exact computation
+    sims = {(r["query_id"], r["neighbor_id"]): r["cos_sim"] for r in exact.collect()}
+    for r in approx.collect():
+        key = (r["query_id"], r["neighbor_id"])
+        if key in sims:
+            assert sims[key] == pytest.approx(r["cos_sim"], abs=1e-6)
+
+
 def test_multimodal_decode_stub_and_schema(docs):
     payloads = mm.attach_binary_payload(docs.limit(50))
     assert dict(payloads.dtypes)["payload"] == "binary"

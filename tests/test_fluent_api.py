@@ -5,6 +5,8 @@ from __future__ import annotations
 
 import pytest
 
+from pyspark.sql import functions as F
+
 from window_aggregation_spark import ValidationError, config_to_plan, window_aggregate
 from window_aggregation_spark.api import (
     accumulate,
@@ -79,6 +81,35 @@ def test_fluent_multi_function(spark):
     rows = {r["id"]: (r["rnk"], r["next_age"], r["med_age"]) for r in out.collect()}
     assert rows[4] == (1, 30, 28)   # engineer: Bolt(28) then Gamal(30)
     assert rows[2] == (2, None, 28)
+
+
+def test_fluent_interval_frame_routes_via_sql_backend(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "a", "2024-01-01 10:00:00", 1.0),
+            (2, "a", "2024-01-01 10:30:00", 2.0),
+            (3, "a", "2024-01-01 12:00:00", 4.0),
+        ],
+        "id int, k string, ts_s string, v double",
+    ).withColumn("ts", F.to_timestamp("ts_s")).drop("ts_s")
+    out = (
+        window(df)
+        .partition_by("k")
+        .order_by("ts")
+        .range_interval("1 hour")
+        .agg(accumulate("v").alias("hour_sum"))
+    )
+    got = {r["id"]: r["hour_sum"] for r in out.collect()}
+    # id 2 sees id 1 (30 min back); id 3 sees only itself (90 min gap)
+    assert got == {1: 1.0, 2: 3.0, 3: 4.0}
+
+
+def test_interval_frame_requires_timestamp_order(spark):
+    df = spark.createDataFrame([(1, "a", 2.0)], "id int, k string, v double")
+    with pytest.raises(ValidationError, match="timestamp/date order"):
+        window(df).partition_by("k").order_by("id").range_interval("1 hour").agg(
+            accumulate("v").alias("s")
+        )
 
 
 def test_fluent_validation_errors(spark):

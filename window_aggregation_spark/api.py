@@ -138,6 +138,11 @@ class WindowBuilder:
             spec=replace(self.spec, frame_type=FrameType.RANGE, start=start, end=end),
         )
 
+    def range_interval(
+        self, preceding: str | None, following: str | None = None
+    ) -> "WindowBuilder":
+        return replace(self, spec=self.spec.range_interval(preceding, following))
+
     def repartition(self, n: int) -> "WindowBuilder":
         return replace(self, spec=replace(self.spec, num_partitions=n))
 

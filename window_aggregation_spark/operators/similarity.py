@@ -110,6 +110,86 @@ def hyperplane_buckets(
     )
 
 
+def ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    *,
+    k: int = 5,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    query_id: str = "vec_id",
+    corpus_id: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-style approximate top-k: partition the corpus into inverted lists
+    by nearest centroid; each query scans only its ``nprobe`` closest lists.
+
+    Centroids are a deterministic sample of the corpus itself (first
+    ``n_centroids`` by id — one cheap `limit` instead of a k-means job;
+    k-means centroids drop in by swapping `_centroids`). Assignment and
+    probing both run as broadcast numpy matmuls inside ``mapInPandas`` (the
+    same block-matmul shape as ``embedding_dup_pairs``); the only shuffle is
+    the list-id join. Candidate fraction ~= nprobe / n_centroids.
+    """
+    import numpy as np
+    import pandas as pd
+
+    cpdf = (
+        corpus.select(F.col(corpus_id).alias("id"), F.col(vec_col).alias("v"))
+        .orderBy("id")
+        .limit(n_centroids)
+        .toPandas()
+    )
+    cents = np.stack(cpdf["v"].to_numpy()).astype(np.float64)
+    cents /= np.linalg.norm(cents, axis=1, keepdims=True)
+    spark = corpus.sparkSession
+    b_cents = spark.sparkContext.broadcast(cents)
+
+    def assign(top_n: int):
+        def run(batches):
+            c = b_cents.value
+            for pdf in batches:
+                q = np.stack(pdf["v"].to_numpy()).astype(np.float64)
+                q = q / np.linalg.norm(q, axis=1, keepdims=True)
+                sims = q @ c.T
+                order = np.argsort(-sims, axis=1)[:, :top_n]
+                out = pd.DataFrame(
+                    {
+                        "id": pdf["id"].to_numpy().repeat(top_n),
+                        "v": pdf["v"].to_numpy().repeat(top_n),
+                        "list_id": order.ravel(),
+                    }
+                )
+                yield out
+
+        return run
+
+    c_lists = corpus.select(
+        F.col(corpus_id).alias("id"), F.col(vec_col).alias("v")
+    ).mapInPandas(assign(1), schema="id long, v array<float>, list_id int")
+    q_lists = queries.select(
+        F.col(query_id).alias("id"), F.col(vec_col).alias("v")
+    ).mapInPandas(assign(nprobe), schema="id long, v array<float>, list_id int")
+
+    scored = (
+        q_lists.alias("q")
+        .join(c_lists.alias("c"), on="list_id")
+        .select(
+            F.col("q.id").alias("query_id"),
+            F.col("c.id").alias("neighbor_id"),
+            F.round(cosine(F.col("q.v"), F.col("c.v")), 4).alias("cos_sim"),
+        )
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("nn_rank", F.row_number().over(w))
+        .where(F.col("nn_rank") <= k)
+    )
+
+
 def ann_lsh_topk(
     queries: DataFrame,
     corpus: DataFrame,

@@ -80,6 +80,23 @@ def window_aggregate(
         validate_plan(df.schema, plan, collector)
         collector.get_or_throw()
 
+    if plan.spec.has_interval_frame:
+        # Time-based RANGE frames exist only in the SQL surface (the
+        # DataFrame rangeBetween API takes longs), so route this plan
+        # through the generated-SQL backend — same IR, other door.
+        import uuid
+
+        from window_aggregation_spark.plans.sql_gen import plan_to_sql
+
+        view = f"__wa_interval_{uuid.uuid4().hex[:12]}"
+        df.createOrReplaceTempView(view)
+        out = df.sparkSession.sql(
+            plan_to_sql(plan, view, df.columns, input_types=dict(df.dtypes))
+        )
+        if plan.spec.num_partitions:
+            out = out.repartition(plan.spec.num_partitions)
+        return out
+
     plan = _reverse_unbounded_following(plan)
     w = plan.spec.to_spark()
 

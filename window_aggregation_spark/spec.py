@@ -109,6 +109,12 @@ class WindowSpecDef:
     start: int = CURRENT_ROW  # Spark-signed; UNBOUNDED_PRECEDING for unbounded
     end: int = CURRENT_ROW  # Spark-signed; UNBOUNDED_FOLLOWING for unbounded
     num_partitions: int | None = None
+    # time-based RANGE bounds, e.g. ("1 hour", None) = INTERVAL 1 HOUR
+    # PRECEDING .. CURRENT ROW. Only the SQL surface can express these
+    # (DataFrame rangeBetween takes longs), so plans carrying them execute
+    # through the generated-SQL backend automatically.
+    interval_start: str | None = None
+    interval_end: str | None = None
 
     # ---- fluent builders -------------------------------------------------
     def partitioned_by(self, *fields: str) -> "WindowSpecDef":
@@ -124,8 +130,31 @@ class WindowSpecDef:
     def range(self, start: int, end: int) -> "WindowSpecDef":
         return replace(self, frame_type=FrameType.RANGE, start=start, end=end)
 
+    def range_interval(
+        self, preceding: str | None, following: str | None = None
+    ) -> "WindowSpecDef":
+        """Time-based sliding frame: ``range_interval("1 hour")`` =
+        RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW.
+        ``None`` on either side means CURRENT ROW."""
+        return replace(
+            self,
+            frame_type=FrameType.RANGE,
+            interval_start=preceding,
+            interval_end=following,
+        )
+
+    @property
+    def has_interval_frame(self) -> bool:
+        return self.interval_start is not None or self.interval_end is not None
+
     # ---- compilation -----------------------------------------------------
     def to_spark(self) -> WindowSpec:
+        if self.has_interval_frame:
+            raise ValueError(
+                "Interval RANGE frames cannot compile to the DataFrame "
+                "Window API — execute the plan through window_aggregate "
+                "(it routes interval-framed plans via the SQL backend)."
+            )
         spec = Window.partitionBy(*[F.col(f) for f in self.partition_by])
         if self.order_by:
             spec = spec.orderBy(*[k.to_column() for k in self.order_by])
@@ -149,7 +178,19 @@ class WindowSpecDef:
         if self.order_by:
             keys = ", ".join(k.sql(dialect) for k in self.order_by)
             parts.append(f"ORDER BY {keys}")
-        if self.frame_type is not FrameType.NONE:
+        if self.has_interval_frame:
+            lo = (
+                f"INTERVAL {self.interval_start.upper()} PRECEDING"
+                if self.interval_start
+                else "CURRENT ROW"
+            )
+            hi = (
+                f"INTERVAL {self.interval_end.upper()} FOLLOWING"
+                if self.interval_end
+                else "CURRENT ROW"
+            )
+            parts.append(f"RANGE BETWEEN {lo} AND {hi}")
+        elif self.frame_type is not FrameType.NONE:
             unit = "ROWS" if self.frame_type is FrameType.ROW else "RANGE"
             parts.append(f"{unit} BETWEEN {_bound_sql(self.start, True)} "
                          f"AND {_bound_sql(self.end, False)}")

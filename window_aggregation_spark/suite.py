@@ -791,6 +791,13 @@ def _register_similarity() -> None:
         corpus = emb.where(F.col("vec_id") >= 8)
         return sim.ann_lsh_topk(queries, corpus, k=5, nbits=4)
 
+    @_register("sim_topk_ivf", None)
+    def sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+        emb = read_table(spark, sf_dir, "embeddings")
+        queries = emb.where(F.col("vec_id") < 8)
+        corpus = emb.where(F.col("vec_id") >= 8)
+        return sim.ivf_topk(queries, corpus, k=5, n_centroids=16, nprobe=4)
+
 
 _register_similarity()
 
@@ -982,19 +989,20 @@ def w_extended_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
     headline=True,
 )
 def w_range_interval_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Time-based sliding RANGE frame (INTERVAL bounds) — expressed through
-    the engine's SQL surface; the DataFrame rangeBetween API only takes
-    numeric offsets, so interval frames are the SQL backend's value-add."""
-    read_table(spark, sf_dir, "events").createOrReplaceTempView("events_ivl")
-    return spark.sql(
-        """
-        SELECT event_id, event_type, value,
-               ROUND(sum(value) OVER (PARTITION BY event_type ORDER BY ts
-                 RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW), 4)
-                 AS hour_value
-        FROM events_ivl
-        """
+    """Time-based sliding RANGE frame (INTERVAL bounds) in the window IR —
+    window_aggregate routes interval-framed plans through the generated-SQL
+    backend, since the DataFrame rangeBetween API only takes numeric
+    offsets."""
+    df = read_table(spark, sf_dir, "events")
+    plan = WindowPlan(
+        spec=WindowSpecDef(
+            partition_by=("event_type",), order_by=(OrderKey("ts"),)
+        ).range_interval("1 hour"),
+        aggregates=(AggregateDef("hour_value", "accumulate", field="value"),),
+        declared_schema=("event_id", "event_type", "value", "hour_value"),
     )
+    out = window_aggregate(df, plan)
+    return out.withColumn("hour_value", F.round("hour_value", 4))
 
 
 def _register_skew() -> None:

@@ -190,6 +190,22 @@ def _validate_range_frame(
     order key (reference rule for ACCUMULATE, ``WindowAggregation.java:272-289``,
     and Catalyst's general ``rangeBetween`` requirement)."""
     spec = plan.spec
+    if spec.has_interval_frame:
+        if len(spec.order_by) != 1:
+            collector.add_failure(
+                "An interval RANGE frame requires exactly one ordering clause.",
+                "Order by a single timestamp column.",
+            )
+        elif spec.order_by[0].field in schema.fieldNames() and not isinstance(
+            schema[spec.order_by[0].field].dataType,
+            (T.TimestampType, T.TimestampNTZType, T.DateType),
+        ):
+            collector.add_failure(
+                f"An interval RANGE frame requires a timestamp/date order "
+                f"field, but '{spec.order_by[0].field}' is "
+                f"'{schema[spec.order_by[0].field].dataType.simpleString()}'."
+            )
+        return
     if spec.frame_type is not FrameType.RANGE:
         return
     bounded_offset = (abs(spec.start) < _UNBOUNDED and spec.start != 0) or (
