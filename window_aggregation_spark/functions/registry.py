@@ -195,6 +195,20 @@ def _approx_count_distinct(agg: AggregateDef, w: WindowSpec, _: WindowSpecDef) -
     return F.approx_count_distinct(F.col(agg.field)).over(w)
 
 
+def _nth_value(agg: AggregateDef, w: WindowSpec, _: WindowSpecDef) -> Column:
+    return F.nth_value(
+        F.col(agg.field), _int_arg(agg), ignoreNulls=_effective_ignore_nulls(agg)
+    ).over(w)
+
+
+def _stddev(agg: AggregateDef, w: WindowSpec, _: WindowSpecDef) -> Column:
+    return F.stddev_samp(F.col(agg.field)).over(w).cast(T.DoubleType())
+
+
+def _variance(agg: AggregateDef, w: WindowSpec, _: WindowSpecDef) -> Column:
+    return F.var_samp(F.col(agg.field)).over(w).cast(T.DoubleType())
+
+
 # --------------------------------------------------------------------------
 # SQL renderers.  Signature: (agg, over_sql, dialect) -> str expression.
 # The generated-SQL backend (mirrors reference O12, WindowAggregation.java:631-661).
@@ -303,6 +317,12 @@ FUNCTIONS: dict[str, FunctionDef] = {
                     _R, _O, _O, False, "long", True, 0,
                     _approx_count_distinct,
                     _sql_simple("approx_count_distinct({field})")),
+        FunctionDef("nth_value", "NTH_VALUE", _R, _R, _O, False, None, True, 1,
+                    _nth_value, _sql_simple("nth_value({field}, {a0})")),
+        FunctionDef("stddev", "STDDEV", _R, _O, _O, True, "double", True, 0,
+                    _stddev, _sql_simple("stddev_samp({field})")),
+        FunctionDef("variance", "VARIANCE", _R, _O, _O, True, "double", True, 0,
+                    _variance, _sql_simple("var_samp({field})")),
     ]
 }
 

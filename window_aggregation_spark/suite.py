@@ -978,6 +978,38 @@ def w_extended_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "w_stats_nth_value",
+    f"""
+    SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity,
+           ROUND(CAST(stddev_samp(l_quantity) OVER w AS DOUBLE), 4) AS sd_qty,
+           ROUND(CAST(var_samp(l_quantity) OVER w AS DOUBLE), 4) AS var_qty,
+           nth_value(l_quantity, 3) OVER w AS third_qty
+    FROM lineitem
+    WINDOW w AS (PARTITION BY l_returnflag ORDER BY {_LI_TIEBREAK_SQL})
+    """,
+)
+def w_stats_nth_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension statistics over the running frame: sample stddev/variance
+    (rounded — Welford vs sum-of-squares accumulation differs in the last
+    ulps across engines) and nth_value."""
+    df = read_table(spark, sf_dir, "lineitem")
+    plan = WindowPlan(
+        spec=WindowSpecDef(partition_by=("l_returnflag",), order_by=_LI_TIEBREAK),
+        aggregates=(
+            AggregateDef("sd_qty", "stddev", field="l_quantity"),
+            AggregateDef("var_qty", "variance", field="l_quantity"),
+            AggregateDef("third_qty", "nth_value", field="l_quantity", args=("3",)),
+        ),
+        declared_schema=(*_LI_KEYS, "l_returnflag", "l_quantity",
+                         "sd_qty", "var_qty", "third_qty"),
+    )
+    out = window_aggregate(df, plan)
+    return out.withColumn("sd_qty", F.round("sd_qty", 4)).withColumn(
+        "var_qty", F.round("var_qty", 4)
+    )
+
+
+@_register(
     "w_range_interval_frame",
     """
     SELECT event_id, event_type, value,
