@@ -47,6 +47,13 @@ FRAME_CAPABLE = [
     ("first", "val", ()),
     ("last", "small", ()),
     ("accumulate", "val", ()),
+    ("nth_value", "val", ("2",)),
+    ("min", "val", ()),
+    ("max", "small", ()),
+    ("avg", "val", ()),
+    ("count", "small", ()),
+    ("stddev", "val", ()),
+    ("variance", "val", ()),
 ]
 
 frame_free_agg = st.sampled_from(FRAME_FREE)
@@ -57,7 +64,7 @@ bound = st.sampled_from([UNBOUNDED_PRECEDING, -3, -1, 0, 1, 2, UNBOUNDED_FOLLOWI
 
 @st.composite
 def framed_plan(draw):
-    fns = draw(st.lists(frame_capable_agg, min_size=1, max_size=3, unique=True))
+    fns = draw(st.lists(frame_capable_agg, min_size=1, max_size=4, unique=True))
     start = draw(bound.filter(lambda b: b < UNBOUNDED_FOLLOWING))
     end = draw(bound.filter(lambda b: b > UNBOUNDED_PRECEDING))
     if start > end:

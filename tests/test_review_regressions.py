@@ -116,6 +116,114 @@ def test_parser_collects_bad_bounds_and_partitions():
     assert "'numberOfPartitions' 'many'" in msgs
 
 
+def test_nth_value_unbounded_following_frame(spark):
+    """nth_value over [CURRENT ROW, UNBOUNDED FOLLOWING] must read the n-th
+    value from the frame START (forward order) — the O(n^2)-escape reversal
+    rewrite must not apply to order-sensitive nth_value (round-1 advice:
+    reversal returned the n-th value from the wrong end)."""
+    from window_aggregation_spark.spec import (
+        UNBOUNDED_FOLLOWING,
+        FrameType,
+    )
+
+    df = spark.createDataFrame(
+        [(i, "g", float(i)) for i in range(5)], "id int, k string, v double"
+    )
+    plan = WindowPlan(
+        spec=WindowSpecDef(
+            partition_by=("k",),
+            order_by=(OrderKey("id"),),
+            frame_type=FrameType.ROW,
+            start=0,
+            end=UNBOUNDED_FOLLOWING,
+        ),
+        aggregates=(AggregateDef("n2", "nth_value", field="v", args=("2",)),),
+    )
+    out = {r["id"]: r["n2"] for r in window_aggregate(df, plan).collect()}
+    # frame of row i is rows i..4; its 2nd value is v[i+1], null at the tail
+    assert out == {0: 1.0, 1: 2.0, 2: 3.0, 3: 4.0, 4: None}
+    # ... and the reversal must still fire when nth_value is absent alongside
+    # a swap pair (first <-> last equivalence under reversal)
+    plan_fl = WindowPlan(
+        spec=plan.spec,
+        aggregates=(
+            AggregateDef("f", "first", field="v", ignore_nulls=False),
+            AggregateDef("l", "last", field="v", ignore_nulls=False),
+        ),
+    )
+    fl = {r["id"]: (r["f"], r["l"]) for r in window_aggregate(df, plan_fl).collect()}
+    assert fl == {i: (float(i), 4.0) for i in range(5)}
+
+
+def test_nth_value_sql_backend_ignore_nulls_parity(spark):
+    """The SQL renderer must emit IGNORE NULLS exactly when the DataFrame
+    builder passes ignoreNulls (round-1 advice: API returned 10.0 where the
+    generated SQL returned null)."""
+    df = spark.createDataFrame(
+        [(1, "g", None), (2, "g", 10.0), (3, "g", 20.0)],
+        "id int, k string, v double",
+    )
+    df.createOrReplaceTempView("nth_parity")
+    for ignore in (True, False):
+        plan = WindowPlan(
+            spec=WindowSpecDef(partition_by=("k",), order_by=(OrderKey("id"),)),
+            aggregates=(
+                AggregateDef(
+                    "n1", "nth_value", field="v", args=("1",), ignore_nulls=ignore
+                ),
+            ),
+        )
+        api = window_aggregate(df, plan).orderBy("id").collect()
+        sql = plan_to_sql(plan, "nth_parity", df.columns, dialect="spark")
+        via_sql = spark.sql(sql).orderBy("id").collect()
+        assert api == via_sql, f"ignore_nulls={ignore}"
+        expected_last = 10.0 if ignore else None  # running frame, first value
+        assert api[-1]["n1"] == expected_last
+
+
+def test_salted_sum_null_local_chunk(spark):
+    """A chunk whose field values are all null so far must still surface the
+    offset from earlier chunks (round-1 advice: expected 5.0, got null)."""
+    from window_aggregation_spark.operators.skew import salted_running_agg
+
+    # order values 1..6; values null except the first chunk's rows
+    rows = [
+        (1, "k", 1.0, 2.0),
+        (2, "k", 2.0, 3.0),
+        (3, "k", 10.0, None),
+        (4, "k", 11.0, None),
+        (5, "k", 20.0, None),
+        (6, "k", 21.0, 4.0),
+    ]
+    df = spark.createDataFrame(rows, "id int, k string, o double, v double")
+    out = salted_running_agg(
+        df, ["k"], "o", "v", agg="sum", chunks=3, alias="rs"
+    )
+    got = {r["id"]: r["rs"] for r in out.collect()}
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("k").orderBy("o")
+    expected = {
+        r["id"]: r["rs"]
+        for r in df.withColumn("rs", F.sum("v").over(w)).collect()
+    }
+    assert got == expected
+    assert got[4] == 5.0  # the reproduced case: null local, non-null offset
+
+
+def test_all_null_key_stays_null_in_salted_sum(spark):
+    """A key whose field is entirely null must produce null (not 0) in every
+    row, matching the plain running sum."""
+    from window_aggregation_spark.operators.skew import salted_running_agg
+
+    df = spark.createDataFrame(
+        [(i, "k", float(i), None) for i in range(6)],
+        "id int, k string, o double, v double",
+    )
+    out = salted_running_agg(df, ["k"], "o", "v", agg="sum", chunks=3, alias="rs")
+    assert [r["rs"] for r in out.collect()] == [None] * 6
+
+
 def test_fluent_sql_validates_before_render(spark):
     df = spark.createDataFrame([(1, "a", 2.0)], "id int, k string, v double")
     with pytest.raises(ValidationError, match="takes only 1 argument"):

@@ -65,3 +65,35 @@ def test_stream_upsert_across_batches(spark, tmp_path):
         3: (2, "c2"),   # upserted
         4: (2, "d2"),   # inserted
     }
+    # publication is a pointer flip: target is a symlink into an immutable
+    # versioned dir, and the superseded version is retained one epoch for
+    # in-flight readers — there is never a moment with no snapshot.
+    assert os.path.islink(target)
+    from window_aggregation_spark.streaming.upsert import _version_dirs
+
+    versions = _version_dirs(target)
+    assert os.path.realpath(target) == os.path.realpath(versions[-1])
+    assert len(versions) == 2  # current + one retained predecessor
+
+
+def test_merge_batch_migrates_legacy_plain_directory(spark, tmp_path):
+    """A pre-existing plain-directory snapshot is adopted as v0 and merged
+    correctly; after the first merge the target is symlink-published."""
+    import pandas as pd
+    from window_aggregation_spark.streaming.upsert import _merge_batch
+
+    target = str(tmp_path / "snap")
+    pd.DataFrame(
+        {"key": [1, 2], "version": [1, 1], "payload": ["a1", "b1"]}
+    ).pipe(lambda d: spark.createDataFrame(d)).write.parquet(target)
+    assert not os.path.islink(target)
+
+    batch = spark.createDataFrame(
+        pd.DataFrame({"key": [2, 3], "version": [2, 2], "payload": ["b2", "c2"]})
+    )
+    _merge_batch(spark, batch, target, ["key"], "version")
+    assert os.path.islink(target)
+    snap = {
+        r["key"]: r["payload"] for r in spark.read.parquet(target).collect()
+    }
+    assert snap == {1: "a1", 2: "b2", 3: "c2"}

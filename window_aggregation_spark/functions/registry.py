@@ -238,6 +238,17 @@ def _sql_first_last(name: str) -> Callable[[AggregateDef, str, str], str]:
     return render
 
 
+def _sql_nth_value(agg: AggregateDef, over: str, dialect: str) -> str:
+    # Must mirror the DataFrame builder's ignoreNulls handling (review
+    # finding: the API passed ignoreNulls while the SQL said nothing,
+    # so the two backends diverged on null-bearing frames).
+    field = quote_ident(agg.field, dialect)
+    n = agg.args[0].strip()
+    if _effective_ignore_nulls(agg):
+        return f"nth_value({field}, {n}) IGNORE NULLS {over}"
+    return f"nth_value({field}, {n}) {over}"
+
+
 def _sql_discrete_percentile(agg: AggregateDef, over: str, dialect: str) -> str:
     field = quote_ident(agg.field, dialect)
     p = float(agg.args[0])
@@ -318,7 +329,7 @@ FUNCTIONS: dict[str, FunctionDef] = {
                     _approx_count_distinct,
                     _sql_simple("approx_count_distinct({field})")),
         FunctionDef("nth_value", "NTH_VALUE", _R, _R, _O, False, None, True, 1,
-                    _nth_value, _sql_simple("nth_value({field}, {a0})")),
+                    _nth_value, _sql_nth_value),
         FunctionDef("stddev", "STDDEV", _R, _O, _O, True, "double", True, 0,
                     _stddev, _sql_simple("stddev_samp({field})")),
         FunctionDef("variance", "VARIANCE", _R, _O, _O, True, "double", True, 0,

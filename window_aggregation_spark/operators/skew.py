@@ -27,12 +27,21 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def _merge_sum(local, off):
+    # A null LOCAL (all field values null so far in this chunk) must still
+    # surface earlier chunks' offset, and vice versa; only both-null stays
+    # null — matching the plain running window sum exactly (review finding).
+    return F.when(local.isNull() & off.isNull(), F.lit(None)).otherwise(
+        F.coalesce(local, F.lit(0)) + F.coalesce(off, F.lit(0))
+    )
+
+
 # aggregate name -> (partial fn over rows, combine fn over chunk partials,
 # merge of the local running value with the combined offset of all earlier
 # chunks). Requires decomposability: agg(A ∪ B) = merge(agg(A), agg(B));
 # note count COMBINES with sum (count of a union is the sum of counts).
 _DECOMPOSABLE = {
-    "sum": (F.sum, F.sum, lambda local, off: local + F.coalesce(off, F.lit(0))),
+    "sum": (F.sum, F.sum, _merge_sum),
     "count": (F.count, F.sum, lambda local, off: local + F.coalesce(off, F.lit(0))),
     "min": (F.min, F.min, lambda local, off: F.least(local, F.coalesce(off, local))),
     "max": (F.max, F.max, lambda local, off: F.greatest(local, F.coalesce(off, local))),

@@ -97,7 +97,9 @@ def window_aggregate(
             out = out.repartition(plan.spec.num_partitions)
         return out
 
-    plan = _reverse_unbounded_following(plan)
+    from window_aggregation_spark.plans.rewrites import reverse_unbounded_following
+
+    plan = reverse_unbounded_following(plan)
     w = plan.spec.to_spark()
 
     out = df
@@ -122,58 +124,6 @@ def window_aggregate(
     if plan.spec.num_partitions:
         out = out.repartition(plan.spec.num_partitions)
     return out
-
-
-def _reverse_unbounded_following(plan: WindowPlan) -> WindowPlan:
-    """Plan rewrite: ``[X, UNBOUNDED FOLLOWING]`` frames -> reversed-order
-    running frames.
-
-    Spark's ``WindowExec`` evaluates frames with a moving lower bound and an
-    unbounded upper bound by recomputing the aggregate from scratch for
-    every row — O(n^2) per partition (measured: 19 *minutes* for a 600k-row
-    3-partition input vs ~1s for the running-frame equivalent). Reversing
-    every order key and mapping the frame ``[X, UF] -> [UP, -X]`` yields an
-    identical frame *set* per row but lets Spark use the incremental
-    unbounded-PRECEDING processor. FIRST and LAST swap under reversal; the
-    other frame-capable functions (accumulate/sum, the discrete-percentile
-    composition) are frame-order-insensitive. Functions that reject frames
-    entirely (rank family, lead/lag) can't occur in a framed plan — the
-    validator guarantees it — so the rewrite is always safe to apply to the
-    whole plan.
-    """
-    from dataclasses import replace as _replace
-
-    from window_aggregation_spark.spec import (
-        UNBOUNDED_FOLLOWING,
-        UNBOUNDED_PRECEDING,
-        Direction,
-        FrameType,
-        OrderKey,
-    )
-
-    spec = plan.spec
-    if spec.frame_type is FrameType.NONE:
-        return plan
-    if spec.end < UNBOUNDED_FOLLOWING or spec.start <= UNBOUNDED_PRECEDING:
-        return plan  # not an unbounded-following frame / whole-partition is fine
-    flipped = {
-        Direction.ASCENDING: Direction.DESCENDING,
-        Direction.DESCENDING: Direction.ASCENDING,
-    }
-    new_spec = _replace(
-        spec,
-        order_by=tuple(
-            OrderKey(k.field, flipped[k.direction]) for k in spec.order_by
-        ),
-        start=UNBOUNDED_PRECEDING,
-        end=-spec.start,
-    )
-    swap = {"first": "last", "last": "first"}
-    new_aggs = tuple(
-        _replace(a, function=swap.get(a.function, a.function))
-        for a in plan.aggregates
-    )
-    return WindowPlan(new_spec, new_aggs, plan.declared_schema)
 
 
 def _rank_join_applicable(spec, agg: AggregateDef) -> bool:

@@ -42,6 +42,12 @@ def plan_to_sql(
     (e.g. ACCUMULATE over INT returns BIGINT in SQL) would diverge in type
     from the DataFrame path's declared output schema.
     """
+    from window_aggregation_spark.plans.rewrites import reverse_unbounded_following
+
+    # Apply the same plan rewrites as the DataFrame backend: identical
+    # logical plans keep double aggregates bit-identical across backends
+    # (and spare the generated SQL Spark's O(n^2) unbounded-following frame).
+    plan = reverse_unbounded_following(plan)
     over = plan.spec.over_sql(dialect)
 
     rendered: dict[str, str] = {}
