@@ -7,10 +7,10 @@ per-group materialization beyond bounded signatures):
   via row_number. One shuffle on the dedup key.
 - :func:`content_key` — md5 of normalized text (portable across engines).
 - :func:`minhash_dedup_pairs` — token-n-gram shingles -> minhash signature
-  (one xxhash64 pass + universal-hash permutations, all columnar) -> banded
-  LSH bucketing -> candidate pairs verified with exact Jaccard. The standard
-  100 TB near-dup path: cost is O(n * sig) + one shuffle on (band, key),
-  never O(n^2).
+  (one portable-hash pass + universal-hash permutations, all columnar) ->
+  banded LSH bucketing -> candidate pairs verified with exact Jaccard. The
+  standard 100 TB near-dup path: cost is O(n * sig) + one shuffle on
+  (band, key), never O(n^2).
 - :func:`simhash` / :func:`simhash_dedup_pairs` — 64-bit SimHash computed in
   a single array-accumulator fold; candidates = pairs sharing any 16-bit
   chunk (pigeonhole: catches all pairs within Hamming distance 3 when split
@@ -23,8 +23,11 @@ per-group materialization beyond bounded signatures):
   variant in :mod:`window_aggregation_spark.operators.similarity` as the
   scale path.
 
-Everything is built from built-in functions (xxhash64, transform, aggregate,
-zip_with, bit_count) — no Python UDFs in any hot path.
+Everything is built from built-in functions (md5/conv, transform, aggregate,
+zip_with, bit_count) — no Python UDFs in any hot path. Shingle/token hashing
+uses :func:`portable_hash64` (md5-derived) rather than xxhash64 so minhash
+and simhash outputs are bit-reproducible in any SQL engine — that is what
+lets the driver oracle-check them against DuckDB instead of rows-only.
 """
 
 from __future__ import annotations
@@ -43,6 +46,23 @@ _MERSENNE = 2147483647  # 2^31-1, prime — universal-hash modulus
 _rng = random.Random(42)
 _HASH_A = [(_rng.randrange(1, _MERSENNE) | 1) for _ in range(256)]
 _HASH_B = [_rng.randrange(0, _MERSENNE) for _ in range(256)]
+
+
+def portable_hash64(col: Column) -> Column:
+    """60-bit non-negative hash of a string, bit-identical across engines.
+
+    ``conv(substr(md5(x), 1, 15), 16, 10)`` — the first 15 hex digits of the
+    md5 as an integer. md5 of a UTF-8 string is standardized, so the exact
+    same value is computable in any SQL engine (DuckDB:
+    ``CAST(concat('0x', substr(md5(x), 1, 15)) AS BIGINT)``), which is what
+    makes minhash/simhash results oracle-checkable instead of rows-only.
+    Stays inside whole-stage codegen (md5/conv are JVM builtins)."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def portable_hash64_duck(expr: str) -> str:
+    """The DuckDB rendering of :func:`portable_hash64` over SQL ``expr``."""
+    return f"CAST(concat('0x', substr(md5({expr}), 1, 15)) AS BIGINT)"
 
 
 # ---------------------------------------------------------------------------
@@ -109,7 +129,7 @@ def minhash_signatures(
     """Minhash signature columns ``m0..m{num_hashes-1}`` per row id.
 
     Shape chosen for scale and codegen: explode shingles, hash each ONCE
-    with xxhash64, then one groupBy with ``num_hashes`` plain ``min``
+    with the portable hash, then one groupBy with ``num_hashes`` plain ``min``
     aggregates over universal-hash permutations ``(a*h + b) mod p``. Plain
     mins run in whole-stage codegen with map-side partial aggregation; the
     equivalent nested array-fold expression evaluates interpreted
@@ -121,7 +141,7 @@ def minhash_signatures(
         df.select(
             F.col(id_col), F.explode(shingles(F.col(text_col), ngram)).alias("__s")
         )
-        .select(id_col, F.pmod(F.xxhash64("__s"), F.lit(_MERSENNE)).alias("__h"))
+        .select(id_col, F.pmod(portable_hash64(F.col("__s")), F.lit(_MERSENNE)).alias("__h"))
     )
     return hashed.groupBy(id_col).agg(
         *[
@@ -259,7 +279,7 @@ def simhash(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame:
     hashed = df.select(
         F.col(id_col),
         F.explode_outer(tokens(F.col(text_col))).alias("__t"),
-    ).select(id_col, F.xxhash64("__t").alias("__h"))
+    ).select(id_col, portable_hash64(F.col("__t")).alias("__h"))
     sums = hashed.groupBy(id_col).agg(
         *[
             F.sum(

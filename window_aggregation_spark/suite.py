@@ -658,6 +658,93 @@ def _duck_cosine(a: str, b: str) -> str:
     return f"({dot(a, b)} / (sqrt({dot(a, a)}) * sqrt({dot(b, b)})))"
 
 
+def _duck_minhash_lsh_sql() -> str:
+    """DuckDB recomputation of minhash+LSH dedup from first principles:
+    same shingles, same portable md5-derived hash, same 64 universal-hash
+    permutations (constants imported from the operator), same 16-band
+    agreement rule, same exact-Jaccard verification. The one deliberate
+    difference: candidates come from a direct band-tuple comparison instead
+    of Spark's shuffle on a hashed band key (equal tuples <=> equal keys)."""
+    from window_aggregation_spark.operators import dedup as dd
+
+    h = dd.portable_hash64_duck("s")
+    p = 2147483647
+    mins = ",\n               ".join(
+        f"min(({dd._HASH_A[i]} * h + {dd._HASH_B[i]}) % {p}) AS m{i}"
+        for i in range(64)
+    )
+    band_conds = "\n            OR ".join(
+        "(" + " AND ".join(f"l.m{b * 4 + j} = r.m{b * 4 + j}" for j in range(4)) + ")"
+        for b in range(16)
+    )
+    jac = (
+        "CASE WHEN len(list_distinct(list_concat(a.sh, b.sh))) = 0 THEN 0.0 "
+        "ELSE len(list_intersect(a.sh, b.sh)) "
+        "/ len(list_distinct(list_concat(a.sh, b.sh))) END"
+    )
+    return f"""
+        WITH sh AS (SELECT doc_id, {_DUCK_SHINGLES} AS sh FROM documents),
+        ex AS (SELECT doc_id, unnest(sh) AS s FROM sh),
+        hs AS (SELECT doc_id, {h} % {p} AS h FROM ex),
+        sig AS (SELECT doc_id,
+               {mins}
+               FROM hs GROUP BY doc_id),
+        cand AS (SELECT l.doc_id AS id_a, r.doc_id AS id_b
+                 FROM sig l JOIN sig r
+                   ON l.doc_id < r.doc_id AND ({band_conds}))
+        SELECT id_a, id_b, jaccard FROM (
+          SELECT c.id_a, c.id_b, ROUND({jac}, 4) AS jaccard
+          FROM cand c
+          JOIN sh a ON c.id_a = a.doc_id
+          JOIN sh b ON c.id_b = b.doc_id)
+        WHERE jaccard >= 0.3
+        """
+
+
+def _duck_simhash_sql() -> str:
+    """DuckDB recomputation of simhash dedup: per-token portable hash,
+    64 per-bit +1/-1 sums, bit assembly (bit 63 via the Long.MIN_VALUE
+    two's-complement constant, matching Spark), 9-chunk pigeonhole candidate
+    join, exact Hamming verify. Docs with no tokens get simhash 0 on both
+    sides (Spark: null sums -> all bits 0; here: LEFT JOIN -> null sums)."""
+    from window_aggregation_spark.operators import dedup as dd
+
+    h = dd.portable_hash64_duck("t")
+    sums = ",\n               ".join(
+        f"sum(((h >> {i}) & 1)*2 - 1) AS b{i}" for i in range(64)
+    )
+    value = " | ".join(
+        f"CASE WHEN b{i} > 0 THEN CAST({(1 << i) if i < 63 else -(1 << 63)} "
+        f"AS BIGINT) ELSE CAST(0 AS BIGINT) END"
+        for i in range(64)
+    )
+    # chunk bounds for max_hamming=8 -> 9 chunks: 8 of width 7, last width 8
+    n_chunks, width = 9, 64 // 9
+    chunk_rows = ", ".join(
+        f"({i}, {i * width}, {(1 << (width if i < n_chunks - 1 else 64 - i * width)) - 1})"
+        for i in range(n_chunks)
+    )
+    return f"""
+        WITH toks AS (
+          SELECT doc_id, unnest({_DUCK_TOKENS}) AS t FROM documents),
+        hs AS (SELECT doc_id, {h} AS h FROM toks),
+        sums AS (SELECT doc_id,
+               {sums}
+               FROM hs GROUP BY doc_id),
+        sh AS (SELECT d.doc_id AS id, ({value}) AS sh
+               FROM documents d LEFT JOIN sums s ON d.doc_id = s.doc_id),
+        chunked AS (
+          SELECT id, sh, c.chunk, (sh >> c.off) & c.mask AS val
+          FROM sh, (VALUES {chunk_rows}) AS c(chunk, off, mask))
+        SELECT id_a, id_b, hamming FROM (
+          SELECT DISTINCT l.id AS id_a, r.id AS id_b,
+                 CAST(bit_count(xor(l.sh, r.sh)) AS INT) AS hamming
+          FROM chunked l JOIN chunked r
+            ON l.chunk = r.chunk AND l.val = r.val AND l.id < r.id)
+        WHERE hamming <= 8
+        """
+
+
 def _register_dedup() -> None:
     from window_aggregation_spark.operators import dedup as dd
 
@@ -722,12 +809,12 @@ def _register_dedup() -> None:
             df, "doc_id", block_prefix=40, threshold=0.3
         )
 
-    @_register("dedup_minhash_lsh", None, headline=True)
+    @_register("dedup_minhash_lsh", _duck_minhash_lsh_sql(), headline=True)
     def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         df = read_table(spark, sf_dir, "documents")
         return dd.minhash_dedup_pairs(df, "doc_id", threshold=0.3)
 
-    @_register("dedup_simhash", None)
+    @_register("dedup_simhash", _duck_simhash_sql())
     def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         df = read_table(spark, sf_dir, "documents")
         return dd.simhash_dedup_pairs(df, "doc_id", max_hamming=8)
@@ -784,7 +871,54 @@ def _register_similarity() -> None:
         corpus = emb.where(F.col("vec_id") >= 8)
         return sim.cosine_topk(queries, corpus, k=5)
 
-    @_register("sim_topk_lsh", None)
+    def _duck_lsh_sql() -> str:
+        """DuckDB recomputation of hyperplane-LSH top-k: the fixed seeded
+        hyperplanes are embedded as literals, bucket bits come from the same
+        left-to-right double dot-product fold as the Spark expression (so
+        sign decisions are bit-identical), multi-probe flips each of the 4
+        bits, and the final cosine/top-5 matches the brute-force oracle."""
+        planes = sim._planes(4, 64)
+
+        def dot(vec: str, plane: list[float]) -> str:
+            lits = ", ".join(repr(x) for x in plane)
+            return (
+                f"list_reduce(list_prepend(0.0, list_transform("
+                f"generate_series(1, 64), "
+                f"i -> CAST({vec}[i] AS DOUBLE) * (CAST([{lits}] AS DOUBLE[]))[i])), "
+                f"(acc, v) -> acc + v)"
+            )
+
+        def bucket(vec: str) -> str:
+            terms = " + ".join(
+                f"CASE WHEN {dot(vec, plane)} > 0 THEN {1 << i} ELSE 0 END"
+                for i, plane in enumerate(planes)
+            )
+            return f"CAST({terms} AS INT)"
+
+        return f"""
+        WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+                   FROM embeddings WHERE vec_id < 8),
+             c AS (SELECT vec_id AS neighbor_id, embedding AS cv
+                   FROM embeddings WHERE vec_id >= 8),
+             qb AS (SELECT query_id, qv, {bucket('qv')} AS b0 FROM q),
+             qp AS (SELECT query_id, qv,
+                           unnest([b0, xor(b0, 1), xor(b0, 2),
+                                   xor(b0, 4), xor(b0, 8)]) AS bkt
+                    FROM qb),
+             cb AS (SELECT neighbor_id, cv, {bucket('cv')} AS bkt FROM c),
+             scored AS (
+               SELECT query_id, neighbor_id,
+                      ROUND({_duck_cosine('qv', 'cv')}, 4) AS cos_sim
+               FROM qp JOIN cb USING (bkt))
+        SELECT query_id, neighbor_id, cos_sim, CAST(rn AS INT) AS nn_rank
+        FROM (SELECT *, row_number() OVER (
+                PARTITION BY query_id
+                ORDER BY cos_sim DESC, neighbor_id ASC) AS rn
+              FROM scored)
+        WHERE rn <= 5
+        """
+
+    @_register("sim_topk_lsh", _duck_lsh_sql())
     def sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb = read_table(spark, sf_dir, "embeddings")
         queries = emb.where(F.col("vec_id") < 8)
@@ -813,13 +947,44 @@ def _register_multimodal_streaming() -> None:
         tumbling_counts,
     )
 
-    @_register("mm_decode_features", None)
+    # The fake decode is pure byte arithmetic over the UTF-8 payload:
+    # feat[1] = byte length, feat[1+i] = payload[min(i*stride, n-1)] with
+    # stride = max(1, n // 7) — so DuckDB can recompute it from
+    # encode(text) and hex() byte extraction, giving the multimodal
+    # mapInPandas plumbing a real value oracle (schema + Arrow batching on
+    # the Spark side, arithmetic parity checked end-to-end).
+    def _byte_at(pos_expr: str) -> str:
+        return (
+            f"CAST(CAST(concat('0x', substr(hex(blob), 2*({pos_expr})+1, 2)) "
+            f"AS INT) AS DOUBLE)"
+        )
+
+    _mm_oracle = f"""
+        WITH b AS (SELECT doc_id, encode(text) AS blob,
+                          octet_length(encode(text)) AS n
+                   FROM documents)
+        SELECT doc_id, 'application/octet-stream' AS mime,
+               CAST(n AS BIGINT) AS n_bytes,
+               CAST(n AS DOUBLE) AS feat_len,
+               CASE WHEN n = 0 THEN 0.0 ELSE {_byte_at('0')} END AS feat_2,
+               CASE WHEN n = 0 THEN 0.0
+                    ELSE {_byte_at('least(6 * greatest(n // 7, 1), n - 1)')}
+               END AS feat_8
+        FROM b
+        """
+
+    @_register("mm_decode_features", _mm_oracle)
     def mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         df = read_table(spark, sf_dir, "documents")
         payloads = mm.attach_binary_payload(df)
         feats = mm.decode_image_features(payloads)
         return feats.select(
-            "doc_id", "mime", "n_bytes", F.element_at("feat", 1).alias("feat_len")
+            "doc_id",
+            "mime",
+            "n_bytes",
+            F.element_at("feat", 1).alias("feat_len"),
+            F.element_at("feat", 2).alias("feat_2"),
+            F.element_at("feat", 8).alias("feat_8"),
         )
 
     @_register(
@@ -881,11 +1046,33 @@ def _register_multimodal_streaming() -> None:
             events, window_duration="1 hour", slide="15 minutes"
         )
 
-    @_register("stream_stateful_ewma", None)
+    # EWMA's recursion IS SQL-expressible as an explicit left fold: collect
+    # the per-user running prefix of values and fold alpha*x + (1-alpha)*acc
+    # over it. list_reduce with no initializer seeds acc with the first
+    # element — exactly the operator's "first value starts the average"
+    # rule — and the fold multiplies by the same two doubles in the same
+    # order as the pandas loop, so results are bit-identical before the
+    # shared 6-decimal round.
+    _alpha = 0.3
+    _ewma_oracle = f"""
+        SELECT user_id, event_id, value,
+               ROUND(list_reduce(
+                 list(value) OVER (PARTITION BY user_id
+                                   ORDER BY ts ASC, event_id ASC
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                        AND CURRENT ROW),
+                 (acc, x) -> CAST({_alpha!r} AS DOUBLE) * x
+                             + CAST({(1 - _alpha)!r} AS DOUBLE) * acc), 6)
+                 AS ewma
+        FROM events
+        """
+
+    @_register("stream_stateful_ewma", _ewma_oracle)
     def stream_stateful_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
         """Per-user EWMA — the batch twin of the applyInPandasWithState
-        streaming operator (tests assert stream == batch; EWMA's recursive
-        definition has no portable SQL oracle, so this is rows-only)."""
+        streaming operator (tests assert stream == batch across
+        micro-batches; the driver checks batch values against the DuckDB
+        list-fold oracle above)."""
         from window_aggregation_spark.streaming.stateful import batch_ewma
 
         events = read_table(spark, sf_dir, "events")
