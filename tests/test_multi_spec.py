@@ -1,0 +1,115 @@
+"""Multi-spec window plans: several aggregate groups, each with its own
+partition/order/frame spec, in one operator call — sequential semantics,
+exchange-sharing regroup only when unobservable."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from window_aggregation_spark import (
+    AggregateDef,
+    OrderKey,
+    WindowPlan,
+    WindowSpecDef,
+    window_aggregate,
+    window_aggregate_multi,
+)
+from window_aggregation_spark.operators.window_aggregation import (
+    _group_plans_by_partition_keys,
+)
+
+ROWS = [(i, ["a", "b"][i % 2], ["x", "y", "z"][i % 3], float(i)) for i in range(12)]
+SCHEMA = "id int, g1 string, g2 string, v double"
+
+
+def _p(keys, aggs, order=("id",)):
+    return WindowPlan(
+        spec=WindowSpecDef(
+            partition_by=tuple(keys), order_by=tuple(OrderKey(o) for o in order)
+        ),
+        aggregates=tuple(aggs),
+    )
+
+
+def test_multi_equals_sequential_single_plans(spark):
+    df = spark.createDataFrame(ROWS, SCHEMA)
+    plans = [
+        _p(["g1"], [AggregateDef("s1", "accumulate", field="v")]),
+        _p(["g2"], [AggregateDef("rn2", "row_number")]),
+        _p(["g1"], [AggregateDef("rnk1", "rank")], order=("v",)),
+    ]
+    out = window_aggregate_multi(df, plans)
+    seq = df
+    for plan in plans:
+        seq = window_aggregate(seq, plan)
+    # the regroup may append alias columns in a different order; values and
+    # names must match exactly once both sides project the same column order
+    cols = sorted(out.columns)
+    assert sorted(seq.columns) == cols
+    assert (
+        out.select(*cols).orderBy("id").collect()
+        == seq.select(*cols).orderBy("id").collect()
+    )
+
+
+def test_multi_regroups_same_keys(spark):
+    plans = [
+        _p(["g1"], [AggregateDef("a", "accumulate", field="v")]),
+        _p(["g2"], [AggregateDef("b", "row_number")]),
+        _p(["g1"], [AggregateDef("c", "rank")], order=("v",)),
+    ]
+    grouped = _group_plans_by_partition_keys(plans)
+    assert [tuple(p.spec.partition_by) for p in grouped] == [
+        ("g1",), ("g1",), ("g2",)
+    ]
+
+
+def test_multi_preserves_order_on_cross_plan_dependency(spark):
+    df = spark.createDataFrame(ROWS, SCHEMA)
+    plans = [
+        _p(["g2"], [AggregateDef("run_v", "accumulate", field="v")]),
+        # reads the previous plan's output -> no reorder, sees run_v
+        _p(["g1"], [AggregateDef("max_run", "max", field="run_v")]),
+    ]
+    assert _group_plans_by_partition_keys(plans) == plans
+    out = window_aggregate_multi(df, plans).orderBy("id").collect()
+    expected = window_aggregate(
+        window_aggregate(df, plans[0]), plans[1]
+    ).orderBy("id").collect()
+    assert out == expected
+
+
+def test_multi_duplicate_alias_keeps_order(spark):
+    df = spark.createDataFrame(ROWS, SCHEMA)
+    plans = [
+        _p(["g1"], [AggregateDef("x", "accumulate", field="v")]),
+        _p(["g2"], [AggregateDef("x", "row_number")]),  # later plan wins
+    ]
+    assert _group_plans_by_partition_keys(plans) == plans
+    out = window_aggregate_multi(df, plans)
+    # the surviving x is the row_number (int), not the sum (double)
+    assert dict(out.dtypes)["x"] == "int"
+
+
+def test_multi_declared_schema_projects_combined_output(spark):
+    df = spark.createDataFrame(ROWS, SCHEMA)
+    plans = [
+        _p(["g1"], [AggregateDef("s", "accumulate", field="v")]),
+        _p(["g2"], [AggregateDef("rn", "row_number")]),
+    ]
+    out = window_aggregate_multi(
+        df, plans, declared_schema=("id", "rn", "s")
+    )
+    assert out.columns == ["id", "rn", "s"]
+
+
+def test_multi_validates_each_plan(spark):
+    from window_aggregation_spark import ValidationError
+
+    df = spark.createDataFrame(ROWS, SCHEMA)
+    plans = [
+        _p(["g1"], [AggregateDef("s", "accumulate", field="nope")]),
+    ]
+    with pytest.raises(ValidationError):
+        window_aggregate_multi(df, plans)

@@ -26,6 +26,15 @@ def test_multi_aggregate_plan_has_single_window_and_shuffle(spark, sf_dir):
     assert plan.count("Exchange") == 1, plan[:500]
 
 
+def test_multi_spec_plans_share_exchange_per_key_set(spark, sf_dir):
+    """3 window specs over 2 distinct partition-key sets -> 3 WindowExecs
+    but only 2 exchanges: the regroup makes same-key specs adjacent so
+    EnsureRequirements sees the second spec's distribution already met."""
+    plan = _plan(SUITE["w_multi_spec_plans"].build(spark, sf_dir))
+    assert plan.count("Window ") == 3, plan[:800]
+    assert plan.count("Exchange") == 2, plan[:800]
+
+
 def test_column_pruning_reaches_parquet_scan(spark, sf_dir):
     """Narrow projection above the window prunes the read schema to the
     touched columns (4 of lineitem's 11)."""

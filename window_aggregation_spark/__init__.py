@@ -41,6 +41,7 @@ from window_aggregation_spark.parser import config_to_plan, parse_aggregates
 from window_aggregation_spark.operators.window_aggregation import (
     derive_output_schema,
     window_aggregate,
+    window_aggregate_multi,
 )
 from window_aggregation_spark.session import get_spark
 from window_aggregation_spark.api import window
@@ -64,4 +65,5 @@ __all__ = [
     "parse_aggregates",
     "window",
     "window_aggregate",
+    "window_aggregate_multi",
 ]

@@ -126,6 +126,66 @@ def window_aggregate(
     return out
 
 
+def window_aggregate_multi(
+    df: DataFrame,
+    plans: "list[WindowPlan] | tuple[WindowPlan, ...]",
+    *,
+    validate: bool = True,
+    declared_schema: "tuple[str, ...] | None" = None,
+) -> DataFrame:
+    """Apply several :class:`WindowPlan`\\ s, appending every plan's aggregate
+    columns — the multi-spec extension of the reference's one-spec operator
+    (each aggregate group can have its own partition/order/frame).
+
+    Semantics are sequential: a later plan may read an earlier plan's output
+    column (withColumn chaining, exactly like aggregates within one plan).
+    ``declared_schema`` projects/reorders the combined output at the end.
+
+    Scale shape: Catalyst plans one ``WindowExec`` per distinct window spec,
+    and ADJACENT specs sharing partition keys reuse a single hash exchange
+    (the second spec adds only an in-partition sort — ``EnsureRequirements``
+    sees its ``HashPartitioning`` already satisfied). So plans are stably
+    regrouped to make same-partition-key specs adjacent: N plans over K
+    distinct key sets cost K shuffles, not N. The regroup is skipped — order
+    preserved — whenever any plan reads a column another plan produces,
+    produces an alias another plan also produces, or pins its own
+    ``declared_schema`` (all three make order observable).
+    """
+    ordered = _group_plans_by_partition_keys(list(plans))
+    out = df
+    for plan in ordered:
+        out = window_aggregate(out, plan, validate=validate)
+    if declared_schema is not None:
+        out = out.select(*[F.col(name) for name in declared_schema])
+    return out
+
+
+def _group_plans_by_partition_keys(plans: "list[WindowPlan]") -> "list[WindowPlan]":
+    """Stable regroup of plans by partition-key tuple (first-occurrence
+    order), only when reordering is unobservable — see caller docstring."""
+    produced: list[set[str]] = [
+        {a.alias for a in p.aggregates} for p in plans
+    ]
+    consumed: list[set[str]] = []
+    for p in plans:
+        fields = {a.field for a in p.aggregates if a.field}
+        fields.update(p.spec.partition_by)
+        fields.update(k.field for k in p.spec.order_by)
+        consumed.append(fields)
+    for i, p in enumerate(plans):
+        if p.declared_schema is not None:
+            return plans
+        for j in range(len(plans)):
+            if i == j:
+                continue
+            if consumed[i] & produced[j] or produced[i] & produced[j]:
+                return plans
+    order: dict[tuple, int] = {}
+    for p in plans:
+        order.setdefault(tuple(p.spec.partition_by), len(order))
+    return sorted(plans, key=lambda p: order[tuple(p.spec.partition_by)])
+
+
 def _rank_join_applicable(spec, agg: AggregateDef) -> bool:
     """The rank-join rewrite applies to the common shape: default frame,
     ordered ascending by exactly the aggregated field (so each row's frame

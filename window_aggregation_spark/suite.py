@@ -1197,6 +1197,56 @@ def w_stats_nth_value(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "w_multi_spec_plans",
+    f"""
+    SELECT l_orderkey, l_linenumber, l_returnflag, l_suppkey, l_quantity,
+           sum(l_quantity) OVER wa AS flag_run_qty,
+           CAST(rank() OVER wc AS INT) AS flag_qty_rank,
+           CAST(row_number() OVER wb AS INT) AS supp_rn
+    FROM lineitem
+    WINDOW wa AS (PARTITION BY l_returnflag ORDER BY {_LI_TIEBREAK_SQL}),
+           wc AS (PARTITION BY l_returnflag ORDER BY l_quantity ASC),
+           wb AS (PARTITION BY l_suppkey ORDER BY {_LI_TIEBREAK_SQL})
+    """,
+)
+def w_multi_spec_plans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-spec extension: three aggregate groups, each with its own
+    partition/order spec, in one operator call. The two l_returnflag specs
+    are regrouped to run adjacently so they share ONE hash exchange (the
+    second adds only a sort) — 3 window specs, 2 shuffles (pinned in
+    tests/test_plan_quality.py)."""
+    from window_aggregation_spark.operators.window_aggregation import (
+        window_aggregate_multi,
+    )
+
+    df = read_table(spark, sf_dir, "lineitem")
+    plans = [
+        WindowPlan(
+            spec=WindowSpecDef(partition_by=("l_returnflag",), order_by=_LI_TIEBREAK),
+            aggregates=(
+                AggregateDef("flag_run_qty", "accumulate", field="l_quantity"),
+            ),
+        ),
+        WindowPlan(
+            spec=WindowSpecDef(partition_by=("l_suppkey",), order_by=_LI_TIEBREAK),
+            aggregates=(AggregateDef("supp_rn", "row_number"),),
+        ),
+        WindowPlan(
+            spec=WindowSpecDef(
+                partition_by=("l_returnflag",), order_by=(OrderKey("l_quantity"),)
+            ),
+            aggregates=(AggregateDef("flag_qty_rank", "rank"),),
+        ),
+    ]
+    return window_aggregate_multi(
+        df,
+        plans,
+        declared_schema=(*_LI_KEYS, "l_returnflag", "l_suppkey", "l_quantity",
+                         "flag_run_qty", "flag_qty_rank", "supp_rn"),
+    )
+
+
+@_register(
     "w_range_interval_frame",
     """
     SELECT event_id, event_type, value,
