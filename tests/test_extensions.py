@@ -110,6 +110,21 @@ def test_ivf_recall_vs_bruteforce(emb):
             assert sims[key] == pytest.approx(r["cos_sim"], abs=1e-6)
 
 
+def test_ivf_expr_assignment_matches_numpy(emb):
+    """The oracle-checkable expression assignment and the numpy block-matmul
+    assignment must pick the same lists (both break near-ties by centroid
+    index; the two cosine computations only diverge in final ulps, far from
+    any assignment boundary on this data)."""
+    queries = emb.where(F.col("vec_id") < 8)
+    corpus = emb.where(F.col("vec_id") >= 8)
+    a = sorted(map(tuple, sim.ivf_topk(
+        queries, corpus, k=5, n_centroids=16, nprobe=4).collect()))
+    b = sorted(map(tuple, sim.ivf_topk(
+        queries, corpus, k=5, n_centroids=16, nprobe=4, assign="expr"
+    ).collect()))
+    assert a == b
+
+
 def test_multimodal_decode_stub_and_schema(docs):
     payloads = mm.attach_binary_payload(docs.limit(50))
     assert dict(payloads.dtypes)["payload"] == "binary"

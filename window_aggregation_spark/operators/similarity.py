@@ -120,17 +120,36 @@ def ivf_topk(
     query_id: str = "vec_id",
     corpus_id: str = "vec_id",
     vec_col: str = "embedding",
+    assign: str = "numpy",
 ) -> DataFrame:
     """IVF-style approximate top-k: partition the corpus into inverted lists
     by nearest centroid; each query scans only its ``nprobe`` closest lists.
 
     Centroids are a deterministic sample of the corpus itself (first
     ``n_centroids`` by id — one cheap `limit` instead of a k-means job;
-    k-means centroids drop in by swapping `_centroids`). Assignment and
-    probing both run as broadcast numpy matmuls inside ``mapInPandas`` (the
-    same block-matmul shape as ``embedding_dup_pairs``); the only shuffle is
-    the list-id join. Candidate fraction ~= nprobe / n_centroids.
+    k-means centroids drop in by swapping `_centroids`).
+
+    ``assign`` picks the list-assignment implementation:
+
+    - ``"numpy"`` (the 100 TB path): broadcast numpy matmuls inside
+      ``mapInPandas`` (the block-matmul shape of ``embedding_dup_pairs``);
+      the only shuffle is the list-id join. BLAS-fast, but matmul summation
+      order is not reproducible in SQL, so results are checked by recall.
+    - ``"expr"``: pure Catalyst expression assignment — a broadcast
+      cross-join against the centroid set with the same left-to-right
+      cosine fold the verification step uses. Slower per row (interpreted
+      higher-order fold) but bit-reproducible in any SQL engine, which is
+      what lets the driver hash-check IVF against a DuckDB oracle.
+
+    Both assignments pick the same lists wherever the two cosine
+    computations agree in sign/order (ties broken by centroid index in
+    both). Candidate fraction ~= nprobe / n_centroids.
     """
+    if assign == "expr":
+        return _ivf_topk_expr(
+            queries, corpus, k=k, n_centroids=n_centroids, nprobe=nprobe,
+            query_id=query_id, corpus_id=corpus_id, vec_col=vec_col,
+        )
     import numpy as np
     import pandas as pd
 
@@ -178,6 +197,73 @@ def ivf_topk(
             F.col("q.id").alias("query_id"),
             F.col("c.id").alias("neighbor_id"),
             F.round(cosine(F.col("q.v"), F.col("c.v")), 4).alias("cos_sim"),
+        )
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("nn_rank", F.row_number().over(w))
+        .where(F.col("nn_rank") <= k)
+    )
+
+
+def _ivf_topk_expr(
+    queries: DataFrame,
+    corpus: DataFrame,
+    *,
+    k: int,
+    n_centroids: int,
+    nprobe: int,
+    query_id: str,
+    corpus_id: str,
+    vec_col: str,
+) -> DataFrame:
+    """Expression-level IVF (see :func:`ivf_topk` ``assign="expr"``)."""
+    from pyspark.sql import Window as W
+
+    cents = (
+        corpus.select(F.col(corpus_id).alias("__cent_id"),
+                      F.col(vec_col).alias("__cent_v"))
+        .orderBy("__cent_id")
+        .limit(n_centroids)
+        .withColumn(
+            "__cidx",
+            F.row_number().over(W.orderBy(F.col("__cent_id").asc())) - 1,
+        )
+    )
+
+    def assign_lists(df: DataFrame, id_alias: str, top_n: int) -> DataFrame:
+        sim = cosine(F.col("__v"), F.col("__cent_v"))
+        w = W.partitionBy(id_alias).orderBy(
+            F.col("__sim").desc(), F.col("__cidx").asc()
+        )
+        return (
+            df.crossJoin(F.broadcast(cents))
+            .withColumn("__sim", sim)
+            .withColumn("__arank", F.row_number().over(w))
+            .where(F.col("__arank") <= top_n)
+            .select(id_alias, "__v", F.col("__cidx").alias("list_id"))
+        )
+
+    c_lists = assign_lists(
+        corpus.select(F.col(corpus_id).alias("neighbor_id"),
+                      F.col(vec_col).alias("__v")),
+        "neighbor_id", 1,
+    )
+    q_lists = assign_lists(
+        queries.select(F.col(query_id).alias("query_id"),
+                       F.col(vec_col).alias("__v")),
+        "query_id", nprobe,
+    )
+    scored = (
+        q_lists.alias("q")
+        .join(c_lists.alias("c"), on="list_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("q.__v"), F.col("c.__v")), 4).alias("cos_sim"),
         )
         .dropDuplicates(["query_id", "neighbor_id"])
     )

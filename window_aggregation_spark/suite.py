@@ -925,12 +925,61 @@ def _register_similarity() -> None:
         corpus = emb.where(F.col("vec_id") >= 8)
         return sim.ann_lsh_topk(queries, corpus, k=5, nbits=4)
 
-    @_register("sim_topk_ivf", None)
+    def _duck_ivf_sql() -> str:
+        """DuckDB recomputation of expression-level IVF: centroids = first
+        16 corpus vectors by id, assignment by the same left-to-right cosine
+        fold (ties -> lowest centroid index), nprobe=4 probed lists per
+        query, cosine top-5 over the probed candidates."""
+        cos_c = _duck_cosine("cv", "cent_v")
+        cos_q = _duck_cosine("qv", "cent_v")
+        cos_f = _duck_cosine("qv", "cv")
+        return f"""
+        WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+                   FROM embeddings WHERE vec_id < 8),
+             c AS (SELECT vec_id AS neighbor_id, embedding AS cv
+                   FROM embeddings WHERE vec_id >= 8),
+             cents AS (SELECT CAST(row_number() OVER (ORDER BY vec_id ASC)
+                              AS INT) - 1 AS cidx,
+                              embedding AS cent_v
+                       FROM (SELECT vec_id, embedding FROM embeddings
+                             WHERE vec_id >= 8 ORDER BY vec_id LIMIT 16)),
+             c_assign AS (
+               SELECT neighbor_id, cv, cidx AS list_id FROM (
+                 SELECT c.neighbor_id, c.cv, cents.cidx,
+                        row_number() OVER (PARTITION BY c.neighbor_id
+                          ORDER BY {cos_c} DESC, cents.cidx ASC) AS ar
+                 FROM c CROSS JOIN cents) WHERE ar <= 1),
+             q_assign AS (
+               SELECT query_id, qv, cidx AS list_id FROM (
+                 SELECT q.query_id, q.qv, cents.cidx,
+                        row_number() OVER (PARTITION BY q.query_id
+                          ORDER BY {cos_q} DESC, cents.cidx ASC) AS ar
+                 FROM q CROSS JOIN cents) WHERE ar <= 4),
+             scored AS (
+               SELECT DISTINCT query_id, neighbor_id,
+                      ROUND({cos_f}, 4) AS cos_sim
+               FROM q_assign JOIN c_assign USING (list_id))
+        SELECT query_id, neighbor_id, cos_sim, CAST(rn AS INT) AS nn_rank
+        FROM (SELECT *, row_number() OVER (
+                PARTITION BY query_id
+                ORDER BY cos_sim DESC, neighbor_id ASC) AS rn
+              FROM scored)
+        WHERE rn <= 5
+        """
+
+    @_register("sim_topk_ivf", _duck_ivf_sql())
     def sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """IVF with the expression-level assignment (``assign="expr"``) so
+        the whole pipeline — centroid pick, list assignment, probing, top-k
+        — is bit-reproducible and oracle-checked. The numpy block-matmul
+        assignment (the 100 TB path) is recall-tested against brute force in
+        tests/test_extensions.py instead."""
         emb = read_table(spark, sf_dir, "embeddings")
         queries = emb.where(F.col("vec_id") < 8)
         corpus = emb.where(F.col("vec_id") >= 8)
-        return sim.ivf_topk(queries, corpus, k=5, n_centroids=16, nprobe=4)
+        return sim.ivf_topk(
+            queries, corpus, k=5, n_centroids=16, nprobe=4, assign="expr"
+        )
 
 
 _register_similarity()
