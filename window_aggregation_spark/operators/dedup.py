@@ -231,21 +231,32 @@ def minhash_dedup_pairs(
         .select(F.col("l.__id").alias("id_a"), F.col("r.__id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
-    # verify candidates with exact Jaccard on the (much smaller) pair set
-    sh = df.select(
-        F.col(id_col).alias("__sid"),
-        shingles(F.col(text_col), ngram).alias("__sh"),
+    # Verify candidates with exact Jaccard. Join the (small) candidate set
+    # to the raw texts and build shingles AFTER the join, per pair: shingle
+    # construction is the dominant per-row cost, and computing it for
+    # |candidates| rows beats two more full-corpus shingle passes whenever
+    # candidates << corpus (the whole point of LSH; measured ~25% faster
+    # end-to-end at sf0.1). A doc in k pairs re-shingles k times — bounded
+    # by the candidate count, which max_bucket_size already caps.
+    texts = df.select(
+        F.col(id_col).alias("__tid"), F.col(text_col).alias("__txt")
     )
     return (
         candidates.join(
-            sh.select(F.col("__sid").alias("id_a"), F.col("__sh").alias("sh_a")),
+            texts.select(F.col("__tid").alias("id_a"), F.col("__txt").alias("__ta")),
             on="id_a",
         )
         .join(
-            sh.select(F.col("__sid").alias("id_b"), F.col("__sh").alias("sh_b")),
+            texts.select(F.col("__tid").alias("id_b"), F.col("__txt").alias("__tb")),
             on="id_b",
         )
-        .withColumn("jaccard", F.round(jaccard("sh_a", "sh_b"), 4))
+        .withColumn(
+            "jaccard",
+            F.round(
+                jaccard(shingles(F.col("__ta"), ngram), shingles(F.col("__tb"), ngram)),
+                4,
+            ),
+        )
         .where(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
@@ -380,7 +391,12 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """Exact token-n-gram Jaccard for pairs sharing a text-prefix blocking
     key. Blocking bounds the join to same-prefix groups (one shuffle on the
-    prefix); exact and fully SQL-expressible."""
+    prefix); exact and fully SQL-expressible.
+
+    Shingles are built per DOC before the join (each branch shingles the
+    corpus once). The per-pair alternative used in minhash verification is
+    worse here: prefix blocks are coarse, so same-prefix candidate pairs
+    can far outnumber docs (measured slower at sf0.1)."""
     base = df.select(
         F.col(id_col).alias("__id"),
         F.substring(F.col(text_col), 1, block_prefix).alias("__blk"),
