@@ -60,6 +60,17 @@ def test_parquet_roundtrip_partitioned(spark, tmp_path):
     assert set(back.columns) == set(df.columns)
 
 
+def test_orc_roundtrip_partitioned(spark, tmp_path):
+    from window_aggregation_spark.sources.io import read_orc, write_orc
+
+    df = spark.createDataFrame(F1_ROWS, F1_SCHEMA)
+    path = str(tmp_path / "people_orc")
+    write_orc(df, path, partition_by=["profession"])
+    back = read_orc(spark, path)
+    assert back.count() == 2
+    assert set(back.columns) == set(df.columns)
+
+
 def test_lineage_describes_every_output_field():
     plan = config_to_plan(
         partition_fields="profession",

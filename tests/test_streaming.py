@@ -58,6 +58,88 @@ def test_stream_tumbling_equals_batch(spark, sf_dir, events_dir):
     assert got == want
 
 
+def test_watermark_drops_late_events(spark, tmp_path):
+    """Late-data semantics: in append mode with a 1-hour watermark, an event
+    arriving in a later micro-batch whose window closed before the watermark
+    is DROPPED — its window's counts must not include it. This is the
+    bounded-state guarantee the 100 TB streaming path relies on (closed
+    window state is evicted, so arbitrarily late data cannot resurrect it)."""
+    import os
+    import time
+
+    import pandas as pd
+
+    src = tmp_path / "late_src"
+    src.mkdir()
+    base = pd.Timestamp("2024-01-01 00:00:00")
+    # batch 1: on-time events at 01:10 and 03:20 -> the watermark advances
+    # to 03:20 - 1h = 02:20 at the END of this batch, closing the
+    # [00:00, 01:00) and [01:00, 02:00) windows.
+    b1 = pd.DataFrame(
+        {
+            "event_id": [1, 2],
+            "ts": [base + pd.Timedelta("1h10m"), base + pd.Timedelta("3h20m")],
+            "event_type": ["a", "a"],
+            "value": [1.0, 1.0],
+        }
+    )
+    # batch 2: an innocuous event in the still-open [03:00] window. Needed
+    # because Spark >= 3.4 filters late events with the PREVIOUS batch's
+    # watermark (eviction uses the current one) — the 02:20 watermark only
+    # gates late data from the second batch after b1 onward.
+    b2 = pd.DataFrame(
+        {
+            "event_id": [3],
+            "ts": [base + pd.Timedelta("3h25m")],
+            "event_type": ["a"],
+            "value": [1.0],
+        }
+    )
+    # batch 3: a late event at 00:30 (window [00:00, 01:00) — closed) and an
+    # acceptable one at 03:30
+    b3 = pd.DataFrame(
+        {
+            "event_id": [4, 5],
+            "ts": [base + pd.Timedelta("30m"), base + pd.Timedelta("3h30m")],
+            "event_type": ["a", "a"],
+            "value": [10.0, 1.0],
+        }
+    )
+    for i, b in enumerate([b1, b2, b3]):
+        p = src / f"part-{i}.parquet"
+        # pandas defaults to TIMESTAMP(NANOS), which Spark has no type for
+        b.to_parquet(p, index=False, coerce_timestamps="us")
+        mtime = time.time() - 60 + i * 10
+        os.utime(p, (mtime, mtime))
+
+    stream = (
+        spark.readStream.schema(
+            "event_id long, ts timestamp, event_type string, value double"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    out = tumbling_counts(stream, window_duration="1 hour", watermark="1 hour")
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("late_out")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    emitted = {
+        r["window_start"]: (r["n_events"], r["sum_value"])
+        for r in spark.table("late_out").collect()
+    }
+    # the 01:00 window was emitted with only the on-time event; the late
+    # 00:30 event produced no [00:00] window at all
+    assert emitted.get(base + pd.Timedelta("1h")) == (1, 1.0)
+    assert base not in emitted
+
+
 def test_streaming_sessionize_smoke(spark, events_dir):
     """session_window streaming path produces sessions with bounded state."""
     stream = (

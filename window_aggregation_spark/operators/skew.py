@@ -57,17 +57,22 @@ def salted_running_agg(
     agg: str = "sum",
     chunks: int = 32,
     alias: str = "run_agg",
+    quantile_error: float = 0.01,
 ) -> DataFrame:
     """Append ``alias`` = running (RANGE-semantics) ``agg`` of ``field`` per
     ``keys`` ordered by ``order_col``, computed in two phases so no single
     task owns a whole hot key. ``agg`` must be decomposable
-    (sum/count/min/max)."""
+    (sum/count/min/max). ``quantile_error`` only shifts chunk boundaries —
+    correctness never depends on sketch precision (equal order values always
+    land in one chunk), it just balances chunk sizes."""
     if agg not in _DECOMPOSABLE:
         raise ValueError(f"agg must be one of {sorted(_DECOMPOSABLE)}")
     fn, combine, merge = _DECOMPOSABLE[agg]
 
     probs = [i / chunks for i in range(1, chunks)]
-    boundaries = df.approxQuantile(order_col, probs, 0.001) if probs else []
+    boundaries = (
+        df.approxQuantile(order_col, probs, quantile_error) if probs else []
+    )
 
     bucket = F.lit(0)
     for b in sorted(set(boundaries)):

@@ -64,6 +64,12 @@ def read_json(
     return reader.json(path)
 
 
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC — the other columnar format Spark reads natively; same pushdown/
+    pruning behavior as parquet (PushedFilters / ReadSchema in the scan)."""
+    return spark.read.orc(path)
+
+
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one driver fixture table (TESTDATA.md layout).
 
@@ -91,6 +97,19 @@ def write_parquet(
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.parquet(path)
+
+
+def write_orc(
+    df: DataFrame,
+    path: str,
+    *,
+    mode: str = "overwrite",
+    partition_by: list[str] | None = None,
+) -> None:
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.orc(path)
 
 
 def write_bucketed(
