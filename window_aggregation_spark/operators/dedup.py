@@ -217,8 +217,10 @@ def minhash_dedup_pairs(
             .drop("__bsz")
         )
 
-    left = banded.alias("l")
-    right = banded.alias("r")
+    # merge hint: see ngram_jaccard_pairs — self-join sides can't broadcast
+    # at scale, and the sort-merge path is faster locally too
+    left = banded.hint("merge").alias("l")
+    right = banded.hint("merge").alias("r")
     candidates = (
         left.join(
             right,
@@ -277,8 +279,29 @@ def minhash_dedup(
 # simhash
 # ---------------------------------------------------------------------------
 
+# portable_hash64 yields 60-bit hashes, so simhash bits 60-63 carry no
+# signal (their per-token contribution is always -1, the bit never sets) —
+# both the hash assembly and the pigeonhole chunking run over exactly these
+# bits. A degenerate chunk over dead bits quadratically inflates candidate
+# pairs (measured 4x slower at sf0.1 before this was accounted for).
+SIMHASH_EFFECTIVE_BITS = 60
+
+
+def simhash_chunk_bounds(n_chunks: int) -> list[tuple[int, int]]:
+    """(offset, width) per pigeonhole chunk, covering all effective bits;
+    the last chunk absorbs the remainder. Shared with the DuckDB oracle."""
+    width = SIMHASH_EFFECTIVE_BITS // n_chunks
+    return [
+        (
+            i * width,
+            width if i < n_chunks - 1 else SIMHASH_EFFECTIVE_BITS - i * width,
+        )
+        for i in range(n_chunks)
+    ]
+
+
 def simhash(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame:
-    """64-bit SimHash of each row's token stream -> (id_col, simhash long).
+    """60-bit SimHash of each row's token stream -> (id_col, simhash long).
 
     Shape chosen for scale AND local speed: explode tokens, hash each once,
     then ONE groupBy with 64 plain ``sum`` aggregates (per-bit +1/-1
@@ -287,6 +310,7 @@ def simhash(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame:
     carries 64 longs per document — unlike an array-fold expression, which
     Catalyst evaluates interpreted (measured ~50x slower).
     """
+    nbits = SIMHASH_EFFECTIVE_BITS
     hashed = df.select(
         F.col(id_col),
         F.explode_outer(tokens(F.col(text_col))).alias("__t"),
@@ -296,14 +320,15 @@ def simhash(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame:
             F.sum(
                 (F.shiftright(F.col("__h"), i).bitwiseAND(F.lit(1)) * 2 - 1)
             ).alias(f"__b{i}")
-            for i in range(64)
+            for i in range(nbits)
         ]
     )
     value = F.lit(0).cast("long")
-    for i in range(64):
-        bit = F.lit(1 << i if i < 63 else -(1 << 63)).cast("long")
+    for i in range(nbits):
         value = value.bitwiseOR(
-            F.when(F.col(f"__b{i}") > 0, bit).otherwise(F.lit(0).cast("long"))
+            F.when(F.col(f"__b{i}") > 0, F.lit(1 << i).cast("long")).otherwise(
+                F.lit(0).cast("long")
+            )
         )
     return sums.select(F.col(id_col), value.alias("simhash"))
 
@@ -317,22 +342,17 @@ def simhash_dedup_pairs(
 ) -> DataFrame:
     """Near-duplicate pairs with SimHash Hamming distance <= ``max_hamming``.
 
-    Candidate generation by the pigeonhole principle: the 64-bit hash splits
-    into ``max_hamming + 1`` chunks — a pair differing in at most
+    Candidate generation by the pigeonhole principle: the effective hash
+    bits split into ``max_hamming + 1`` chunks — a pair differing in at most
     ``max_hamming`` bits must agree on at least one whole chunk — so a
     shuffle on (chunk_idx, chunk_value) finds every qualifying pair without
     an O(n^2) join. More chunks = smaller chunks = more spurious candidates;
     the exact ``bit_count`` verify filters those.
     """
     n_chunks = max_hamming + 1
-    if n_chunks > 64:
-        raise ValueError("max_hamming must be <= 63")
-    width = 64 // n_chunks
-    # chunk i covers bits [i*width, ...); the last chunk takes the remainder
-    bounds = [
-        (i * width, width if i < n_chunks - 1 else 64 - i * width)
-        for i in range(n_chunks)
-    ]
+    if n_chunks > SIMHASH_EFFECTIVE_BITS:
+        raise ValueError(f"max_hamming must be < {SIMHASH_EFFECTIVE_BITS}")
+    bounds = simhash_chunk_bounds(n_chunks)
     base = simhash(df, id_col, text_col).select(
         F.col(id_col).alias("__id"), F.col("simhash").alias("__sh")
     )
@@ -354,7 +374,7 @@ def simhash_dedup_pairs(
         ).alias("ck"),
     ).select("__id", "__sh", "ck.chunk", "ck.val")
 
-    l, r = chunked.alias("l"), chunked.alias("r")
+    l, r = chunked.hint("merge").alias("l"), chunked.hint("merge").alias("r")
     return (
         l.join(
             r,
@@ -402,7 +422,10 @@ def ngram_jaccard_pairs(
         F.substring(F.col(text_col), 1, block_prefix).alias("__blk"),
         shingles(F.col(text_col), ngram).alias("__sh"),
     )
-    l, r = base.alias("l"), base.alias("r")
+    # merge hint: a self-join's sides are the same cardinality, so the
+    # broadcast Spark picks from local stats can never hold at corpus scale
+    # (and its driver-side build of shingle arrays measured slower locally)
+    l, r = base.hint("merge").alias("l"), base.hint("merge").alias("r")
     return (
         l.join(
             r,

@@ -701,28 +701,31 @@ def _duck_minhash_lsh_sql() -> str:
         """
 
 
+# the suite's simhash near-dup bar (shared by query and oracle)
+_SIMHASH_MH = 3
+
+
 def _duck_simhash_sql() -> str:
     """DuckDB recomputation of simhash dedup: per-token portable hash,
-    64 per-bit +1/-1 sums, bit assembly (bit 63 via the Long.MIN_VALUE
-    two's-complement constant, matching Spark), 9-chunk pigeonhole candidate
-    join, exact Hamming verify. Docs with no tokens get simhash 0 on both
-    sides (Spark: null sums -> all bits 0; here: LEFT JOIN -> null sums)."""
+    per-effective-bit +1/-1 sums, bit assembly, pigeonhole candidate join
+    over the shared chunk bounds, exact Hamming verify. Docs with no tokens
+    get simhash 0 on both sides (Spark: null sums -> all bits 0; here:
+    LEFT JOIN -> null sums)."""
     from window_aggregation_spark.operators import dedup as dd
 
+    nbits = dd.SIMHASH_EFFECTIVE_BITS
     h = dd.portable_hash64_duck("t")
     sums = ",\n               ".join(
-        f"sum(((h >> {i}) & 1)*2 - 1) AS b{i}" for i in range(64)
+        f"sum(((h >> {i}) & 1)*2 - 1) AS b{i}" for i in range(nbits)
     )
     value = " | ".join(
-        f"CASE WHEN b{i} > 0 THEN CAST({(1 << i) if i < 63 else -(1 << 63)} "
-        f"AS BIGINT) ELSE CAST(0 AS BIGINT) END"
-        for i in range(64)
+        f"CASE WHEN b{i} > 0 THEN CAST({1 << i} AS BIGINT) "
+        f"ELSE CAST(0 AS BIGINT) END"
+        for i in range(nbits)
     )
-    # chunk bounds for max_hamming=8 -> 9 chunks: 8 of width 7, last width 8
-    n_chunks, width = 9, 64 // 9
     chunk_rows = ", ".join(
-        f"({i}, {i * width}, {(1 << (width if i < n_chunks - 1 else 64 - i * width)) - 1})"
-        for i in range(n_chunks)
+        f"({i}, {off}, {(1 << width) - 1})"
+        for i, (off, width) in enumerate(dd.simhash_chunk_bounds(_SIMHASH_MH + 1))
     )
     return f"""
         WITH toks AS (
@@ -741,7 +744,7 @@ def _duck_simhash_sql() -> str:
                  CAST(bit_count(xor(l.sh, r.sh)) AS INT) AS hamming
           FROM chunked l JOIN chunked r
             ON l.chunk = r.chunk AND l.val = r.val AND l.id < r.id)
-        WHERE hamming <= 8
+        WHERE hamming <= {_SIMHASH_MH}
         """
 
 
@@ -816,8 +819,12 @@ def _register_dedup() -> None:
 
     @_register("dedup_simhash", _duck_simhash_sql())
     def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """max_hamming=3 is the classic simhash near-dup bar (4 pigeonhole
+        chunks of 15 bits): wider bars shrink chunks, and candidate volume
+        grows quadratically per bucket — measured 4x slower at max_hamming=8
+        on the template-heavy fixture corpus."""
         df = read_table(spark, sf_dir, "documents")
-        return dd.simhash_dedup_pairs(df, "doc_id", max_hamming=8)
+        return dd.simhash_dedup_pairs(df, "doc_id", max_hamming=_SIMHASH_MH)
 
     @_register(
         "dedup_embedding_cosine",
