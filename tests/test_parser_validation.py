@@ -168,6 +168,20 @@ def test_argument_constraints():
         assert any(frag in m for m in msgs), (agg, msgs)
 
 
+def test_two_field_moment_second_field_validated():
+    base = WindowSpecDef(partition_by=("name",), order_by=(OrderKey("id"),))
+    for agg, frag in [
+        (AggregateDef("c", "corr", field="amount", args=()),
+         "requires a second field"),
+        (AggregateDef("c", "covar_samp", field="amount", args=("nope",)),
+         "second field 'nope' does not exist"),
+        (AggregateDef("c", "covar_pop", field="amount", args=("name",)),
+         "for second field 'name'"),
+    ]:
+        msgs = _validate(WindowPlan(spec=base, aggregates=(agg,)))
+        assert any(frag in m for m in msgs), (agg, msgs)
+
+
 def test_range_frame_rules():
     msgs = _validate(
         WindowPlan(

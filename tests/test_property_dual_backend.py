@@ -54,7 +54,13 @@ FRAME_CAPABLE = [
     ("count", "small", ()),
     ("stddev", "val", ()),
     ("variance", "val", ()),
+    # two-field moments: ANSI-safe over every frame (corr is composed from
+    # covar_pop/stddev_pop with a guarded division — see registry._corr)
+    ("corr", "val", ("small",)),
+    ("covar_samp", "val", ("small",)),
+    ("covar_pop", "small", ("val",)),
 ]
+TWO_FIELD = FRAME_CAPABLE[-3:]
 
 frame_free_agg = st.sampled_from(FRAME_FREE)
 frame_capable_agg = st.sampled_from(FRAME_CAPABLE)
@@ -126,6 +132,28 @@ def test_unframed_plans_dual_backend(spark, plan):
 def test_framed_plans_dual_backend(spark, plan):
     api, via_sql = _run_both(spark, plan)
     assert api == via_sql
+
+
+def test_running_two_field_moments_dual_backend(spark):
+    """corr/covar parity over the running default frame (never empty, so no
+    ANSI empty-frame divide-by-zero) — NaN at 1-row frames must normalize to
+    NULL identically on both backends."""
+    df = spark.createDataFrame(ROWS, SCHEMA)
+    plan = WindowPlan(
+        spec=WindowSpecDef(
+            partition_by=("grp",),
+            order_by=(OrderKey("val"), OrderKey("id")),
+        ),
+        aggregates=tuple(
+            AggregateDef(f"a{i}", fn, field=field, args=args)
+            for i, (fn, field, args) in enumerate(TWO_FIELD)
+        ),
+    )
+    api, via_sql = _run_both(spark, plan)
+    assert api == via_sql
+    # each partition's first row has a 1-row frame: undefined corr -> NULL
+    assert any(r["a0"] is None for r in api)
+    assert any(r["a0"] is not None for r in api)
 
 
 # ---- null-rich data + RANGE frames --------------------------------------

@@ -201,6 +201,51 @@ def _nth_value(agg: AggregateDef, w: WindowSpec, _: WindowSpecDef) -> Column:
     ).over(w)
 
 
+def _second_field(agg: AggregateDef) -> str:
+    return agg.args[0].strip()
+
+
+def _nan_to_null(col: Column) -> Column:
+    # Undefined moments (< 2 points, zero variance) surface as NaN in Spark
+    # but NULL in most SQL engines — normalize to NULL so the dual backends
+    # and external oracles agree. Caveat: over an EMPTY frame (edge rows of
+    # e.g. [UNBOUNDED PRECEDING, 3 PRECEDING]) Spark's ANSI mode raises
+    # DIVIDE_BY_ZERO inside Corr/Covariance before this wrapper sees the
+    # value — never-empty frames (running / whole-partition) are safe.
+    return F.nanvl(col, F.lit(None).cast(T.DoubleType()))
+
+
+def _corr(agg: AggregateDef, w: WindowSpec, _: WindowSpecDef) -> Column:
+    """Pearson correlation composed as covar_pop / (stddev_pop * stddev_pop)
+    with a guarded division — NOT Spark's native ``corr``, which raises
+    DIVIDE_BY_ZERO under ANSI mode whenever a frame has n>=2 points of zero
+    variance (or is empty). The composition is ANSI-safe over every frame,
+    returns NULL exactly where the moment is undefined, and is precisely how
+    DuckDB defines corr — so results agree across engines. The three window
+    aggregates share one spec, so Catalyst still plans a single WindowExec.
+    """
+    x, y = F.col(agg.field), F.col(_second_field(agg))
+    cov = F.covar_pop(x, y).over(w)
+    den = F.stddev_pop(x).over(w) * F.stddev_pop(y).over(w)
+    return F.when(den > 0, cov / den).otherwise(
+        F.lit(None).cast(T.DoubleType())
+    )
+
+
+def _covar_samp(agg: AggregateDef, w: WindowSpec, _: WindowSpecDef) -> Column:
+    # covariances divide only by n / n-1 with built-in n<=1 null guards, so
+    # the native aggregates are ANSI-safe over every frame (incl. empty)
+    return _nan_to_null(
+        F.covar_samp(F.col(agg.field), F.col(_second_field(agg))).over(w)
+    )
+
+
+def _covar_pop(agg: AggregateDef, w: WindowSpec, _: WindowSpecDef) -> Column:
+    return _nan_to_null(
+        F.covar_pop(F.col(agg.field), F.col(_second_field(agg))).over(w)
+    )
+
+
 def _stddev(agg: AggregateDef, w: WindowSpec, _: WindowSpecDef) -> Column:
     return F.stddev_samp(F.col(agg.field)).over(w).cast(T.DoubleType())
 
@@ -247,6 +292,27 @@ def _sql_nth_value(agg: AggregateDef, over: str, dialect: str) -> str:
     if _effective_ignore_nulls(agg):
         return f"nth_value({field}, {n}) IGNORE NULLS {over}"
     return f"nth_value({field}, {n}) {over}"
+
+
+def _sql_two_field(name: str) -> Callable[[AggregateDef, str, str], str]:
+    def render(agg: AggregateDef, over: str, dialect: str) -> str:
+        f1 = quote_ident(agg.field, dialect)
+        f2 = quote_ident(agg.args[0].strip(), dialect)
+        expr = f"{name}({f1}, {f2}) {over}"
+        if dialect == "spark":
+            return f"nanvl({expr}, NULL)"
+        return f"CASE WHEN isnan({expr}) THEN NULL ELSE {expr} END"
+
+    return render
+
+
+def _sql_corr(agg: AggregateDef, over: str, dialect: str) -> str:
+    # mirrors the DataFrame builder's ANSI-safe composition (see _corr)
+    f1 = quote_ident(agg.field, dialect)
+    f2 = quote_ident(agg.args[0].strip(), dialect)
+    cov = f"covar_pop({f1}, {f2}) {over}"
+    den = f"(stddev_pop({f1}) {over} * stddev_pop({f2}) {over})"
+    return f"CASE WHEN {den} > 0 THEN {cov} / {den} ELSE NULL END"
 
 
 def _sql_discrete_percentile(agg: AggregateDef, over: str, dialect: str) -> str:
@@ -334,6 +400,13 @@ FUNCTIONS: dict[str, FunctionDef] = {
                     _stddev, _sql_simple("stddev_samp({field})")),
         FunctionDef("variance", "VARIANCE", _R, _O, _O, True, "double", True, 0,
                     _variance, _sql_simple("var_samp({field})")),
+        # two-field moments: field = first column, args[0] = second column
+        FunctionDef("corr", "CORR", _R, _O, _O, True, "double", True, 1,
+                    _corr, _sql_corr),
+        FunctionDef("covar_samp", "COVAR_SAMP", _R, _O, _O, True, "double",
+                    True, 1, _covar_samp, _sql_two_field("covar_samp")),
+        FunctionDef("covar_pop", "COVAR_POP", _R, _O, _O, True, "double",
+                    True, 1, _covar_pop, _sql_two_field("covar_pop")),
     ]
 }
 

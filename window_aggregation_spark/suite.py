@@ -1252,6 +1252,58 @@ def w_stats_nth_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _duck_nan_null(expr: str, digits: int) -> str:
+    # the trailing + 0.0 normalizes IEEE negative zero (DuckDB ROUND yields
+    # -0.0 for tiny negatives where Spark yields 0.0; repr-hash differs)
+    return (
+        f"(ROUND(CASE WHEN isnan({expr}) THEN NULL ELSE {expr} END, {digits})"
+        f" + 0.0)"
+    )
+
+
+@_register(
+    "w_two_field_moments",
+    f"""
+    SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity, l_extendedprice,
+           {_duck_nan_null('corr(l_quantity, l_extendedprice) OVER w', 4)}
+             AS qp_corr,
+           {_duck_nan_null('covar_samp(l_quantity, l_extendedprice) OVER w', 2)}
+             AS qp_covar,
+           {_duck_nan_null('covar_pop(l_quantity, l_extendedprice) OVER w', 2)}
+             AS qp_covar_pop
+    FROM lineitem
+    WINDOW w AS (PARTITION BY l_returnflag ORDER BY {_LI_TIEBREAK_SQL})
+    """,
+)
+def w_two_field_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-field extension aggregates (field + args[0] = second column):
+    running Pearson correlation and sample/population covariance. NaN
+    (undefined moments: 1-point frames) is normalized to NULL on both
+    backends; covariances round to 2dp (magnitude ~1e6, engines' co-moment
+    accumulation differs in late ulps), correlation to 4dp."""
+    df = read_table(spark, sf_dir, "lineitem")
+    plan = WindowPlan(
+        spec=WindowSpecDef(partition_by=("l_returnflag",), order_by=_LI_TIEBREAK),
+        aggregates=(
+            AggregateDef("qp_corr", "corr", field="l_quantity",
+                         args=("l_extendedprice",)),
+            AggregateDef("qp_covar", "covar_samp", field="l_quantity",
+                         args=("l_extendedprice",)),
+            AggregateDef("qp_covar_pop", "covar_pop", field="l_quantity",
+                         args=("l_extendedprice",)),
+        ),
+        declared_schema=(*_LI_KEYS, "l_returnflag", "l_quantity",
+                         "l_extendedprice", "qp_corr", "qp_covar",
+                         "qp_covar_pop"),
+    )
+    out = window_aggregate(df, plan)
+    return (
+        out.withColumn("qp_corr", F.round("qp_corr", 4) + F.lit(0.0))
+        .withColumn("qp_covar", F.round("qp_covar", 2) + F.lit(0.0))
+        .withColumn("qp_covar_pop", F.round("qp_covar_pop", 2) + F.lit(0.0))
+    )
+
+
 @_register(
     "w_multi_spec_plans",
     f"""

@@ -181,6 +181,25 @@ def _validate_field(
             f"Allowed input types for function '{fdef.ref_name}' are numeric "
             f"(tinyint, smallint, int, bigint, float, double, decimal).",
         )
+    if fdef.name in ("corr", "covar_samp", "covar_pop"):
+        # two-field moments: args[0] names the second column
+        if not agg.args or not agg.args[0].strip():
+            collector.add_failure(
+                f"{fdef.ref_name} requires a second field as its argument."
+            )
+            return
+        second = agg.args[0].strip()
+        if second not in names:
+            collector.add_failure(
+                f"Invalid aggregate '{agg.alias}': second field '{second}' "
+                f"does not exist in input schema."
+            )
+        elif not _is_numeric(schema[second].dataType):
+            collector.add_failure(
+                f"Invalid input schema type "
+                f"'{schema[second].dataType.simpleString()}' for second "
+                f"field '{second}' in function '{fdef.ref_name}'."
+            )
 
 
 def _validate_range_frame(
