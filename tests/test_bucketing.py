@@ -48,4 +48,47 @@ def test_bucketed_join_has_no_shuffle(spark, sf_dir, no_broadcast):
     finally:
         spark.sql("DROP TABLE IF EXISTS li_b")
         spark.sql("DROP TABLE IF EXISTS ord_b")
+
+
+def test_window_over_bucketed_table_has_no_shuffle(spark, sf_dir):
+    """The 100 TB pattern for repeated windowing on one key: bucket the fact
+    table on the partition key once, and every subsequent window aggregation
+    on that key plans with ZERO exchanges (the bucketed scan already
+    satisfies the window's HashPartitioning requirement — only the
+    in-partition sort remains)."""
+    from window_aggregation_spark import (
+        AggregateDef,
+        OrderKey,
+        WindowPlan,
+        WindowSpecDef,
+        window_aggregate,
+    )
+
+    li = read_table(spark, sf_dir, "lineitem")
+    try:
+        write_bucketed(
+            li.select("l_suppkey", "l_orderkey", "l_linenumber", "l_quantity"),
+            "li_wb", ["l_suppkey"], num_buckets=8,
+        )
+        plan_def = WindowPlan(
+            spec=WindowSpecDef(
+                partition_by=("l_suppkey",),
+                order_by=(OrderKey("l_orderkey"), OrderKey("l_linenumber")),
+            ),
+            aggregates=(AggregateDef("rq", "accumulate", field="l_quantity"),),
+        )
+        out = window_aggregate(spark.table("li_wb"), plan_def)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("Window ") == 1
+        assert "Exchange" not in plan, f"bucketed window still shuffles:\n{plan[:800]}"
+        # unbucketed baseline shuffles
+        base_plan = (
+            window_aggregate(
+                li.select("l_suppkey", "l_orderkey", "l_linenumber", "l_quantity"),
+                plan_def,
+            )._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "Exchange" in base_plan
+    finally:
+        spark.sql("DROP TABLE IF EXISTS li_wb")
         shutil.rmtree("spark-warehouse", ignore_errors=True)

@@ -113,6 +113,30 @@ def approx_count_distinct(field: str) -> Agg:
     return _fn("approx_count_distinct", field)
 
 
+def corr(field: str, other: str) -> Agg:
+    return _fn("corr", field, other)
+
+
+def covar_samp(field: str, other: str) -> Agg:
+    return _fn("covar_samp", field, other)
+
+
+def covar_pop(field: str, other: str) -> Agg:
+    return _fn("covar_pop", field, other)
+
+
+def nth_value(field: str, n: int, ignore_nulls: bool = True) -> Agg:
+    return _fn("nth_value", field, n, ignore_nulls=ignore_nulls)
+
+
+def stddev(field: str) -> Agg:
+    return _fn("stddev", field)
+
+
+def variance(field: str) -> Agg:
+    return _fn("variance", field)
+
+
 @dataclass(frozen=True)
 class WindowBuilder:
     df: DataFrame
