@@ -104,6 +104,49 @@ def test_multi_declared_schema_projects_combined_output(spark):
     assert out.columns == ["id", "rn", "s"]
 
 
+def test_multi_spec_sql_backend_parity(spark):
+    """plans_to_sql renders N plans as one SELECT with per-aggregate OVER
+    clauses — results must equal the DataFrame path exactly."""
+    from window_aggregation_spark.plans.sql_gen import plans_to_sql
+
+    df = spark.createDataFrame(ROWS, SCHEMA)
+    plans = [
+        _p(["g1"], [AggregateDef("s1", "accumulate", field="v")]),
+        _p(["g2"], [AggregateDef("rn2", "row_number")]),
+        _p(["g1"], [AggregateDef("c1", "corr", field="v", args=("id",))],
+           order=("v",)),
+    ]
+    api = window_aggregate_multi(df, plans)
+    df.createOrReplaceTempView("multi_sql_t")
+    sql = plans_to_sql(
+        plans, "multi_sql_t", df.columns, input_types=dict(df.dtypes)
+    )
+    via_sql = spark.sql(sql)
+    cols = sorted(api.columns)
+    assert sorted(via_sql.columns) == cols
+    assert (
+        api.select(*cols).orderBy("id").collect()
+        == via_sql.select(*cols).orderBy("id").collect()
+    )
+
+
+def test_multi_spec_sql_rejects_order_dependent_shapes(spark):
+    from window_aggregation_spark.plans.sql_gen import plans_to_sql
+
+    dep = [
+        _p(["g1"], [AggregateDef("x", "accumulate", field="v")]),
+        _p(["g2"], [AggregateDef("y", "max", field="x")]),
+    ]
+    with pytest.raises(ValueError, match="reads other plans' outputs"):
+        plans_to_sql(dep, "t", ["id", "g1", "g2", "v"])
+    dup = [
+        _p(["g1"], [AggregateDef("x", "accumulate", field="v")]),
+        _p(["g2"], [AggregateDef("x", "row_number")]),
+    ]
+    with pytest.raises(ValueError, match="duplicate aggregate aliases"):
+        plans_to_sql(dup, "t", ["id", "g1", "g2", "v"])
+
+
 def test_multi_validates_each_plan(spark):
     from window_aggregation_spark import ValidationError
 
