@@ -205,45 +205,63 @@ def _second_field(agg: AggregateDef) -> str:
     return agg.args[0].strip()
 
 
-def _nan_to_null(col: Column) -> Column:
-    # Undefined moments (< 2 points, zero variance) surface as NaN in Spark
-    # but NULL in most SQL engines — normalize to NULL so the dual backends
-    # and external oracles agree. Caveat: over an EMPTY frame (edge rows of
-    # e.g. [UNBOUNDED PRECEDING, 3 PRECEDING]) Spark's ANSI mode raises
-    # DIVIDE_BY_ZERO inside Corr/Covariance before this wrapper sees the
-    # value — never-empty frames (running / whole-partition) are safe.
-    return F.nanvl(col, F.lit(None).cast(T.DoubleType()))
+def _moment_sums(agg: AggregateDef, w: WindowSpec):
+    """Pairwise-complete power sums for the two-field moments.
+
+    The moments are built from plain window SUMS plus ONE final arithmetic
+    expression — not from Spark's native Corr/Covariance co-moment
+    aggregates — for two reasons:
+
+    1. **ANSI safety**: native ``corr`` raises DIVIDE_BY_ZERO under ANSI
+       mode for empty or zero-variance frames; here every division is
+       guarded and evaluates lazily.
+    2. **Cross-engine bit-reproducibility**: sums of integral-valued
+       doubles are EXACT, hence independent of accumulation order — so any
+       engine computing the same final expression over the same frame gets
+       the identical bit pattern. Co-moment (Welford) updates divide at
+       every step and diverge ~1e-9 between engines on long frames, which
+       measurably straddles rounding grids. Trade-off: the power-sum
+       formula cancels catastrophically when |mean| >> stddev — center
+       such inputs first (subtract a constant shift; moments are
+       shift-invariant).
+    """
+    x = F.col(agg.field).cast(T.DoubleType())
+    y = F.col(_second_field(agg)).cast(T.DoubleType())
+    both = x.isNotNull() & y.isNotNull()
+    xv = F.when(both, x)
+    yv = F.when(both, y)
+    n = F.count(F.when(both, F.lit(1))).over(w).cast(T.DoubleType())
+    sx = F.sum(xv).over(w)
+    sy = F.sum(yv).over(w)
+    sxx = F.sum(xv * xv).over(w)
+    syy = F.sum(yv * yv).over(w)
+    sxy = F.sum(xv * yv).over(w)
+    return n, sx, sy, sxx, syy, sxy
+
+
+def _null_d() -> Column:
+    # built lazily — F.lit needs an active SparkContext, which module import
+    # must not assume
+    return F.lit(None).cast(T.DoubleType())
 
 
 def _corr(agg: AggregateDef, w: WindowSpec, _: WindowSpecDef) -> Column:
-    """Pearson correlation composed as covar_pop / (stddev_pop * stddev_pop)
-    with a guarded division — NOT Spark's native ``corr``, which raises
-    DIVIDE_BY_ZERO under ANSI mode whenever a frame has n>=2 points of zero
-    variance (or is empty). The composition is ANSI-safe over every frame,
-    returns NULL exactly where the moment is undefined, and is precisely how
-    DuckDB defines corr — so results agree across engines. The three window
-    aggregates share one spec, so Catalyst still plans a single WindowExec.
-    """
-    x, y = F.col(agg.field), F.col(_second_field(agg))
-    cov = F.covar_pop(x, y).over(w)
-    den = F.stddev_pop(x).over(w) * F.stddev_pop(y).over(w)
-    return F.when(den > 0, cov / den).otherwise(
-        F.lit(None).cast(T.DoubleType())
-    )
+    n, sx, sy, sxx, syy, sxy = _moment_sums(agg, w)
+    num = n * sxy - sx * sy
+    den = F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)
+    return F.when(den > 0, num / den).otherwise(_null_d())
 
 
 def _covar_samp(agg: AggregateDef, w: WindowSpec, _: WindowSpecDef) -> Column:
-    # covariances divide only by n / n-1 with built-in n<=1 null guards, so
-    # the native aggregates are ANSI-safe over every frame (incl. empty)
-    return _nan_to_null(
-        F.covar_samp(F.col(agg.field), F.col(_second_field(agg))).over(w)
+    n, sx, sy, _sxx, _syy, sxy = _moment_sums(agg, w)
+    return F.when(n >= 2, (n * sxy - sx * sy) / (n * (n - 1))).otherwise(
+        _null_d()
     )
 
 
 def _covar_pop(agg: AggregateDef, w: WindowSpec, _: WindowSpecDef) -> Column:
-    return _nan_to_null(
-        F.covar_pop(F.col(agg.field), F.col(_second_field(agg))).over(w)
-    )
+    n, sx, sy, _sxx, _syy, sxy = _moment_sums(agg, w)
+    return F.when(n >= 1, (n * sxy - sx * sy) / (n * n)).otherwise(_null_d())
 
 
 def _stddev(agg: AggregateDef, w: WindowSpec, _: WindowSpecDef) -> Column:
@@ -294,25 +312,51 @@ def _sql_nth_value(agg: AggregateDef, over: str, dialect: str) -> str:
     return f"nth_value({field}, {n}) {over}"
 
 
-def _sql_two_field(name: str) -> Callable[[AggregateDef, str, str], str]:
-    def render(agg: AggregateDef, over: str, dialect: str) -> str:
-        f1 = quote_ident(agg.field, dialect)
-        f2 = quote_ident(agg.args[0].strip(), dialect)
-        expr = f"{name}({f1}, {f2}) {over}"
-        if dialect == "spark":
-            return f"nanvl({expr}, NULL)"
-        return f"CASE WHEN isnan({expr}) THEN NULL ELSE {expr} END"
-
-    return render
+def _sql_moment_sums(agg: AggregateDef, over: str, dialect: str):
+    """SQL rendering of :func:`_moment_sums` — textually the same sums and
+    final arithmetic as the DataFrame builder, so any engine running this
+    SQL over integral-valued inputs reproduces the builder bit-for-bit."""
+    f1 = quote_ident(agg.field, dialect)
+    f2 = quote_ident(agg.args[0].strip(), dialect)
+    x = f"CAST({f1} AS DOUBLE)"
+    y = f"CAST({f2} AS DOUBLE)"
+    both = f"{f1} IS NOT NULL AND {f2} IS NOT NULL"
+    xv = f"CASE WHEN {both} THEN {x} END"
+    yv = f"CASE WHEN {both} THEN {y} END"
+    n = f"CAST(count(CASE WHEN {both} THEN 1 END) {over} AS DOUBLE)"
+    sx = f"sum({xv}) {over}"
+    sy = f"sum({yv}) {over}"
+    sxx = f"sum(({xv}) * ({xv})) {over}"
+    syy = f"sum(({yv}) * ({yv})) {over}"
+    sxy = f"sum(({xv}) * ({yv})) {over}"
+    return n, sx, sy, sxx, syy, sxy
 
 
 def _sql_corr(agg: AggregateDef, over: str, dialect: str) -> str:
-    # mirrors the DataFrame builder's ANSI-safe composition (see _corr)
-    f1 = quote_ident(agg.field, dialect)
-    f2 = quote_ident(agg.args[0].strip(), dialect)
-    cov = f"covar_pop({f1}, {f2}) {over}"
-    den = f"(stddev_pop({f1}) {over} * stddev_pop({f2}) {over})"
-    return f"CASE WHEN {den} > 0 THEN {cov} / {den} ELSE NULL END"
+    n, sx, sy, sxx, syy, sxy = _sql_moment_sums(agg, over, dialect)
+    num = f"(({n}) * ({sxy}) - ({sx}) * ({sy}))"
+    den = (
+        f"(sqrt(({n}) * ({sxx}) - ({sx}) * ({sx})) "
+        f"* sqrt(({n}) * ({syy}) - ({sy}) * ({sy})))"
+    )
+    return f"CASE WHEN {den} > 0 THEN {num} / {den} ELSE NULL END"
+
+
+def _sql_covar(sample: bool) -> Callable[[AggregateDef, str, str], str]:
+    def render(agg: AggregateDef, over: str, dialect: str) -> str:
+        n, sx, sy, _sxx, _syy, sxy = _sql_moment_sums(agg, over, dialect)
+        num = f"(({n}) * ({sxy}) - ({sx}) * ({sy}))"
+        if sample:
+            return (
+                f"CASE WHEN ({n}) >= 2 THEN {num} / (({n}) * (({n}) - 1)) "
+                f"ELSE NULL END"
+            )
+        return (
+            f"CASE WHEN ({n}) >= 1 THEN {num} / (({n}) * ({n})) "
+            f"ELSE NULL END"
+        )
+
+    return render
 
 
 def _sql_discrete_percentile(agg: AggregateDef, over: str, dialect: str) -> str:
@@ -404,9 +448,9 @@ FUNCTIONS: dict[str, FunctionDef] = {
         FunctionDef("corr", "CORR", _R, _O, _O, True, "double", True, 1,
                     _corr, _sql_corr),
         FunctionDef("covar_samp", "COVAR_SAMP", _R, _O, _O, True, "double",
-                    True, 1, _covar_samp, _sql_two_field("covar_samp")),
+                    True, 1, _covar_samp, _sql_covar(sample=True)),
         FunctionDef("covar_pop", "COVAR_POP", _R, _O, _O, True, "double",
-                    True, 1, _covar_pop, _sql_two_field("covar_pop")),
+                    True, 1, _covar_pop, _sql_covar(sample=False)),
     ]
 }
 

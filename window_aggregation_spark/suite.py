@@ -1252,56 +1252,63 @@ def w_stats_nth_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _duck_nan_null(expr: str, digits: int) -> str:
-    # the trailing + 0.0 normalizes IEEE negative zero (DuckDB ROUND yields
-    # -0.0 for tiny negatives where Spark yields 0.0; repr-hash differs)
-    return (
-        f"(ROUND(CASE WHEN isnan({expr}) THEN NULL ELSE {expr} END, {digits})"
-        f" + 0.0)"
-    )
-
-
-@_register(
-    "w_two_field_moments",
-    f"""
-    SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity, l_extendedprice,
-           {_duck_nan_null('corr(l_quantity, l_extendedprice) OVER w', 4)}
-             AS qp_corr,
-           {_duck_nan_null('covar_samp(l_quantity, l_extendedprice) OVER w', 2)}
-             AS qp_covar,
-           {_duck_nan_null('covar_pop(l_quantity, l_extendedprice) OVER w', 2)}
-             AS qp_covar_pop
-    FROM lineitem
-    WINDOW w AS (PARTITION BY l_returnflag ORDER BY {_LI_TIEBREAK_SQL})
-    """,
+_MOMENTS_AGGS = (
+    AggregateDef("qd_corr", "corr", field="l_quantity", args=("discount_pct",)),
+    AggregateDef("qd_covar", "covar_samp", field="l_quantity",
+                 args=("discount_pct",)),
+    AggregateDef("qd_covar_pop", "covar_pop", field="l_quantity",
+                 args=("discount_pct",)),
 )
+_MOMENTS_SPEC = WindowSpecDef(
+    partition_by=("l_returnflag",), order_by=_LI_TIEBREAK
+)
+
+
+def _duck_moments_sql() -> str:
+    """Oracle generated FROM the registry's own SQL renderers (dialect
+    "ansi" quotes identifiers DuckDB-style): the moments are power sums
+    plus one final arithmetic expression, and sums of integral-valued
+    doubles are exact in ANY accumulation order — so DuckDB reproduces the
+    engine bit-for-bit with NO output rounding. (`discount_pct` =
+    round(discount*100) is integral by construction; quantity already is.)
+    """
+    from window_aggregation_spark.functions.registry import lookup
+
+    over = _MOMENTS_SPEC.over_sql("ansi")
+    exprs = ",\n           ".join(
+        f"{lookup(a.function).sql(a, over, 'ansi')} AS {a.alias}"
+        for a in _MOMENTS_AGGS
+    )
+    return f"""
+    WITH base AS (
+      SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, l_shipdate,
+             l_extendedprice, l_returnflag, l_quantity,
+             ROUND(l_discount * 100, 0) AS discount_pct
+      FROM lineitem)
+    SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity, discount_pct,
+           {exprs}
+    FROM base
+    """
+
+
+@_register("w_two_field_moments", _duck_moments_sql())
 def w_two_field_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-field extension aggregates (field + args[0] = second column):
-    running Pearson correlation and sample/population covariance. NaN
-    (undefined moments: 1-point frames) is normalized to NULL on both
-    backends; covariances round to 2dp (magnitude ~1e6, engines' co-moment
-    accumulation differs in late ulps), correlation to 4dp."""
-    df = read_table(spark, sf_dir, "lineitem")
+    running Pearson correlation and sample/population covariance over
+    (quantity, discount*100). Inputs are integral-valued doubles, so the
+    power-sum formulation gives bit-identical results in any engine — no
+    rounding on either side (see registry._moment_sums)."""
+    df = read_table(spark, sf_dir, "lineitem").withColumn(
+        "discount_pct", F.round(F.col("l_discount") * 100, 0)
+    )
     plan = WindowPlan(
-        spec=WindowSpecDef(partition_by=("l_returnflag",), order_by=_LI_TIEBREAK),
-        aggregates=(
-            AggregateDef("qp_corr", "corr", field="l_quantity",
-                         args=("l_extendedprice",)),
-            AggregateDef("qp_covar", "covar_samp", field="l_quantity",
-                         args=("l_extendedprice",)),
-            AggregateDef("qp_covar_pop", "covar_pop", field="l_quantity",
-                         args=("l_extendedprice",)),
-        ),
+        spec=_MOMENTS_SPEC,
+        aggregates=_MOMENTS_AGGS,
         declared_schema=(*_LI_KEYS, "l_returnflag", "l_quantity",
-                         "l_extendedprice", "qp_corr", "qp_covar",
-                         "qp_covar_pop"),
+                         "discount_pct", "qd_corr", "qd_covar",
+                         "qd_covar_pop"),
     )
-    out = window_aggregate(df, plan)
-    return (
-        out.withColumn("qp_corr", F.round("qp_corr", 4) + F.lit(0.0))
-        .withColumn("qp_covar", F.round("qp_covar", 2) + F.lit(0.0))
-        .withColumn("qp_covar_pop", F.round("qp_covar_pop", 2) + F.lit(0.0))
-    )
+    return window_aggregate(df, plan)
 
 
 @_register(
