@@ -80,6 +80,49 @@ def test_multi_preserves_order_on_cross_plan_dependency(spark):
     assert out == expected
 
 
+def test_multi_preserves_order_on_column_arg_dependency(spark):
+    """corr/covar read a SECOND column through args[0]; a later plan whose
+    args[0] is an earlier plan's output alias is a cross-plan dependency
+    (round-2 advice) — the regroup must keep order, and execution must see
+    the earlier plan's column."""
+    df = spark.createDataFrame(ROWS, SCHEMA)
+    plans = [
+        _p(["g2"], [AggregateDef("run_v", "accumulate", field="v")]),
+        # args[0]='run_v' reads the previous plan's output -> no reorder
+        _p(["g1"], [AggregateDef("c", "corr", field="v", args=("run_v",))],
+           order=("v",)),
+    ]
+    assert _group_plans_by_partition_keys(plans) == plans
+    out = window_aggregate_multi(df, plans).orderBy("id").collect()
+    expected = window_aggregate(
+        window_aggregate(df, plans[0]), plans[1]
+    ).orderBy("id").collect()
+    assert out == expected
+    # and the regroup stays ENABLED when the column arg reads a plain input
+    indep = [
+        _p(["g2"], [AggregateDef("run_v", "accumulate", field="v")]),
+        _p(["g1"], [AggregateDef("c", "covar_samp", field="v", args=("id",))],
+           order=("v",)),
+        _p(["g2"], [AggregateDef("rn", "row_number")]),
+    ]
+    grouped = _group_plans_by_partition_keys(indep)
+    assert [tuple(p.spec.partition_by) for p in grouped] == [
+        ("g2",), ("g2",), ("g1",)
+    ]
+
+
+def test_multi_spec_sql_rejects_column_arg_cross_read(spark):
+    from window_aggregation_spark.plans.sql_gen import plans_to_sql
+
+    dep = [
+        _p(["g1"], [AggregateDef("x", "accumulate", field="v")]),
+        _p(["g2"], [AggregateDef("c", "corr", field="v", args=("x",))],
+           order=("v",)),
+    ]
+    with pytest.raises(ValueError, match="reads other plans' outputs"):
+        plans_to_sql(dep, "t", ["id", "g1", "g2", "v"])
+
+
 def test_multi_duplicate_alias_keeps_order(spark):
     df = spark.createDataFrame(ROWS, SCHEMA)
     plans = [

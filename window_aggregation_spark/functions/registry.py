@@ -383,6 +383,10 @@ class FunctionDef:
     n_args: int  # required positional args (FIRST/LAST optional arg handled ad hoc)
     build: Callable[[AggregateDef, WindowSpec, WindowSpecDef], Column]
     sql: Callable[[AggregateDef, str, str], str]
+    # True when the positional args are COLUMN references (two-field moments:
+    # corr/covar take the second column via args[0]). Drives the
+    # consumed-column computation for plan-reordering safety checks.
+    column_args: bool = False
 
 
 _R, _O, _N = Clause.REQUIRED, Clause.OPTIONAL, Clause.NOT_SUPPORTED
@@ -446,16 +450,33 @@ FUNCTIONS: dict[str, FunctionDef] = {
                     _variance, _sql_simple("var_samp({field})")),
         # two-field moments: field = first column, args[0] = second column
         FunctionDef("corr", "CORR", _R, _O, _O, True, "double", True, 1,
-                    _corr, _sql_corr),
+                    _corr, _sql_corr, column_args=True),
         FunctionDef("covar_samp", "COVAR_SAMP", _R, _O, _O, True, "double",
-                    True, 1, _covar_samp, _sql_covar(sample=True)),
+                    True, 1, _covar_samp, _sql_covar(sample=True),
+                    column_args=True),
         FunctionDef("covar_pop", "COVAR_POP", _R, _O, _O, True, "double",
-                    True, 1, _covar_pop, _sql_covar(sample=False)),
+                    True, 1, _covar_pop, _sql_covar(sample=False),
+                    column_args=True),
     ]
 }
 
 # reference-enum-name -> engine name, for the string-spec parser
 REF_NAME_TO_NAME: dict[str, str] = {f.ref_name: f.name for f in FUNCTIONS.values()}
+
+
+def consumed_columns(agg: AggregateDef) -> set[str]:
+    """Every input column one aggregate reads: its field plus any
+    column-valued positional args (``column_args`` registry flag — the
+    two-field moments' second column lives in ``args[0]``). Used by the
+    plan-reordering safety checks in ``window_aggregate_multi`` and
+    ``plans_to_sql``."""
+    fdef = lookup(agg.function)
+    fields: set[str] = {agg.field} if agg.field else set()
+    if fdef.column_args:
+        fields.update(
+            a.strip() for a in agg.args[: fdef.n_args] if a and a.strip()
+        )
+    return fields
 
 
 def lookup(name: str) -> FunctionDef:

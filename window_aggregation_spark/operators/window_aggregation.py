@@ -166,9 +166,15 @@ def _group_plans_by_partition_keys(plans: "list[WindowPlan]") -> "list[WindowPla
     produced: list[set[str]] = [
         {a.alias for a in p.aggregates} for p in plans
     ]
+    from window_aggregation_spark.functions.registry import consumed_columns
+
     consumed: list[set[str]] = []
     for p in plans:
-        fields = {a.field for a in p.aggregates if a.field}
+        fields: set[str] = set()
+        for a in p.aggregates:
+            # consumed_columns includes column-valued args (corr/covar read
+            # their second field via args[0]) — field alone misses them.
+            fields.update(consumed_columns(a))
         fields.update(p.spec.partition_by)
         fields.update(k.field for k in p.spec.order_by)
         consumed.append(fields)

@@ -56,8 +56,13 @@ def plans_to_sql(
                 f"({sorted(aliases & produced)}) cannot render as one SELECT."
             )
         produced |= aliases
+    from window_aggregation_spark.functions.registry import consumed_columns
+
     for p in plans:
-        consumed = {a.field for a in p.aggregates if a.field}
+        consumed: set[str] = set()
+        for a in p.aggregates:
+            # includes column-valued args (corr/covar second field, args[0])
+            consumed.update(consumed_columns(a))
         consumed.update(p.spec.partition_by)
         consumed.update(k.field for k in p.spec.order_by)
         cross = consumed & (produced - {a.alias for a in p.aggregates})

@@ -54,6 +54,27 @@ def _version_dirs(target: str) -> list[str]:
     )
 
 
+def _flip_pointer(version_dir: str, target: str) -> None:
+    """Atomically point the ``target`` symlink at ``version_dir``: build the
+    new link aside, then ``rename(2)`` it over ``target``. Readers see the
+    old snapshot or the new one, never a gap."""
+    tmp_link = f"{version_dir}.lnk"
+    if os.path.lexists(tmp_link):
+        os.remove(tmp_link)
+    os.symlink(os.path.basename(version_dir), tmp_link)
+    os.replace(tmp_link, target)
+
+
+def _newest_complete(versions: list[str]) -> str:
+    """Newest snapshot that finished writing (has Spark's ``_SUCCESS``
+    marker); falls back to the newest directory for snapshots produced
+    outside Spark (no marker)."""
+    for d in reversed(versions):
+        if os.path.exists(os.path.join(d, "_SUCCESS")):
+            return d
+    return versions[-1]
+
+
 def _merge_batch(
     spark: SparkSession,
     batch: DataFrame,
@@ -65,12 +86,22 @@ def _merge_batch(
 
     versions = _version_dirs(target)
     if os.path.lexists(target) and not os.path.islink(target):
-        # legacy plain-directory snapshot: adopt it as version 0 so the
-        # pointer flip below stays atomic from here on.
-        legacy = f"{target}.v{0:06d}"
+        # Legacy plain-directory snapshot: adopt it as the NEXT version
+        # number (an orphaned .v dir from an earlier crash must not collide
+        # with the rename) so the pointer flip below stays atomic from here
+        # on. The flip itself is atomic, so a crash between the rename and
+        # the flip is healed by the recovery branch below on the next batch.
+        n = max((int(d[len(target) + 2:]) for d in versions), default=-1) + 1
+        legacy = f"{target}.v{n:06d}"
         os.rename(target, legacy)
-        os.symlink(os.path.basename(legacy), target)
+        _flip_pointer(legacy, target)
         versions = _version_dirs(target)
+    elif not os.path.lexists(target) and versions:
+        # Crash recovery: a previous run died after writing a version (or
+        # renaming the legacy dir) but before the pointer flip. Re-point at
+        # the newest COMPLETE snapshot instead of silently merging against
+        # nothing — which would drop the existing snapshot and then GC it.
+        _flip_pointer(_newest_complete(versions), target)
 
     current = os.path.realpath(target) if os.path.lexists(target) else None
     if current is not None and os.path.isdir(current):
@@ -86,21 +117,24 @@ def _merge_batch(
     new_dir = f"{target}.v{next_n:06d}"
     merged.write.mode("overwrite").parquet(new_dir)
 
-    # Atomic pointer flip: build the new symlink aside, then rename(2) it
-    # over <target>. Readers see the old snapshot or the new one, never a gap.
-    tmp_link = f"{new_dir}.lnk"
-    if os.path.lexists(tmp_link):
-        os.remove(tmp_link)
-    os.symlink(os.path.basename(new_dir), tmp_link)
-    os.replace(tmp_link, target)
+    _flip_pointer(new_dir, target)
 
     # GC: keep the new version plus the one just superseded (for readers
     # that resolved the pointer pre-flip); drop anything older, and any
-    # orphan left by a crash between write and flip.
-    keep = {new_dir, current}
+    # orphan left by a crash between write and flip. Compare realpaths:
+    # `current` is already symlink-resolved and absolute, while
+    # _version_dirs returns paths in `target`'s form (possibly relative) —
+    # comparing raw strings would never match and GC the just-superseded
+    # snapshot immediately.
+    keep = {os.path.realpath(new_dir)}
+    if current is not None:
+        keep.add(current)  # realpath already
     for d in _version_dirs(target):
-        if d not in keep:
+        if os.path.realpath(d) not in keep:
             shutil.rmtree(d, ignore_errors=True)
+
+
+MergeFn = "Callable[[SparkSession, DataFrame, str, list[str], str], None]"
 
 
 def stream_upsert_parquet(
@@ -110,15 +144,26 @@ def stream_upsert_parquet(
     keys: list[str],
     version_col: str,
     checkpoint: str,
+    merge_fn=None,
 ):
     """Start a streaming query that upserts each micro-batch into the
-    parquet snapshot at ``target``. Returns the StreamingQuery."""
+    snapshot at ``target``. Returns the StreamingQuery.
+
+    ``merge_fn(spark, batch, target, keys, version_col)`` is the lakehouse
+    seam: it defaults to the symlink-flip parquet merge (:func:`_merge_batch`)
+    and is the ONLY thing that changes when a transactional table format is
+    on the classpath — e.g. a Delta callback running ``MERGE INTO <target>
+    USING <batch> ON <keys> WHEN MATCHED AND s.version > t.version THEN
+    UPDATE SET * WHEN NOT MATCHED THEN INSERT *``. The deduplicated batch
+    (``latest_per_key``), checkpointing, and empty-batch skip are shared.
+    """
     spark = stream.sparkSession
+    merge = merge_fn if merge_fn is not None else _merge_batch
 
     def handle(batch_df: DataFrame, epoch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        _merge_batch(spark, batch_df, target, keys, version_col)
+        merge(spark, batch_df, target, keys, version_col)
 
     return (
         stream.writeStream.foreachBatch(handle)
