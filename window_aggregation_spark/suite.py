@@ -826,19 +826,59 @@ def _register_dedup() -> None:
         df = read_table(spark, sf_dir, "documents")
         return dd.simhash_dedup_pairs(df, "doc_id", max_hamming=_SIMHASH_MH)
 
-    @_register(
-        "dedup_embedding_cosine",
-        f"""
-        WITH e AS (SELECT vec_id, embedding FROM embeddings)
-        SELECT l.vec_id AS id_a, r.vec_id AS id_b,
-               ROUND({_duck_cosine('l.embedding', 'r.embedding')}, 4) AS cos_sim
-        FROM e l JOIN e r ON l.vec_id < r.vec_id
-        WHERE ROUND({_duck_cosine('l.embedding', 'r.embedding')}, 4) >= 0.4
-        """,
-    )
+    def _duck_embedding_lsh_sql() -> str:
+        """DuckDB recomputation of the BUCKETED embedding near-dup: the
+        fixed seeded hyperplanes are embedded as literals, bucket bits come
+        from the same left-to-right double fold as the Spark expression,
+        one side probes every 1-bit flip, and each distinct same-bucket
+        pair is verified by the shared fold cosine — so the approximate
+        candidate semantics themselves are oracle-checked, not just the
+        final similarity."""
+        from window_aggregation_spark.operators import similarity as sim
+
+        planes = sim._planes(4, 64)
+
+        def dot(vec: str, plane: list[float]) -> str:
+            lits = ", ".join(repr(x) for x in plane)
+            return (
+                f"list_reduce(list_prepend(0.0, list_transform("
+                f"generate_series(1, 64), "
+                f"i -> CAST({vec}[i] AS DOUBLE) * (CAST([{lits}] AS DOUBLE[]))[i])), "
+                f"(acc, v) -> acc + v)"
+            )
+
+        def bucket(vec: str) -> str:
+            terms = " + ".join(
+                f"CASE WHEN {dot(vec, plane)} > 0 THEN {1 << i} ELSE 0 END"
+                for i, plane in enumerate(planes)
+            )
+            return f"CAST({terms} AS INT)"
+
+        return f"""
+        WITH b AS (SELECT vec_id, embedding, {bucket('embedding')} AS b0
+                   FROM embeddings),
+             lp AS (SELECT vec_id, embedding,
+                           unnest([b0, xor(b0, 1), xor(b0, 2),
+                                   xor(b0, 4), xor(b0, 8)]) AS bkt
+                    FROM b),
+             cand AS (SELECT DISTINCT l.vec_id AS id_a, r.vec_id AS id_b,
+                             l.embedding AS va, r.embedding AS vb
+                      FROM lp l JOIN b r
+                        ON l.bkt = r.b0 AND l.vec_id < r.vec_id)
+        SELECT id_a, id_b,
+               ROUND({_duck_cosine('va', 'vb')}, 4) AS cos_sim
+        FROM cand
+        WHERE ROUND({_duck_cosine('va', 'vb')}, 4) >= 0.4
+        """
+
+    @_register("dedup_embedding_cosine", _duck_embedding_lsh_sql())
     def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Bucketed (cogrouped per-bucket BLAS + fold verify) — the 100 TB
+        path; the exact broadcast mode is recall-tested against it in
+        tests/test_extensions.py. nbits=4 keeps the fixture's 500 vectors
+        ~30/bucket so candidate volume stays meaningful."""
         df = read_table(spark, sf_dir, "embeddings")
-        return dd.embedding_dup_pairs(df, threshold=0.4)
+        return dd.embedding_dup_pairs(df, threshold=0.4, nbits=4)
 
 
 _register_dedup()
