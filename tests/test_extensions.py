@@ -74,6 +74,72 @@ def test_simhash_pairs_have_low_hamming(docs):
         assert bin(xor & (2**64 - 1)).count("1") == r["hamming"]
 
 
+def test_connected_components_vs_union_find(spark):
+    """Star-contraction labels must equal a driver-side union-find ground
+    truth on a random graph (including multi-hop chains and isolated-pair
+    components)."""
+    import random
+
+    from window_aggregation_spark.operators.graph import connected_components
+
+    rng = random.Random(123)
+    edges = [(rng.randrange(200), rng.randrange(200)) for _ in range(150)]
+    edges = [(a, b) for a, b in edges if a != b]
+
+    parent = list(range(200))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    nodes = {n for e in edges for n in e}
+    truth = {n: find(n) for n in nodes}
+
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {
+        r["node"]: r["component"]
+        for r in connected_components(df).collect()
+    }
+    assert got == truth
+
+
+def test_minhash_cc_merges_chains(spark):
+    """A chain a~b~c with a!~c must collapse to one cluster (the greedy
+    pass's documented gap); minhash_dedup_cc keeps exactly the min id."""
+    # sliding 35-token windows shifted by 6: adjacent bigram-Jaccard = 0.70
+    # (>= 0.55, LSH-catchable), ends = 0.48 (< 0.55 -> no direct 1~3 pair)
+    toks = [f"tok{i:02d}" for i in range(1, 48)]
+    doc = lambda lo: " ".join(toks[lo : lo + 35])  # noqa: E731
+    other = "completely different words nothing shared here at all ok then"
+    df = spark.createDataFrame(
+        [(1, doc(0)), (2, doc(6)), (3, doc(12)), (4, other)],
+        "doc_id long, text string",
+    )
+    kw = dict(ngram=2, threshold=0.55)
+    comp = {
+        r["doc_id"]: r["component"]
+        for r in dd.minhash_components(df, "doc_id", **kw).collect()
+    }
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in dd.minhash_dedup_pairs(df, "doc_id", **kw).collect()
+    }
+    # the chain really is a chain: no direct 1~3 pair above threshold
+    assert (1, 2) in pairs and (2, 3) in pairs and (1, 3) not in pairs
+    assert comp[1] == comp[2] == comp[3] == 1
+    assert comp[4] == 4
+    kept = sorted(
+        r["doc_id"] for r in dd.minhash_dedup_cc(df, "doc_id", **kw).collect()
+    )
+    assert kept == [1, 4]
+
+
 def _clustered_vectors(spark, n_clusters=50, copies=3, dim=64, noise=0.02):
     """Synthetic corpus with known near-dups: each cluster is one base
     vector plus small noise, so intra-cluster cosine is ~1/(1+noise^2)."""

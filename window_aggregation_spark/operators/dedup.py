@@ -269,10 +269,43 @@ def minhash_dedup(
 ) -> DataFrame:
     """Greedy one-pass dedup: drop every row that near-duplicates a
     lower-id row. (Not full connected components — a chain a~b~c with
-    a!~c keeps a and may keep c; the standard practical compromise.)"""
+    a!~c keeps a and may keep c; see :func:`minhash_dedup_cc` for the
+    transitive version.)"""
     pairs = minhash_dedup_pairs(df, id_col, text_col, **kwargs)
     losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
     return df.join(losers, on=id_col, how="left_anti")
+
+
+def minhash_components(
+    df: DataFrame, id_col: str, text_col: str = "text", **kwargs
+) -> DataFrame:
+    """Duplicate-cluster label per row: ``(id_col, component)`` where
+    ``component`` is the smallest id transitively reachable through the
+    minhash near-dup pair graph (rows in no pair label themselves).
+
+    The transitive closure is computed distributed —
+    :func:`graph.connected_components` (large-star/small-star DataFrame
+    joins) over the LSH pair set, so a chain a~b~c collapses into ONE
+    cluster even when a!~c directly."""
+    from window_aggregation_spark.operators.graph import connected_components
+
+    pairs = minhash_dedup_pairs(df, id_col, text_col, **kwargs)
+    comp = connected_components(pairs).withColumnRenamed("node", id_col)
+    return df.select(id_col).join(comp, on=id_col, how="left").select(
+        F.col(id_col),
+        F.coalesce("component", F.col(id_col)).alias("component"),
+    )
+
+
+def minhash_dedup_cc(
+    df: DataFrame, id_col: str, text_col: str = "text", **kwargs
+) -> DataFrame:
+    """Connected-components dedup: keep exactly ONE representative (the
+    minimum id) per transitive near-dup cluster — the fix for the greedy
+    pass's chain artifact."""
+    comp = minhash_components(df, id_col, text_col, **kwargs)
+    keep = comp.where(F.col(id_col) == F.col("component")).select(id_col)
+    return df.join(keep, on=id_col, how="left_semi")
 
 
 # ---------------------------------------------------------------------------

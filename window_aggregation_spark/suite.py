@@ -817,6 +817,31 @@ def _register_dedup() -> None:
         df = read_table(spark, sf_dir, "documents")
         return dd.minhash_dedup_pairs(df, "doc_id", threshold=0.3)
 
+    @_register(
+        "dedup_minhash_cc",
+        f"""
+        WITH RECURSIVE pairs AS ({_duck_minhash_lsh_sql()}),
+        edges AS (SELECT id_a AS u, id_b AS v FROM pairs
+                  UNION SELECT id_b, id_a FROM pairs),
+        walk(u, v) AS (
+          SELECT u, v FROM edges
+          UNION
+          SELECT w.u, e.v FROM walk w JOIN edges e ON w.v = e.u),
+        comp AS (SELECT u, min(v) AS mn FROM walk GROUP BY u)
+        SELECT d.doc_id,
+               CAST(COALESCE(least(c.u, c.mn), d.doc_id) AS BIGINT)
+                 AS component
+        FROM documents d LEFT JOIN comp c ON d.doc_id = c.u
+        """,
+    )
+    def dedup_minhash_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Transitive duplicate clusters: large-star/small-star connected
+        components (pure DataFrame joins) over the minhash LSH pair set;
+        the DuckDB oracle recomputes the transitive closure with a
+        recursive CTE, so the component labels themselves are hash-checked."""
+        df = read_table(spark, sf_dir, "documents")
+        return dd.minhash_components(df, "doc_id", threshold=0.3)
+
     @_register("dedup_simhash", _duck_simhash_sql())
     def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         """max_hamming=3 is the classic simhash near-dup bar (4 pigeonhole
