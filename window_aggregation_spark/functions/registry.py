@@ -318,12 +318,13 @@ def _sql_moment_sums(agg: AggregateDef, over: str, dialect: str):
     SQL over integral-valued inputs reproduces the builder bit-for-bit."""
     f1 = quote_ident(agg.field, dialect)
     f2 = quote_ident(agg.args[0].strip(), dialect)
-    x = f"CAST({f1} AS DOUBLE)"
-    y = f"CAST({f2} AS DOUBLE)"
+    d = "FLOAT64" if dialect == "bigquery" else "DOUBLE"
+    x = f"CAST({f1} AS {d})"
+    y = f"CAST({f2} AS {d})"
     both = f"{f1} IS NOT NULL AND {f2} IS NOT NULL"
     xv = f"CASE WHEN {both} THEN {x} END"
     yv = f"CASE WHEN {both} THEN {y} END"
-    n = f"CAST(count(CASE WHEN {both} THEN 1 END) {over} AS DOUBLE)"
+    n = f"CAST(count(CASE WHEN {both} THEN 1 END) {over} AS {d})"
     sx = f"sum({xv}) {over}"
     sy = f"sum({yv}) {over}"
     sxx = f"sum(({xv}) * ({xv})) {over}"
@@ -462,6 +463,65 @@ FUNCTIONS: dict[str, FunctionDef] = {
 
 # reference-enum-name -> engine name, for the string-spec parser
 REF_NAME_TO_NAME: dict[str, str] = {f.ref_name: f.name for f in FUNCTIONS.values()}
+
+
+def bigquery_expression(agg: AggregateDef, over: str) -> str:
+    """BigQuery Standard SQL rendering of one aggregate — the reference's
+    warehouse-pushdown templates reproduced exactly (``functionBQSqlMap``,
+    ``WindowAggregation.java:75-93``; arg handling
+    ``getColumnSelectionExpression`` ``:631-661``; string-asserted in
+    ``WindowAggregationTest.java:193-343``):
+
+    - ``FIRST``/``LAST`` render the RESPECT/IGNORE NULLS keyword INSIDE the
+      parens (``FIRST_VALUE(col IGNORE NULLS)``), with the same
+      "config flag OR literal-true args[0]" quirk as the DataFrame builder.
+    - ``MEDIAN`` -> ``PERCENTILE_CONT(col, 0.5)``; the percentiles pass
+      ``args[0]`` through verbatim (``PERCENTILE_CONT(col, 0.1234)``).
+    - No boundary casts: like the reference's pushdown, results carry
+      BigQuery-native types (INT64/FLOAT64), not the DataFrame path's
+      declared output schema.
+
+    Extension functions (not in the reference enum) get the closest
+    BigQuery analytic form; the two-field moments reuse the shared
+    power-sum rendering with FLOAT64 casts."""
+    fdef = lookup(agg.function)
+    col = quote_ident(agg.field, "bigquery") if agg.field else ""
+    args = [a.strip() for a in agg.args]
+    a0 = args[0] if args else ""
+    name = fdef.name
+    if name in ("corr", "covar_samp", "covar_pop"):
+        return fdef.sql(agg, over, "bigquery")
+    if name in ("first", "last"):
+        kw = "FIRST_VALUE" if name == "first" else "LAST_VALUE"
+        nulls = "IGNORE" if _effective_ignore_nulls(agg) else "RESPECT"
+        return f"{kw}({col} {nulls} NULLS) {over}"
+    if name == "nth_value":
+        nulls = " IGNORE NULLS" if _effective_ignore_nulls(agg) else ""
+        return f"NTH_VALUE({col}, {a0}{nulls}) {over}"
+    templates = {
+        "rank": "RANK()",
+        "dense_rank": "DENSE_RANK()",
+        "percent_rank": "PERCENT_RANK()",
+        "row_number": "ROW_NUMBER()",
+        "cume_dist": "CUME_DIST()",
+        "ntile": f"NTILE({a0})",
+        "median": f"PERCENTILE_CONT({col}, 0.5)",
+        "continuous_percentile": f"PERCENTILE_CONT({col}, {a0})",
+        "discrete_percentile": f"PERCENTILE_DISC({col}, {a0})",
+        # closest BQ analytic form; the sketch semantics are Spark-side only
+        "approx_discrete_percentile": f"PERCENTILE_DISC({col}, {a0})",
+        "lead": f"LEAD({col}, {a0})",
+        "lag": f"LAG({col}, {a0})",
+        "accumulate": f"SUM({col})",
+        "min": f"MIN({col})",
+        "max": f"MAX({col})",
+        "avg": f"AVG({col})",
+        "count": f"COUNT({col})",
+        "approx_count_distinct": f"APPROX_COUNT_DISTINCT({col})",
+        "stddev": f"STDDEV_SAMP({col})",
+        "variance": f"VAR_SAMP({col})",
+    }
+    return f"{templates[name]} {over}"
 
 
 def consumed_columns(agg: AggregateDef) -> set[str]:

@@ -8,7 +8,10 @@ cheaply: :func:`plan_to_sql` renders ``SELECT <inputs>, fn(...) OVER
 (PARTITION BY ... ORDER BY ... frame) AS alias FROM <table>`` — Catalyst is
 our "warehouse". ``dialect="spark"`` output is runnable via ``spark.sql``;
 ``dialect="ansi"`` quotes identifiers for ANSI engines (used by tests to
-cross-check against DuckDB where expressible).
+cross-check against DuckDB where expressible); ``dialect="bigquery"``
+reproduces the reference's BigQuery Standard SQL templates exactly
+(``FIRST_VALUE(col IGNORE NULLS)``, ``PERCENTILE_CONT(col, p)``, ... —
+see :func:`functions.registry.bigquery_expression`).
 
 Both backends compile to the same Catalyst logical plan, which the parity
 tests assert by comparing results.
@@ -106,6 +109,16 @@ def _render_aggregate(
     dialect: str,
     input_types: dict[str, str] | None,
 ) -> str:
+    if dialect == "bigquery":
+        # the reference's warehouse templates verbatim, and — like the
+        # reference's pushdown — no boundary casts: results carry
+        # BigQuery-native types (registry.bigquery_expression docstring)
+        from window_aggregation_spark.functions.registry import (
+            bigquery_expression,
+        )
+
+        expr = bigquery_expression(agg, over)
+        return f"{expr} AS {quote_ident(agg.alias, dialect)}"
     fdef = lookup(agg.function)
     expr = fdef.sql(agg, over, dialect)
     if fdef.output_type is not None and fdef.name != "percent_rank":

@@ -92,7 +92,16 @@ def desc(field: str) -> OrderKey:
 
 def quote_ident(name: str, dialect: str = "spark") -> str:
     """Quote an identifier for generated SQL (backticks for Spark,
-    double quotes for ANSI/DuckDB)."""
+    double quotes for ANSI/DuckDB, backticks-only-when-needed for
+    BigQuery — simple names stay bare so the rendered expressions match
+    the reference's templates character-for-character,
+    ``WindowAggregationTest.java:193-343``)."""
+    if dialect == "bigquery":
+        import re
+
+        if re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", name):
+            return name
+        return "`" + name.replace("\\", "\\\\").replace("`", "\\`") + "`"
     if dialect == "spark":
         return "`" + name.replace("`", "``") + "`"
     return '"' + name.replace('"', '""') + '"'
