@@ -24,6 +24,57 @@ from window_aggregation_spark.session import get_spark  # noqa: E402
 from window_aggregation_spark.suite import SUITE, headline_queries  # noqa: E402
 
 
+def frame_scaling_probe(spark, sf_dir: str, k: int = 8) -> dict:
+    """O(frame) growth probe: the running-median query on 1x lineitem and
+    on a k-times-replicated copy with the SAME partition keys — so
+    partitions (and therefore frames) are k times larger, isolating
+    frame-size scaling from data-size scaling. A linear-in-frame plan
+    scales ~k; the pre-rewrite per-row sort buffer scaled ~k^2 and OOMs on
+    hot partitions at 100 TB. Inputs are cached before the timed region."""
+    from pyspark.sql import functions as F
+
+    from window_aggregation_spark import (
+        AggregateDef,
+        OrderKey,
+        WindowPlan,
+        WindowSpecDef,
+        window_aggregate,
+    )
+    from window_aggregation_spark.sources.io import read_table
+
+    li = read_table(spark, sf_dir, "lineitem").select("l_suppkey", "l_quantity")
+    big = li
+    for i in range(1, k):
+        # jitter values so replicated rows aren't all frame peers
+        big = big.unionByName(
+            li.select(
+                "l_suppkey",
+                (F.col("l_quantity") + F.lit(i * 0.125)).alias("l_quantity"),
+            )
+        )
+    plan = WindowPlan(
+        spec=WindowSpecDef(
+            partition_by=("l_suppkey",), order_by=(OrderKey("l_quantity"),)
+        ),
+        aggregates=(AggregateDef("med", "median", field="l_quantity"),),
+    )
+    out: dict = {"k": k}
+    for label, df in (("sec_1x", li), (f"sec_{k}x", big)):
+        df = df.cache()
+        df.count()
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            window_aggregate(df, plan).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            best = min(best, time.perf_counter() - t0)
+        out[label] = round(best, 3)
+        df.unpersist()
+    out["ratio"] = round(out[f"sec_{k}x"] / max(out["sec_1x"], 1e-9), 2)
+    return out
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").split("sf")[-1]
@@ -51,17 +102,16 @@ def main() -> None:
         total += dt
         print(f"# {name}: {dt}s", file=sys.stderr, flush=True)
 
-    print(
-        json.dumps(
-            {
-                "metric": "suite_headline_wall_clock",
-                "value": round(total, 3),
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
-    )
+    payload = {
+        "metric": "suite_headline_wall_clock",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    if os.environ.get("SPARK_GRAFT_FRAME_PROBE", "1") != "0":
+        payload["frame_probe"] = frame_scaling_probe(spark, sf_dir)
+    print(json.dumps(payload))
     spark.stop()
 
 

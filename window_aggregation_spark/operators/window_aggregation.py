@@ -106,10 +106,13 @@ def window_aggregate(
     for agg in plan.aggregates:
         fdef = lookup(agg.function)
         declared = _output_field_type(agg, df.schema)
-        if fdef.name == "discrete_percentile" and _rank_join_applicable(
-            plan.spec, agg
+        if fdef.name in _RANK_JOIN_FUNCTIONS and (
+            _rank_join_direction(plan.spec, agg) is not None
         ):
-            out = _discrete_percentile_rank_join(out, plan.spec, agg, declared)
+            out = _percentile_rank_join(
+                out, plan.spec, agg, declared,
+                _rank_join_direction(plan.spec, agg),
+            )
             continue
         col = fdef.build(agg, w, plan.spec)
         if declared is not None:
@@ -192,68 +195,137 @@ def _group_plans_by_partition_keys(plans: "list[WindowPlan]") -> "list[WindowPla
     return sorted(plans, key=lambda p: order[tuple(p.spec.partition_by)])
 
 
-def _rank_join_applicable(spec, agg: AggregateDef) -> bool:
-    """The rank-join rewrite applies to the common shape: default frame,
-    ordered ascending by exactly the aggregated field (so each row's frame
-    is a sorted prefix of the partition)."""
-    from window_aggregation_spark.spec import Direction, FrameType
+# Percentile-family functions with an O(1)/row rank-join rewrite for the
+# running-frame-ordered-by-own-field shape. (CONTINUOUS_PERCENTILE is
+# partition-only in the reference surface — ordering NOT_SUPPORTED — so its
+# running shape cannot occur through a validated plan.)
+_RANK_JOIN_FUNCTIONS = ("discrete_percentile", "median")
 
-    return (
+
+def _rank_join_direction(spec, agg: AggregateDef):
+    """The order :class:`Direction` when the rank-join rewrite applies —
+    default frame, ordered by exactly the aggregated field (so each row's
+    frame is a sorted prefix — ascending — or suffix — descending — of the
+    partition's value multiset) — else None."""
+    from window_aggregation_spark.spec import FrameType
+
+    if (
         spec.frame_type is FrameType.NONE
         and len(spec.order_by) == 1
         and spec.order_by[0].field == agg.field
-        and spec.order_by[0].direction is Direction.ASCENDING
-    )
+    ):
+        return spec.order_by[0].direction
+    return None
 
 
-def _discrete_percentile_rank_join(
-    df: DataFrame, spec, agg: AggregateDef, declared: T.DataType | None
+def _percentile_rank_join(
+    df: DataFrame,
+    spec,
+    agg: AggregateDef,
+    declared: T.DataType | None,
+    direction,
 ) -> DataFrame:
-    """DISCRETE_PERCENTILE over a running frame ordered by the aggregated
-    field, without materializing per-row arrays.
+    """Percentile over a running frame ordered by the aggregated field,
+    without materializing per-row arrays or per-row sort buffers.
 
-    When the frame is the sorted prefix of the partition, the k-th smallest
-    frame value (k = max(ceil(p*n), 1), n = running non-null count) is
-    simply the partition row with row_number == k under the same ordering.
-    So: one window pass for (n -> k), one for row_number, then an equi-join
-    on (partition keys, k == row_number). Two shuffles on the partition
-    keys and O(1) memory per row — versus the general collect_list
-    composition's O(frame) per row (measured ~8x faster at 600-row frames,
-    and the gap grows with frame size; at 100 TB the array version OOMs on
-    hot partitions while this stays flat).
+    When the frame is the sorted prefix (ascending) of the partition, the
+    k-th smallest frame value is simply the partition row with
+    row_number == k under the same ordering; descending is symmetric — the
+    k-th smallest of a sorted SUFFIX of size n is the row with descending
+    row_number == n - k + 1. So: one window pass for the running non-null
+    count n (RANGE frame — peers included, which is what makes the row_
+    number set equal the frame multiset even under ties), one for
+    row_number, then an equi-join on (partition keys, rank). Two shuffles
+    on the partition keys and O(1) memory per row — versus the general
+    composition's O(frame) per row (collect_list for DISCRETE_PERCENTILE,
+    Hive percentile's accumulate-and-sort for MEDIAN/CONTINUOUS —
+    measured ~8x faster at 600-row frames, and the gap grows with frame
+    size; at 100 TB the O(frame) versions die on hot partitions while
+    this stays flat).
+
+    DISCRETE_PERCENTILE needs one rank (k = max(ceil(p*n), 1)).
+    MEDIAN/CONTINUOUS_PERCENTILE interpolate between two adjacent ranks
+    (0-based pos = p*(n-1), lo = floor(pos), hi = ceil(pos), result =
+    v_lo + (pos - lo) * (v_hi - v_lo) — Hive/Spark `percentile`
+    arithmetic exactly); since hi is always lo or lo+1, the right side
+    carries its ADJACENT value (lead/lag in the same window pass) and the
+    interpolation still costs exactly ONE equi-join.
     """
     from pyspark.sql import Window
 
-    p = float(agg.args[0])
+    from window_aggregation_spark.spec import Direction
+    from window_aggregation_spark.functions.registry import lookup as _lookup
+
+    fname = _lookup(agg.function).name
+    interpolated = fname != "discrete_percentile"
+    p = 0.5 if fname == "median" else float(agg.args[0])
     keys = list(spec.partition_by)
     field = agg.field
+    desc = direction is Direction.DESCENDING
 
     cnt = F.count(field).over(spec.to_spark())
-    k = F.when(
-        cnt > 0, F.greatest(F.ceil(F.lit(p) * cnt), F.lit(1)).cast("long")
-    )  # null when the frame has no non-null values -> result null
-    left = df.withColumn("__dp_k", k).alias("L")
 
-    wrn = Window.partitionBy(*keys).orderBy(F.col("__dp_val").asc())
-    right = (
-        df.where(F.col(field).isNotNull())
-        .select(*keys, F.col(field).alias("__dp_val"))
-        .withColumn("__dp_rn", F.row_number().over(wrn))
-        .alias("R")
+    def _oriented(rank: Column) -> Column:
+        # map "k-th smallest of the frame" to a row_number under the
+        # partition's own order direction
+        return (cnt - rank + 1) if desc else rank
+
+    if interpolated:
+        # 0-based position, exactly Spark's `percentile` arithmetic
+        # (p * (n-1), floor, fractional remainder) so results are
+        # bit-identical to the general window path
+        pos = F.lit(p) * (cnt - 1).cast("double")
+        lo = F.floor(pos).cast("long")
+        key_rank = _oriented(lo + 1)
+        frac = pos - lo
+    else:
+        k = F.greatest(F.ceil(F.lit(p) * cnt), F.lit(1)).cast("long")
+        key_rank = _oriented(k)
+        frac = F.lit(0.0)
+
+    # null rank when the frame has no non-null values -> result null
+    left = (
+        df.withColumn("__pr_key", F.when(cnt > 0, key_rank))
+        .withColumn("__pr_frac", frac)
+        .alias("L")
     )
-    cond = F.col("L.__dp_k") == F.col("R.__dp_rn")
+
+    order = F.col("__pr_val").desc() if desc else F.col("__pr_val").asc()
+    wrn = Window.partitionBy(*keys).orderBy(order)
+    right = df.where(F.col(field).isNotNull()).select(
+        *keys, F.col(field).alias("__pr_val")
+    ).withColumn("__pr_rn", F.row_number().over(wrn))
+    if interpolated:
+        # the (k+1)-th smallest sits one row_number AWAY in the partition
+        # order: +1 ascending, -1 descending (row_number grows as values
+        # shrink). null at the partition edge — unused there, since
+        # hi > lo requires lo < n.
+        adjacent = (
+            F.lag("__pr_val").over(wrn) if desc else F.lead("__pr_val").over(wrn)
+        )
+        right = right.withColumn("__pr_adj", adjacent)
+    right = right.alias("R")
+
+    cond = F.col("R.__pr_rn") == F.col("L.__pr_key")
     for key in keys:
         cond = cond & F.col(f"L.{key}").eqNullSafe(F.col(f"R.{key}"))
 
-    val = F.col("R.__dp_val")
-    if declared is not None:
-        val = val.cast(declared)
-    joined = df.columns  # original column order
+    if interpolated:
+        v_lo = F.col("R.__pr_val").cast("double")
+        v_hi = F.when(F.col("L.__pr_frac") > 0, F.col("R.__pr_adj").cast("double")).otherwise(v_lo)
+        val = (v_lo + F.col("L.__pr_frac") * (v_hi - v_lo)).cast(
+            declared if declared is not None else T.DoubleType()
+        )
+    else:
+        val = F.col("R.__pr_val")
+        if declared is not None:
+            val = val.cast(declared)
+
     result_cols = [
         val.alias(agg.alias) if c == agg.alias else F.col(f"L.{c}")
-        for c in joined
+        for c in df.columns
     ]
-    if agg.alias not in joined:
+    if agg.alias not in df.columns:
         result_cols.append(val.alias(agg.alias))
     return left.join(right, cond, "left").select(*result_cols)
 
