@@ -61,6 +61,84 @@ def test_salted_generalized_aggregates(spark, sf_dir, agg):
     assert bad == 0
 
 
+def test_salted_avg_bit_equals_plain_window(spark, sf_dir):
+    """avg decomposes over (sum, count); on integral-valued doubles
+    (l_quantity) both the chunked and the plain path sum exactly, so the
+    single final division must make the results BIT-equal — not just
+    tolerance-close."""
+    from window_aggregation_spark.operators.skew import salted_running_agg
+
+    df = read_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_returnflag", "l_quantity"
+    )
+    w = Window.partitionBy("l_returnflag").orderBy("l_quantity")
+    plain = df.withColumn("expected", F.avg("l_quantity").over(w))
+    salted = salted_running_agg(
+        df, ["l_returnflag"], "l_quantity", "l_quantity",
+        agg="avg", chunks=16, alias="got",
+    )
+    joined = plain.join(
+        salted,
+        on=["l_orderkey", "l_linenumber", "l_returnflag", "l_quantity"],
+    )
+    assert joined.where(F.col("expected") != F.col("got")).count() == 0
+
+
+@pytest.mark.parametrize("agg", ["stddev", "var_samp"])
+def test_salted_stddev_bit_equals_power_sum_window(spark, sf_dir, agg):
+    """stddev/var_samp decompose over power sums (Σx, Σx², n). The plain
+    comparison target is the SAME power-sum expression over a plain
+    window (the engine's reproducible formulation, as used by the
+    two-field moments) — integral-valued inputs make every sum exact, so
+    equality must be bit-level regardless of chunking."""
+    from window_aggregation_spark.operators.skew import salted_running_agg
+
+    df = read_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_returnflag", "l_quantity"
+    )
+    w = Window.partitionBy("l_returnflag").orderBy("l_quantity")
+    v = F.col("l_quantity").cast("double")
+    s = F.sum(v).over(w)
+    s2 = F.sum(v * v).over(w)
+    n = F.count("l_quantity").over(w)
+    var = F.when(n > 1, F.greatest(F.lit(0.0), (s2 - s * s / n) / (n - 1)))
+    plain = df.withColumn(
+        "expected", F.sqrt(var) if agg == "stddev" else var
+    )
+    salted = salted_running_agg(
+        df, ["l_returnflag"], "l_quantity", "l_quantity",
+        agg=agg, chunks=16, alias="got",
+    )
+    joined = plain.join(
+        salted,
+        on=["l_orderkey", "l_linenumber", "l_returnflag", "l_quantity"],
+    )
+    assert joined.where(F.col("expected") != F.col("got")).count() == 0
+
+
+def test_salted_composite_null_and_single_row_frames(spark):
+    """A null-only group must yield null avg/stddev everywhere; a 1-row
+    frame must yield null stddev (sample semantics) but a real avg."""
+    from window_aggregation_spark.operators.skew import salted_running_agg
+
+    df = spark.createDataFrame(
+        [(0, "a", 1.0, 4.0), (1, "a", 2.0, 6.0),
+         (2, "b", 1.0, None), (3, "b", 2.0, None)],
+        "id int, k string, o double, v double",
+    )
+    out = salted_running_agg(
+        df, ["k"], "o", "v", agg="avg", chunks=4, alias="a"
+    )
+    out = salted_running_agg(
+        out, ["k"], "o", "v", agg="stddev", chunks=4, alias="sd"
+    )
+    rows = {r["id"]: (r["a"], r["sd"]) for r in out.collect()}
+    assert rows[0] == (4.0, None)  # 1-row frame: avg yes, stddev_samp null
+    assert rows[1] == (5.0, 2.0 ** 0.5)
+    assert rows[2] == (None, None)  # null-only group stays null
+    assert rows[3] == (None, None)
+
+
 def test_salted_handles_constant_order_column(spark):
     # degenerate sketch: all boundaries equal -> single chunk, still correct
     df = spark.createDataFrame(

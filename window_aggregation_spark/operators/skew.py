@@ -36,15 +36,71 @@ def _merge_sum(local, off):
     )
 
 
+def _merge_count(local, off):
+    return local + F.coalesce(off, F.lit(0))
+
+
 # aggregate name -> (partial fn over rows, combine fn over chunk partials,
 # merge of the local running value with the combined offset of all earlier
 # chunks). Requires decomposability: agg(A ∪ B) = merge(agg(A), agg(B));
 # note count COMBINES with sum (count of a union is the sum of counts).
 _DECOMPOSABLE = {
     "sum": (F.sum, F.sum, _merge_sum),
-    "count": (F.count, F.sum, lambda local, off: local + F.coalesce(off, F.lit(0))),
+    "count": (F.count, F.sum, _merge_count),
     "min": (F.min, F.min, lambda local, off: F.least(local, F.coalesce(off, local))),
     "max": (F.max, F.max, lambda local, off: F.greatest(local, F.coalesce(off, local))),
+}
+
+
+def _sum_double(field):
+    return F.sum(F.col(field).cast("double"))
+
+
+def _sum_squares(field):
+    v = F.col(field).cast("double")
+    return F.sum(v * v)
+
+
+def _var_samp_of(m):
+    # Power-sum variance: (Σx² − (Σx)²/n) / (n−1). EXACT (hence
+    # order-independent, hence chunking-independent) whenever the inputs
+    # are integral-valued doubles, which is the reproducibility contract
+    # this module shares with the two-field window moments
+    # (registry power-sum formulation). The greatest(0, ·) clamp only
+    # absorbs the last-ulp negative that non-integral inputs can produce;
+    # n>1 guards the ANSI divide (stddev_samp of a 1-row frame is null).
+    n, s, s2 = m["n"], m["s"], m["s2"]
+    return F.when(
+        n > 1, F.greatest(F.lit(0.0), (s2 - s * s / n) / (n - 1))
+    )
+
+
+# Composite aggregates decompose into several sum-combining components
+# (power sums + count), merged per-component exactly like "sum"/"count"
+# above, then finished by ONE shared expression — so the salted result is
+# bit-equal to the same power-sum expression over a plain window.
+# component name -> (partial fn over rows, merge fn); combine is always sum.
+_COMPOSITE = {
+    "avg": (
+        {"s": (F.sum, _merge_sum), "n": (F.count, _merge_count)},
+        lambda m: F.when(m["n"] > 0, m["s"] / m["n"]),
+    ),
+    "var_samp": (
+        {
+            "s": (_sum_double, _merge_sum),
+            "s2": (_sum_squares, _merge_sum),
+            "n": (F.count, _merge_count),
+        },
+        _var_samp_of,
+    ),
+    "stddev": (
+        {
+            "s": (_sum_double, _merge_sum),
+            "s2": (_sum_squares, _merge_sum),
+            "n": (F.count, _merge_count),
+        },
+        lambda m: F.sqrt(_var_samp_of(m)),
+    ),
 }
 
 
@@ -61,13 +117,29 @@ def salted_running_agg(
 ) -> DataFrame:
     """Append ``alias`` = running (RANGE-semantics) ``agg`` of ``field`` per
     ``keys`` ordered by ``order_col``, computed in two phases so no single
-    task owns a whole hot key. ``agg`` must be decomposable
-    (sum/count/min/max). ``quantile_error`` only shifts chunk boundaries —
+    task owns a whole hot key. ``agg`` is either directly decomposable
+    (sum/count/min/max) or a composite over power sums
+    (avg/var_samp/stddev — sample semantics, like SQL STDDEV_SAMP).
+    ``quantile_error`` only shifts chunk boundaries —
     correctness never depends on sketch precision (equal order values always
     land in one chunk), it just balances chunk sizes."""
-    if agg not in _DECOMPOSABLE:
-        raise ValueError(f"agg must be one of {sorted(_DECOMPOSABLE)}")
-    fn, combine, merge = _DECOMPOSABLE[agg]
+    if agg in _DECOMPOSABLE:
+        fn, combine, merge = _DECOMPOSABLE[agg]
+        comps = {"v": (fn, combine, merge)}
+
+        def finalize(m):
+            return m["v"]
+
+    elif agg in _COMPOSITE:
+        comp_defs, finalize = _COMPOSITE[agg]
+        comps = {
+            name: (partial, F.sum, merge)
+            for name, (partial, merge) in comp_defs.items()
+        }
+    else:
+        raise ValueError(
+            f"agg must be one of {sorted(set(_DECOMPOSABLE) | set(_COMPOSITE))}"
+        )
 
     probs = [i / chunks for i in range(1, chunks)]
     boundaries = (
@@ -80,24 +152,39 @@ def salted_running_agg(
     chunked = df.withColumn("__chunk", bucket)
 
     w_local = Window.partitionBy(*keys, "__chunk").orderBy(F.col(order_col))
-    local = chunked.withColumn("__local", fn(field).over(w_local))
+    local = chunked
+    for name, (partial, _, _) in comps.items():
+        local = local.withColumn(f"__local_{name}", partial(field).over(w_local))
 
     w_off = (
         Window.partitionBy(*keys)
         .orderBy(F.col("__chunk"))
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    offsets = (
-        chunked.groupBy(*keys, "__chunk")
-        .agg(fn(field).alias("__total"))
-        .withColumn("__offset", combine("__total").over(w_off))
-        .select(*keys, "__chunk", "__offset")
+    offsets = chunked.groupBy(*keys, "__chunk").agg(
+        *[
+            partial(field).alias(f"__total_{name}")
+            for name, (partial, _, _) in comps.items()
+        ]
+    )
+    for name, (_, combine, _) in comps.items():
+        offsets = offsets.withColumn(
+            f"__off_{name}", combine(f"__total_{name}").over(w_off)
+        )
+    offsets = offsets.select(
+        *keys, "__chunk", *[f"__off_{name}" for name in comps]
     )
 
     joined = local.join(F.broadcast(offsets), on=[*keys, "__chunk"], how="left")
-    return joined.withColumn(
-        alias, merge(F.col("__local"), F.col("__offset"))
-    ).drop("__chunk", "__local", "__offset")
+    merged = {
+        name: merge(F.col(f"__local_{name}"), F.col(f"__off_{name}"))
+        for name, (_, _, merge) in comps.items()
+    }
+    return joined.withColumn(alias, finalize(merged)).drop(
+        "__chunk",
+        *[f"__local_{name}" for name in comps],
+        *[f"__off_{name}" for name in comps],
+    )
 
 
 def salted_running_sum(

@@ -1455,7 +1455,10 @@ def w_range_interval_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _register_skew() -> None:
-    from window_aggregation_spark.operators.skew import salted_running_sum
+    from window_aggregation_spark.operators.skew import (
+        salted_running_agg,
+        salted_running_sum,
+    )
 
     @_register(
         "skew_salted_running_sum",
@@ -1479,6 +1482,43 @@ def _register_skew() -> None:
         return salted_running_sum(
             df, ["l_returnflag"], "l_quantity", "l_quantity",
             chunks=32, alias="run_qty",
+        )
+
+    @_register(
+        "skew_salted_running_stats",
+        """
+        SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity,
+               CASE WHEN n > 0 THEN s / n END AS run_avg,
+               CASE WHEN n > 1 THEN
+                 sqrt(greatest(CAST(0.0 AS DOUBLE), (s2 - s*s/n) / (n-1)))
+               END AS run_std
+        FROM (
+          SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity,
+                 sum(l_quantity) OVER w AS s,
+                 sum(l_quantity * l_quantity) OVER w AS s2,
+                 count(l_quantity) OVER w AS n
+          FROM lineitem
+          WINDOW w AS (PARTITION BY l_returnflag ORDER BY l_quantity ASC
+                       RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        """,
+    )
+    def skew_salted_running_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Composite salted running aggregates — avg and stddev_samp
+        decomposed over power sums (Σx, Σx², n) per chunk, merged, and
+        finished by one shared expression. l_quantity is integral-valued,
+        so every sum is exact and the oracle (the SAME power-sum
+        expressions over a plain window in DuckDB) matches bit-for-bit —
+        no rounding on either side."""
+        df = read_table(spark, sf_dir, "lineitem").select(
+            *_LI_KEYS, "l_returnflag", "l_quantity"
+        )
+        out = salted_running_agg(
+            df, ["l_returnflag"], "l_quantity", "l_quantity",
+            agg="avg", chunks=32, alias="run_avg",
+        )
+        return salted_running_agg(
+            out, ["l_returnflag"], "l_quantity", "l_quantity",
+            agg="stddev", chunks=32, alias="run_std",
         )
 
 
