@@ -1199,6 +1199,39 @@ def _register_multimodal_streaming() -> None:
         events = read_table(spark, sf_dir, "events")
         return batch_ewma(events, alpha=0.3)
 
+    @_register(
+        "stream_dedup_events",
+        """
+        SELECT user_id, event_type, window_start, event_id, value
+        FROM (
+          SELECT user_id, event_type, date_trunc('hour', ts) AS window_start,
+                 event_id, value,
+                 row_number() OVER (
+                   PARTITION BY user_id, event_type, date_trunc('hour', ts)
+                   ORDER BY ts ASC NULLS FIRST, event_id ASC NULLS FIRST
+                 ) AS rn
+          FROM events) WHERE rn = 1
+        """,
+    )
+    def stream_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Batch twin of the watermark-bounded streaming dedup
+        (streaming/dedup_stream.py) — deterministic event-time-first
+        representative per (user, event_type, hour) key. The streaming
+        half (dropDuplicatesWithinWatermark, bounded state, eviction
+        re-emission) is pinned by tests/test_stream_dedup.py across
+        micro-batches."""
+        from window_aggregation_spark.streaming.dedup_stream import (
+            batch_dedup_first,
+        )
+
+        events = read_table(spark, sf_dir, "events")
+        keyed = events.withColumn(
+            "window_start", F.date_trunc("hour", F.col("ts"))
+        )
+        return batch_dedup_first(
+            keyed, ["user_id", "event_type", "window_start"], ts_col="ts"
+        ).select("user_id", "event_type", "window_start", "event_id", "value")
+
 
 _register_multimodal_streaming()
 
