@@ -240,6 +240,41 @@ def test_ivf_recall_vs_bruteforce(emb):
             assert sims[key] == pytest.approx(r["cos_sim"], abs=1e-6)
 
 
+def test_ivf_kmeans_centroids_improve_recall(emb):
+    """Distributed spherical Lloyd refinement must beat the raw
+    deterministic-sample codebook at equal nprobe on this clustered
+    fixture (measured 0.44 -> 0.56 at 3 iterations; both runs are
+    deterministic: fixed seed sample, stable argsort tie-breaks)."""
+    queries = emb.where(F.col("vec_id") < 20)
+    corpus = emb.where(F.col("vec_id") >= 20)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in sim.cosine_topk(queries, corpus, k=5).collect()
+    }
+
+    def recall(**kw):
+        got = {
+            (r["query_id"], r["neighbor_id"])
+            for r in sim.ivf_topk(
+                queries, corpus, k=5, n_centroids=16, nprobe=4, **kw
+            ).collect()
+        }
+        return len(exact & got) / len(exact)
+
+    r_sample = recall()
+    r_kmeans = recall(centroids="kmeans", kmeans_iters=3)
+    assert r_kmeans > r_sample, (r_kmeans, r_sample)
+
+
+def test_ivf_kmeans_rejects_expr_assignment(emb):
+    with pytest.raises(ValueError, match="sample"):
+        sim.ivf_topk(
+            emb, emb, assign="expr", centroids="kmeans"
+        )
+    with pytest.raises(ValueError, match="centroids"):
+        sim.ivf_topk(emb, emb, centroids="banana")
+
+
 def test_ivf_expr_assignment_matches_numpy(emb):
     """The oracle-checkable expression assignment and the numpy block-matmul
     assignment must pick the same lists (both break near-ties by centroid

@@ -110,6 +110,83 @@ def hyperplane_buckets(
     )
 
 
+def _assign_lists_fn(b_cents, top_n: int):
+    """mapInPandas body: nearest-``top_n`` centroid ids per vector via one
+    broadcast BLAS matmul per Arrow batch. Shared by list assignment and
+    the k-means refinement iterations."""
+    import pandas as pd
+
+    def run(batches):
+        c = b_cents.value
+        for pdf in batches:
+            q = np.stack(pdf["v"].to_numpy()).astype(np.float64)
+            q = q / np.linalg.norm(q, axis=1, keepdims=True)
+            sims = q @ c.T
+            order = np.argsort(-sims, axis=1)[:, :top_n]
+            yield pd.DataFrame(
+                {
+                    "id": pdf["id"].to_numpy().repeat(top_n),
+                    "v": pdf["v"].to_numpy().repeat(top_n),
+                    "list_id": order.ravel(),
+                }
+            )
+
+    return run
+
+
+def _sample_centroids(corpus: DataFrame, n_centroids: int) -> np.ndarray:
+    """Deterministic seed: first ``n_centroids`` corpus vectors by id —
+    one cheap bounded ``limit`` (columns pre-pruned to id+vector)."""
+    cpdf = corpus.orderBy("id").limit(n_centroids).toPandas()
+    cents = np.stack(cpdf["v"].to_numpy()).astype(np.float64)
+    return cents / np.linalg.norm(cents, axis=1, keepdims=True)
+
+
+def _kmeans_centroids(
+    corpus: DataFrame, n_centroids: int, iters: int
+) -> np.ndarray:
+    """Spherical Lloyd refinement of the deterministic-sample seed, fully
+    distributed: each iteration assigns every corpus vector to its nearest
+    centroid with the SAME broadcast matmul as list assignment (no
+    shuffle), then recomputes means via posexplode -> groupBy(list, dim)
+    — a shuffle that carries only per-task partial sums (map-side
+    combine), with just n_centroids x dim tiny rows reaching the driver.
+    Empty clusters keep their previous centroid. Assignment ties break by
+    centroid index (argsort is stable), so the refinement is
+    deterministic up to BLAS summation order."""
+    spark = corpus.sparkSession
+    cents = _sample_centroids(corpus, n_centroids)
+    dim = cents.shape[1]
+    for _ in range(iters):
+        b = spark.sparkContext.broadcast(cents)
+        assigned = corpus.mapInPandas(
+            _assign_lists_fn(b, 1), schema="id long, v array<float>, list_id int"
+        )
+        stats = (
+            assigned.select(
+                "list_id", F.posexplode(F.col("v")).alias("pos", "val")
+            )
+            .groupBy("list_id", "pos")
+            .agg(F.sum(F.col("val").cast("double")).alias("s"),
+                 F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        new = cents.copy()
+        sums = np.zeros((n_centroids, dim))
+        counts = np.zeros(n_centroids)
+        for r in stats:
+            sums[r["list_id"], r["pos"]] = r["s"]
+            counts[r["list_id"]] = r["n"]
+        nonempty = counts > 0
+        means = sums[nonempty] / counts[nonempty, None]
+        norms = np.linalg.norm(means, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        new[nonempty] = means / norms
+        cents = new
+        b.unpersist()
+    return cents
+
+
 def ivf_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -121,13 +198,20 @@ def ivf_topk(
     corpus_id: str = "vec_id",
     vec_col: str = "embedding",
     assign: str = "numpy",
+    centroids: str = "sample",
+    kmeans_iters: int = 3,
 ) -> DataFrame:
     """IVF-style approximate top-k: partition the corpus into inverted lists
     by nearest centroid; each query scans only its ``nprobe`` closest lists.
 
-    Centroids are a deterministic sample of the corpus itself (first
-    ``n_centroids`` by id — one cheap `limit` instead of a k-means job;
-    k-means centroids drop in by swapping `_centroids`).
+    ``centroids`` picks the codebook: ``"sample"`` (default) is a
+    deterministic sample of the corpus itself (first ``n_centroids`` by
+    id — one cheap `limit`, reproducible, oracle-friendly);
+    ``"kmeans"`` refines that seed with ``kmeans_iters`` distributed
+    spherical Lloyd iterations (:func:`_kmeans_centroids`) — better
+    recall at equal nprobe on clustered corpora, at the cost of
+    ``kmeans_iters`` extra passes over the corpus (numpy assignment
+    path only — refined centroids aren't SQL-reproducible).
 
     ``assign`` picks the list-assignment implementation:
 
@@ -145,50 +229,38 @@ def ivf_topk(
     computations agree in sign/order (ties broken by centroid index in
     both). Candidate fraction ~= nprobe / n_centroids.
     """
+    if centroids not in ("sample", "kmeans"):
+        raise ValueError(f"unknown centroids mode: {centroids!r}")
     if assign == "expr":
+        if centroids != "sample":
+            raise ValueError(
+                "assign='expr' supports centroids='sample' only — k-means "
+                "centroid values are not reproducible in a SQL oracle"
+            )
         return _ivf_topk_expr(
             queries, corpus, k=k, n_centroids=n_centroids, nprobe=nprobe,
             query_id=query_id, corpus_id=corpus_id, vec_col=vec_col,
         )
-    import numpy as np
-    import pandas as pd
-
-    cpdf = (
-        corpus.select(F.col(corpus_id).alias("id"), F.col(vec_col).alias("v"))
-        .orderBy("id")
-        .limit(n_centroids)
-        .toPandas()
+    c_base = corpus.select(
+        F.col(corpus_id).alias("id"), F.col(vec_col).alias("v")
     )
-    cents = np.stack(cpdf["v"].to_numpy()).astype(np.float64)
-    cents /= np.linalg.norm(cents, axis=1, keepdims=True)
+    if centroids == "kmeans":
+        cents = _kmeans_centroids(c_base, n_centroids, kmeans_iters)
+    else:
+        cents = _sample_centroids(c_base, n_centroids)
     spark = corpus.sparkSession
     b_cents = spark.sparkContext.broadcast(cents)
 
-    def assign(top_n: int):
-        def run(batches):
-            c = b_cents.value
-            for pdf in batches:
-                q = np.stack(pdf["v"].to_numpy()).astype(np.float64)
-                q = q / np.linalg.norm(q, axis=1, keepdims=True)
-                sims = q @ c.T
-                order = np.argsort(-sims, axis=1)[:, :top_n]
-                out = pd.DataFrame(
-                    {
-                        "id": pdf["id"].to_numpy().repeat(top_n),
-                        "v": pdf["v"].to_numpy().repeat(top_n),
-                        "list_id": order.ravel(),
-                    }
-                )
-                yield out
-
-        return run
-
-    c_lists = corpus.select(
-        F.col(corpus_id).alias("id"), F.col(vec_col).alias("v")
-    ).mapInPandas(assign(1), schema="id long, v array<float>, list_id int")
+    c_lists = c_base.mapInPandas(
+        _assign_lists_fn(b_cents, 1),
+        schema="id long, v array<float>, list_id int",
+    )
     q_lists = queries.select(
         F.col(query_id).alias("id"), F.col(vec_col).alias("v")
-    ).mapInPandas(assign(nprobe), schema="id long, v array<float>, list_id int")
+    ).mapInPandas(
+        _assign_lists_fn(b_cents, nprobe),
+        schema="id long, v array<float>, list_id int",
+    )
 
     scored = (
         q_lists.alias("q")
