@@ -204,33 +204,29 @@ def minhash_dedup_pairs(
         ).alias("bk"),
     ).select("__id", "bk.band", "bk.key")
 
+    # Candidate pairs WITHOUT a self-join: group member ids per (band, key)
+    # bucket, then double-explode the id array (a, then b > a). A self-join
+    # on the bucket key computes the whole shingle->signature pipeline TWICE
+    # (Spark does not common-subexpression self-join branches and does not
+    # canonicalize the two Exchanges as reusable) and shuffles the banded
+    # rows twice; this shape scans the corpus once and shuffles once. The
+    # explode fan-out is k^2/2 rows per k-member bucket — exactly the pairs
+    # the join would have produced — and stays in whole-stage codegen.
+    buckets = banded.groupBy("band", "key").agg(
+        F.collect_list("__id").alias("__ids")
+    )
+    # Degenerate-bucket guard: a bucket of k members yields k^2/2 candidate
+    # pairs, so one boilerplate-heavy bucket (empty docs, a common template)
+    # can quadratically dominate at scale. With grouped buckets the cap is a
+    # free size() filter; dropped buckets skip pair candidates that are
+    # mostly boilerplate-to-boilerplate.
     if max_bucket_size is not None:
-        # Degenerate-bucket guard: a bucket of k members yields k^2/2
-        # candidate pairs, so one boilerplate-heavy bucket (empty docs, a
-        # common template) can quadratically dominate the join at scale.
-        # Cap via one windowed count; dropped buckets mean those pair
-        # candidates are skipped (they're mostly boilerplate-to-boilerplate).
-        bucket_w = Window.partitionBy("band", "key")
-        banded = (
-            banded.withColumn("__bsz", F.count("*").over(bucket_w))
-            .where(F.col("__bsz") <= max_bucket_size)
-            .drop("__bsz")
-        )
-
-    # merge hint: see ngram_jaccard_pairs — self-join sides can't broadcast
-    # at scale, and the sort-merge path is faster locally too
-    left = banded.hint("merge").alias("l")
-    right = banded.hint("merge").alias("r")
+        buckets = buckets.where(F.size("__ids") <= max_bucket_size)
     candidates = (
-        left.join(
-            right,
-            on=[
-                F.col("l.band") == F.col("r.band"),
-                F.col("l.key") == F.col("r.key"),
-                F.col("l.__id") < F.col("r.__id"),
-            ],
-        )
-        .select(F.col("l.__id").alias("id_a"), F.col("r.__id").alias("id_b"))
+        buckets.where(F.size("__ids") >= 2)
+        .select(F.explode("__ids").alias("id_a"), F.col("__ids"))
+        .select("id_a", F.explode("__ids").alias("id_b"))
+        .where(F.col("id_a") < F.col("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
     # Verify candidates with exact Jaccard. Join the (small) candidate set
@@ -407,21 +403,22 @@ def simhash_dedup_pairs(
         ).alias("ck"),
     ).select("__id", "__sh", "ck.chunk", "ck.val")
 
-    l, r = chunked.hint("merge").alias("l"), chunked.hint("merge").alias("r")
+    # Pairs without a self-join (same rationale as minhash_dedup_pairs):
+    # collect (id, simhash) members per (chunk, val) bucket, double-explode.
+    # One corpus scan + one shuffle instead of two of each.
+    buckets = chunked.groupBy("chunk", "val").agg(
+        F.collect_list(F.struct("__id", "__sh")).alias("__ms")
+    )
     return (
-        l.join(
-            r,
-            on=[
-                F.col("l.chunk") == F.col("r.chunk"),
-                F.col("l.val") == F.col("r.val"),
-                F.col("l.__id") < F.col("r.__id"),
-            ],
-        )
+        buckets.where(F.size("__ms") >= 2)
+        .select(F.explode("__ms").alias("a"), F.col("__ms"))
+        .select("a", F.explode("__ms").alias("b"))
+        .where(F.col("a.__id") < F.col("b.__id"))
         .select(
-            F.col("l.__id").alias("id_a"),
-            F.col("r.__id").alias("id_b"),
+            F.col("a.__id").alias("id_a"),
+            F.col("b.__id").alias("id_b"),
             F.bit_count(
-                F.col("l.__sh").bitwiseXOR(F.col("r.__sh"))
+                F.col("a.__sh").bitwiseXOR(F.col("b.__sh"))
             ).alias("hamming"),
         )
         .dropDuplicates(["id_a", "id_b"])
