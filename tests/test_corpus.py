@@ -1,0 +1,161 @@
+"""Corpus-prep operators: deterministic hash splits, token-budget shard
+packing (two-phase global cumsum), cross-engine-safe PII redaction."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from window_aggregation_spark.operators import corpus as cp
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.range(0, 500).select(
+        F.col("id").alias("doc_id"),
+        (F.pmod(F.col("id") * 37 + 11, F.lit(90)) + 10).alias("n_tok"),
+    )
+
+
+def test_split_by_hash_deterministic_and_partitioned(spark, docs):
+    out = cp.split_by_hash(
+        docs, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}
+    )
+    rows = {r["doc_id"]: r["split"] for r in out.collect()}
+    again = {
+        r["doc_id"]: r["split"]
+        for r in cp.split_by_hash(
+            docs, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}
+        ).collect()
+    }
+    assert rows == again
+    counts: dict[str, int] = {}
+    for s in rows.values():
+        counts[s] = counts.get(s, 0) + 1
+    # every row assigned, proportions roughly honored on 500 uniform hashes
+    assert set(counts) == {"train", "val", "test"}
+    assert sum(counts.values()) == 500
+    assert 350 <= counts["train"] <= 450
+
+
+def test_split_by_hash_matches_duckdb_oracle(spark, docs):
+    splits = {"train": 0.8, "val": 0.1, "test": 0.1}
+    got = {
+        (r["doc_id"], r["split"])
+        for r in cp.split_by_hash(docs, "doc_id", splits).collect()
+    }
+    expr = cp.split_by_hash_oracle_expr("doc_id", splits)
+    want = set(
+        duckdb.sql(
+            f"SELECT doc_id, {expr} FROM (SELECT UNNEST(RANGE(0, 500)) AS doc_id)"
+        ).fetchall()
+    )
+    assert got == want
+
+
+def test_split_by_hash_no_shuffle(spark, docs):
+    plan = cp.split_by_hash(
+        docs, "doc_id", {"a": 1.0, "b": 1.0}
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_split_weights_validate():
+    with pytest.raises(ValueError, match="positive"):
+        cp._split_cuts({"a": 0.0})
+
+
+def test_pack_by_token_budget_matches_plain_window(spark, docs):
+    out = cp.pack_by_token_budget(docs, "doc_id", "n_tok", 500, chunks=8)
+    w = Window.orderBy("doc_id")
+    plain = docs.withColumn(
+        "shard",
+        F.floor(
+            (F.sum("n_tok").over(w) - F.col("n_tok")) / F.lit(500)
+        ).cast("long"),
+    )
+    got = {(r["doc_id"], r["shard"]) for r in out.collect()}
+    want = {(r["doc_id"], r["shard"]) for r in plain.collect()}
+    assert got == want
+
+
+def test_pack_by_token_budget_fill_properties(spark, docs):
+    out = cp.pack_by_token_budget(docs, "doc_id", "n_tok", 500, chunks=8)
+    rows = sorted(
+        ((r["doc_id"], r["n_tok"], r["shard"]) for r in out.collect())
+    )
+    # shards are contiguous in doc order and monotone non-decreasing
+    shards = [s for _, _, s in rows]
+    assert shards == sorted(shards)
+    assert shards[0] == 0
+    assert set(shards) == set(range(max(shards) + 1))
+    # offset semantics: a doc starting at exclusive prefix p is in shard
+    # floor(p / budget) — so every non-final shard extends to (or past) its
+    # boundary, and dropping a shard's straddling last doc always brings
+    # the span back under one budget
+    starts: dict[int, list[tuple[int, int]]] = {}
+    p = 0
+    for _, t, s in rows:
+        starts.setdefault(s, []).append((p, t))
+        p += t
+    for s, docs_in in starts.items():
+        first_start = docs_in[0][0]
+        last_start, last_tok = docs_in[-1]
+        assert first_start >= s * 500
+        assert last_start < (s + 1) * 500
+        if s < max(shards):
+            assert last_start + last_tok >= (s + 1) * 500
+        assert last_start - first_start < 500  # span minus straddler
+
+
+def test_redact_pii_masks_and_preserves(spark):
+    df = spark.createDataFrame(
+        [
+            (0, "mail bob.smith+x@corp.example.org now"),
+            (1, "server at 192.168.0.1 port 8080"),
+            (2, "call +1-555-0123-456 today"),
+            (3, "v1.2.3.4.5 release notes"),  # documented over-match
+            (4, "plain text, no pii at all"),
+        ],
+        "id long, text string",
+    )
+    got = {r["id"]: r["red"] for r in df.select(
+        "id", cp.redact_pii(F.col("text")).alias("red")
+    ).collect()}
+    assert got[0] == "mail <EMAIL> now"
+    assert got[1] == "server at <IP> port 8080"
+    assert got[2] == "call <PHONE> today"
+    # documented RE2-compatibility trade: the last 4 segments of a
+    # 5-segment version string read as a dotted quad (no lookbehind in RE2)
+    assert got[3] == "v1.<IP> release notes"
+    assert got[4] == "plain text, no pii at all"
+
+
+def test_redact_pii_matches_duckdb(spark):
+    samples = [
+        "a b@c.io c",
+        "ip 10.0.0.255 and mail x_y%z@sub.domain.co",
+        "+44 20 7946 0958 or 555-867-5309x",
+        "nothing here",
+        "dot. +1 234 567 8901.",
+        "v1.2.3.4.5 release notes",
+    ]
+    df = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(samples)], "id long, text string"
+    )
+    got = {
+        r["id"]: r["red"]
+        for r in df.select(
+            "id", cp.redact_pii(F.col("text")).alias("red")
+        ).collect()
+    }
+    con = duckdb.connect()
+    expr = cp.redact_pii_oracle_expr("text")
+    for i, s in enumerate(samples):
+        want = con.execute(
+            f"SELECT {expr} FROM (SELECT ? AS text)", [s]
+        ).fetchone()[0]
+        assert got[i] == want, (s, got[i], want)

@@ -1558,6 +1558,94 @@ def _register_skew() -> None:
 _register_skew()
 
 
+# ---------------------------------------------------------------------------
+# Extension operators: corpus preparation (splits / packing / redaction)
+# ---------------------------------------------------------------------------
+
+def _register_corpus() -> None:
+    from window_aggregation_spark.operators import corpus as cp
+
+    _SPLITS = {"train": 0.8, "val": 0.1, "test": 0.1}
+
+    @_register(
+        "corpus_split_hash",
+        f"""
+        SELECT doc_id, source,
+               {cp.split_by_hash_oracle_expr('doc_id', _SPLITS)} AS split
+        FROM documents
+        """,
+    )
+    def corpus_split_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Deterministic train/val/test assignment — a pure projection over
+        the portable 60-bit hash, no shuffle, no RNG; the same row lands in
+        the same split on any engine (the oracle recomputes the hash in
+        DuckDB and must agree on every row)."""
+        docs = read_table(spark, sf_dir, "documents").select(
+            "doc_id", "source"
+        )
+        return cp.split_by_hash(docs, "doc_id", _SPLITS)
+
+    @_register(
+        "corpus_pack_shards",
+        """
+        SELECT doc_id, n_chars,
+               CAST(floor((sum(n_chars) OVER (ORDER BY doc_id ASC
+                             RANGE BETWEEN UNBOUNDED PRECEDING
+                                   AND CURRENT ROW) - n_chars)
+                          / 20000) AS BIGINT) AS shard
+        FROM documents
+        """,
+    )
+    def corpus_pack_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Budget-packed training shards by exclusive prefix sum of the
+        per-document cost column in global doc_id order. The oracle is the
+        PLAIN single-partition window cumsum — proving the two-phase
+        chunked decomposition (no single task owns the whole corpus) is
+        exactly equivalent on integral costs."""
+        docs = read_table(spark, sf_dir, "documents").select(
+            "doc_id", "n_chars"
+        )
+        return cp.pack_by_token_budget(
+            docs, "doc_id", "n_chars", 20_000, chunks=16
+        )
+
+    @_register(
+        "corpus_redact_pii",
+        f"""
+        SELECT doc_id,
+               {cp.redact_pii_oracle_expr(
+                   "printf('doc %d contact user%d@example.com or "
+                   "+1 555 %04d at 10.0.%d.%d: %s', doc_id, doc_id, "
+                   "doc_id % 10000, doc_id % 256, (doc_id + 7) % 256, "
+                   "substr(text, 1, 40))"
+               )} AS red
+        FROM documents
+        """,
+    )
+    def corpus_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """PII masking as pure codegen regexp_replace chains. The fixture
+        text is synthetic word soup, so the query plants an email, a phone
+        and an IP derived from fixture columns via printf (portable to
+        DuckDB), then both engines must scrub to the identical string —
+        pinning that the patterns behave the same on Java regex and RE2."""
+        docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+        planted = F.format_string(
+            "doc %d contact user%d@example.com or +1 555 %04d at 10.0.%d.%d: %s",
+            F.col("doc_id"),
+            F.col("doc_id"),
+            F.pmod(F.col("doc_id"), F.lit(10000)),
+            F.pmod(F.col("doc_id"), F.lit(256)),
+            F.pmod(F.col("doc_id") + 7, F.lit(256)),
+            F.substring(F.col("text"), 1, 40),
+        )
+        return docs.select(
+            "doc_id", cp.redact_pii(planted).alias("red")
+        )
+
+
+_register_corpus()
+
+
 def _register_pipeline() -> None:
     from window_aggregation_spark.operators import dedup as dd
     from window_aggregation_spark.operators import text as tx
