@@ -77,3 +77,29 @@ def test_no_python_eval_in_core_window_queries(spark, sf_dir):
                  "text_fingerprint", "dedup_ngram_jaccard"]:
         plan = _plan(SUITE[name].build(spark, sf_dir))
         assert "EvalPython" not in plan, f"{name} dropped into Python"
+
+
+def test_lsh_candidate_generation_has_no_self_join(spark, sf_dir):
+    """Candidate pairs come from bucket grouping + double explode, never a
+    self-join: a self-join computes the shingle/signature pipeline twice
+    (Spark does not CSE the branches) and shuffles it twice. With broadcast
+    disabled every surviving join is a deliberate one: minhash keeps
+    exactly its two candidate->text verify joins; simhash needs none."""
+    from window_aggregation_spark.operators import dedup as dd
+    from window_aggregation_spark.sources.io import read_table
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        mh = _plan(dd.minhash_dedup_pairs(docs, "doc_id"))
+        sh = _plan(dd.simhash_dedup_pairs(docs, "doc_id"))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    for plan, joins, label in [(mh, 2, "minhash"), (sh, 0, "simhash")]:
+        n = plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin")
+        assert n == joins, f"{label}: {n} joins (self-join regressed?)"
+        # one bucket-grouping aggregate (rendered once partial, once final)
+        assert plan.count("partial_collect_list") == 1, label
+        assert "CartesianProduct" not in plan, label
+        assert "EvalPython" not in plan, label
