@@ -159,3 +159,67 @@ def test_redact_pii_matches_duckdb(spark):
             f"SELECT {expr} FROM (SELECT ? AS text)", [s]
         ).fetchone()[0]
         assert got[i] == want, (s, got[i], want)
+
+
+def test_prune_frequent_tokens_drops_boilerplate_keeps_order(spark):
+    df = spark.createDataFrame(
+        [
+            (0, "cookie notice alpha beta cookie"),
+            (1, "cookie notice gamma"),
+            (2, "cookie notice delta alpha"),
+            (3, ""),
+        ],
+        "doc_id long, text string",
+    )
+    # 'cookie'/'notice' in 3/4 docs (75%) -> pruned at 0.5; 'alpha' in 2/4
+    # (50%, not strictly above) -> kept
+    out = {
+        r["doc_id"]: r["pruned"]
+        for r in cp.prune_frequent_tokens(
+            df, "doc_id", "text", max_doc_frac=0.5
+        ).collect()
+    }
+    assert out == {0: "alpha beta", 1: "gamma", 2: "delta alpha", 3: ""}
+
+
+def test_prune_frequent_tokens_fully_pruned_doc_survives_empty(spark):
+    df = spark.createDataFrame(
+        [(0, "the the"), (1, "the"), (2, "the word")],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r["pruned"]
+        for r in cp.prune_frequent_tokens(
+            df, "doc_id", "text", max_doc_frac=0.9
+        ).collect()
+    }
+    # 'the' in 100% of docs -> pruned everywhere; doc rows all survive
+    assert out == {0: "", 1: "", 2: "word"}
+
+
+def test_repetition_profile_values(spark):
+    df = spark.createDataFrame(
+        [
+            (0, "spam spam spam spam"),      # one token repeated
+            (1, "a b a b a b"),              # alternating bigram
+            (2, "all words are unique here"),
+            (3, ""),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {
+        r["doc_id"]: r.asDict()
+        for r in cp.repetition_profile(df, "doc_id", "text").collect()
+    }
+    assert rows[0]["n_tok"] == 4 and rows[0]["n_uniq"] == 1
+    assert rows[0]["dup_token_frac"] == 0.75
+    assert rows[0]["top_bigram_count"] == 3  # 'spam spam' x3
+    assert rows[0]["top_bigram_frac"] == 1.0
+    assert rows[1]["top_bigram_count"] == 3  # 'a b' x3 of 5 bigrams
+    assert rows[1]["top_bigram_frac"] == 0.6
+    assert rows[2]["dup_token_frac"] == 0.0
+    assert rows[2]["top_bigram_count"] == 1
+    assert rows[3] == {
+        "doc_id": 3, "n_tok": 0, "n_uniq": 0, "dup_token_frac": 0.0,
+        "top_bigram_count": 0, "top_bigram_frac": 0.0,
+    }

@@ -37,6 +37,7 @@ from window_aggregation_spark.operators.dedup import (
     portable_hash64_duck,
 )
 from window_aggregation_spark.operators.skew import salted_running_agg
+from window_aggregation_spark.operators.text import TOKEN_RE, tokens
 
 # Hash grain for split thresholds: weights are quantized to 1/1_000_000,
 # plenty for any realistic split ratio and small enough that the 60-bit
@@ -178,3 +179,177 @@ def redact_pii_oracle_expr(text_expr: str) -> str:
         escaped = pattern.replace("'", "''")
         out = f"regexp_replace({out}, '{escaped}', '{repl}', 'g')"
     return out
+
+
+def prune_frequent_tokens(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    *,
+    max_doc_frac: float = 0.5,
+    alias: str = "pruned",
+) -> DataFrame:
+    """C4-style boilerplate pruning by document frequency: drop every token
+    that appears in more than ``max_doc_frac`` of all documents, preserving
+    the original token order of what remains. Returns ``(id_col, alias)``
+    with one row per input document (fully-pruned docs keep an empty
+    string).
+
+    Scale shape: posexplode (no shuffle) -> per-doc-distinct + docfreq
+    count (two shuffles over (token, doc) then token, both with map-side
+    combine) -> the frequent-token set, which is tiny BY CONSTRUCTION
+    (tokens in >50% of a 100 TB corpus number in the hundreds), is
+    broadcast into a left-anti join — the full token stream is never
+    shuffled for the filter — then one groupBy(doc) reassembles. The doc
+    count enters lazily via a broadcast cross join of a 1-row aggregate, so
+    the whole operator is a single plan with no driver-side action.
+    """
+    toks = df.select(
+        F.col(id_col), F.posexplode(tokens(F.col(text_col))).alias("pos", "tok")
+    )
+    n_docs = df.select(F.count(F.lit(1)).alias("__n_docs"))
+    docfreq = (
+        toks.select(id_col, "tok")
+        .distinct()
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("__df"))
+    )
+    frequent = (
+        docfreq.crossJoin(F.broadcast(n_docs))
+        .where(F.col("__df") > F.lit(max_doc_frac) * F.col("__n_docs"))
+        .select("tok")
+    )
+    kept = toks.join(F.broadcast(frequent), on="tok", how="left_anti")
+    rebuilt = kept.groupBy(id_col).agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                lambda s: s["tok"],
+            ),
+        ).alias(alias)
+    )
+    return (
+        df.select(id_col)
+        .join(rebuilt, on=id_col, how="left")
+        .select(id_col, F.coalesce(F.col(alias), F.lit("")).alias(alias))
+    )
+
+
+def prune_frequent_tokens_oracle_sql(
+    table: str, id_col: str, text_col: str = "text", *,
+    max_doc_frac: float = 0.5, alias: str = "pruned",
+) -> str:
+    """DuckDB mirror of :func:`prune_frequent_tokens` (parallel unnests zip
+    positionally, giving the 0-based pos of Spark's posexplode)."""
+    arr = f"regexp_extract_all(lower({text_col}), '{TOKEN_RE}')"
+    return f"""
+        WITH base AS (SELECT {id_col}, {arr} AS toks FROM {table}),
+        tok_pos AS (
+          SELECT {id_col}, unnest(toks) AS tok,
+                 unnest(range(0, len(toks))) AS pos
+          FROM base),
+        freq AS (
+          SELECT tok FROM (
+            SELECT tok, count(DISTINCT {id_col}) AS df FROM tok_pos GROUP BY tok)
+          WHERE df > {max_doc_frac!r} * (SELECT count(*) FROM {table})),
+        rebuilt AS (
+          SELECT {id_col}, string_agg(tok, ' ' ORDER BY pos) AS {alias}
+          FROM tok_pos
+          WHERE tok NOT IN (SELECT tok FROM freq)
+          GROUP BY {id_col})
+        SELECT d.{id_col}, coalesce({alias}, '') AS {alias}
+        FROM {table} d LEFT JOIN rebuilt USING ({id_col})
+    """
+
+
+def repetition_profile(
+    df: DataFrame, id_col: str, text_col: str = "text"
+) -> DataFrame:
+    """Gopher-style within-document repetition statistics:
+    ``(id_col, n_tok, n_uniq, dup_token_frac, top_bigram_count,
+    top_bigram_frac)`` — the standard signals for filtering degenerate
+    repetitive documents from a training corpus.
+
+    Token counts are pure projections; the top-bigram count builds bigrams
+    with slice+arrays_zip (codegen, no window shuffle), then two
+    aggregations on (doc, bigram) and (doc). One row per input document
+    (zero-token docs report zeros)."""
+    arr = tokens(F.col(text_col))
+    base = df.select(F.col(id_col), arr.alias("__toks"))
+    n_tok = F.size("__toks")
+    # zip_with-free shifted pairing: arrays_zip pads the shorter (shifted)
+    # side with null structs; the post-explode filter drops the tail pad.
+    shifted = F.slice(
+        F.col("__toks"), 2, F.greatest(n_tok - 1, F.lit(0))
+    )
+    pairs = base.select(
+        id_col,
+        F.explode(
+            F.arrays_zip(F.col("__toks").alias("a"), shifted.alias("b"))
+        ).alias("bg"),
+    ).where(F.col("bg.b").isNotNull())
+    top = (
+        pairs.groupBy(id_col, "bg.a", "bg.b")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .groupBy(id_col)
+        .agg(F.max("__c").alias("__top"))
+    )
+    stats = base.select(
+        id_col,
+        n_tok.alias("n_tok"),
+        F.size(F.array_distinct("__toks")).alias("n_uniq"),
+    )
+    out = stats.join(top, on=id_col, how="left")
+    dup_frac = F.when(
+        F.col("n_tok") > 0,
+        F.round(F.lit(1.0) - F.col("n_uniq") / F.col("n_tok"), 4),
+    ).otherwise(F.lit(0.0))
+    top_cnt = F.coalesce(F.col("__top"), F.lit(0).cast("long"))
+    top_frac = F.when(
+        F.col("n_tok") > 1, F.round(top_cnt / (F.col("n_tok") - 1), 4)
+    ).otherwise(F.lit(0.0))
+    return out.select(
+        id_col,
+        "n_tok",
+        "n_uniq",
+        dup_frac.alias("dup_token_frac"),
+        top_cnt.alias("top_bigram_count"),
+        top_frac.alias("top_bigram_frac"),
+    )
+
+
+def repetition_profile_oracle_sql(
+    table: str, id_col: str, text_col: str = "text"
+) -> str:
+    """DuckDB mirror of :func:`repetition_profile` (lead() window builds
+    the same bigrams the slice+zip projection does)."""
+    arr = f"regexp_extract_all(lower({text_col}), '{TOKEN_RE}')"
+    return f"""
+        WITH base AS (SELECT {id_col}, {arr} AS toks FROM {table}),
+        tok_pos AS (
+          SELECT {id_col}, unnest(toks) AS tok,
+                 unnest(range(0, len(toks))) AS pos
+          FROM base),
+        big AS (
+          SELECT {id_col}, tok AS a,
+                 lead(tok) OVER (PARTITION BY {id_col} ORDER BY pos) AS b
+          FROM tok_pos),
+        mx AS (
+          SELECT {id_col}, max(c) AS top FROM (
+            SELECT {id_col}, a, b, count(*) AS c FROM big
+            WHERE b IS NOT NULL GROUP BY {id_col}, a, b)
+          GROUP BY {id_col})
+        SELECT s.{id_col},
+               CAST(len(toks) AS INT) AS n_tok,
+               CAST(len(list_distinct(toks)) AS INT) AS n_uniq,
+               CASE WHEN len(toks) > 0
+                    THEN round(1.0 - len(list_distinct(toks))
+                               / len(toks), 4)
+                    ELSE 0.0 END AS dup_token_frac,
+               CAST(coalesce(top, 0) AS BIGINT) AS top_bigram_count,
+               CASE WHEN len(toks) > 1
+                    THEN round(coalesce(top, 0) / (len(toks) - 1), 4)
+                    ELSE 0.0 END AS top_bigram_frac
+        FROM base s LEFT JOIN mx USING ({id_col})
+    """

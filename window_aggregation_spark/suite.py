@@ -1642,6 +1642,32 @@ def _register_corpus() -> None:
             "doc_id", cp.redact_pii(planted).alias("red")
         )
 
+    @_register(
+        "corpus_prune_frequent",
+        cp.prune_frequent_tokens_oracle_sql(
+            "documents", "doc_id", max_doc_frac=0.3
+        ),
+    )
+    def corpus_prune_frequent(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Document-frequency boilerplate pruning (C4-style): tokens in
+        >30% of documents are dropped corpus-wide, order preserved. The
+        frequent set is broadcast (tiny by construction), so the token
+        stream shuffles only for the docfreq count and the reassembly."""
+        docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+        return cp.prune_frequent_tokens(
+            docs, "doc_id", "text", max_doc_frac=0.3
+        )
+
+    @_register(
+        "corpus_repetition",
+        cp.repetition_profile_oracle_sql("documents", "doc_id"),
+    )
+    def corpus_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Gopher-style within-doc repetition signals (duplicate-token
+        fraction, top-bigram share) for degenerate-document filtering."""
+        docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+        return cp.repetition_profile(docs, "doc_id", "text")
+
 
 _register_corpus()
 
