@@ -15,7 +15,7 @@ from window_aggregation_spark.streaming.window_stream import (
 )
 
 EVENTS_FILE_SCHEMA = (
-    "event_id long, ts long, user_id long, event_type string, "
+    "event_id long, ts timestamp, user_id long, event_type string, "
     "value double, props string"
 )
 
@@ -142,11 +142,7 @@ def test_watermark_drops_late_events(spark, tmp_path):
 
 def test_streaming_sessionize_smoke(spark, events_dir):
     """session_window streaming path produces sessions with bounded state."""
-    stream = (
-        spark.readStream.schema(EVENTS_FILE_SCHEMA)
-        .parquet(events_dir)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    )
+    stream = spark.readStream.schema(EVENTS_FILE_SCHEMA).parquet(events_dir)
     sessions = sessionize(stream, gap="30 minutes")
     assert sessions.isStreaming
     q = (
