@@ -223,3 +223,137 @@ def test_repetition_profile_values(spark):
         "doc_id": 3, "n_tok": 0, "n_uniq": 0, "dup_token_frac": 0.0,
         "top_bigram_count": 0, "top_bigram_frac": 0.0,
     }
+
+
+# ---------------------------------------------------------------------------
+# decontamination
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def contam_docs(spark):
+    return spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta"),
+            (2, "totally unrelated text about spark plans"),
+            (3, "prefix words alpha beta gamma delta epsilon suffix"),
+            (4, "tiny"),
+        ],
+        "doc_id long, text string",
+    )
+
+
+def test_decontaminate_counts_distinct_shared_ngrams(spark, contam_docs):
+    bench = contam_docs.where("doc_id = 1")
+    out = {
+        r["doc_id"]: (r["n_overlap_ngrams"], r["contaminated"])
+        for r in cp.decontaminate(
+            contam_docs, bench, "doc_id", "text", ngram=5
+        ).collect()
+    }
+    # doc 1 shares both of its own 5-grams; doc 3 contains one of them
+    assert out[1] == (2, True)
+    assert out[3] == (1, True)
+    assert out[2] == (0, False)
+    # sub-ngram docs survive with zero overlap (whole-text shingle)
+    assert out[4] == (0, False)
+
+
+def test_decontaminate_clean_benchmark_flags_nothing(spark, contam_docs):
+    bench = spark.createDataFrame(
+        [(99, "entirely disjoint benchmark question answer pairs here")],
+        "doc_id long, text string",
+    )
+    out = cp.decontaminate(contam_docs, bench, "doc_id", "text", ngram=5)
+    assert out.where("contaminated").count() == 0
+    assert out.count() == 4
+
+
+# ---------------------------------------------------------------------------
+# stratified sampling
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def strat_docs(spark):
+    return spark.range(0, 600).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("s"), F.pmod("id", F.lit(3)).cast("string")).alias("src"),
+    )
+
+
+def test_stratified_sample_rate_endpoints_and_default(spark, strat_docs):
+    out = cp.stratified_sample(
+        strat_docs, "src", {"s0": 1.0, "s1": 0.0}, "doc_id", default_rate=0.5
+    )
+    counts = {
+        r["src"]: r["n"]
+        for r in out.groupBy("src").agg(F.count("*").alias("n")).collect()
+    }
+    assert counts.get("s0") == 200  # rate 1.0 keeps everything
+    assert "s1" not in counts  # rate 0.0 keeps nothing
+    assert 60 <= counts.get("s2", 0) <= 140  # default 0.5 of 200
+
+
+def test_stratified_sample_decorrelated_from_split(spark, strat_docs):
+    """The sample salt must decorrelate the kept set from split_by_hash:
+    a 50% sample of the train split should keep ~50% of it, not ~100%."""
+    split = cp.split_by_hash(strat_docs, "doc_id", {"train": 0.5, "rest": 0.5})
+    train = split.where("split = 'train'")
+    n_train = train.count()
+    sampled = cp.stratified_sample(
+        train, "src", {}, "doc_id", default_rate=0.5
+    ).count()
+    assert 0.3 * n_train <= sampled <= 0.7 * n_train
+
+
+def test_stratified_sample_rejects_bad_rate(spark, strat_docs):
+    with pytest.raises(ValueError):
+        cp.stratified_sample(strat_docs, "src", {"s0": 1.5}, "doc_id")
+
+
+def _plain_take_n(df, strata_col, n, id_col, salt="strat"):
+    res = cp._sample_residue(strata_col, id_col, salt)
+    w = Window.partitionBy(strata_col).orderBy(res, F.col(id_col))
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= n)
+        .drop("__rn")
+    )
+
+
+def test_take_n_per_stratum_matches_plain_window(spark, strat_docs):
+    got = {
+        (r["doc_id"], r["src"])
+        for r in cp.take_n_per_stratum(strat_docs, "src", 7, "doc_id").collect()
+    }
+    want = {
+        (r["doc_id"], r["src"])
+        for r in _plain_take_n(strat_docs, "src", 7, "doc_id").collect()
+    }
+    assert got == want
+    assert len(got) == 21
+
+
+def test_take_n_per_stratum_rescue_path_is_exact(spark, strat_docs):
+    """Force the threshold to undershoot (safety well below 1) so strata
+    must be rescued — the result must STILL equal the plain ranking."""
+    got = {
+        (r["doc_id"], r["src"])
+        for r in cp.take_n_per_stratum(
+            strat_docs, "src", 7, "doc_id", safety=0.01
+        ).collect()
+    }
+    want = {
+        (r["doc_id"], r["src"])
+        for r in _plain_take_n(strat_docs, "src", 7, "doc_id").collect()
+    }
+    assert got == want
+
+
+def test_take_n_per_stratum_small_stratum_keeps_all(spark):
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "a"), (3, "b")], "doc_id long, src string"
+    )
+    out = cp.take_n_per_stratum(df, "src", 5, "doc_id")
+    assert out.count() == 3

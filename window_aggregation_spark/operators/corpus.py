@@ -353,3 +353,277 @@ def repetition_profile_oracle_sql(
                     ELSE 0.0 END AS top_bigram_frac
         FROM base s LEFT JOIN mx USING ({id_col})
     """
+
+
+# ---------------------------------------------------------------------------
+# benchmark decontamination
+# ---------------------------------------------------------------------------
+
+def _duck_shingles(text_expr: str, n: int) -> str:
+    """DuckDB mirror of :func:`.dedup.shingles` for token ``n``-grams
+    (distinct; a doc shorter than ``n`` tokens yields its whole token
+    string as the single shingle, same as the Spark side)."""
+    toks = f"regexp_extract_all(lower({text_expr}), '{TOKEN_RE}')"
+    parts = " || ' ' || ".join(f"{toks}[i+{j}]" for j in range(n))
+    return f"""
+        CASE WHEN len({toks}) <= {n - 1}
+             THEN [array_to_string({toks}, ' ')]
+             ELSE list_distinct(list_transform(
+                    generate_series(1, len({toks}) - {n - 1}), i -> {parts}))
+        END
+    """
+
+
+def decontaminate(
+    docs: DataFrame,
+    bench: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    ngram: int = 5,
+    bench_text_col: str = "text",
+) -> DataFrame:
+    """Per-document count of distinct token ``ngram``-grams shared with a
+    benchmark/eval set, plus a ``contaminated`` flag — the standard
+    train-set decontamination pass (drop or flag any training document that
+    contains a verbatim n-gram from an eval benchmark).
+
+    Scale shape: the benchmark side is SMALL by definition (eval suites are
+    thousands of documents, not billions) — its distinct n-gram set is
+    built with one shuffle over benchmark rows only and **broadcast**. The
+    100 TB training side is never shuffled for the match: explode doc
+    n-grams (projection), broadcast-hash left join against the benchmark
+    set, then one map-side-combined ``groupBy(id)`` to count hits. Every
+    document survives to the output (``shingles`` emits the whole token
+    string for sub-``ngram`` docs, so no doc has zero shingles).
+
+    Reuses :func:`.dedup.shingles` (distinct n-grams per doc), so the
+    overlap count is a count of *distinct* shared n-grams.
+    """
+    from window_aggregation_spark.operators.dedup import shingles
+
+    bench_grams = (
+        bench.select(F.explode(shingles(F.col(bench_text_col), ngram)).alias("__g"))
+        .distinct()
+        .withColumn("__hit", F.lit(1))
+    )
+    doc_grams = docs.select(
+        F.col(id_col), F.explode(shingles(F.col(text_col), ngram)).alias("__g")
+    )
+    return (
+        doc_grams.join(F.broadcast(bench_grams), on="__g", how="left")
+        .groupBy(id_col)
+        .agg(
+            F.sum(F.coalesce(F.col("__hit"), F.lit(0)))
+            .cast("long")
+            .alias("n_overlap_ngrams")
+        )
+        .withColumn("contaminated", F.col("n_overlap_ngrams") > 0)
+    )
+
+
+def decontaminate_oracle_sql(
+    table: str,
+    bench_where: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    ngram: int = 5,
+) -> str:
+    """DuckDB mirror of :func:`decontaminate` where the benchmark set is
+    ``SELECT * FROM table WHERE bench_where``."""
+    sh = _duck_shingles(text_col, ngram)
+    return f"""
+        WITH bench AS (
+          SELECT DISTINCT unnest({sh}) AS g FROM {table} WHERE {bench_where}),
+        grams AS (
+          SELECT {id_col}, unnest({sh}) AS g FROM {table})
+        SELECT d.{id_col},
+               CAST(count(b.g) AS BIGINT) AS n_overlap_ngrams,
+               count(b.g) > 0 AS contaminated
+        FROM grams d LEFT JOIN bench b ON d.g = b.g
+        GROUP BY d.{id_col}
+    """
+
+
+# ---------------------------------------------------------------------------
+# stratified sampling / data mixing
+# ---------------------------------------------------------------------------
+
+def _rate_bounds(rates: dict[str, float]) -> dict[str, int]:
+    """Per-stratum integer residue bounds (quantized once, in Python, so
+    Spark and any oracle compare against the exact same literals)."""
+    out = {}
+    for name, rate in rates.items():
+        if not (0.0 <= rate <= 1.0):
+            raise ValueError(f"sampling rate for {name!r} must be in [0, 1]")
+        out[name] = int(round(rate * SPLIT_GRAIN))
+    return out
+
+
+def _sample_residue(strata_col: str, id_col: str, salt: str) -> Column:
+    """Salted per-row residue: hashing ``salt:stratum:id`` decorrelates the
+    sample from :func:`split_by_hash` (same hash of the bare id would make
+    "sample 10%" systematically pick the same rows as "first 10% of train",
+    collapsing holdout structure)."""
+    key = F.concat_ws(
+        ":", F.lit(salt), F.col(strata_col).cast("string"),
+        F.col(id_col).cast("string"),
+    )
+    return F.pmod(portable_hash64(key), F.lit(SPLIT_GRAIN))
+
+
+def _sample_residue_duck(strata_col: str, id_col: str, salt: str) -> str:
+    key = (
+        f"concat('{salt}', ':', CAST({strata_col} AS VARCHAR), ':', "
+        f"CAST({id_col} AS VARCHAR))"
+    )
+    h = portable_hash64_duck(key)
+    return f"(({h}) % {SPLIT_GRAIN} + {SPLIT_GRAIN}) % {SPLIT_GRAIN}"
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    rates: dict[str, float],
+    id_col: str,
+    *,
+    default_rate: float = 0.0,
+    salt: str = "strat",
+) -> DataFrame:
+    """Deterministic per-stratum sampling — the data-mixing primitive: keep
+    each row with its stratum's rate (e.g. ``{"web": 0.3, "code": 1.0}``
+    to re-weight sources into a training mix).
+
+    Pure whole-stage-codegen filter: no shuffle, no RNG state, no driver
+    action; the same row survives on any engine, any run, any cluster size
+    (``df.sample`` is seed- AND partitioning-dependent, so it is not
+    reproducible across repartitions — this is). Strata absent from
+    ``rates`` get ``default_rate``.
+    """
+    bounds = _rate_bounds(rates)
+    default_bound = _rate_bounds({"_": default_rate})["_"]
+    residue = _sample_residue(strata_col, id_col, salt)
+    bound = None
+    for name, b in bounds.items():
+        cond = F.col(strata_col) == F.lit(name)
+        bound = (
+            F.when(cond, F.lit(b))
+            if bound is None
+            else bound.when(cond, F.lit(b))
+        )
+    bound_expr = (
+        F.lit(default_bound) if bound is None else bound.otherwise(default_bound)
+    )
+    return df.where(residue < bound_expr)
+
+
+def stratified_sample_oracle_where(
+    strata_col: str,
+    rates: dict[str, float],
+    id_col: str,
+    *,
+    default_rate: float = 0.0,
+    salt: str = "strat",
+) -> str:
+    """DuckDB WHERE clause mirroring :func:`stratified_sample`."""
+    bounds = _rate_bounds(rates)
+    default_bound = _rate_bounds({"_": default_rate})["_"]
+    residue = _sample_residue_duck(strata_col, id_col, salt)
+    arms = " ".join(
+        f"WHEN {strata_col} = '{name}' THEN {b}" for name, b in bounds.items()
+    )
+    case = f"CASE {arms} ELSE {default_bound} END" if arms else str(default_bound)
+    return f"({residue}) < ({case})"
+
+
+def take_n_per_stratum(
+    df: DataFrame,
+    strata_col: str,
+    n: int,
+    id_col: str,
+    *,
+    salt: str = "strat",
+    safety: float = 4.0,
+) -> DataFrame:
+    """Exactly ``min(n, |stratum|)`` deterministic rows per stratum: the
+    ``n`` smallest salted hash residues (ties broken by id). Equivalent to
+    ``ROW_NUMBER() OVER (PARTITION BY stratum ORDER BY residue, id) <= n``
+    — but that plain window shuffles the ENTIRE corpus to rank it, and a
+    dominant stratum (half the web) serializes through few tasks.
+
+    Scale shape — threshold pre-prune + exact rescue:
+
+    1. one cheap ``groupBy(stratum).count()`` (map-side combined, output is
+       |strata| rows, broadcast);
+    2. keep rows with ``residue < safety * n / count * GRAIN`` — a pure
+       projection that discards ~everything when ``count >> n``, since
+       residues are uniform;
+    3. strata where the prune kept fewer than ``min(n, count)`` rows (the
+       threshold undershot — possible, just exponentially unlikely at
+       ``safety=4``) are *rescued*: their full row set re-enters via a
+       broadcast semi-join, replacing their pruned subset;
+    4. ``row_number`` ranks only the survivors — ~``safety*n`` rows per
+       stratum instead of the corpus.
+
+    Steps 2–4 are one lazy plan; the result is bit-identical to the plain
+    window ranking (the n smallest residues of a stratum all lie below any
+    threshold that keeps ≥ n rows, and undershot strata are ranked in
+    full), so the oracle can be the plain ROW_NUMBER query.
+    """
+    residue = _sample_residue(strata_col, id_col, salt).alias("__res")
+    base = df.withColumn("__res", residue)
+    counts = base.groupBy(strata_col).agg(F.count(F.lit(1)).alias("__cnt"))
+    with_cnt = base.join(F.broadcast(counts), on=strata_col)
+    thresh = F.least(
+        F.lit(SPLIT_GRAIN),
+        F.ceil(F.lit(float(safety) * n) / F.col("__cnt") * SPLIT_GRAIN),
+    )
+    pruned = with_cnt.where(F.col("__res") < thresh)
+    short = (
+        pruned.groupBy(strata_col)
+        .agg(F.count(F.lit(1)).alias("__kept"))
+        .join(F.broadcast(counts), on=strata_col)
+        .where(F.col("__kept") < F.least(F.lit(n), F.col("__cnt")))
+        .select(strata_col)
+    )
+    # also rescue strata whose prune kept ZERO rows (absent from `pruned`)
+    empty = counts.join(
+        pruned.select(strata_col).distinct(), on=strata_col, how="left_anti"
+    ).select(strata_col)
+    rescue = short.unionByName(empty).distinct()
+    candidates = pruned.join(
+        F.broadcast(rescue), on=strata_col, how="left_anti"
+    ).select(base.columns).unionByName(
+        base.join(F.broadcast(rescue), on=strata_col, how="left_semi")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(strata_col).orderBy(F.col("__res"), F.col(id_col))
+    return (
+        candidates.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= n)
+        .drop("__res", "__rn")
+    )
+
+
+def take_n_per_stratum_oracle_sql(
+    table: str,
+    strata_col: str,
+    n: int,
+    id_col: str,
+    cols: str,
+    *,
+    salt: str = "strat",
+) -> str:
+    """DuckDB mirror: the PLAIN window ranking :func:`take_n_per_stratum`
+    is provably equivalent to — which is exactly the point of the oracle."""
+    residue = _sample_residue_duck(strata_col, id_col, salt)
+    return f"""
+        SELECT {cols} FROM (
+          SELECT *, row_number() OVER (
+                   PARTITION BY {strata_col}
+                   ORDER BY {residue}, {id_col}) AS rn
+          FROM {table})
+        WHERE rn <= {n}
+    """

@@ -111,12 +111,18 @@ def sessionize(
         )
     gap_seconds = _parse_gap_seconds(gap)
     w = Window.partitionBy(user_col).orderBy(F.col(ts_col), F.col("event_id"))
-    prev_ts = F.lag(ts_col).over(w)
+    # unix_micros requires TIMESTAMP; parquet TIMESTAMP(MICROS isAdjustedToUTC
+    # =false) arrives as TIMESTAMP_NTZ under a default session, so cast (a
+    # no-op on LTZ). The cast interprets NTZ in the session zone — harmless
+    # here because only *differences* feed the gap test, and a constant zone
+    # offset cancels.
+    ts_ltz = F.col(ts_col).cast("timestamp")
+    prev_ts = F.lag(ts_ltz).over(w)
     # gap must be measured at full timestamp precision: unix_timestamp()
     # truncates to seconds, which mis-classifies gaps whose sub-second
     # fractions straddle a second boundary (and diverges from both
     # session_window and a fractional-epoch SQL oracle)
-    gap_micros = F.unix_micros(F.col(ts_col)) - F.unix_micros(prev_ts)
+    gap_micros = F.unix_micros(ts_ltz) - F.unix_micros(prev_ts)
     new_session = F.when(
         prev_ts.isNull() | (gap_micros > gap_seconds * 1_000_000), 1
     ).otherwise(0)

@@ -1668,6 +1668,58 @@ def _register_corpus() -> None:
         docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
         return cp.repetition_profile(docs, "doc_id", "text")
 
+    _BENCH_WHERE = "doc_id % 41 = 7"  # deterministic ~2.4% "eval benchmark"
+
+    @_register(
+        "corpus_decontaminate",
+        cp.decontaminate_oracle_sql(
+            "documents", _BENCH_WHERE, "doc_id", "text", ngram=5
+        ),
+    )
+    def corpus_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Benchmark decontamination: count of distinct 5-grams each
+        training document shares with the (broadcast) eval set. The eval
+        side is tiny by construction, so the 100 TB training side is never
+        shuffled for the match — explode, broadcast-hash join, one
+        map-side-combined count per doc."""
+        docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+        bench = docs.where(F.expr(_BENCH_WHERE))
+        return cp.decontaminate(docs, bench, "doc_id", "text", ngram=5)
+
+    _MIX_RATES = {"src0": 1.0, "src1": 0.5, "src2": 0.25, "src3": 0.0}
+
+    @_register(
+        "corpus_stratified_sample",
+        f"""
+        SELECT doc_id, source FROM documents
+        WHERE {cp.stratified_sample_oracle_where(
+            'source', _MIX_RATES, 'doc_id', default_rate=0.1)}
+        """,
+    )
+    def corpus_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Data-mixing primitive: deterministic per-source sampling rates
+        as a pure codegen filter (no shuffle, no RNG, reproducible across
+        engines/cluster sizes — the oracle recomputes the salted hash
+        threshold in DuckDB and must agree row-for-row)."""
+        docs = read_table(spark, sf_dir, "documents").select("doc_id", "source")
+        return cp.stratified_sample(
+            docs, "source", _MIX_RATES, "doc_id", default_rate=0.1
+        )
+
+    @_register(
+        "corpus_take_n_stratum",
+        cp.take_n_per_stratum_oracle_sql(
+            "documents", "source", 5, "doc_id", "doc_id, source"
+        ),
+    )
+    def corpus_take_n_stratum(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Exactly 5 deterministic docs per source via threshold pre-prune
+        + broadcast rescue — the row_number shuffle ranks ~safety*n rows
+        per stratum, not the corpus. The oracle is the plain ROW_NUMBER
+        ranking the pruned plan is provably equivalent to."""
+        docs = read_table(spark, sf_dir, "documents").select("doc_id", "source")
+        return cp.take_n_per_stratum(docs, "source", 5, "doc_id")
+
 
 _register_corpus()
 
