@@ -1288,6 +1288,62 @@ def _register_asof() -> None:
 _register_asof()
 
 
+def _register_range_join() -> None:
+    from window_aggregation_spark.operators.range_join import range_join
+
+    @_register(
+        "range_join_incidents",
+        """
+        WITH iv AS (
+          SELECT event_id AS incident_id, ts AS win_start,
+                 ts + INTERVAL 15 MINUTE AS win_end
+          FROM events WHERE event_type = 'error' AND value > 99.3)
+        SELECT p.event_id, iv.incident_id,
+               round(date_diff('microsecond', iv.win_start, p.ts)
+                     / 1000000.0, 4) AS delay_s
+        FROM events p JOIN iv
+          ON iv.win_start <= p.ts AND p.ts < iv.win_end
+        WHERE p.event_type = 'purchase'
+        """,
+    )
+    def range_join_incidents(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Interval join via time-bucketing: purchases landing inside any
+        15-minute incident window (opened by high-value error events). The
+        naive inequality join is a BroadcastNestedLoopJoin — O(P·I)
+        comparisons; the bucketed decomposition is a plain equi-join on the
+        bucket id (one hash shuffle per side, each point in exactly one
+        bucket so pairs are found exactly once, no dedup)."""
+        events = read_table(spark, sf_dir, "events")
+        pts = events.where(F.col("event_type") == "purchase").select(
+            "event_id", "ts"
+        )
+        iv = (
+            events.where(
+                (F.col("event_type") == "error") & (F.col("value") > 99.3)
+            )
+            .select(
+                F.col("event_id").alias("incident_id"),
+                F.col("ts").alias("win_start"),
+                (F.col("ts") + F.expr("INTERVAL 15 MINUTES")).alias("win_end"),
+            )
+        )
+        from pyspark.sql.functions import unix_micros
+
+        joined = range_join(
+            pts, iv, "ts", "win_start", "win_end", bucket="15 minutes"
+        )
+        delay = (
+            unix_micros(F.col("ts").cast("timestamp"))
+            - unix_micros(F.col("win_start").cast("timestamp"))
+        ) / F.lit(1_000_000.0)
+        return joined.select(
+            "event_id", "incident_id", F.round(delay, 4).alias("delay_s")
+        )
+
+
+_register_range_join()
+
+
 @_register(
     "w_extended_aggregates",
     f"""
