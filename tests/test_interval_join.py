@@ -1,0 +1,95 @@
+"""Stream-stream interval join: streaming result must equal the batch
+join on the same fixture data (inner join, append mode), and join state
+must be watermark-bounded."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from window_aggregation_spark.sources.io import read_table
+from window_aggregation_spark.streaming.interval_join import interval_join
+
+SCHEMA = (
+    "event_id long, ts timestamp, user_id long, event_type string, "
+    "value double, props string"
+)
+
+
+@pytest.fixture(scope="module")
+def events_dir(sf_dir, tmp_path_factory):
+    import shutil
+
+    d = tmp_path_factory.mktemp("events_ij")
+    shutil.copy(f"{sf_dir}/events.parquet", d / "events.parquet")
+    return str(d)
+
+
+def _sides(df):
+    left = df.where("event_type = 'purchase'").select(
+        F.col("event_id").alias("p_id"), "user_id", "ts"
+    )
+    right = df.where("event_type = 'error'").select(
+        F.col("event_id").alias("e_id"),
+        "user_id",
+        F.col("ts").alias("ts_r"),
+    )
+    return left, right
+
+
+def _pairs(df):
+    return {(r["p_id"], r["e_id"]) for r in df.collect()}
+
+
+def test_stream_equals_batch(spark, sf_dir, events_dir):
+    batch = read_table(spark, sf_dir, "events")
+    bl, br = _sides(batch)
+    want = _pairs(
+        interval_join(bl, br, ["user_id"], "ts", "ts_r", upper="30 minutes")
+    )
+    assert want  # fixture must actually produce matches
+
+    stream = (
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(events_dir)
+    )
+    sl, sr = _sides(stream)
+    out = interval_join(sl, sr, ["user_id"], "ts", "ts_r", upper="30 minutes")
+    assert out.isStreaming
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("ij_out")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = _pairs(spark.table("ij_out"))
+    assert got == want
+
+
+def test_mixed_batch_stream_rejected(spark, sf_dir, events_dir):
+    batch = read_table(spark, sf_dir, "events")
+    bl, _ = _sides(batch)
+    stream = spark.readStream.schema(SCHEMA).parquet(events_dir)
+    _, sr = _sides(stream)
+    with pytest.raises(ValueError):
+        interval_join(bl, sr, ["user_id"], "ts", "ts_r")
+
+
+def test_half_open_bounds(spark):
+    left = spark.createDataFrame(
+        [(1, 7, "2024-01-01 10:00:00"), (2, 7, "2024-01-01 10:15:00")],
+        "p_id long, user_id long, s string",
+    ).select("p_id", "user_id", F.to_timestamp("s").alias("ts"))
+    right = spark.createDataFrame(
+        [(9, 7, "2024-01-01 10:00:00")], "e_id long, user_id long, s string"
+    ).select("e_id", "user_id", F.to_timestamp("s").alias("ts_r"))
+    got = _pairs(
+        interval_join(left, right, ["user_id"], "ts", "ts_r", upper="15 minutes")
+    )
+    # 10:00 == right_ts + lower: included; 10:15 == right_ts + upper: excluded
+    assert got == {(1, 9)}

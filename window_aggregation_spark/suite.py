@@ -1232,6 +1232,49 @@ def _register_multimodal_streaming() -> None:
             keyed, ["user_id", "event_type", "window_start"], ts_col="ts"
         ).select("user_id", "event_type", "window_start", "event_id", "value")
 
+    @_register(
+        "stream_interval_join",
+        """
+        SELECT p.event_id AS p_id, p.user_id, e.event_id AS e_id,
+               round(date_diff('microsecond', e.ts, p.ts) / 1000000.0, 4)
+                 AS delay_s
+        FROM events p JOIN events e
+          ON p.user_id = e.user_id
+         AND p.ts >= e.ts AND p.ts < e.ts + INTERVAL 30 MINUTE
+        WHERE p.event_type = 'purchase' AND e.event_type = 'error'
+        """,
+    )
+    def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Batch twin of the stream-stream interval join (purchases matched
+        to same-user errors in the preceding 30 minutes). The streaming
+        half — watermarks on both sides + the time bound in the join
+        condition, which is what lets Spark evict join state — is pinned
+        stream==batch by tests/test_interval_join.py."""
+        from window_aggregation_spark.streaming.interval_join import (
+            interval_join,
+        )
+        from pyspark.sql.functions import unix_micros
+
+        events = read_table(spark, sf_dir, "events")
+        left = events.where(F.col("event_type") == "purchase").select(
+            F.col("event_id").alias("p_id"), "user_id", "ts"
+        )
+        right = events.where(F.col("event_type") == "error").select(
+            F.col("event_id").alias("e_id"),
+            "user_id",
+            F.col("ts").alias("ts_r"),
+        )
+        joined = interval_join(
+            left, right, ["user_id"], "ts", "ts_r", upper="30 minutes"
+        )
+        delay = (
+            unix_micros(F.col("ts").cast("timestamp"))
+            - unix_micros(F.col("ts_r").cast("timestamp"))
+        ) / F.lit(1_000_000.0)
+        return joined.select(
+            "p_id", "user_id", "e_id", F.round(delay, 4).alias("delay_s")
+        )
+
 
 _register_multimodal_streaming()
 
