@@ -1,0 +1,86 @@
+"""SemDeDup-style semantic dedup: numpy and expression assignment agree,
+within-cluster pair search recalls the exact all-pairs result, survivors
+follow the greedy keep-lowest rule."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from window_aggregation_spark.operators.dedup import cosine
+from window_aggregation_spark.operators.semantic import (
+    cluster_assign,
+    semantic_dedup,
+    semantic_dup_pairs,
+)
+from window_aggregation_spark.sources.io import read_table
+
+THRESH = 0.45
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return read_table(spark, sf_dir, "embeddings")
+
+
+def _exact_pairs(emb, threshold):
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+    return {
+        (r["id_a"], r["id_b"])
+        for r in a.crossJoin(b)
+        .where(F.col("id_a") < F.col("id_b"))
+        .where(F.round(cosine(F.col("va"), F.col("vb")), 4) >= threshold)
+        .collect()
+    }
+
+
+def test_numpy_and_expr_assignment_agree(spark, emb):
+    """The broadcast-matmul (scale) and expression (oracle) assignments
+    must produce the same (id, cluster) set — argmax over the same
+    centroids, ties to the lowest index in both."""
+    kw = dict(n_clusters=8, probes=2)
+    got_np = {
+        (r["id"], r["cluster_id"])
+        for r in cluster_assign(emb, assign="numpy", **kw).collect()
+    }
+    got_ex = {
+        (r["id"], r["cluster_id"])
+        for r in cluster_assign(emb, assign="expr", **kw).collect()
+    }
+    assert got_np == got_ex
+
+
+def test_pair_recall_vs_exact(spark, emb):
+    want = _exact_pairs(emb, THRESH)
+    assert want, "fixture must contain near-dup pairs at this threshold"
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in semantic_dup_pairs(
+            emb, n_clusters=8, probes=3, threshold=THRESH, assign="expr"
+        ).collect()
+    }
+    assert got <= want  # no false positives: every pair is cosine-verified
+    assert len(got) >= 0.7 * len(want)  # recall bar, same as LSH variants
+
+
+def test_semantic_dedup_drops_pair_losers(spark, emb):
+    pairs = semantic_dup_pairs(
+        emb, n_clusters=8, probes=3, threshold=THRESH, assign="expr"
+    )
+    losers = {r["id_b"] for r in pairs.collect()}
+    survivors = {
+        r["vec_id"]
+        for r in semantic_dedup(
+            emb, n_clusters=8, probes=3, threshold=THRESH, assign="expr"
+        ).collect()
+    }
+    total = {r["vec_id"] for r in emb.select("vec_id").collect()}
+    assert survivors == total - losers
+
+
+def test_kmeans_iters_rejected_for_expr(spark, emb):
+    with pytest.raises(ValueError):
+        cluster_assign(emb, assign="expr", kmeans_iters=2)
+    with pytest.raises(ValueError):
+        cluster_assign(emb, assign="nope")

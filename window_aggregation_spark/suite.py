@@ -1039,6 +1039,46 @@ def _register_similarity() -> None:
         WHERE rn <= 5
         """
 
+    def _duck_semantic_sql() -> str:
+        """DuckDB recomputation of expression-level semantic dedup pairs:
+        centroids = first 8 vectors by id, every vector assigned to its 3
+        nearest centroids (same cosine fold, ties -> lowest index), distinct
+        within-cluster pairs above the rounded threshold."""
+        cos_a = _duck_cosine("r.v", "cents.cent_v")
+        cos_p = _duck_cosine("a.v", "b.v")
+        return f"""
+        WITH r AS (SELECT vec_id AS id, embedding AS v FROM embeddings),
+        cents AS (SELECT CAST(row_number() OVER (ORDER BY id ASC) AS INT) - 1
+                         AS cidx, v AS cent_v
+                  FROM (SELECT id, v FROM r ORDER BY id LIMIT 8)),
+        asg AS (SELECT id, v, cidx AS cluster_id FROM (
+           SELECT r.id, r.v, cents.cidx,
+                  row_number() OVER (PARTITION BY r.id
+                    ORDER BY {cos_a} DESC, cents.cidx ASC) AS ar
+           FROM r CROSS JOIN cents) WHERE ar <= 3)
+        SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+               ROUND({cos_p}, 4) AS cos_sim
+        FROM asg a JOIN asg b ON a.cluster_id = b.cluster_id AND a.id < b.id
+        WHERE ROUND({cos_p}, 4) >= 0.45
+        """
+
+    @_register("dedup_semantic_pairs", _duck_semantic_sql())
+    def dedup_semantic_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """SemDeDup-style semantic near-dup pairs: cluster embeddings
+        (8 centroids, each vector probed into its 3 nearest — the
+        IVF-nprobe recall trick), compare only within clusters. The
+        expression-assignment path makes every arithmetic step DuckDB-
+        reproducible; the numpy broadcast-matmul assignment (the 100 TB
+        path) is pinned equal to it in tests/test_semantic.py."""
+        from window_aggregation_spark.operators.semantic import (
+            semantic_dup_pairs,
+        )
+
+        emb = read_table(spark, sf_dir, "embeddings")
+        return semantic_dup_pairs(
+            emb, n_clusters=8, probes=3, threshold=0.45, assign="expr"
+        )
+
     @_register("sim_topk_ivf", _duck_ivf_sql())
     def sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         """IVF with the expression-level assignment (``assign="expr"``) so
@@ -1348,6 +1388,7 @@ def _register_range_join() -> None:
           ON iv.win_start <= p.ts AND p.ts < iv.win_end
         WHERE p.event_type = 'purchase'
         """,
+        headline=True,
     )
     def range_join_incidents(spark: SparkSession, sf_dir: str) -> DataFrame:
         """Interval join via time-bucketing: purchases landing inside any
@@ -1774,6 +1815,7 @@ def _register_corpus() -> None:
         cp.decontaminate_oracle_sql(
             "documents", _BENCH_WHERE, "doc_id", "text", ngram=5
         ),
+        headline=True,
     )
     def corpus_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         """Benchmark decontamination: count of distinct 5-grams each
