@@ -147,3 +147,68 @@ def test_salted_handles_constant_order_column(spark):
     out = salted_running_sum(df, ["k"], "o", "v", chunks=8)
     vals = {r["run_sum"] for r in out.collect()}
     assert vals == {20.0}  # all rows are peers -> full-partition sum for each
+
+
+# ---------------------------------------------------------------------------
+# salted equi-join
+# ---------------------------------------------------------------------------
+
+
+def test_salted_join_equals_plain_join_on_hot_key(spark):
+    """90% of the fact side under ONE key — the motivating shape. The
+    salted result must be the exact multiset of the plain join."""
+    from window_aggregation_spark.operators.skew import salted_join
+
+    fact = spark.range(0, 1000).select(
+        F.when(F.col("id") < 900, F.lit(7)).otherwise(F.col("id")).alias("k"),
+        F.col("id").alias("fact_id"),
+    )
+    dim = spark.createDataFrame(
+        [(7, "hot"), (950, "cold"), (999, "cold2"), (12345, "unmatched")],
+        "k long, label string",
+    )
+    got = sorted(
+        (r["k"], r["fact_id"], r["label"])
+        for r in salted_join(fact, dim, ["k"], salts=4).collect()
+    )
+    want = sorted(
+        (r["k"], r["fact_id"], r["label"])
+        for r in fact.join(dim, on="k").collect()
+    )
+    assert got == want
+    assert len(got) == 902  # 900 hot + 2 cold
+
+
+def test_salted_left_join_keeps_unmatched_fact_rows(spark):
+    from window_aggregation_spark.operators.skew import salted_join
+
+    fact = spark.createDataFrame(
+        [(1, 10), (1, 11), (2, 20)], "k long, fact_id long"
+    )
+    dim = spark.createDataFrame([(1, "a")], "k long, label string")
+    got = {
+        (r["k"], r["fact_id"], r["label"])
+        for r in salted_join(fact, dim, ["k"], salts=3, how="left").collect()
+    }
+    assert got == {(1, 10, "a"), (1, 11, "a"), (2, 20, None)}
+
+
+def test_salted_join_duplicate_fact_rows_join_once_each(spark):
+    """Identical fact rows share a salt; each row instance must still pair
+    exactly once with each matching dim row (multiset semantics)."""
+    from window_aggregation_spark.operators.skew import salted_join
+
+    fact = spark.createDataFrame([(1, 5), (1, 5), (1, 5)], "k long, v long")
+    dim = spark.createDataFrame([(1, "x"), (1, "y")], "k long, label string")
+    out = salted_join(fact, dim, ["k"], salts=4)
+    assert out.count() == 6  # 3 fact instances x 2 dim rows
+
+
+def test_salted_join_rejects_bad_args(spark):
+    from window_aggregation_spark.operators.skew import salted_join
+
+    df = spark.range(1).select(F.col("id").alias("k"))
+    with pytest.raises(ValueError):
+        salted_join(df, df, ["k"], how="full")
+    with pytest.raises(ValueError):
+        salted_join(df, df, ["k"], salts=0)

@@ -200,3 +200,54 @@ def salted_running_sum(
     return salted_running_agg(
         df, keys, order_col, field, agg="sum", chunks=chunks, alias=alias
     )
+
+
+# ---------------------------------------------------------------------------
+# salted equi-join
+# ---------------------------------------------------------------------------
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    *,
+    salts: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join with the hot-key salting decomposition: a key holding a
+    disproportionate share of ``left`` (the fact side) no longer lands in
+    one shuffle partition.
+
+    Every ``left`` row gets a deterministic per-row salt in ``[0, salts)``
+    (hash of the whole row — any uniform per-row value works, the salt
+    only needs to spread a single key's rows); ``right`` (the dimension
+    side) is replicated once per salt via ``explode(sequence(...))``; the
+    join runs on ``(on..., salt)``, splitting each hot key's rows across
+    ``salts`` tasks. Result set is EXACTLY the plain join's: each left row
+    carries one salt, and the right side supplies every salt for its key,
+    so each (left row, right row) pair meets exactly once.
+
+    Cost: ``salts``x replication of the right side's shuffle volume — use
+    for joins where the right side is far smaller than the hot key's row
+    count but too big (or too streaming) to broadcast outright.
+
+    When to reach for this instead of AQE: ``spark.sql.adaptive.skewJoin``
+    re-splits skewed *partitions* at runtime and is the right default for
+    batch — but it only kicks in for sort-merge joins, after a completed
+    map stage, and not in Structured Streaming joins; explicit salting
+    also keeps working when the skew is a single key that exceeds one
+    task's memory even after AQE's split factor.
+
+    ``how`` is ``inner`` or ``left`` (each left row keeps exactly its own
+    salt, so left-outer semantics survive salting unchanged).
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"salted_join: unsupported how={how!r} (inner/left)")
+    if salts < 1:
+        raise ValueError("salted_join: salts must be >= 1")
+    lsalt = F.pmod(F.xxhash64(*[F.col(c) for c in left.columns]), F.lit(salts))
+    lhs = left.withColumn("__salt", lsalt.cast("int"))
+    rhs = right.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(salts - 1)))
+    )
+    return lhs.join(rhs, on=[*on, "__salt"], how=how).drop("__salt")

@@ -1694,6 +1694,31 @@ def _register_skew() -> None:
             agg="stddev", chunks=32, alias="run_std",
         )
 
+    @_register(
+        "skew_salted_join",
+        """
+        SELECT l.l_orderkey, l.l_linenumber, l.l_quantity,
+               o.o_totalprice, o.o_orderstatus
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        """,
+    )
+    def skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Hot-key salted equi-join (fact = lineitem, dim = orders): per-row
+        salt on the fact side, salt-exploded dim side, join on
+        (key, salt) — result is exactly the plain join, which IS the
+        oracle. The streaming/beyond-AQE skew escape hatch."""
+        from window_aggregation_spark.operators.skew import salted_join
+
+        li = read_table(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_linenumber", "l_quantity"
+        )
+        orders = read_table(spark, sf_dir, "orders").select(
+            F.col("o_orderkey").alias("l_orderkey"),
+            "o_totalprice",
+            "o_orderstatus",
+        )
+        return salted_join(li, orders, ["l_orderkey"], salts=8)
+
 
 _register_skew()
 
