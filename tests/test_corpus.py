@@ -357,3 +357,26 @@ def test_take_n_per_stratum_small_stratum_keeps_all(spark):
     )
     out = cp.take_n_per_stratum(df, "src", 5, "doc_id")
     assert out.count() == 3
+
+
+def test_deterministic_shuffle_key_and_order(spark, docs):
+    out = cp.deterministic_shuffle(docs, "doc_id", num_partitions=8)
+    # key matches the DuckDB rendering row-for-row
+    got = {(r["doc_id"], r["shuffle_key"]) for r in out.collect()}
+    want = {
+        (i, k)
+        for i, k in duckdb.sql(
+            "SELECT doc_id, "
+            + cp.deterministic_shuffle_key_duck("doc_id")
+            + " FROM (SELECT unnest(range(0, 500)) AS doc_id)"
+        ).fetchall()
+    }
+    assert got == want
+    # globally sorted: partition i's keys all precede partition i+1's
+    parts = out.select("shuffle_key").rdd.glom().collect()
+    flat = [k["shuffle_key"] for p in parts for k in p]
+    assert flat == sorted(flat)
+    # a different salt is a different permutation
+    other = cp.deterministic_shuffle(docs, "doc_id", salt="epoch2")
+    pairs = {(r["doc_id"], r["shuffle_key"]) for r in other.collect()}
+    assert dict(pairs) != dict(got)

@@ -103,3 +103,20 @@ def test_lsh_candidate_generation_has_no_self_join(spark, sf_dir):
         assert plan.count("partial_collect_list") == 1, label
         assert "CartesianProduct" not in plan, label
         assert "EvalPython" not in plan, label
+
+
+def test_decontaminate_broadcasts_benchmark_side(spark, sf_dir):
+    """The corpus-side n-gram stream must meet the benchmark set through a
+    broadcast hash join — a sort-merge join here would shuffle the entire
+    exploded 100 TB n-gram stream on the gram string."""
+    plan = _plan(SUITE["corpus_decontaminate"].build(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_range_join_is_equi_join_on_bucket(spark, sf_dir):
+    """The interval join must compile to an equi-join (hash or broadcast),
+    never a nested-loop/cartesian over the raw inequality."""
+    plan = _plan(SUITE["range_join_incidents"].build(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan

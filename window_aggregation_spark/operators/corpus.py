@@ -627,3 +627,48 @@ def take_n_per_stratum_oracle_sql(
           FROM {table})
         WHERE rn <= {n}
     """
+
+
+# ---------------------------------------------------------------------------
+# reproducible corpus shuffle
+# ---------------------------------------------------------------------------
+
+def deterministic_shuffle(
+    df: DataFrame,
+    id_col: str,
+    *,
+    salt: str = "shuffle",
+    num_partitions: int | None = None,
+    alias: str = "shuffle_key",
+) -> DataFrame:
+    """Reproducible global shuffle — the training-order randomization pass:
+    rows globally ordered by a salted portable hash of the id (ties by id),
+    so the "random" order is identical on any engine, any run, any cluster
+    size, and changing ``salt`` is a fresh epoch permutation.
+
+    Scale shape: ``repartitionByRange`` + ``sortWithinPartitions`` — Spark's
+    scale-safe global sort (range boundaries from a sampled sketch, every
+    partition sorts locally; no single task ever owns the global order,
+    unlike a bare ``Window.orderBy`` rank). The hash key is kept in the
+    output (``alias``) so downstream shard writers and resumed epochs can
+    re-derive position without re-sorting.
+    """
+    key = F.pmod(
+        portable_hash64(
+            F.concat_ws(":", F.lit(salt), F.col(id_col).cast("string"))
+        ),
+        F.lit(SPLIT_GRAIN),
+    )
+    out = df.withColumn(alias, key)
+    n = num_partitions or out.sparkSession.conf.get(
+        "spark.sql.shuffle.partitions", "200"
+    )
+    return out.repartitionByRange(
+        int(n), F.col(alias), F.col(id_col)
+    ).sortWithinPartitions(F.col(alias), F.col(id_col))
+
+
+def deterministic_shuffle_key_duck(id_expr: str, salt: str = "shuffle") -> str:
+    """DuckDB rendering of the shuffle key."""
+    h = portable_hash64_duck(f"concat('{salt}', ':', CAST({id_expr} AS VARCHAR))")
+    return f"(({h}) % {SPLIT_GRAIN} + {SPLIT_GRAIN}) % {SPLIT_GRAIN}"

@@ -1873,6 +1873,23 @@ def _register_corpus() -> None:
         )
 
     @_register(
+        "corpus_shuffle",
+        f"""
+        SELECT doc_id,
+               {cp.deterministic_shuffle_key_duck('doc_id')} AS shuffle_key
+        FROM documents
+        """,
+    )
+    def corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Reproducible global shuffle: salted-hash order via
+        repartitionByRange + local sort (scale-safe global sort — no
+        single-task rank). The oracle recomputes the permutation key
+        per row; within-partition sortedness and cross-salt permutation
+        independence are pinned in tests/test_corpus.py."""
+        docs = read_table(spark, sf_dir, "documents").select("doc_id")
+        return cp.deterministic_shuffle(docs, "doc_id", num_partitions=8)
+
+    @_register(
         "corpus_take_n_stratum",
         cp.take_n_per_stratum_oracle_sql(
             "documents", "source", 5, "doc_id", "doc_id, source"
