@@ -335,3 +335,28 @@ def test_multimodal_frame_sampling(docs):
     assert set(pdf.columns) == {"doc_id", "frame_idx", "frame_bytes"}
     per_doc = pdf.groupby("doc_id").size()
     assert (per_doc <= 4).all() and (per_doc >= 1).all()
+
+
+def test_dedup_new_against_corpus_filters_only_cross_dupes(spark, sf_dir):
+    """The ingestion filter drops exactly the new docs with a corpus
+    near-dup partner; intra-batch duplicates are NOT its business (run the
+    self variant on the survivors for that)."""
+    from pyspark.sql import functions as F
+
+    from window_aggregation_spark.operators import dedup as dd
+    from window_aggregation_spark.sources.io import read_table
+
+    docs = read_table(spark, sf_dir, "documents")
+    new = docs.where("doc_id % 7 = 3")
+    corpus = docs.where("doc_id % 7 <> 3")
+    pairs = dd.minhash_dedup_against(new, corpus, "doc_id", threshold=0.3)
+    flagged = {r["new_id"] for r in pairs.collect()}
+    assert flagged  # fixture has cross-split near-dups
+    kept = {
+        r["doc_id"]
+        for r in dd.dedup_new_against_corpus(
+            new, corpus, "doc_id", threshold=0.3
+        ).collect()
+    }
+    all_new = {r["doc_id"] for r in new.select("doc_id").collect()}
+    assert kept == all_new - flagged

@@ -163,6 +163,32 @@ def jaccard(a: Column, b: Column) -> Column:
     return F.when(union == 0, F.lit(0.0)).otherwise(inter / union)
 
 
+def _band_keys(
+    sigs: DataFrame, id_col: str, *, num_hashes: int, bands: int
+) -> DataFrame:
+    """Explode a signature row into ``bands`` (band, key) rows, the LSH
+    bucket keys: key = hash of the band's signature slice (equal slices <=>
+    equal keys). One projection, no shuffle."""
+    rows = num_hashes // bands
+    return sigs.select(
+        F.col(id_col).alias("__id"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            F.lit(b),
+                            *[F.col(f"m{b * rows + j}") for j in range(rows)],
+                        ).alias("key"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("__id", "bk.band", "bk.key")
+
+
 def minhash_dedup_pairs(
     df: DataFrame,
     id_col: str,
@@ -182,27 +208,10 @@ def minhash_dedup_pairs(
     ``max_bucket_size`` drops degenerate buckets before the pair join (see
     inline comment) — set None to disable.
     """
-    rows = num_hashes // bands
     sigs = minhash_signatures(
         df, id_col, text_col, ngram=ngram, num_hashes=num_hashes
     )
-    banded = sigs.select(
-        F.col(id_col).alias("__id"),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.xxhash64(
-                            F.lit(b),
-                            *[F.col(f"m{b * rows + j}") for j in range(rows)],
-                        ).alias("key"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bk"),
-    ).select("__id", "bk.band", "bk.key")
+    banded = _band_keys(sigs, id_col, num_hashes=num_hashes, bands=bands)
 
     # Candidate pairs WITHOUT a self-join: group member ids per (band, key)
     # bucket, then double-explode the id array (a, then b > a). A self-join
@@ -663,3 +672,79 @@ def _embedding_dup_pairs_bucketed(
         .where(F.col("cos_sim") >= threshold)
         .select("id_a", "id_b", "cos_sim")
     )
+
+
+def minhash_dedup_against(
+    new: DataFrame,
+    corpus: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    *,
+    ngram: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Incremental (cross-corpus) near-dup detection: which ``new`` docs
+    near-duplicate something ALREADY IN ``corpus``. Returns
+    ``(new_id, corpus_id, jaccard)`` with jaccard >= threshold.
+
+    This is the ingestion-time shape: the corpus is 100 TB and static, the
+    new batch is small. Both sides get signatures + band keys, the join
+    runs on ``(band, key)`` with the NEW side broadcast — the corpus's
+    banded rows are never shuffled, and with persisted corpus signatures
+    (``minhash_signatures`` output is a plain DataFrame — write it once)
+    the corpus text is touched only to verify the few candidates.
+    Candidates are verified with exact Jaccard post-join, same as
+    :func:`minhash_dedup_pairs`.
+    """
+    nsig = minhash_signatures(
+        new, id_col, text_col, ngram=ngram, num_hashes=num_hashes
+    )
+    csig = minhash_signatures(
+        corpus, id_col, text_col, ngram=ngram, num_hashes=num_hashes
+    )
+    nband = _band_keys(nsig, id_col, num_hashes=num_hashes, bands=bands)
+    cband = _band_keys(csig, id_col, num_hashes=num_hashes, bands=bands)
+    candidates = (
+        F.broadcast(nband.withColumnRenamed("__id", "new_id"))
+        .join(cband.withColumnRenamed("__id", "corpus_id"), on=["band", "key"])
+        .select("new_id", "corpus_id")
+        .dropDuplicates(["new_id", "corpus_id"])
+    )
+    ntexts = new.select(
+        F.col(id_col).alias("new_id"), F.col(text_col).alias("__ta")
+    )
+    ctexts = corpus.select(
+        F.col(id_col).alias("corpus_id"), F.col(text_col).alias("__tb")
+    )
+    return (
+        candidates.join(F.broadcast(ntexts), on="new_id")
+        .join(ctexts, on="corpus_id")
+        .withColumn(
+            "jaccard",
+            F.round(
+                jaccard(
+                    shingles(F.col("__ta"), ngram),
+                    shingles(F.col("__tb"), ngram),
+                ),
+                4,
+            ),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("new_id", "corpus_id", "jaccard")
+    )
+
+
+def dedup_new_against_corpus(
+    new: DataFrame,
+    corpus: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    **kwargs,
+) -> DataFrame:
+    """The ingestion filter itself: ``new`` minus anything that
+    near-duplicates the existing corpus."""
+    pairs = minhash_dedup_against(new, corpus, id_col, text_col, **kwargs)
+    dupes = pairs.select(F.col("new_id").alias(id_col)).distinct()
+    return new.join(dupes, on=id_col, how="left_anti")

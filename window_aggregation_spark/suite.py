@@ -658,13 +658,21 @@ def _duck_cosine(a: str, b: str) -> str:
     return f"({dot(a, b)} / (sqrt({dot(a, a)}) * sqrt({dot(b, b)})))"
 
 
-def _duck_minhash_lsh_sql() -> str:
+def _duck_minhash_lsh_sql(
+    split_where: str | None = None,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> str:
     """DuckDB recomputation of minhash+LSH dedup from first principles:
     same shingles, same portable md5-derived hash, same 64 universal-hash
     permutations (constants imported from the operator), same 16-band
     agreement rule, same exact-Jaccard verification. The one deliberate
     difference: candidates come from a direct band-tuple comparison instead
-    of Spark's shuffle on a hashed band key (equal tuples <=> equal keys)."""
+    of Spark's shuffle on a hashed band key (equal tuples <=> equal keys).
+
+    With ``split_where`` the self-pair rule (``l.doc_id < r.doc_id``)
+    becomes the CROSS-corpus rule: left side = docs matching the filter
+    (the "new batch"), right side = the rest (the existing corpus)."""
     from window_aggregation_spark.operators import dedup as dd
 
     h = dd.portable_hash64_duck("s")
@@ -682,6 +690,12 @@ def _duck_minhash_lsh_sql() -> str:
         "ELSE len(list_intersect(a.sh, b.sh)) "
         "/ len(list_distinct(list_concat(a.sh, b.sh))) END"
     )
+    pair_rule = (
+        f"(l.doc_id IN (SELECT doc_id FROM documents WHERE {split_where}))"
+        f" AND (r.doc_id NOT IN (SELECT doc_id FROM documents WHERE {split_where}))"
+        if split_where
+        else "l.doc_id < r.doc_id"
+    )
     return f"""
         WITH sh AS (SELECT doc_id, {_DUCK_SHINGLES} AS sh FROM documents),
         ex AS (SELECT doc_id, unnest(sh) AS s FROM sh),
@@ -689,14 +703,14 @@ def _duck_minhash_lsh_sql() -> str:
         sig AS (SELECT doc_id,
                {mins}
                FROM hs GROUP BY doc_id),
-        cand AS (SELECT l.doc_id AS id_a, r.doc_id AS id_b
+        cand AS (SELECT l.doc_id AS {id_a}, r.doc_id AS {id_b}
                  FROM sig l JOIN sig r
-                   ON l.doc_id < r.doc_id AND ({band_conds}))
-        SELECT id_a, id_b, jaccard FROM (
-          SELECT c.id_a, c.id_b, ROUND({jac}, 4) AS jaccard
+                   ON {pair_rule} AND ({band_conds}))
+        SELECT {id_a}, {id_b}, jaccard FROM (
+          SELECT c.{id_a}, c.{id_b}, ROUND({jac}, 4) AS jaccard
           FROM cand c
-          JOIN sh a ON c.id_a = a.doc_id
-          JOIN sh b ON c.id_b = b.doc_id)
+          JOIN sh a ON c.{id_a} = a.doc_id
+          JOIN sh b ON c.{id_b} = b.doc_id)
         WHERE jaccard >= 0.3
         """
 
@@ -816,6 +830,28 @@ def _register_dedup() -> None:
     def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         df = read_table(spark, sf_dir, "documents")
         return dd.minhash_dedup_pairs(df, "doc_id", threshold=0.3)
+
+    _NEW_BATCH_WHERE = "doc_id % 7 = 3"  # deterministic ~14% "new batch"
+
+    @_register(
+        "dedup_incremental",
+        _duck_minhash_lsh_sql(
+            split_where=_NEW_BATCH_WHERE, id_a="new_id", id_b="corpus_id"
+        ),
+    )
+    def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Ingestion-time cross-corpus dedup: which docs of a new batch
+        near-duplicate the EXISTING corpus. Both sides get minhash band
+        keys; the join runs on (band, key) with the small new side
+        broadcast — the 100 TB corpus's banded rows are never shuffled.
+        Candidates are exact-Jaccard verified, same bar as the self
+        variant."""
+        docs = read_table(spark, sf_dir, "documents")
+        new = docs.where(F.expr(_NEW_BATCH_WHERE))
+        corpus = docs.where(~F.expr(_NEW_BATCH_WHERE))
+        return dd.minhash_dedup_against(
+            new, corpus, "doc_id", threshold=0.3
+        )
 
     @_register(
         "dedup_minhash_cc",
