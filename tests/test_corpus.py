@@ -380,3 +380,74 @@ def test_deterministic_shuffle_key_and_order(spark, docs):
     other = cp.deterministic_shuffle(docs, "doc_id", salt="epoch2")
     pairs = {(r["doc_id"], r["shuffle_key"]) for r in other.collect()}
     assert dict(pairs) != dict(got)
+
+
+# ---------------------------------------------------------------------------
+# context-window chunking
+# ---------------------------------------------------------------------------
+
+
+def test_chunk_documents_windows_and_overlap(spark):
+    df = spark.createDataFrame(
+        [(1, " ".join(f"t{i}" for i in range(10))), (2, "a b"), (3, "")],
+        "doc_id long, text string",
+    )
+    out = {
+        (r["doc_id"], r["chunk_id"]): (r["chunk_text"], r["n_tokens"])
+        for r in cp.chunk_documents(
+            df, "doc_id", chunk_tokens=4, overlap=1
+        ).collect()
+    }
+    # doc 1: stride 3 -> chunks at 0,3,6 cover all 10 tokens; chunk at 9
+    # would be pure overlap and must not exist
+    assert out[(1, 0)] == ("t0 t1 t2 t3", 4)
+    assert out[(1, 1)] == ("t3 t4 t5 t6", 4)
+    assert out[(1, 2)] == ("t6 t7 t8 t9", 4)
+    assert (1, 3) not in out
+    # doc 2 shorter than one chunk: single partial chunk
+    assert out[(2, 0)] == ("a b", 2)
+    # empty doc: no rows
+    assert not any(k[0] == 3 for k in out)
+
+
+def test_chunk_documents_keep_empty_and_validation(spark):
+    df = spark.createDataFrame([(3, "")], "doc_id long, text string")
+    rows = cp.chunk_documents(
+        df, "doc_id", chunk_tokens=4, overlap=0, keep_empty=True
+    ).collect()
+    assert [(r["doc_id"], r["chunk_id"], r["chunk_text"]) for r in rows] == [
+        (3, 0, "")
+    ]
+    with pytest.raises(ValueError):
+        cp.chunk_documents(df, "doc_id", chunk_tokens=4, overlap=4)
+
+
+def test_chunk_documents_every_token_covered(spark, sf_dir):
+    """Union of chunk windows must cover each document's full token stream
+    (no token lost at boundaries), and consecutive chunks must agree on
+    their overlap region."""
+    from window_aggregation_spark.sources.io import read_table
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    chunks = cp.chunk_documents(
+        docs, "doc_id", chunk_tokens=32, overlap=8
+    ).collect()
+    by_doc: dict = {}
+    for r in chunks:
+        by_doc.setdefault(r["doc_id"], []).append(
+            (r["chunk_id"], r["chunk_text"].split(" ") if r["chunk_text"] else [])
+        )
+    toks = {
+        r["doc_id"]: r["t"]
+        for r in docs.select(
+            "doc_id",
+            F.expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)").alias("t"),
+        ).collect()
+    }
+    for doc_id, lst in by_doc.items():
+        lst.sort()
+        rebuilt = list(lst[0][1])
+        for _, ctoks in lst[1:]:
+            assert rebuilt[-8:] == ctoks[:8]  # overlap agreement
+            rebuilt.extend(ctoks[8:])
+        assert rebuilt == toks[doc_id]

@@ -672,3 +672,100 @@ def deterministic_shuffle_key_duck(id_expr: str, salt: str = "shuffle") -> str:
     """DuckDB rendering of the shuffle key."""
     h = portable_hash64_duck(f"concat('{salt}', ':', CAST({id_expr} AS VARCHAR))")
     return f"(({h}) % {SPLIT_GRAIN} + {SPLIT_GRAIN}) % {SPLIT_GRAIN}"
+
+
+# ---------------------------------------------------------------------------
+# context-window chunking
+# ---------------------------------------------------------------------------
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    *,
+    chunk_tokens: int = 128,
+    overlap: int = 16,
+    keep_empty: bool = False,
+) -> DataFrame:
+    """Split each document into token chunks of ``chunk_tokens`` with
+    ``overlap`` tokens of context carried between consecutive chunks — the
+    context-window splitting step between corpus prep and the trainer.
+
+    Chunk ``i`` covers tokens ``[i*stride, i*stride + chunk_tokens)`` with
+    ``stride = chunk_tokens - overlap``; the last chunk is the first one
+    whose window reaches the end of the document (no degenerate tail that
+    is pure overlap). Output: ``(id, chunk_id, chunk_text, n_tokens)``,
+    one row per chunk, ``chunk_id`` 0-based.
+
+    Pure projection + ``posexplode`` — no shuffle, no Python; the token
+    array is built once per document and sliced per chunk inside codegen.
+    Empty documents produce no rows unless ``keep_empty`` (then one empty
+    chunk 0), so a count of output rows is a count of real training
+    chunks.
+    """
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError("chunk_documents requires 0 <= overlap < chunk_tokens")
+    stride = chunk_tokens - overlap
+    toks = tokens(F.col(text_col))
+    # number of chunks: ceil(max(n - overlap, 0) / stride), minimum 1 when
+    # the doc has any tokens (or keep_empty)
+    n = F.size(toks)
+    n_chunks = F.ceil(F.greatest(n - F.lit(overlap), F.lit(0)) / F.lit(stride))
+    n_chunks = F.greatest(
+        n_chunks, F.lit(1) if keep_empty else (n > 0).cast("long")
+    ).cast("int")
+    # sequence(0, -1) yields a DESCENDING [0, -1] (Spark infers step -1
+    # when start > stop), so zero-chunk docs need an explicit empty array
+    ids = F.when(
+        n_chunks > 0, F.sequence(F.lit(0), n_chunks - 1)
+    ).otherwise(F.array().cast("array<int>"))
+    base = df.select(
+        F.col(id_col),
+        toks.alias("__toks"),
+        F.posexplode(ids).alias("__pos", "chunk_id"),
+    )
+    start = F.col("chunk_id") * stride
+    return base.select(
+        id_col,
+        F.col("chunk_id"),
+        F.concat_ws(
+            " ", F.slice(F.col("__toks"), start + 1, chunk_tokens)
+        ).alias("chunk_text"),
+        F.least(
+            F.lit(chunk_tokens), F.size(F.col("__toks")) - start
+        ).cast("int").alias("n_tokens"),
+    )
+
+
+def chunk_documents_oracle_sql(
+    table: str,
+    id_col: str,
+    text_col: str = "text",
+    *,
+    chunk_tokens: int = 128,
+    overlap: int = 16,
+) -> str:
+    """DuckDB mirror of :func:`chunk_documents` (keep_empty=False)."""
+    stride = chunk_tokens - overlap
+    arr = f"regexp_extract_all(lower({text_col}), '{TOKEN_RE}')"
+    return f"""
+        WITH base AS (
+          SELECT {id_col}, {arr} AS toks,
+                 CAST(greatest(ceil(greatest(len({arr}) - {overlap}, 0)
+                                    / {stride}.0),
+                               CASE WHEN len({arr}) > 0 THEN 1 ELSE 0 END)
+                      AS INT) AS nc
+          FROM {table}),
+        chunks AS (
+          SELECT {id_col}, toks,
+                 CAST(unnest(range(0, nc)) AS INT) AS chunk_id
+          FROM base)
+        SELECT {id_col}, chunk_id,
+               array_to_string(toks[chunk_id * {stride} + 1 :
+                                    chunk_id * {stride} + {chunk_tokens}],
+                               ' ') AS chunk_text,
+               CAST(least({chunk_tokens},
+                          len(toks) - chunk_id * {stride}) AS INT)
+                 AS n_tokens
+        FROM chunks
+    """

@@ -1926,6 +1926,49 @@ def _register_corpus() -> None:
         return cp.deterministic_shuffle(docs, "doc_id", num_partitions=8)
 
     @_register(
+        "corpus_chunk",
+        cp.chunk_documents_oracle_sql(
+            "documents", "doc_id", "text", chunk_tokens=64, overlap=8
+        ),
+    )
+    def corpus_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Context-window chunking: 64-token chunks, 8 tokens of carried
+        overlap, no pure-overlap tail chunk. Pure projection + posexplode
+        — no shuffle, no Python; boundary coverage and overlap agreement
+        pinned in tests/test_corpus.py."""
+        docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+        return cp.chunk_documents(
+            docs, "doc_id", chunk_tokens=64, overlap=8
+        )
+
+    @_register(
+        "corpus_stats",
+        """
+        SELECT source,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(len(regexp_extract_all(lower(text), '[a-z0-9]+')))
+                    AS BIGINT) AS n_tokens,
+               CAST(max(n_chars) AS BIGINT) AS max_chars,
+               ROUND(avg(n_chars), 4) AS avg_chars
+        FROM documents GROUP BY source
+        """,
+    )
+    def corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Per-source corpus rollup (docs, tokens, length stats) — the
+        reporting aggregate every mixing decision starts from. Plain
+        map-side-combined groupBy; the token count rides the same codegen
+        tokenizer as the text operators."""
+        from window_aggregation_spark.operators.text import tokens as tok
+
+        docs = read_table(spark, sf_dir, "documents")
+        return docs.groupBy("source").agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.size(tok(F.col("text")))).alias("n_tokens"),
+            F.max("n_chars").alias("max_chars"),
+            F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+        )
+
+    @_register(
         "corpus_take_n_stratum",
         cp.take_n_per_stratum_oracle_sql(
             "documents", "source", 5, "doc_id", "doc_id, source"
