@@ -120,3 +120,11 @@ def test_range_join_is_equi_join_on_bucket(spark, sf_dir):
     plan = _plan(SUITE["range_join_incidents"].build(spark, sf_dir))
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_incremental_dedup_broadcasts_new_batch(spark, sf_dir):
+    """Cross-corpus dedup must meet the corpus band keys through a
+    broadcast of the (small) new batch — a sort-merge join would shuffle
+    the full corpus's banded rows on every ingestion tick."""
+    plan = _plan(SUITE["dedup_incremental"].build(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan

@@ -1969,6 +1969,68 @@ def _register_corpus() -> None:
         )
 
     @_register(
+        "corpus_top_terms",
+        f"""
+        SELECT source, tok, n, CAST(rn AS INT) AS term_rank FROM (
+          SELECT source, tok, n,
+                 row_number() OVER (PARTITION BY source
+                                    ORDER BY n DESC, tok ASC) AS rn
+          FROM (
+            SELECT source, tok, count(*) AS n
+            FROM (SELECT source, unnest(regexp_extract_all(lower(text),
+                    '[a-z0-9]+')) AS tok FROM documents)
+            GROUP BY source, tok))
+        WHERE rn <= 10
+        """,
+    )
+    def corpus_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Top-10 terms per source — the vocabulary/per-domain term-drift
+        report. explode -> map-side-combined count on (source, token) ->
+        per-source top-k window over the (already tiny) distinct-term
+        aggregate. Ties break lexicographically so ranks are deterministic
+        cross-engine."""
+        from pyspark.sql import Window
+
+        from window_aggregation_spark.operators.text import tokens as tok
+
+        docs = read_table(spark, sf_dir, "documents")
+        counts = (
+            docs.select("source", F.explode(tok(F.col("text"))).alias("tok"))
+            .groupBy("source", "tok")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        w = Window.partitionBy("source").orderBy(
+            F.col("n").desc(), F.col("tok").asc()
+        )
+        return (
+            counts.withColumn("term_rank", F.row_number().over(w))
+            .where(F.col("term_rank") <= 10)
+        )
+
+    @_register(
+        "corpus_length_quantiles",
+        """
+        SELECT source,
+               quantile_cont(n_chars, 0.5) AS p50,
+               quantile_cont(n_chars, 0.9) AS p90,
+               quantile_cont(n_chars, 0.99) AS p99
+        FROM documents GROUP BY source
+        """,
+    )
+    def corpus_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Exact per-source length quantiles (the mixing/filter thresholds
+        report). Spark's exact percentile and DuckDB's quantile_cont share
+        the same linear-interpolation definition over integral inputs, so
+        the oracle matches without rounding. At 100 TB swap in
+        approx_percentile — same plan shape, sketch-mergeable."""
+        docs = read_table(spark, sf_dir, "documents")
+        return docs.groupBy("source").agg(
+            F.expr("percentile(n_chars, 0.5)").alias("p50"),
+            F.expr("percentile(n_chars, 0.9)").alias("p90"),
+            F.expr("percentile(n_chars, 0.99)").alias("p99"),
+        )
+
+    @_register(
         "corpus_take_n_stratum",
         cp.take_n_per_stratum_oracle_sql(
             "documents", "source", 5, "doc_id", "doc_id, source"
