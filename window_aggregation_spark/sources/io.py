@@ -73,10 +73,13 @@ def read_orc(spark: SparkSession, path: str) -> DataFrame:
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one driver fixture table (TESTDATA.md layout).
 
-    ``events.ts`` is parquet TIMESTAMP(NANOS), which Spark has no native
-    type for — with ``spark.sql.legacy.parquet.nanosAsLong`` it arrives as
-    nanosecond longs; truncate to microseconds (exactly what DuckDB does
-    when it reads the same file) and expose a proper timestamp column.
+    ``events.ts`` has shipped in two layouts across fixture generations:
+    TIMESTAMP(MICROS) (reads natively — as TIMESTAMP_NTZ under a default
+    session, matching DuckDB's naive timestamp) and TIMESTAMP(NANOS),
+    which Spark has no native type for — with
+    ``spark.sql.legacy.parquet.nanosAsLong`` it arrives as nanosecond
+    longs, truncated here to microseconds (exactly what DuckDB does when
+    it reads the same file). The dtype check handles either.
     """
     from pyspark.sql import functions as F
 
