@@ -1,0 +1,92 @@
+"""Property tests for the round-3 operators: the bucketed range join must
+equal the naive inequality join on arbitrary interval layouts, and
+chunking must exactly tile arbitrary token streams."""
+
+from __future__ import annotations
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from pyspark.sql import functions as F
+
+from window_aggregation_spark.operators.corpus import chunk_documents
+from window_aggregation_spark.operators.range_join import range_join
+
+# one shared Spark session via the conftest fixture; hypothesis drives the
+# data, Spark executes — keep examples small so each case is sub-second
+
+
+@st.composite
+def interval_case(draw):
+    n_pts = draw(st.integers(1, 12))
+    n_ivs = draw(st.integers(1, 8))
+    pts = [draw(st.integers(0, 5000)) for _ in range(n_pts)]
+    ivs = []
+    for _ in range(n_ivs):
+        s = draw(st.integers(0, 5000))
+        ln = draw(st.integers(0, 2000))  # includes degenerate zero-length
+        ivs.append((s, s + ln))
+    bucket_s = draw(st.sampled_from([60, 3600, 86400]))
+    return pts, ivs, bucket_s
+
+
+@settings(max_examples=12, deadline=None)
+@given(interval_case())
+def test_range_join_equals_naive_inequality_join(spark, case):
+    pts, ivs, bucket_s = case
+    points = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(pts)], "pid long, sec long"
+    ).select("pid", F.timestamp_seconds("sec").alias("ts"))
+    intervals = spark.createDataFrame(
+        [(j, s, e) for j, (s, e) in enumerate(ivs)],
+        "iid long, s long, e long",
+    ).select(
+        "iid",
+        F.timestamp_seconds("s").alias("win_start"),
+        F.timestamp_seconds("e").alias("win_end"),
+    )
+    bucket = {60: "1 minute", 3600: "1 hour", 86400: "1 day"}[bucket_s]
+    got = {
+        (r["pid"], r["iid"])
+        for r in range_join(
+            points, intervals, "ts", "win_start", "win_end", bucket=bucket
+        ).collect()
+    }
+    want = {
+        (i, j)
+        for i, p in enumerate(pts)
+        for j, (s, e) in enumerate(ivs)
+        if s <= p < e
+    }
+    assert got == want
+
+
+@settings(max_examples=12, deadline=None)
+@given(
+    toks=st.lists(st.integers(0, 99), min_size=0, max_size=200),
+    chunk=st.integers(2, 40),
+    data=st.data(),
+)
+def test_chunking_tiles_any_token_stream(spark, toks, chunk, data):
+    overlap = data.draw(st.integers(0, chunk - 1))
+    text = " ".join(f"w{t}" for t in toks)
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    rows = sorted(
+        (r["chunk_id"], r["chunk_text"], r["n_tokens"])
+        for r in chunk_documents(
+            df, "doc_id", chunk_tokens=chunk, overlap=overlap
+        ).collect()
+    )
+    if not toks:
+        assert rows == []
+        return
+    stride = chunk - overlap
+    rebuilt = list(rows[0][1].split(" "))
+    for cid, ctext, n_tok in rows[1:]:
+        ctoks = ctext.split(" ")
+        assert rebuilt[cid * stride:] == ctoks[: len(rebuilt) - cid * stride]
+        rebuilt.extend(ctoks[len(rebuilt) - cid * stride:])
+    assert rebuilt == [f"w{t}" for t in toks]
+    # every chunk's token count matches its text, and no chunk is empty
+    for _, ctext, n_tok in rows:
+        assert len(ctext.split(" ")) == n_tok
