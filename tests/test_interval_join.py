@@ -93,3 +93,14 @@ def test_half_open_bounds(spark):
     )
     # 10:00 == right_ts + lower: included; 10:15 == right_ts + upper: excluded
     assert got == {(1, 9)}
+
+
+def test_keyless_rejected_toward_range_join(spark):
+    left = spark.createDataFrame(
+        [(1, "2024-01-01 10:00:00")], "p_id long, s string"
+    ).select("p_id", F.to_timestamp("s").alias("ts"))
+    right = spark.createDataFrame(
+        [(9, "2024-01-01 10:00:00")], "e_id long, s string"
+    ).select("e_id", F.to_timestamp("s").alias("ts_r"))
+    with pytest.raises(ValueError, match="range_join"):
+        interval_join(left, right, [], "ts", "ts_r")

@@ -51,6 +51,15 @@ def interval_join(
     """
     if left.isStreaming != right.isStreaming:
         raise ValueError("interval_join requires both sides batch or both streaming")
+    if not keys:
+        # a pure time-range condition has no equi-key, so Spark would plan
+        # a nested-loop join (batch) or unbounded-state join (stream) —
+        # the keyless point-in-interval shape belongs to the bucketed
+        # operators.range_join decomposition instead
+        raise ValueError(
+            "interval_join needs at least one equi-key; for keyless "
+            "point-in-interval matching use operators.range_join"
+        )
     if left.isStreaming:
         left = left.withWatermark(left_ts, watermark)
         right = right.withWatermark(right_ts, watermark)
