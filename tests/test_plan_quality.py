@@ -128,3 +128,15 @@ def test_incremental_dedup_broadcasts_new_batch(spark, sf_dir):
     the full corpus's banded rows on every ingestion tick."""
     plan = _plan(SUITE["dedup_incremental"].build(spark, sf_dir))
     assert "BroadcastHashJoin" in plan
+
+
+def test_semantic_pairs_compute_assignment_once(spark, sf_dir):
+    """Pair candidates come from bucket grouping + double explode — a
+    self-join on cluster_id would run the centroid-assignment pipeline
+    twice (Spark does not CSE join branches). One assignment -> at most
+    one centroid broadcast in the plan."""
+    plan = _plan(SUITE["dedup_semantic_pairs"].build(spark, sf_dir))
+    # the expr assignment path materializes centroids through exactly one
+    # broadcast exchange; a self-join shape would show two
+    assert plan.count("BroadcastExchange") <= 1
+    assert "SortMergeJoin" not in plan

@@ -115,12 +115,23 @@ def semantic_dup_pairs(
     threshold: float = 0.9,
     assign: str = "numpy",
     kmeans_iters: int = 0,
+    max_cluster_size: int | None = 100_000,
 ) -> DataFrame:
     """Within-cluster near-duplicate pairs: ``(id_a, id_b, cos_sim)`` with
     ``id_a < id_b`` and ``round(cos, 4) >= threshold`` (distinct — with
     ``probes`` > 1 a pair can co-occur in several probed clusters). The
     rounded expression-level cosine is emitted (not the BLAS value), so
-    results are engine-reproducible."""
+    results are engine-reproducible.
+
+    Pair generation is bucket-grouping + double explode, NOT a self-join
+    on ``cluster_id``: a self-join computes the whole assignment pipeline
+    (broadcast matmul or crossJoin+window) TWICE and shuffles it twice —
+    Spark does not common-subexpression join branches (same reasoning as
+    the minhash candidate stage). ``collect_list`` materializes one
+    cluster per task, so ``max_cluster_size`` caps the degenerate-cluster
+    blowup (a capped cluster's pairs are skipped — raise ``n_clusters``
+    or sub-bucket with :func:`.dedup.embedding_dup_pairs` if that
+    happens on real data)."""
     assigned = cluster_assign(
         df,
         id_col,
@@ -130,20 +141,26 @@ def semantic_dup_pairs(
         assign=assign,
         kmeans_iters=kmeans_iters,
     )
-    a = assigned.select(
-        "cluster_id", F.col("id").alias("id_a"), F.col("v").alias("__va")
+    buckets = assigned.groupBy("cluster_id").agg(
+        F.collect_list(F.struct("id", "v")).alias("__m")
     )
-    b = assigned.select(
-        "cluster_id", F.col("id").alias("id_b"), F.col("v").alias("__vb")
-    )
+    if max_cluster_size is not None:
+        buckets = buckets.where(F.size("__m") <= max_cluster_size)
     return (
-        a.join(b, on="cluster_id")
-        .where(F.col("id_a") < F.col("id_b"))
+        buckets.where(F.size("__m") >= 2)
+        .select(F.explode("__m").alias("__a"), F.col("__m"))
+        .select("__a", F.explode("__m").alias("__b"))
+        .where(F.col("__a.id") < F.col("__b.id"))
         .withColumn(
-            "cos_sim", F.round(cosine(F.col("__va"), F.col("__vb")), 4)
+            "cos_sim",
+            F.round(cosine(F.col("__a.v"), F.col("__b.v")), 4),
         )
         .where(F.col("cos_sim") >= threshold)
-        .select("id_a", "id_b", "cos_sim")
+        .select(
+            F.col("__a.id").alias("id_a"),
+            F.col("__b.id").alias("id_b"),
+            "cos_sim",
+        )
         .distinct()
     )
 
