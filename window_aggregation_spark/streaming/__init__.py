@@ -1,3 +1,5 @@
+from window_aggregation_spark.streaming.enrich import enrich_stream
+from window_aggregation_spark.streaming.interval_join import interval_join
 from window_aggregation_spark.streaming.stateful import batch_ewma, streaming_ewma
 from window_aggregation_spark.streaming.window_stream import (
     sessionize,
@@ -7,6 +9,8 @@ from window_aggregation_spark.streaming.window_stream import (
 
 __all__ = [
     "batch_ewma",
+    "enrich_stream",
+    "interval_join",
     "sessionize",
     "stream_tumbling_counts",
     "streaming_ewma",
