@@ -360,3 +360,28 @@ def test_dedup_new_against_corpus_filters_only_cross_dupes(spark, sf_dir):
     }
     all_new = {r["doc_id"] for r in new.select("doc_id").collect()}
     assert kept == all_new - flagged
+
+
+def test_quality_model_score_behavior(spark):
+    """Model scores must be in (0,1), rank running prose above punctuation
+    walls and empty docs, and stay a pure codegen projection."""
+    from pyspark.sql import functions as F
+
+    from window_aggregation_spark.operators.text import quality_model_score
+
+    df = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog and runs on "
+                "to the hills for a while before it rests in the shade"),
+            (2, "!!! ;;; ,,, ... !!! ;;; ,,, ... !!! ;;;"),
+            (3, ""),
+        ],
+        "doc_id long, text string",
+    )
+    out = quality_model_score(df)
+    scores = {r["doc_id"]: r["model_score"] for r in out.collect()}
+    assert all(0.0 < s < 1.0 for s in scores.values())
+    assert scores[1] > scores[2]
+    assert scores[1] > scores[3]
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan and "Exchange" not in plan

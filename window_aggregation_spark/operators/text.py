@@ -196,3 +196,99 @@ def fingerprint_oracle_expr(text_col: str = "text") -> str:
         f"CAST(CASE WHEN length({norm}) = 0 THEN 0 ELSE "
         f"list_reduce({codes}, (a, b) -> (a * 31 + b) % {_MOD}) END AS BIGINT) AS fp"
     )
+
+
+# ---------------------------------------------------------------------------
+# model-based quality scoring
+# ---------------------------------------------------------------------------
+
+# Hand-set public heuristic weights over the profile features — a stand-in
+# linear model with the same *shape* as a trained quality classifier
+# (fasttext/logreg over engineered features). Swapping in trained weights
+# changes only these literals; the execution plan is identical.
+QUALITY_MODEL_WEIGHTS: dict[str, float] = {
+    "bias": -1.5,
+    "log_tokens": 0.6,        # more text -> more signal
+    "avg_token_len": 0.25,    # natural-language word lengths
+    "punct_ratio": -3.0,      # punctuation walls -> boilerplate/code dumps
+    "stopword_ratio": 4.0,    # function words -> running prose
+}
+
+
+def quality_model_score(
+    df: DataFrame, text_col: str = "text", *, alias: str = "model_score"
+) -> DataFrame:
+    """Append ``alias`` = sigmoid(w · features): the model-scored quality
+    filter stage (keep / drop / re-weight by classifier score).
+
+    Features are the :func:`text_profile` statistics (recomputed inline —
+    one shared tokenization, Catalyst CSEs the subexpressions); weights
+    are plain literals, so the whole model is ONE whole-stage-codegen
+    projection: no shuffle, no UDF, no model server in the hot path, and
+    the exact score is recomputable in any SQL engine (pinned by the
+    ``text_quality_model`` suite oracle). The logit is rounded to 6
+    decimals BEFORE the sigmoid so the exp() input — and therefore the
+    final double — is bit-identical cross-engine.
+    """
+    text = F.col(text_col)
+    toks = tokens(text)
+    n_tokens = F.size(toks)
+    alnum_chars = F.length(F.regexp_replace(F.lower(text), "[^a-z0-9]", ""))
+    n_chars = F.length(text)
+    punct = n_chars - F.length(F.regexp_replace(text, PUNCT_RE, ""))
+    stop_hits = _stopword_hits(toks, "en")
+
+    avg_token_len = F.when(
+        n_tokens > 0, F.round(alnum_chars / n_tokens, 4)
+    ).otherwise(F.lit(0.0))
+    punct_ratio = F.when(
+        n_chars > 0, F.round(punct / n_chars, 4)
+    ).otherwise(F.lit(0.0))
+    stopword_ratio = F.when(
+        n_tokens > 0, F.round(stop_hits / n_tokens, 4)
+    ).otherwise(F.lit(0.0))
+
+    w = QUALITY_MODEL_WEIGHTS
+    logit = F.round(
+        F.lit(w["bias"])
+        + F.lit(w["log_tokens"]) * F.log1p(n_tokens.cast("double"))
+        + F.lit(w["avg_token_len"]) * avg_token_len
+        + F.lit(w["punct_ratio"]) * punct_ratio
+        + F.lit(w["stopword_ratio"]) * stopword_ratio,
+        6,
+    )
+    score = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-logit)), 6)
+    return df.withColumn(alias, score)
+
+
+def quality_model_score_oracle_expr(text_col: str = "text") -> str:
+    """DuckDB mirror of :func:`quality_model_score`."""
+    toks = f"regexp_extract_all(lower({text_col}), '{TOKEN_RE}')"
+    n_tokens = f"len({toks})"
+    alnum = f"length(regexp_replace(lower({text_col}), '[^a-z0-9]', '', 'g'))"
+    n_chars = f"length({text_col})"
+    punct = (
+        f"({n_chars} - length(regexp_replace({text_col}, '{PUNCT_RE}', '', 'g')))"
+    )
+    stop_in = ", ".join(f"'{s}'" for s in STOPWORDS["en"])
+    stop_hits = f"len(list_filter({toks}, t -> t IN ({stop_in})))"
+    avg_tok = (
+        f"CASE WHEN {n_tokens} > 0 THEN round({alnum} / {n_tokens}, 4) "
+        f"ELSE 0.0 END"
+    )
+    punct_ratio = (
+        f"CASE WHEN {n_chars} > 0 THEN round({punct} / {n_chars}, 4) "
+        f"ELSE 0.0 END"
+    )
+    stop_ratio = (
+        f"CASE WHEN {n_tokens} > 0 THEN round({stop_hits} / {n_tokens}, 4) "
+        f"ELSE 0.0 END"
+    )
+    w = QUALITY_MODEL_WEIGHTS
+    logit = (
+        f"round({w['bias']!r} + {w['log_tokens']!r} * ln(1.0 + {n_tokens}) "
+        f"+ {w['avg_token_len']!r} * {avg_tok} "
+        f"+ {w['punct_ratio']!r} * {punct_ratio} "
+        f"+ {w['stopword_ratio']!r} * {stop_ratio}, 6)"
+    )
+    return f"round(1.0 / (1.0 + exp(-({logit}))), 6)"

@@ -624,6 +624,22 @@ def _register_text() -> None:
                                                            "source", "text")
         return tx.fingerprint(df).drop("text")
 
+    @_register(
+        "text_quality_model",
+        _text_oracle(
+            tx.quality_model_score_oracle_expr() + " AS model_score"
+        ),
+    )
+    def text_quality_model(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Model-scored quality filtering: sigmoid(w · profile features)
+        as ONE codegen projection — literal weights, no UDF, no model
+        server in the hot path; the logit is rounded before exp() so the
+        exact double reproduces in DuckDB. Swapping in trained weights
+        changes only literals, not the plan."""
+        df = read_table(spark, sf_dir, "documents").select("doc_id", "lang",
+                                                           "source", "text")
+        return tx.quality_model_score(df).drop("text")
+
 
 _register_text()
 
