@@ -83,3 +83,35 @@ def test_lineage_describes_every_output_field():
     assert "replaces input column" in lineage["age"]
     assert "FIRST" in lineage["age"] and "age Descending" in lineage["age"]
     assert "appended" in lineage["rnk"]
+
+
+def test_write_compacted_parquet_hits_file_target(spark, sf_dir, tmp_path):
+    """A many-partition frame lands as the computed number of parquet
+    files (both coalesce and shuffle modes), and the data round-trips."""
+    from window_aggregation_spark.sources.io import (
+        read_table,
+        write_compacted_parquet,
+    )
+
+    df = read_table(spark, sf_dir, "lineitem").repartition(24)
+    out = tmp_path / "compacted"
+    n = write_compacted_parquet(df, str(out), target_mb=512)
+    files = [p for p in out.glob("*.parquet")]
+    assert len(files) == n
+    assert n < 24  # actually compacted below the task count
+    assert spark.read.parquet(str(out)).count() == df.count()
+
+    # shuffle mode: force a multi-file target by replicating the frame
+    big = df
+    for _ in range(4):
+        big = big.unionByName(big)  # 16x rows -> estimate well over 1 MB
+    out2 = tmp_path / "compacted_even"
+    n2 = write_compacted_parquet(
+        big, str(out2), target_mb=1, parquet_ratio=1.0, shuffle=True
+    )
+    assert len(list(out2.glob("*.parquet"))) == n2 > 1
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        write_compacted_parquet(df, str(out), target_mb=0)

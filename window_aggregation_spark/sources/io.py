@@ -140,3 +140,42 @@ def write_csv(
     df: DataFrame, path: str, *, mode: str = "overwrite", header: bool = True
 ) -> None:
     df.write.mode(mode).option("header", header).csv(path)
+
+
+def write_compacted_parquet(
+    df: DataFrame,
+    path: str,
+    *,
+    target_mb: int = 512,
+    parquet_ratio: float = 0.35,
+    shuffle: bool = False,
+    mode: str = "overwrite",
+) -> int:
+    """Write parquet with a TARGET FILE SIZE instead of whatever task count
+    the upstream plan happened to have — the small-files fix. A 100 TB
+    pipeline stage that ends with 200k tiny tasks writes 200k tiny files;
+    every downstream scan then pays open/footer costs per file and the
+    namenode/listing pays for all of them.
+
+    File count = ``ceil(estimated_bytes * parquet_ratio / target_mb)``,
+    where ``estimated_bytes`` comes from Catalyst's optimized-plan
+    statistics (free — no extra pass over the data) and ``parquet_ratio``
+    is the expected parquet-compression factor versus the in-memory
+    estimate (~0.3-0.4 for mixed columnar data; tune per dataset for
+    tighter targets).
+
+    ``shuffle=False`` (default) uses ``coalesce`` — no shuffle, but files
+    can be uneven since coalesce only merges existing partitions.
+    ``shuffle=True`` uses round-robin ``repartition`` — one full shuffle
+    buys evenly sized files; worth it when this is the final landing
+    table many consumers will scan. Returns the file count used.
+    """
+    if target_mb <= 0:
+        raise ValueError("write_compacted_parquet: target_mb must be positive")
+    est = int(
+        df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+    )
+    n_files = max(1, -(-int(est * parquet_ratio) // (target_mb * 1024 * 1024)))
+    sized = df.repartition(n_files) if shuffle else df.coalesce(n_files)
+    sized.write.mode(mode).parquet(path)
+    return n_files
