@@ -461,22 +461,37 @@ def _rate_bounds(rates: dict[str, float]) -> dict[str, int]:
     return out
 
 
+# Sentinel standing in for a NULL stratum/id inside hash keys and grouping:
+# Spark's concat_ws SKIPS a NULL element and its separator ('salt:id') while
+# DuckDB's concat keeps the ':' literals around an ignored NULL ('salt::id'),
+# so without a coalesce the two engines hash different bytes for the same
+# NULL-stratum row. Coalescing to one fixed string on BOTH sides makes the
+# keys byte-identical everywhere. A real stratum equal to the sentinel would
+# collide with NULL — acceptable for a salt key, documented contract.
+_NULL_SENTINEL = "__null__"
+
+
 def _sample_residue(strata_col: str, id_col: str, salt: str) -> Column:
     """Salted per-row residue: hashing ``salt:stratum:id`` decorrelates the
     sample from :func:`split_by_hash` (same hash of the bare id would make
     "sample 10%" systematically pick the same rows as "first 10% of train",
-    collapsing holdout structure)."""
+    collapsing holdout structure). NULL stratum/id coalesce to
+    ``_NULL_SENTINEL`` so Spark and the DuckDB oracle hash identical
+    bytes (see sentinel comment above)."""
     key = F.concat_ws(
-        ":", F.lit(salt), F.col(strata_col).cast("string"),
-        F.col(id_col).cast("string"),
+        ":",
+        F.lit(salt),
+        F.coalesce(F.col(strata_col).cast("string"), F.lit(_NULL_SENTINEL)),
+        F.coalesce(F.col(id_col).cast("string"), F.lit(_NULL_SENTINEL)),
     )
     return F.pmod(portable_hash64(key), F.lit(SPLIT_GRAIN))
 
 
 def _sample_residue_duck(strata_col: str, id_col: str, salt: str) -> str:
     key = (
-        f"concat('{salt}', ':', CAST({strata_col} AS VARCHAR), ':', "
-        f"CAST({id_col} AS VARCHAR))"
+        f"concat('{salt}', ':', "
+        f"coalesce(CAST({strata_col} AS VARCHAR), '{_NULL_SENTINEL}'), ':', "
+        f"coalesce(CAST({id_col} AS VARCHAR), '{_NULL_SENTINEL}'))"
     )
     h = portable_hash64_duck(key)
     return f"(({h}) % {SPLIT_GRAIN} + {SPLIT_GRAIN}) % {SPLIT_GRAIN}"
@@ -571,39 +586,48 @@ def take_n_per_stratum(
     threshold that keeps ≥ n rows, and undershot strata are ranked in
     full), so the oracle can be the plain ROW_NUMBER query.
     """
+    # All grouping/joining/ranking runs on ``__strat`` — the stratum
+    # coalesced to a string sentinel — because equi-joins are null-unsafe:
+    # joining on the raw column would silently DROP every NULL-stratum row,
+    # while the claimed-equivalent plain ROW_NUMBER ranking (and the DuckDB
+    # oracle) keep NULL as its own partition. Contract: stratum values must
+    # be injective under CAST AS STRING and none may equal the sentinel.
     residue = _sample_residue(strata_col, id_col, salt).alias("__res")
-    base = df.withColumn("__res", residue)
-    counts = base.groupBy(strata_col).agg(F.count(F.lit(1)).alias("__cnt"))
-    with_cnt = base.join(F.broadcast(counts), on=strata_col)
+    base = df.withColumn("__res", residue).withColumn(
+        "__strat",
+        F.coalesce(F.col(strata_col).cast("string"), F.lit(_NULL_SENTINEL)),
+    )
+    counts = base.groupBy("__strat").agg(F.count(F.lit(1)).alias("__cnt"))
+    with_cnt = base.join(F.broadcast(counts), on="__strat")
     thresh = F.least(
         F.lit(SPLIT_GRAIN),
         F.ceil(F.lit(float(safety) * n) / F.col("__cnt") * SPLIT_GRAIN),
     )
     pruned = with_cnt.where(F.col("__res") < thresh)
     short = (
-        pruned.groupBy(strata_col)
+        pruned.groupBy("__strat")
         .agg(F.count(F.lit(1)).alias("__kept"))
-        .join(F.broadcast(counts), on=strata_col)
+        .join(F.broadcast(counts), on="__strat")
         .where(F.col("__kept") < F.least(F.lit(n), F.col("__cnt")))
-        .select(strata_col)
+        .select("__strat")
     )
     # also rescue strata whose prune kept ZERO rows (absent from `pruned`)
     empty = counts.join(
-        pruned.select(strata_col).distinct(), on=strata_col, how="left_anti"
-    ).select(strata_col)
+        pruned.select("__strat").distinct(), on="__strat", how="left_anti"
+    ).select("__strat")
     rescue = short.unionByName(empty).distinct()
     candidates = pruned.join(
-        F.broadcast(rescue), on=strata_col, how="left_anti"
+        F.broadcast(rescue), on="__strat", how="left_anti"
     ).select(base.columns).unionByName(
-        base.join(F.broadcast(rescue), on=strata_col, how="left_semi")
+        base.join(F.broadcast(rescue), on="__strat", how="left_semi")
     )
     from pyspark.sql import Window
 
-    w = Window.partitionBy(strata_col).orderBy(F.col("__res"), F.col(id_col))
+    w = Window.partitionBy("__strat").orderBy(F.col("__res"), F.col(id_col))
     return (
         candidates.withColumn("__rn", F.row_number().over(w))
         .where(F.col("__rn") <= n)
-        .drop("__res", "__rn")
+        .drop("__res", "__rn", "__strat")
     )
 
 

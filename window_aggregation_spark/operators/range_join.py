@@ -74,6 +74,16 @@ def range_join(
     keys = list(keys or [])
     width = _parse_bucket_micros(bucket)
 
+    out_cols = list(points.columns)
+    if how == "left":
+        # unmatched points are recovered by anti-joining on a per-row id,
+        # NOT on the point columns: column-equality is null-unsafe, so a
+        # matched row carrying a NULL in any column would never equal its
+        # copy in `matched` and be emitted twice (once matched, once with
+        # NULL interval columns). The id is assigned before bucketing so
+        # both branches see the same value for the same physical row.
+        points = points.withColumn("__rj_id", F.monotonically_increasing_id())
+
     p_ts = _micros(F.col(point_ts))
     s_ts = _micros(F.col(start_col))
     e_ts = _micros(F.col(end_col))
@@ -100,15 +110,15 @@ def range_join(
         raise ValueError(f"unsupported how={how!r} (inner/left)")
     ival_cols = [c for c in intervals.columns if c not in keys]
     unmatched = pts.drop("__bkt").join(
-        matched.select(*points.columns).distinct(),
-        on=points.columns,
-        how="left_anti",
+        matched.select("__rj_id"), on="__rj_id", how="left_anti"
     )
     for c in ival_cols:
         unmatched = unmatched.withColumn(
             c, F.lit(None).cast(dict(intervals.dtypes)[c])
         )
-    return matched.unionByName(unmatched)
+    return matched.unionByName(unmatched).drop("__rj_id").select(
+        *out_cols, *ival_cols
+    )
 
 
 def _parse_bucket_micros(bucket: str) -> int:

@@ -218,9 +218,16 @@ def salted_join(
     disproportionate share of ``left`` (the fact side) no longer lands in
     one shuffle partition.
 
-    Every ``left`` row gets a deterministic per-row salt in ``[0, salts)``
-    (hash of the whole row — any uniform per-row value works, the salt
-    only needs to spread a single key's rows); ``right`` (the dimension
+    Every ``left`` row gets a per-row salt in ``[0, salts)`` derived from
+    its physical position (``monotonically_increasing_id``), NOT from a
+    hash of its values: raw fact data routinely contains byte-identical
+    duplicate rows under the hot key, and a value hash would give them all
+    the same salt — re-creating exactly the skew this operator exists to
+    fix (a value hash also fails outright on unhashable column types like
+    maps). Positional salts cycle 0..salts-1 within each scan partition,
+    so even a single all-duplicate key spreads evenly. Result-set equality
+    to the plain join is unaffected — the salt only routes rows, and the
+    right side supplies every salt for its key. ``right`` (the dimension
     side) is replicated once per salt via ``explode(sequence(...))``; the
     join runs on ``(on..., salt)``, splitting each hot key's rows across
     ``salts`` tasks. Result set is EXACTLY the plain join's: each left row
@@ -245,7 +252,7 @@ def salted_join(
         raise ValueError(f"salted_join: unsupported how={how!r} (inner/left)")
     if salts < 1:
         raise ValueError("salted_join: salts must be >= 1")
-    lsalt = F.pmod(F.xxhash64(*[F.col(c) for c in left.columns]), F.lit(salts))
+    lsalt = F.pmod(F.monotonically_increasing_id(), F.lit(salts))
     lhs = left.withColumn("__salt", lsalt.cast("int"))
     rhs = right.withColumn(
         "__salt", F.explode(F.sequence(F.lit(0), F.lit(salts - 1)))

@@ -175,7 +175,19 @@ def write_compacted_parquet(
     est = int(
         df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
     )
-    n_files = max(1, -(-int(est * parquet_ratio) // (target_mb * 1024 * 1024)))
+    # Plans with no size estimate (some in-memory/RDD-backed sources) report
+    # spark.sql.defaultSizeInBytes = Long.MaxValue as a "don't broadcast me"
+    # sentinel, not a size. Trusting it would make n_files astronomical —
+    # coalesce degrades gracefully but repartition(~10^12) hangs. Fall back
+    # to the plan's current partition count (a no-op-ish compaction), and
+    # clamp the honest estimate to a sane ceiling as belt-and-braces.
+    if est >= (1 << 60):
+        n_files = max(1, df.rdd.getNumPartitions())
+    else:
+        n_files = max(
+            1, -(-int(est * parquet_ratio) // (target_mb * 1024 * 1024))
+        )
+        n_files = min(n_files, 1_000_000)
     sized = df.repartition(n_files) if shuffle else df.coalesce(n_files)
     sized.write.mode(mode).parquet(path)
     return n_files
