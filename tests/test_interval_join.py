@@ -71,6 +71,87 @@ def test_stream_equals_batch(spark, sf_dir, events_dir):
     assert got == want
 
 
+def test_left_stream_equals_batch(spark, sf_dir, events_dir, tmp_path):
+    """how='left': unmatched purchases must be emitted with NULL e_id once
+    the watermark proves no error can still match — streaming result equals
+    the batch left join. A far-future sentinel event flushes the watermark
+    past the fixture's tail (standard pattern: otherwise rows the watermark
+    never passed are held back in state when the stream terminates)."""
+    import shutil
+
+    batch = read_table(spark, sf_dir, "events")
+    bl, br = _sides(batch)
+    want = _pairs(
+        interval_join(
+            bl, br, ["user_id"], "ts", "ts_r", upper="30 minutes", how="left"
+        )
+    )
+    assert any(e is None for _, e in want)  # unmatched purchases exist
+
+    d = tmp_path / "events_left"
+    d.mkdir()
+    shutil.copy(f"{events_dir}/events.parquet", d / "events.parquet")
+    # one sentinel per SIDE: the global watermark is the min over all
+    # watermark nodes, and each side's node only sees its own event_type —
+    # a purchase-only sentinel would leave the error-side watermark at the
+    # fixture tail and hold back the last unmatched purchases
+    sentinel = spark.createDataFrame(
+        [
+            (10**12, "2100-01-01 00:00:00", -1, "purchase", 0.0, ""),
+            (10**12 + 1, "2100-01-01 00:00:00", -2, "error", 0.0, ""),
+        ],
+        "event_id long, ts_s string, user_id long, event_type string, "
+        "value double, props string",
+    ).select(
+        "event_id", F.to_timestamp("ts_s").alias("ts"), "user_id",
+        "event_type", "value", "props",
+    )
+    sentinel.coalesce(1).write.parquet(str(d / "zz_sentinel"))
+    stream = (
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(str(d))
+    )
+    sl, sr = _sides(stream)
+    out = interval_join(
+        sl, sr, ["user_id"], "ts", "ts_r", upper="30 minutes", how="left"
+    )
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("ij_left_out")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {
+        (p, e)
+        for p, e in _pairs(spark.table("ij_left_out"))
+        if p != 10**12  # drop the sentinel itself
+    }
+    assert got == want
+
+
+def test_left_half_open_bounds_null_fill(spark):
+    left = spark.createDataFrame(
+        [(1, 7, "2024-01-01 10:00:00"), (2, 8, "2024-01-01 10:05:00")],
+        "p_id long, user_id long, s string",
+    ).select("p_id", "user_id", F.to_timestamp("s").alias("ts"))
+    right = spark.createDataFrame(
+        [(9, 7, "2024-01-01 10:00:00")], "e_id long, user_id long, s string"
+    ).select("e_id", "user_id", F.to_timestamp("s").alias("ts_r"))
+    got = _pairs(
+        interval_join(
+            left, right, ["user_id"], "ts", "ts_r",
+            upper="15 minutes", how="left",
+        )
+    )
+    assert got == {(1, 9), (2, None)}
+
+
 def test_mixed_batch_stream_rejected(spark, sf_dir, events_dir):
     batch = read_table(spark, sf_dir, "events")
     bl, _ = _sides(batch)

@@ -16,6 +16,15 @@ rows of both streams forever.
 Inner joins in append mode emit exactly the matched pairs, so the
 streaming result equals the batch join on the same data — pinned by
 ``tests/test_interval_join.py`` running the fixture through a file stream.
+
+``how="left"`` adds left-outer semantics: unmatched left rows are emitted
+with NULL right columns. On streams this is Spark's watermark-correct
+outer join — an unmatched left row is only emitted once the watermark
+passes ``left_ts`` (plus the join bound), i.e. once no future right row
+could still match it; before the round-3 addition those rows were dropped
+silently. A terminating stream therefore holds back rows the watermark
+never passed — tests flush with a far-future sentinel event, the standard
+pattern.
 """
 
 from __future__ import annotations
@@ -34,11 +43,15 @@ def interval_join(
     lower: str = "0 seconds",
     upper: str = "15 minutes",
     watermark: str = "2 hours",
+    how: str = "inner",
 ) -> DataFrame:
-    """Inner-join ``left`` rows to ``right`` rows with the same ``keys``
+    """Join ``left`` rows to ``right`` rows with the same ``keys``
     whose timestamps satisfy
     ``right_ts + lower <= left_ts < right_ts + upper`` (half-open, so
     ``lower="0 seconds"`` includes simultaneous events exactly once).
+    ``how`` is ``inner`` or ``left`` (left keeps unmatched left rows with
+    NULL right columns; on streams they are emitted when the watermark
+    proves no match can still arrive).
 
     ``left_ts`` / ``right_ts`` must already be distinct column names
     (rename before calling — same contract as :func:`.range_join`); all
@@ -49,6 +62,8 @@ def interval_join(
     bound in the join condition this lets Spark GC join state — rows older
     than ``watermark + upper`` can never match again and are evicted.
     """
+    if how not in ("inner", "left"):
+        raise ValueError(f"interval_join: unsupported how={how!r} (inner/left)")
     if left.isStreaming != right.isStreaming:
         raise ValueError("interval_join requires both sides batch or both streaming")
     if not keys:
@@ -63,16 +78,23 @@ def interval_join(
     if left.isStreaming:
         left = left.withWatermark(left_ts, watermark)
         right = right.withWatermark(right_ts, watermark)
+    # Explicit plan aliases: when both sides derive from the same source
+    # (the common self-join shape), `left[k] == right[k]` can resolve to
+    # the SAME attribute — and `drop(right[k])` then removes the left copy,
+    # which under leftOuter surfaces the right side's NULL key instead of
+    # the preserved left value.
+    lhs, rhs = left.alias("__ij_l"), right.alias("__ij_r")
     cond = None
     for k in keys:
-        eq = left[k] == right[k]
+        eq = F.col(f"__ij_l.{k}") == F.col(f"__ij_r.{k}")
         cond = eq if cond is None else cond & eq
-    lo = F.col(right_ts) + F.expr(f"INTERVAL {lower}")
-    hi = F.col(right_ts) + F.expr(f"INTERVAL {upper}")
-    time_cond = (F.col(left_ts) >= lo) & (F.col(left_ts) < hi)
-    cond = time_cond if cond is None else cond & time_cond
-    joined = left.join(right, cond, "inner")
-    # drop the duplicated key columns from the right side
-    for k in keys:
-        joined = joined.drop(right[k])
-    return joined
+    lo = F.col(f"__ij_r.{right_ts}") + F.expr(f"INTERVAL {lower}")
+    hi = F.col(f"__ij_r.{right_ts}") + F.expr(f"INTERVAL {upper}")
+    lts = F.col(f"__ij_l.{left_ts}")
+    cond = cond & (lts >= lo) & (lts < hi)
+    joined = lhs.join(rhs, cond, "inner" if how == "inner" else "leftOuter")
+    # keys come from the preserved left side; right contributes the rest
+    return joined.select(
+        *[F.col(f"__ij_l.{c}") for c in left.columns],
+        *[F.col(f"__ij_r.{c}") for c in right.columns if c not in keys],
+    )

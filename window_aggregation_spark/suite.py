@@ -1367,6 +1367,51 @@ def _register_multimodal_streaming() -> None:
             "p_id", "user_id", "e_id", F.round(delay, 4).alias("delay_s")
         )
 
+    @_register(
+        "stream_interval_join_left",
+        """
+        SELECT p.event_id AS p_id, p.user_id, e.event_id AS e_id,
+               round(date_diff('microsecond', e.ts, p.ts) / 1000000.0, 4)
+                 AS delay_s
+        FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        LEFT JOIN (SELECT * FROM events WHERE event_type = 'error') e
+          ON p.user_id = e.user_id
+         AND p.ts >= e.ts AND p.ts < e.ts + INTERVAL 30 MINUTE
+        """,
+    )
+    def stream_interval_join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Batch twin of the LEFT-outer stream-stream interval join:
+        purchases keep a NULL-error row when no same-user error precedes
+        them within 30 minutes (previously those rows were dropped
+        silently). The streaming half — watermark-correct null emission
+        once no match can still arrive — is pinned stream==batch by
+        tests/test_interval_join.py::test_left_stream_equals_batch."""
+        from window_aggregation_spark.streaming.interval_join import (
+            interval_join,
+        )
+        from pyspark.sql.functions import unix_micros
+
+        events = read_table(spark, sf_dir, "events")
+        left = events.where(F.col("event_type") == "purchase").select(
+            F.col("event_id").alias("p_id"), "user_id", "ts"
+        )
+        right = events.where(F.col("event_type") == "error").select(
+            F.col("event_id").alias("e_id"),
+            "user_id",
+            F.col("ts").alias("ts_r"),
+        )
+        joined = interval_join(
+            left, right, ["user_id"], "ts", "ts_r",
+            upper="30 minutes", how="left",
+        )
+        delay = (
+            unix_micros(F.col("ts").cast("timestamp"))
+            - unix_micros(F.col("ts_r").cast("timestamp"))
+        ) / F.lit(1_000_000.0)
+        return joined.select(
+            "p_id", "user_id", "e_id", F.round(delay, 4).alias("delay_s")
+        )
+
 
 _register_multimodal_streaming()
 
@@ -2120,6 +2165,37 @@ def _register_pipeline() -> None:
 
 
 _register_pipeline()
+
+
+def _register_approx() -> None:
+    @_register("w_approx_percentile", None)  # rows-only: sketches aren't
+    # bit-reproducible across engines, so no DuckDB value oracle — accuracy
+    # vs the exact yardstick is pinned by tests/test_approx_functions.py
+    def w_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """The 100 TB fallback path: sketch-based percentile and distinct
+        count over the same window spec the exact operators use. At scale
+        these replace discrete_percentile / count(distinct) — mergeable
+        sketches, O(1) per-row memory, no rank-join."""
+        df = read_table(spark, sf_dir, "lineitem")
+        plan = WindowPlan(
+            spec=WindowSpecDef(
+                partition_by=("l_returnflag",), order_by=_LI_TIEBREAK
+            ),
+            aggregates=(
+                AggregateDef("apx_p50", "approx_discrete_percentile",
+                             field="l_quantity", args=("0.5",)),
+                AggregateDef("apx_p90", "approx_discrete_percentile",
+                             field="l_quantity", args=("0.9",)),
+                AggregateDef("apx_parts", "approx_count_distinct",
+                             field="l_partkey"),
+            ),
+            declared_schema=("l_orderkey", "l_linenumber", "l_returnflag",
+                             "l_quantity", "apx_p50", "apx_p90", "apx_parts"),
+        )
+        return window_aggregate(df, plan)
+
+
+_register_approx()
 
 
 def headline_queries() -> dict[str, SuiteQuery]:
