@@ -96,6 +96,33 @@ def test_rank_join_plan_has_no_per_row_buffers(spark, function, args,
     assert "percentile(" not in plan
 
 
+@pytest.mark.parametrize("direction", ["ascending", "descending"])
+def test_one_pass_strategy_matches_rank_lookup(spark, direction):
+    """percentile_strategy='one_pass' (the explicit small-frames assertion)
+    must produce bit-identical results through the single-WindowExec plan —
+    Hive percentile appears in the plan, the union/rank-lookup does not."""
+    df = spark.createDataFrame(ROWS, SCHEMA)
+    plan = _plan("median", direction)
+    default = window_aggregate(df, plan)
+    one_pass = window_aggregate(df, plan, percentile_strategy="one_pass")
+    cols = ["id", "g", "v", "out"]
+    assert (
+        one_pass.select(cols).orderBy("id").collect()
+        == default.select(cols).orderBy("id").collect()
+    )
+    jplan = one_pass._jdf.queryExecution().executedPlan().toString()
+    assert "percentile(" in jplan
+    assert "__pr_rk" not in jplan
+
+
+def test_percentile_strategy_validated(spark):
+    df = spark.createDataFrame(ROWS, SCHEMA)
+    with pytest.raises(ValueError, match="percentile_strategy"):
+        window_aggregate(
+            df, _plan("median", "ascending"), percentile_strategy="auto"
+        )
+
+
 def test_rank_join_not_applied_when_ordered_by_other_field(spark):
     """Ordered by a different column, frames are not value prefixes — the
     rewrite must NOT fire and the general path must run."""

@@ -65,7 +65,11 @@ def _output_field_type(
 
 
 def window_aggregate(
-    df: DataFrame, plan: WindowPlan, *, validate: bool = True
+    df: DataFrame,
+    plan: WindowPlan,
+    *,
+    validate: bool = True,
+    percentile_strategy: str = "rank_lookup",
 ) -> DataFrame:
     """Apply a :class:`WindowPlan` to ``df`` and return the widened DataFrame.
 
@@ -74,7 +78,28 @@ def window_aggregate(
     sees the replacement). Catalyst's CollapseProject folds the chain into
     one projection, and identical window specs still collapse into a single
     ``WindowExec``.
+
+    ``percentile_strategy`` picks the physical plan for MEDIAN /
+    DISCRETE_PERCENTILE over running frames ordered by their own field:
+
+    - ``"rank_lookup"`` (default): the O(1)/row union + rank-lookup plan —
+      two key-only shuffles, flat memory, the shape that survives hot
+      partitions at 100 TB.
+    - ``"one_pass"``: the single-WindowExec composition (Hive
+      ``percentile`` / collect_list) — one shuffle, but O(frame) memory
+      per row. An EXPLICIT caller assertion that frames stay small
+      (thousands of rows, not millions); deliberately not a silent
+      stats-based guess, because plan stability matters more than a
+      micro-win when the estimate is wrong.
+
+    Results are bit-identical either way
+    (tests/test_percentile_rank_join.py pins it).
     """
+    if percentile_strategy not in ("rank_lookup", "one_pass"):
+        raise ValueError(
+            f"percentile_strategy must be 'rank_lookup' or 'one_pass', "
+            f"got {percentile_strategy!r}"
+        )
     if validate:
         collector = FailureCollector()
         validate_plan(df.schema, plan, collector)
@@ -106,8 +131,10 @@ def window_aggregate(
     for agg in plan.aggregates:
         fdef = lookup(agg.function)
         declared = _output_field_type(agg, df.schema)
-        if fdef.name in _RANK_JOIN_FUNCTIONS and (
-            _rank_join_direction(plan.spec, agg) is not None
+        if (
+            percentile_strategy == "rank_lookup"
+            and fdef.name in _RANK_JOIN_FUNCTIONS
+            and _rank_join_direction(plan.spec, agg) is not None
         ):
             out = _percentile_rank_join(
                 out, plan.spec, agg, declared,
@@ -135,6 +162,7 @@ def window_aggregate_multi(
     *,
     validate: bool = True,
     declared_schema: "tuple[str, ...] | None" = None,
+    percentile_strategy: str = "rank_lookup",
 ) -> DataFrame:
     """Apply several :class:`WindowPlan`\\ s, appending every plan's aggregate
     columns — the multi-spec extension of the reference's one-spec operator
@@ -157,7 +185,10 @@ def window_aggregate_multi(
     ordered = _group_plans_by_partition_keys(list(plans))
     out = df
     for plan in ordered:
-        out = window_aggregate(out, plan, validate=validate)
+        out = window_aggregate(
+            out, plan, validate=validate,
+            percentile_strategy=percentile_strategy,
+        )
     if declared_schema is not None:
         out = out.select(*[F.col(name) for name in declared_schema])
     return out
@@ -247,9 +278,25 @@ def _percentile_rank_join(
     MEDIAN/CONTINUOUS_PERCENTILE interpolate between two adjacent ranks
     (0-based pos = p*(n-1), lo = floor(pos), hi = ceil(pos), result =
     v_lo + (pos - lo) * (v_hi - v_lo) — Hive/Spark `percentile`
-    arithmetic exactly); since hi is always lo or lo+1, the right side
+    arithmetic exactly); since hi is always lo or lo+1, the value side
     carries its ADJACENT value (lead/lag in the same window pass) and the
-    interpolation still costs exactly ONE equi-join.
+    interpolation still costs nothing extra.
+
+    The rank LOOKUP is not an equi-join (that shape costs four exchanges:
+    two windows plus re-hashing both join sides on (keys, rank)). It is
+    the same union + running-last-value trick as :mod:`.asof_join`:
+
+    - "request" rows (every input row, carrying its needed rank) and
+      "value" rows (one per non-null field value, carrying rank -> value)
+      are unioned and windowed ONCE per partition key, ordered by
+      (rank, side). Every rank 1..n exists exactly once on the value
+      side, so ``last_value(ignoreNulls)`` at a request row is exactly
+      the value at its requested rank.
+    - both union branches hash-partition on the bare keys over the SAME
+      scan, so Catalyst's ReuseExchange ships the input once; the final
+      window re-partitions the union on the same keys. Two shuffle
+      writes total (vs four), no shuffle keyed on rank, and still O(1)
+      memory per row — the plan that survives hot partitions at 100 TB.
     """
     from pyspark.sql import Window
 
@@ -262,72 +309,100 @@ def _percentile_rank_join(
     keys = list(spec.partition_by)
     field = agg.field
     desc = direction is Direction.DESCENDING
+    ftype = df.schema[field].dataType
 
+    # ---- request side: every row + the frame rank it needs ---------------
     cnt = F.count(field).over(spec.to_spark())
-
-    def _oriented(rank: Column) -> Column:
-        # map "k-th smallest of the frame" to a row_number under the
-        # partition's own order direction
-        return (cnt - rank + 1) if desc else rank
-
+    requests = df.withColumn("__pr_cnt", cnt)
+    cntc = F.col("__pr_cnt")
     if interpolated:
         # 0-based position, exactly Spark's `percentile` arithmetic
         # (p * (n-1), floor, fractional remainder) so results are
         # bit-identical to the general window path
-        pos = F.lit(p) * (cnt - 1).cast("double")
+        pos = F.lit(p) * (cntc - 1).cast("double")
         lo = F.floor(pos).cast("long")
-        key_rank = _oriented(lo + 1)
+        rank = lo + 1
         frac = pos - lo
     else:
-        k = F.greatest(F.ceil(F.lit(p) * cnt), F.lit(1)).cast("long")
-        key_rank = _oriented(k)
+        rank = F.greatest(F.ceil(F.lit(p) * cntc), F.lit(1)).cast("long")
         frac = F.lit(0.0)
-
-    # null rank when the frame has no non-null values -> result null
-    left = (
-        df.withColumn("__pr_key", F.when(cnt > 0, key_rank))
-        .withColumn("__pr_frac", frac)
-        .alias("L")
+    # "k-th smallest of the frame" as a row_number under the partition's
+    # own order direction: descending frames are value SUFFIXES, so the
+    # k-th smallest of a frame holding the top-n values is desc-rank
+    # n - k + 1. Null rank when the frame has no non-null values -> null.
+    oriented = (cntc - rank + 1) if desc else rank
+    requests = requests.select(
+        *df.columns,
+        F.when(cntc > 0, oriented).alias("__pr_rk"),
+        frac.alias("__pr_frac"),
+        F.lit(1).alias("__pr_side"),
+        F.lit(None).cast(ftype).alias("__pr_val"),
+        F.lit(None).cast(ftype).alias("__pr_adj"),
     )
 
-    order = F.col("__pr_val").desc() if desc else F.col("__pr_val").asc()
+    # ---- value side: rank -> value (+ adjacent value) --------------------
+    order = F.col(field).desc() if desc else F.col(field).asc()
     wrn = Window.partitionBy(*keys).orderBy(order)
-    right = df.where(F.col(field).isNotNull()).select(
-        *keys, F.col(field).alias("__pr_val")
-    ).withColumn("__pr_rn", F.row_number().over(wrn))
-    if interpolated:
-        # the (k+1)-th smallest sits one row_number AWAY in the partition
-        # order: +1 ascending, -1 descending (row_number grows as values
-        # shrink). null at the partition edge — unused there, since
-        # hi > lo requires lo < n.
-        adjacent = (
-            F.lag("__pr_val").over(wrn) if desc else F.lead("__pr_val").over(wrn)
-        )
-        right = right.withColumn("__pr_adj", adjacent)
-    right = right.alias("R")
+    # the (k+1)-th smallest sits one row_number AWAY in the partition
+    # order: +1 ascending, -1 descending (row_number grows as values
+    # shrink). null only at rank n — unused there, since hi > lo
+    # requires lo < n, so frac > 0 never requests the edge.
+    adjacent = F.lag(field).over(wrn) if desc else F.lead(field).over(wrn)
+    # rank among NON-NULL values via a ROWS-frame count (each non-null row
+    # increments by one -> distinct ranks 1..n even under ties; a tie
+    # group's arbitrary internal order is invisible since peers share the
+    # value). The null filter sits ABOVE this window, not below it, so
+    # both union branches hash-partition the identical scan and
+    # ReuseExchange ships the input once.
+    rnn = F.count(field).over(
+        wrn.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    values = df.select(
+        *[
+            F.col(c) if c in keys
+            else F.lit(None).cast(df.schema[c].dataType).alias(c)
+            for c in df.columns
+        ],
+        rnn.cast("long").alias("__pr_rk"),
+        F.lit(0.0).alias("__pr_frac"),
+        F.lit(0).alias("__pr_side"),
+        F.col(field).alias("__pr_val"),
+        adjacent.alias("__pr_adj"),
+    ).where(F.col("__pr_val").isNotNull())
 
-    cond = F.col("R.__pr_rn") == F.col("L.__pr_key")
-    for key in keys:
-        cond = cond & F.col(f"L.{key}").eqNullSafe(F.col(f"R.{key}"))
+    # ---- rank lookup: one window over the union --------------------------
+    unioned = requests.unionByName(values)
+    wq = (
+        Window.partitionBy(*keys)
+        .orderBy(F.col("__pr_rk").asc_nulls_first(), F.col("__pr_side").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    resolved = (
+        unioned.withColumn("__pr_mval", F.last("__pr_val", ignorenulls=True).over(wq))
+        .withColumn("__pr_madj", F.last("__pr_adj", ignorenulls=True).over(wq))
+        .where(F.col("__pr_side") == 1)
+    )
 
     if interpolated:
-        v_lo = F.col("R.__pr_val").cast("double")
-        v_hi = F.when(F.col("L.__pr_frac") > 0, F.col("R.__pr_adj").cast("double")).otherwise(v_lo)
-        val = (v_lo + F.col("L.__pr_frac") * (v_hi - v_lo)).cast(
+        v_lo = F.col("__pr_mval").cast("double")
+        v_hi = F.when(
+            F.col("__pr_frac") > 0, F.col("__pr_madj").cast("double")
+        ).otherwise(v_lo)
+        val = (v_lo + F.col("__pr_frac") * (v_hi - v_lo)).cast(
             declared if declared is not None else T.DoubleType()
         )
     else:
-        val = F.col("R.__pr_val")
+        val = F.col("__pr_mval")
         if declared is not None:
             val = val.cast(declared)
 
     result_cols = [
-        val.alias(agg.alias) if c == agg.alias else F.col(f"L.{c}")
+        val.alias(agg.alias) if c == agg.alias else F.col(c)
         for c in df.columns
     ]
     if agg.alias not in df.columns:
         result_cols.append(val.alias(agg.alias))
-    return left.join(right, cond, "left").select(*result_cols)
+    return resolved.select(*result_cols)
 
 
 def derive_output_schema(
