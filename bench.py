@@ -20,17 +20,22 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent))
 
+from pyspark.sql import functions as F  # noqa: E402
+
 from window_aggregation_spark.session import get_spark  # noqa: E402
 from window_aggregation_spark.suite import SUITE, headline_queries  # noqa: E402
 
 
 def frame_scaling_probe(spark, sf_dir: str, k: int = 8) -> dict:
-    """O(frame) growth probe: the running-median query on 1x lineitem and
-    on a k-times-replicated copy with the SAME partition keys — so
-    partitions (and therefore frames) are k times larger, isolating
-    frame-size scaling from data-size scaling. A linear-in-frame plan
-    scales ~k; the pre-rewrite per-row sort buffer scaled ~k^2 and OOMs on
-    hot partitions at 100 TB. Inputs are cached before the timed region."""
+    """O(frame) growth probe: the running-median query on two datasets of
+    IDENTICAL size (k-times-replicated lineitem) that differ only in frame
+    size — ``same_keys`` keeps the original partition keys (frames grow
+    k-fold), ``split_keys`` suffixes the key per copy (frames stay 1x).
+    The ratio therefore isolates frame-size cost from data-size cost and
+    from fixed overheads: a flat-memory plan stays near 1; the pre-rewrite
+    per-row sort buffer grew ~k. (The earlier 1x-vs-kx formulation mixed
+    data scaling into the denominator, so the ratio swung with how warm
+    the small run happened to be.) Inputs are cached before timing."""
     from pyspark.sql import functions as F
 
     from window_aggregation_spark import (
@@ -43,15 +48,24 @@ def frame_scaling_probe(spark, sf_dir: str, k: int = 8) -> dict:
     from window_aggregation_spark.sources.io import read_table
 
     li = read_table(spark, sf_dir, "lineitem").select("l_suppkey", "l_quantity")
-    big = li
-    for i in range(1, k):
-        # jitter values so replicated rows aren't all frame peers
-        big = big.unionByName(
-            li.select(
-                "l_suppkey",
-                (F.col("l_quantity") + F.lit(i * 0.125)).alias("l_quantity"),
+
+    def replicated(split_keys: bool):
+        big = li
+        for i in range(1, k):
+            key = (
+                (F.col("l_suppkey") + F.lit(i * 10**7)).alias("l_suppkey")
+                if split_keys
+                else F.col("l_suppkey")
             )
-        )
+            # jitter values so replicated rows aren't all frame peers
+            big = big.unionByName(
+                li.select(
+                    key,
+                    (F.col("l_quantity") + F.lit(i * 0.125)).alias("l_quantity"),
+                )
+            )
+        return big
+
     plan = WindowPlan(
         spec=WindowSpecDef(
             partition_by=("l_suppkey",), order_by=(OrderKey("l_quantity"),)
@@ -59,11 +73,14 @@ def frame_scaling_probe(spark, sf_dir: str, k: int = 8) -> dict:
         aggregates=(AggregateDef("med", "median", field="l_quantity"),),
     )
     out: dict = {"k": k}
-    for label, df in (("sec_1x", li), (f"sec_{k}x", big)):
+    for label, df in (
+        ("sec_split_keys", replicated(True)),
+        ("sec_same_keys", replicated(False)),
+    ):
         df = df.cache()
         df.count()
         best = float("inf")
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.perf_counter()
             window_aggregate(df, plan).write.format("noop").mode(
                 "overwrite"
@@ -71,8 +88,186 @@ def frame_scaling_probe(spark, sf_dir: str, k: int = 8) -> dict:
             best = min(best, time.perf_counter() - t0)
         out[label] = round(best, 3)
         df.unpersist()
-    out["ratio"] = round(out[f"sec_{k}x"] / max(out["sec_1x"], 1e-9), 2)
+    out["ratio"] = round(
+        out["sec_same_keys"] / max(out["sec_split_keys"], 1e-9), 2
+    )
     return out
+
+
+def skew_probe(spark, sf_dir: str, *, chunks: int = 16, copies: int = 4) -> dict:
+    """Hot-key evidence for the salted operators: a synthetic key column
+    where ONE key holds ~90% of a ``copies``x-replicated lineitem (the
+    classic null/default key owning most of a fact table), then plain vs
+    salted running sum and plain vs salted equi-join on the same cached
+    input. The replication exists to push the hot key past a single task's
+    time budget even at local scale — that is the regime the operators are
+    for; below it (small hot keys) the plain plans win and salting is the
+    wrong tool, which sf0.1-at-30%% measurements confirmed. Broadcast is
+    disabled for the join pair: the probe models the 100 TB case where the
+    dimension exceeds the broadcast budget and AQE's skew split (256 MB
+    partition threshold) does not fire even though the hot key serializes
+    a task."""
+    from pyspark.sql import Window
+
+    from window_aggregation_spark.operators.skew import (
+        salted_join,
+        salted_running_agg,
+    )
+    from window_aggregation_spark.sources.io import read_table
+
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_suppkey", "l_extendedprice",
+        "l_quantity",
+    )
+    big = li
+    for i in range(1, copies):
+        big = big.unionByName(
+            li.select(
+                (F.col("l_orderkey") + F.lit(i * 10**8)).alias("l_orderkey"),
+                "l_linenumber",
+                "l_suppkey",
+                (F.col("l_extendedprice") + F.lit(i * 0.01)).alias(
+                    "l_extendedprice"
+                ),
+                "l_quantity",
+            )
+        )
+    hot = big.withColumn(
+        "k",
+        F.when(
+            F.pmod(
+                F.xxhash64("l_orderkey", "l_linenumber", "l_extendedprice"),
+                F.lit(10),
+            )
+            < 9,
+            F.lit(0),
+        ).otherwise(F.col("l_suppkey")),
+    ).cache()
+    n = hot.count()
+    dim = (
+        li.select(F.col("l_suppkey").alias("k"))
+        .distinct()
+        .union(spark.createDataFrame([(0,)], "k long"))
+        .distinct()
+        .withColumn("dim_val", F.col("k") * 2)
+        .cache()
+    )
+    dim.count()
+
+    def best_of(build, reps: int = 2) -> float:
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            build().write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - t0)
+        return round(best, 3)
+
+    w = Window.partitionBy("k").orderBy("l_extendedprice")
+    out: dict = {"rows": n, "hot_share": 0.9, "chunks": chunks}
+    out["plain_running_sum"] = best_of(
+        lambda: hot.withColumn("rs", F.sum("l_quantity").over(w))
+    )
+    out["salted_running_sum"] = best_of(
+        lambda: salted_running_agg(
+            hot, ["k"], "l_extendedprice", "l_quantity",
+            agg="sum", chunks=chunks, alias="rs",
+        )
+    )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        out["plain_join"] = best_of(lambda: hot.join(dim, on="k"))
+        out["salted_join"] = best_of(
+            lambda: salted_join(hot, dim, on=["k"], salts=chunks)
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    hot.unpersist()
+    dim.unpersist()
+    out["running_sum_speedup"] = round(
+        out["plain_running_sum"] / max(out["salted_running_sum"], 1e-9), 2
+    )
+    out["join_speedup"] = round(
+        out["plain_join"] / max(out["salted_join"], 1e-9), 2
+    )
+    return out
+
+
+# tables the headline queries actually scan; the rest are symlinked 1x
+_SCALED_TABLES = ("lineitem", "events", "documents", "embeddings")
+
+
+def _ensure_scaled_dir(spark, src_dir: str, out_dir: str, copies: int) -> None:
+    """Materialize a ~``copies``x copy of ``src_dir`` under ``out_dir``
+    (idempotent). Key columns shift per copy — bigger data has more
+    orders/suppliers/users/docs, not hotter ones, matching how the real
+    generator scales — and document text is re-mapped per copy with a
+    cheap codegen ``translate`` so copies are not near-duplicates of each
+    other (plain replication would hand the dedup operators a pathological
+    10-way-duplicate corpus and time THAT instead of scale)."""
+    import os
+    from pathlib import Path
+
+    out = Path(out_dir)
+    marker = out / "_BUILT"
+    if marker.exists():
+        return
+    out.mkdir(parents=True, exist_ok=True)
+
+    shifts = {
+        "lineitem": {"l_orderkey": 100_000_000, "l_partkey": 10_000_000,
+                     "l_suppkey": 1_000_000},
+        "events": {"event_id": 10**12, "user_id": 10**9},
+        "documents": {"doc_id": 10**9},
+        "embeddings": {"vec_id": 10**9},
+    }
+    alphabet = "etaoinshr"
+    for name in _SCALED_TABLES:
+        df = spark.read.parquet(f"{src_dir}/{name}.parquet")
+        parts = []
+        for i in range(copies):
+            cols = []
+            for c in df.columns:
+                col = F.col(c)
+                if c in shifts[name]:
+                    col = (col + F.lit(i * shifts[name][c])).alias(c)
+                elif name == "documents" and c == "text":
+                    rot = alphabet[i % len(alphabet):] + alphabet[: i % len(alphabet)]
+                    col = F.translate(col, alphabet, rot).alias(c)
+                cols.append(col)
+            parts.append(df.select(*cols))
+        big = parts[0]
+        for p in parts[1:]:
+            big = big.unionByName(p)
+        big.write.mode("overwrite").parquet(str(out / f"{name}.parquet"))
+    for name in ("region", "nation", "customer", "supplier", "part", "orders"):
+        link = out / f"{name}.parquet"
+        if not link.exists():
+            os.symlink(f"{src_dir}/{name}.parquet", link)
+    marker.touch()
+
+
+def sf1_section(spark, sf01_dir: str, *, copies: int = 10) -> dict:
+    """Headline queries on ~10x sf0.1 (~6M-row lineitem): the growth-curve
+    evidence that per-query cost scales ~linearly with data size. One rep
+    per query (the section exists for slope, not microseconds)."""
+    out_dir = os.environ.get("SPARK_GRAFT_SF1_DIR", "/tmp/spark_graft_sf1")
+    _ensure_scaled_dir(spark, sf01_dir, out_dir, copies)
+    timings: dict[str, float] = {}
+    total = 0.0
+    for name, q in sorted(headline_queries().items()):
+        t0 = time.perf_counter()
+        q.build(spark, out_dir).write.format("noop").mode("overwrite").save()
+        dt = round(time.perf_counter() - t0, 3)
+        timings[name] = dt
+        total += dt
+        print(f"# sf1 {name}: {dt}s", file=sys.stderr, flush=True)
+    return {
+        "sf": 1.0,
+        "copies": copies,
+        "value": round(total, 3),
+        "queries": timings,
+    }
 
 
 def main() -> None:
@@ -111,6 +306,14 @@ def main() -> None:
     }
     if os.environ.get("SPARK_GRAFT_FRAME_PROBE", "1") != "0":
         payload["frame_probe"] = frame_scaling_probe(spark, sf_dir)
+    if os.environ.get("SPARK_GRAFT_SKEW_PROBE", "1") != "0":
+        payload["skew_probe"] = skew_probe(spark, sf_dir)
+    if sf == "0.1" and os.environ.get("SPARK_GRAFT_SF1", "1") != "0":
+        try:
+            payload["sf1"] = sf1_section(spark, sf_dir)
+        except Exception as e:  # sf1 is evidence, not the gate — never
+            payload["sf1"] = {"err": f"{type(e).__name__}: {e}"[:300]}
+            # let a scaled-fixture problem break the headline JSON line
     print(json.dumps(payload))
     spark.stop()
 

@@ -299,8 +299,12 @@ def test_multimodal_decode_stub_and_schema(docs):
     for r in rows[:5]:
         assert len(r["feat"]) == 8
         assert r["feat"][0] == float(r["n_bytes"])  # deterministic fake
-    with pytest.raises(Exception, match="decoder"):
+    # real decoding is implemented now, but these payloads are text bytes,
+    # not images — the real-decoder path must refuse them loudly
+    with pytest.raises(Exception, match="PNG"):
         mm.decode_image_features(payloads, use_real_decoder=True).collect()
+    with pytest.raises(NotImplementedError, match="audio"):
+        mm.require_decoder("audio")
 
 
 def test_multimodal_png_metadata_expression_parse(spark):

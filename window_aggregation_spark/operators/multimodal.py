@@ -3,13 +3,16 @@ with typed metadata, processed by Arrow-batched pandas iterators.
 
 The Spark-side machinery here is real and tested — binary payload columns,
 a typed metadata struct, ``mapInPandas`` operators with explicit output
-schemas and bounded batch sizes. The actual media decoding is STUBBED:
-the container has no image/audio libraries, so :func:`decode_image_features`
-computes deterministic fake features from the raw bytes (and
-:func:`require_decoder` raises ``NotImplementedError`` showing where a real
-decoder — PIL / torchaudio / pyav — would plug in). Swapping the fake for a
-real decoder changes only the inner function body; schema, partitioning,
-and batch shape stay identical.
+schemas and bounded batch sizes. IMAGE decoding is real too:
+``decode_image_features(use_real_decoder=True)`` decodes pixels via PIL
+when importable, else the stdlib zlib PNG decoder (:func:`decode_png`) —
+no codec library required. The oracle-stable default keeps deterministic
+byte-derived fake features so the correctness gate stays engine-neutral.
+Audio/video decoding remains explicitly unimplemented
+(:func:`require_decoder`): those codecs genuinely aren't in the
+container, and the seam shows exactly where torchaudio/pyav plug in —
+swapping the inner function body, never the schema/partitioning/batch
+shape.
 
 Scale notes: payloads ride in parquet binary columns; ``mapInPandas``
 processes Arrow batches per partition, so memory is bounded by
@@ -82,13 +85,117 @@ def extract_png_meta(df: DataFrame, payload_col: str = "payload") -> DataFrame:
 
 
 def require_decoder(kind: str) -> None:
-    """Where a real decoder plugs in. The v1 container ships no media
-    libraries, so real decoding is explicitly unimplemented."""
+    """Where a real decoder plugs in. Image decoding IS implemented (PIL
+    when importable, else the stdlib PNG decoder below); audio/video remain
+    explicitly unimplemented — the container ships no codec libraries."""
+    if kind == "image":
+        return
     raise NotImplementedError(
         f"No {kind} decoder available in this environment. Plug a real "
-        f"decoder (PIL / torchaudio / pyav) into decode_image_features's "
-        f"inner loop; schema and batching are already in place."
+        f"decoder (torchaudio / pyav) into a mapInPandas body like "
+        f"decode_image_features's; schema and batching are already in place."
     )
+
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\x0a"
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}  # grey, RGB, grey+A, RGBA
+
+
+def decode_png(data: bytes) -> "np.ndarray":
+    """Pure-stdlib PNG decoder (zlib + numpy): 8-bit depth, all five scanline
+    filters, greyscale/RGB/(+alpha), non-interlaced. Returns HxWxC uint8.
+
+    This exists so 'real decode' is not a stub even in codec-free
+    containers — PNG needs only zlib, which is stdlib. It is the per-row
+    fallback inside an Arrow batch, not a scale claim: at 100 TB the hot
+    path is the codegen header parse (:func:`extract_png_meta`), and full
+    pixel decode belongs to an optimized library (PIL takes over whenever
+    it is importable). Exotic shapes (16-bit, palette, interlaced) raise
+    ``NotImplementedError`` rather than silently mis-decoding.
+    """
+    import struct
+    import zlib
+
+    import numpy as np
+
+    if data[:8] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos, ihdr, idat = 8, None, []
+    while pos + 8 <= len(data):
+        (length,) = struct.unpack(">I", data[pos:pos + 4])
+        ctype = data[pos + 4:pos + 8]
+        chunk = data[pos + 8:pos + 8 + length]
+        pos += 12 + length  # length + type + data + crc
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", chunk)
+        elif ctype == b"IDAT":
+            idat.append(chunk)
+        elif ctype == b"IEND":
+            break
+    if ihdr is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    w, h, depth, color, _comp, _filt, interlace = ihdr
+    channels = _PNG_CHANNELS.get(color)
+    if channels is None or depth != 8 or interlace:
+        raise NotImplementedError(
+            f"decode_png handles 8-bit non-interlaced grey/RGB/alpha only "
+            f"(got depth={depth}, color_type={color}, interlace={interlace})"
+        )
+    raw = zlib.decompress(b"".join(idat))
+    stride, bpp = w * channels, channels
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG scanline data has unexpected length")
+    out = np.empty((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    for y in range(h):
+        f = raw[y * (stride + 1)]
+        line = np.frombuffer(
+            raw, dtype=np.uint8, count=stride, offset=y * (stride + 1) + 1
+        ).copy()
+        if f == 0:  # None
+            pass
+        elif f == 2:  # Up (uint8 wrap-around IS the spec's mod-256)
+            line += prev
+        elif f in (1, 3, 4):  # Sub / Average / Paeth: left-recursive
+            for x in range(stride):
+                left = int(line[x - bpp]) if x >= bpp else 0
+                up = int(prev[x])
+                if f == 1:
+                    pred = left
+                elif f == 3:
+                    pred = (left + up) // 2
+                else:
+                    ul = int(prev[x - bpp]) if x >= bpp else 0
+                    p = left + up - ul
+                    pa, pb, pc = abs(p - left), abs(p - up), abs(p - ul)
+                    pred = left if pa <= pb and pa <= pc else (
+                        up if pb <= pc else ul
+                    )
+                line[x] = (int(line[x]) + pred) % 256
+        else:
+            raise ValueError(f"unknown PNG filter type {f}")
+        out[y] = prev = line
+    return out.reshape(h, w, channels)
+
+
+def get_image_decoder():
+    """The pluggable decode step: PIL when importable (any format), else
+    :func:`decode_png` (stdlib, PNG only). Returns ``bytes -> HxWxC uint8``.
+    """
+    try:
+        import io
+
+        from PIL import Image  # optional dependency, never required
+
+        import numpy as np
+
+        def pil_decode(b: bytes) -> "np.ndarray":
+            arr = np.asarray(Image.open(io.BytesIO(b)))
+            return arr[:, :, None] if arr.ndim == 2 else arr
+
+        return pil_decode
+    except ImportError:
+        return decode_png
 
 
 def decode_image_features(
@@ -96,19 +203,39 @@ def decode_image_features(
 ) -> DataFrame:
     """Arrow-batched 'decode + feature extract' over binary payloads.
 
-    With ``use_real_decoder=False`` (the only mode that works in this
-    container) features are a deterministic fake: byte-histogram moments of
-    the payload, so tests can assert exact values and batch shapes.
+    With ``use_real_decoder=False`` (the oracle-stable default) features
+    are a deterministic fake: byte-histogram moments of the payload, so
+    tests can assert exact values and batch shapes. With
+    ``use_real_decoder=True`` each payload is ACTUALLY decoded
+    (:func:`get_image_decoder`: PIL if importable, stdlib PNG otherwise)
+    and features are pixel statistics
+    ``[width, height, channels, mean, std, min, max, n_bytes]``.
+    Either way the plan is identical — same schema, same Arrow batching;
+    only the pandas-side inner function changes, which is the whole design
+    point of the seam.
     """
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        decoder = None
+        if use_real_decoder:
+            require_decoder("image")
+            decoder = get_image_decoder()
         for pdf in batches:
-            if use_real_decoder:
-                require_decoder("image")
             payloads = pdf["payload"]
             feats = []
             for raw in payloads:
                 b = bytes(raw)
+                if decoder is not None:
+                    px = decoder(b).astype("float64")
+                    h, w, c = px.shape
+                    vec = [
+                        float(w), float(h), float(c),
+                        float(px.mean()), float(px.std()),
+                        float(px.min()), float(px.max()),
+                        float(len(b)),
+                    ][:n_features]
+                    feats.append(vec)
+                    continue
                 # deterministic fake features: length + evenly-strided bytes
                 stride = max(1, len(b) // (n_features - 1)) if b else 1
                 vec = [float(len(b))] + [
