@@ -348,6 +348,129 @@ def _ivf_topk_expr(
     )
 
 
+class IVFIndex:
+    """A persisted-or-loaded IVF index: the normalized centroid codebook
+    (tiny, driver-side) plus the inverted lists as a DataFrame."""
+
+    def __init__(self, centroids: np.ndarray, lists: DataFrame):
+        self.centroids = centroids
+        self.lists = lists  # id long, v array<float>, list_id int
+
+
+def build_ivf_index(
+    corpus: DataFrame,
+    path: str,
+    *,
+    n_centroids: int = 16,
+    centroids: str = "sample",
+    kmeans_iters: int = 3,
+    corpus_id: str = "vec_id",
+    vec_col: str = "embedding",
+    mode: str = "overwrite",
+) -> IVFIndex:
+    """Build an IVF index ONCE and persist it: at 100 TB you do not
+    recompute centroids and list assignments per query batch —
+    :func:`ivf_topk` recomputes both on every call, which is fine for
+    one-shot jobs and wrong for a serving/refresh pipeline.
+
+    Layout under ``path``:
+
+    - ``centroids/`` — parquet, ``list_id int, centroid array<double>``
+      (n_centroids tiny rows; loaded to the driver and broadcast at query
+      time, exactly like the in-memory path);
+    - ``lists/`` — parquet PARTITIONED BY ``list_id``: a query batch that
+      probes ``nprobe`` lists scans only those directories (partition
+      pruning), which is the point of an inverted-file layout on object
+      storage.
+
+    Returns the index with ``lists`` re-read from disk, so downstream
+    plans run against exactly what was persisted.
+    """
+    spark = corpus.sparkSession
+    c_base = corpus.select(
+        F.col(corpus_id).alias("id"), F.col(vec_col).alias("v")
+    )
+    if centroids == "kmeans":
+        cents = _kmeans_centroids(c_base, n_centroids, kmeans_iters)
+    elif centroids == "sample":
+        cents = _sample_centroids(c_base, n_centroids)
+    else:
+        raise ValueError(f"unknown centroids mode: {centroids!r}")
+    b_cents = spark.sparkContext.broadcast(cents)
+    c_lists = c_base.mapInPandas(
+        _assign_lists_fn(b_cents, 1),
+        schema="id long, v array<float>, list_id int",
+    )
+    c_lists.write.mode(mode).partitionBy("list_id").parquet(f"{path}/lists")
+    cent_rows = [(i, [float(x) for x in row]) for i, row in enumerate(cents)]
+    spark.createDataFrame(
+        cent_rows, "list_id int, centroid array<double>"
+    ).coalesce(1).write.mode(mode).parquet(f"{path}/centroids")
+    return load_ivf_index(spark, path)
+
+
+def load_ivf_index(spark, path: str) -> IVFIndex:
+    """Load a persisted IVF index. Only ``n_centroids`` rows reach the
+    driver; the inverted lists stay a lazy partition-pruned scan."""
+    rows = spark.read.parquet(f"{path}/centroids").orderBy("list_id").collect()
+    cents = np.stack([np.asarray(r["centroid"], dtype=np.float64) for r in rows])
+    lists = spark.read.parquet(f"{path}/lists")
+    return IVFIndex(cents, lists)
+
+
+def ivf_topk_index(
+    queries: DataFrame,
+    index: IVFIndex,
+    *,
+    k: int = 5,
+    nprobe: int = 4,
+    query_id: str = "vec_id",
+    vec_col: str = "embedding",
+    prune_lists: bool = True,
+) -> DataFrame:
+    """:func:`ivf_topk` against a prebuilt :class:`IVFIndex` — identical
+    results to the in-memory ``assign="numpy"`` path on the same corpus
+    (pinned by test), without recomputing centroids or list assignments.
+
+    ``prune_lists`` (default on) collects the DISTINCT probe list ids of
+    this query batch — at most ``n_centroids`` small values, a bounded
+    driver action — and pushes them as an ``isin`` filter on the
+    partitioned scan, so only the probed ``lists/list_id=*/`` directories
+    are read. Off, the equi-join still only MATCHES those lists but the
+    scan reads all of them."""
+    spark = queries.sparkSession
+    b_cents = spark.sparkContext.broadcast(index.centroids)
+    q_lists = queries.select(
+        F.col(query_id).alias("id"), F.col(vec_col).alias("v")
+    ).mapInPandas(
+        _assign_lists_fn(b_cents, nprobe),
+        schema="id long, v array<float>, list_id int",
+    )
+    c_lists = index.lists
+    if prune_lists:
+        probed = sorted(
+            r["list_id"] for r in q_lists.select("list_id").distinct().collect()
+        )
+        c_lists = c_lists.where(F.col("list_id").isin(probed))
+    scored = (
+        q_lists.alias("q")
+        .join(c_lists.alias("c"), on="list_id")
+        .select(
+            F.col("q.id").alias("query_id"),
+            F.col("c.id").alias("neighbor_id"),
+            F.round(cosine(F.col("q.v"), F.col("c.v")), 4).alias("cos_sim"),
+        )
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("nn_rank", F.row_number().over(w))
+        .where(F.col("nn_rank") <= k)
+    )
+
+
 def ann_lsh_topk(
     queries: DataFrame,
     corpus: DataFrame,
