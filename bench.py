@@ -247,13 +247,21 @@ def _ensure_scaled_dir(spark, src_dir: str, out_dir: str, copies: int) -> None:
     marker.touch()
 
 
-def sf1_section(spark, sf01_dir: str, *, copies: int = 10) -> dict:
+def sf1_section(
+    spark, sf01_dir: str, sf01_timings: dict[str, float] | None = None,
+    *, copies: int = 10,
+) -> dict:
     """Headline queries on ~10x sf0.1 (~6M-row lineitem): the growth-curve
     evidence that per-query cost scales ~linearly with data size. One rep
-    per query (the section exists for slope, not microseconds)."""
+    per query (the section exists for slope, not microseconds). When the
+    run's sf0.1 timings are passed in, each query also records
+    ``linear_ratio`` = sf1_time / (copies * sf0.1_time) — 1.0 is perfectly
+    linear, < 1 is sub-linear (fixed overheads amortizing), and anything
+    past ~2 is a growth-curve outlier that needs a named explanation."""
     out_dir = os.environ.get("SPARK_GRAFT_SF1_DIR", "/tmp/spark_graft_sf1")
     _ensure_scaled_dir(spark, sf01_dir, out_dir, copies)
     timings: dict[str, float] = {}
+    ratios: dict[str, float] = {}
     total = 0.0
     for name, q in sorted(headline_queries().items()):
         t0 = time.perf_counter()
@@ -261,13 +269,18 @@ def sf1_section(spark, sf01_dir: str, *, copies: int = 10) -> dict:
         dt = round(time.perf_counter() - t0, 3)
         timings[name] = dt
         total += dt
+        if sf01_timings and sf01_timings.get(name):
+            ratios[name] = round(dt / (copies * sf01_timings[name]), 2)
         print(f"# sf1 {name}: {dt}s", file=sys.stderr, flush=True)
-    return {
+    out = {
         "sf": 1.0,
         "copies": copies,
         "value": round(total, 3),
         "queries": timings,
     }
+    if ratios:
+        out["linear_ratio"] = ratios
+    return out
 
 
 def main() -> None:
@@ -310,7 +323,7 @@ def main() -> None:
         payload["skew_probe"] = skew_probe(spark, sf_dir)
     if sf == "0.1" and os.environ.get("SPARK_GRAFT_SF1", "1") != "0":
         try:
-            payload["sf1"] = sf1_section(spark, sf_dir)
+            payload["sf1"] = sf1_section(spark, sf_dir, timings)
         except Exception as e:  # sf1 is evidence, not the gate — never
             payload["sf1"] = {"err": f"{type(e).__name__}: {e}"[:300]}
             # let a scaled-fixture problem break the headline JSON line

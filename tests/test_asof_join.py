@@ -92,3 +92,78 @@ def test_asof_overlapping_names_get_suffix(spark):
     assert "v_asof" in out.columns and "v" in out.columns
     (row,) = out.collect()
     assert row["v"] == 5.0 and row["v_asof"] == 10.0
+
+
+def _tsdf(spark, rows, schema):
+    return spark.createDataFrame(rows, schema).withColumn(
+        "ts", F.to_timestamp("ts_s")
+    ).drop("ts_s")
+
+
+def test_asof_forward_picks_earliest_at_or_after(spark):
+    left = _tsdf(
+        spark,
+        [(1, 7, "2024-01-01 12:00:00"), (2, 7, "2024-01-01 23:00:00")],
+        "lid long, k long, ts_s string",
+    )
+    right = _tsdf(
+        spark,
+        [
+            (300, 7, "2024-01-01 10:00:00", 1.0),  # before both -> never
+            (301, 7, "2024-01-01 12:00:00", 2.0),  # equal ts -> inclusive
+            (302, 7, "2024-01-01 15:00:00", 3.0),
+        ],
+        "rid long, k long, ts_s string, v double",
+    )
+    out = {
+        r["lid"]: (r["rid"], r["v"])
+        for r in asof_join(
+            left, right, on=["k"], ts_col="ts", right_cols=["rid", "v"],
+            tiebreak="rid", direction="forward",
+        ).collect()
+    }
+    assert out == {1: (301, 2.0), 2: (None, None)}
+
+
+def test_asof_tolerance_nulls_stale_matches(spark):
+    left = _tsdf(
+        spark,
+        [(1, 7, "2024-01-05 00:00:00"), (2, 7, "2024-01-01 01:00:00")],
+        "lid long, k long, ts_s string",
+    )
+    right = _tsdf(
+        spark,
+        [(300, 7, "2024-01-01 00:00:00", 1.0)],
+        "rid long, k long, ts_s string, v double",
+    )
+    out = {
+        r["lid"]: r["rid"]
+        for r in asof_join(
+            left, right, on=["k"], ts_col="ts", right_cols=["rid", "v"],
+            tiebreak="rid", tolerance="1 day",
+        ).collect()
+    }
+    # lid=1 is 4 days after the only right row -> stale -> null;
+    # lid=2 is 1h after -> kept
+    assert out == {1: None, 2: 300}
+
+
+def test_asof_forward_tolerance_and_bad_direction(spark):
+    left = _tsdf(spark, [(1, 7, "2024-01-01 00:00:00")],
+                 "lid long, k long, ts_s string")
+    right = _tsdf(
+        spark,
+        [(300, 7, "2024-01-03 00:00:00", 1.0)],
+        "rid long, k long, ts_s string, v double",
+    )
+    kw = dict(on=["k"], ts_col="ts", right_cols=["rid"], tiebreak="rid",
+              direction="forward")
+    (near,) = asof_join(left, right, tolerance="3 days", **kw).collect()
+    assert near["rid"] == 300
+    (far,) = asof_join(left, right, tolerance="1 day", **kw).collect()
+    assert far["rid"] is None
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="direction"):
+        asof_join(left, right, on=["k"], ts_col="ts", right_cols=["rid"],
+                  direction="nearest")

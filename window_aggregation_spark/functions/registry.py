@@ -413,8 +413,13 @@ FUNCTIONS: dict[str, FunctionDef] = {
         FunctionDef("discrete_percentile", "DISCRETE_PERCENTILE", _R, _R, _N,
                     True, None, True, 1,
                     _discrete_percentile, _sql_discrete_percentile),
+        # ordering OPTIONAL (unlike exact DISCRETE_PERCENTILE's REQUIRED):
+        # a sketch is order-free, and the partition-only shape — one
+        # mergeable sketch per partition, one evaluate — is the 100 TB
+        # form. Ordered specs still work (running sketch) but pay a
+        # per-row evaluate; prefer partition-only.
         FunctionDef("approx_discrete_percentile", "APPROX_DISCRETE_PERCENTILE",
-                    _R, _R, _N, True, None, True, 1,
+                    _R, _O, _N, True, None, True, 1,
                     _approx_discrete_percentile,
                     _sql_simple("approx_percentile({field}, {a0}, 10000)")),
         FunctionDef("lead", "LEAD", _R, _R, _N, False, None, True, 1,

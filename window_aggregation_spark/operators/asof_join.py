@@ -35,22 +35,43 @@ def asof_join(
     right_cols: list[str],
     tiebreak: str | None = None,
     suffix: str = "_asof",
+    direction: str = "backward",
+    tolerance: str | None = None,
 ) -> DataFrame:
-    """For every ``left`` row, append ``right_cols`` from the latest
-    ``right`` row with the same ``on`` keys and ``right.ts <= left.ts``
-    (null when no such row exists).
+    """For every ``left`` row, append ``right_cols`` from the matching
+    ``right`` row with the same ``on`` keys (null when no such row exists):
+    the latest with ``right.ts <= left.ts`` (``direction="backward"``, the
+    default) or the earliest with ``right.ts >= left.ts``
+    (``direction="forward"`` — pandas ``merge_asof`` naming). Forward is
+    the same one-shuffle union+window plan with the time order reversed.
 
     ``tiebreak``: a right-side column making right's ordering total (ties
-    on ``ts_col`` would otherwise be nondeterministic); latest wins.
+    on ``ts_col`` would otherwise be nondeterministic); the largest
+    tiebreak value wins in both directions.
+
+    ``tolerance`` (e.g. ``"7 days"``): maximum staleness — a match further
+    than this from ``left.ts`` is nulled out, exactly like no match. The
+    matched row's timestamp rides inside the carried payload struct, so
+    the filter is a pure projection on top of the same plan: still one
+    shuffle, no second pass.
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(
+            f"asof_join: direction must be 'backward' or 'forward', "
+            f"got {direction!r}"
+        )
     overlap = [c for c in right_cols if c in left.columns]
     out_names = {c: (c + suffix if c in overlap else c) for c in right_cols}
 
     # the right payload rides as ONE struct so the carried columns always
     # come from the same right row (independent last(col) calls could mix
-    # rows when some payload columns are null)
+    # rows when some payload columns are null); the right row's own ts
+    # ("__rts") is carried too, which is what makes tolerance a free
+    # projection instead of a second window
+    ts_type = dict(right.dtypes)[ts_col]
     payload_type = ", ".join(
-        f"{c}: {dict(right.dtypes)[c]}" for c in right_cols
+        [f"__rts: {ts_type}"]
+        + [f"{c}: {dict(right.dtypes)[c]}" for c in right_cols]
     )
     # the tiebreak keeps its native type: casting to long would null out
     # string/timestamp tiebreaks and silently reintroduce nondeterminism
@@ -68,17 +89,42 @@ def asof_join(
         ],
         F.lit(0).alias("__side"),
         (F.col(tiebreak) if tiebreak else F.lit(0)).cast(tb_type).alias("__tb"),
-        F.struct(*[F.col(c) for c in right_cols]).alias("__r"),
+        F.struct(
+            F.col(ts_col).alias("__rts"), *[F.col(c) for c in right_cols]
+        ).alias("__r"),
     )
     unioned = l_tagged.unionByName(r_tagged)
 
+    # backward scans past->future and carries the last right row seen
+    # (latest <= left.ts); forward scans future->past, so the last right
+    # row seen is the EARLIEST >= left.ts. Right sorts before left at
+    # equal ts in both cases — as-of bounds are inclusive.
+    order_ts = (
+        F.col(ts_col).asc() if direction == "backward" else F.col(ts_col).desc()
+    )
     w = Window.partitionBy(*on).orderBy(
-        F.col(ts_col).asc(), F.col("__side").asc(), F.col("__tb").asc()
+        order_ts, F.col("__side").asc(), F.col("__tb").asc()
     )
     carried = unioned.select(
         "*", F.last("__r", ignorenulls=True).over(w).alias("__m")
     )
+    if tolerance is None:
+        picked = [
+            F.col(f"__m.{c}").alias(out_names[c]) for c in right_cols
+        ]
+    else:
+        staleness = (
+            F.col(ts_col) - F.col("__m.__rts")
+            if direction == "backward"
+            else F.col("__m.__rts") - F.col(ts_col)
+        )
+        ok = F.col("__m.__rts").isNotNull() & (
+            staleness <= F.expr(f"INTERVAL {tolerance}")
+        )
+        picked = [
+            F.when(ok, F.col(f"__m.{c}")).alias(out_names[c])
+            for c in right_cols
+        ]
     return carried.where(F.col("__side") == 1).select(
-        *[F.col(c) for c in left.columns],
-        *[F.col(f"__m.{c}").alias(out_names[c]) for c in right_cols],
+        *[F.col(c) for c in left.columns], *picked
     )

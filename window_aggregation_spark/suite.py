@@ -1464,6 +1464,66 @@ def _register_asof() -> None:
             tiebreak="event_id",
         )
 
+    @_register(
+        "asof_join_forward",
+        """
+        WITH l AS (SELECT event_id, user_id, ts, value FROM events
+                   WHERE event_type = 'purchase'),
+             r AS (SELECT event_id, user_id, ts, value FROM events
+                   WHERE event_type = 'error'),
+             u AS (
+               SELECT event_id, user_id, ts, value, 1 AS side,
+                      NULL::BIGINT AS tb, NULL::BIGINT AS r_eid,
+                      NULL::DOUBLE AS r_val, NULL::TIMESTAMP AS r_ts
+               FROM l
+               UNION ALL
+               SELECT NULL, user_id, ts, NULL, 0, event_id, event_id, value,
+                      ts
+               FROM r),
+             c AS (
+               SELECT *,
+                      last_value(r_eid IGNORE NULLS) OVER w AS m_eid,
+                      last_value(r_val IGNORE NULLS) OVER w AS m_val,
+                      last_value(r_ts IGNORE NULLS) OVER w AS m_ts
+               FROM u
+               WINDOW w AS (PARTITION BY user_id
+                            ORDER BY ts DESC, side ASC, tb ASC))
+        SELECT event_id, user_id, ts, value,
+               CASE WHEN m_ts - ts <= INTERVAL 3 DAY THEN m_eid END
+                 AS event_id_next,
+               CASE WHEN m_ts - ts <= INTERVAL 3 DAY THEN m_val END
+                 AS value_next
+        FROM c WHERE side = 1
+        """,
+    )
+    def asof_join_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Forward as-of with tolerance: each purchase annotated with the
+        NEXT error event of the same user within 3 days (null beyond the
+        horizon — e.g. 'did this purchase precede a failure'). Same
+        one-shuffle union+window plan as backward with the time order
+        reversed; tolerance is a projection on the carried match
+        timestamp, not a second pass."""
+        events = read_table(spark, sf_dir, "events").select(
+            "event_id", "user_id", "ts", "value", "event_type"
+        )
+        purchases = events.where(F.col("event_type") == "purchase").drop(
+            "event_type"
+        )
+        errors = events.where(F.col("event_type") == "error").drop(
+            "event_type"
+        )
+        return asof_join(
+            purchases,
+            errors,
+            on=["user_id"],
+            ts_col="ts",
+            right_cols=["event_id", "value"],
+            tiebreak="event_id",
+            direction="forward",
+            tolerance="3 days",
+            suffix="_next",
+        )
+
 
 _register_asof()
 
@@ -2173,14 +2233,14 @@ def _register_approx() -> None:
     # vs the exact yardstick is pinned by tests/test_approx_functions.py
     def w_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
         """The 100 TB fallback path: sketch-based percentile and distinct
-        count over the same window spec the exact operators use. At scale
-        these replace discrete_percentile / count(distinct) — mergeable
-        sketches, O(1) per-row memory, no rank-join."""
+        count, partition-only — ONE mergeable sketch per partition and one
+        evaluate, the shape that replaces discrete_percentile /
+        count(distinct) at scale. (An ordered spec would compute a running
+        sketch with a per-row evaluate — supported, but 40x slower and
+        never what you want from a sketch.)"""
         df = read_table(spark, sf_dir, "lineitem")
         plan = WindowPlan(
-            spec=WindowSpecDef(
-                partition_by=("l_returnflag",), order_by=_LI_TIEBREAK
-            ),
+            spec=WindowSpecDef(partition_by=("l_returnflag",)),
             aggregates=(
                 AggregateDef("apx_p50", "approx_discrete_percentile",
                              field="l_quantity", args=("0.5",)),
