@@ -90,3 +90,63 @@ def test_chunking_tiles_any_token_stream(spark, toks, chunk, data):
     # every chunk's token count matches its text, and no chunk is empty
     for _, ctext, n_tok in rows:
         assert len(ctext.split(" ")) == n_tok
+
+
+@st.composite
+def asof_case(draw):
+    n_l = draw(st.integers(1, 10))
+    n_r = draw(st.integers(0, 10))
+    lefts = [
+        (i, draw(st.integers(0, 3)), draw(st.integers(0, 1000)))
+        for i in range(n_l)
+    ]
+    rights = [
+        (100 + i, draw(st.integers(0, 3)), draw(st.integers(0, 1000)))
+        for i in range(n_r)
+    ]
+    direction = draw(st.sampled_from(["backward", "forward"]))
+    tol_s = draw(st.sampled_from([None, 60, 300]))
+    return lefts, rights, direction, tol_s
+
+
+@settings(max_examples=14, deadline=None)
+@given(asof_case())
+def test_asof_equals_naive_per_row(spark, case):
+    """asof_join (both directions, with and without tolerance) must equal
+    the obvious per-row definition computed in Python — including equal-ts
+    inclusivity, largest-tiebreak wins, and stale matches nulling out."""
+    from window_aggregation_spark.operators.asof_join import asof_join
+
+    lefts, rights, direction, tol_s = case
+    left = spark.createDataFrame(
+        lefts, "lid long, k long, sec long"
+    ).select("lid", "k", F.timestamp_seconds("sec").alias("ts"))
+    right = spark.createDataFrame(
+        rights, "rid long, k long, sec long"
+    ).select("rid", "k", F.timestamp_seconds("sec").alias("ts"))
+    got = {
+        r["lid"]: r["rid"]
+        for r in asof_join(
+            left, right, on=["k"], ts_col="ts", right_cols=["rid"],
+            tiebreak="rid", direction=direction,
+            tolerance=f"{tol_s} seconds" if tol_s else None,
+        ).collect()
+    }
+    expected = {}
+    for lid, lk, lsec in lefts:
+        if direction == "backward":
+            cand = [(rs, rid) for rid, rk, rs in rights
+                    if rk == lk and rs <= lsec]
+            best = max(cand) if cand else None  # latest ts, then largest rid
+        else:
+            cand = [(rs, rid) for rid, rk, rs in rights
+                    if rk == lk and rs >= lsec]
+            if cand:
+                lo = min(rs for rs, _ in cand)
+                best = max((rs, rid) for rs, rid in cand if rs == lo)
+            else:
+                best = None
+        if best is not None and tol_s is not None and abs(best[0] - lsec) > tol_s:
+            best = None
+        expected[lid] = best[1] if best else None
+    assert got == expected
