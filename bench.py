@@ -5,7 +5,7 @@ and prints ONE JSON line {"metric", "value", "unit", "queries", "sf"}.
 Each query is forced end-to-end with a count-style noop action
 (``df.write.format("noop")``) so the full plan — scan, shuffle, window —
 executes without collecting results to the driver. Every query runs
-REPS times (default 2) and reports the fastest — single-JVM timings at
+REPS times (default 3) and reports the fastest — single-JVM timings at
 this scale swing 2-3x with JIT/GC state, and the minimum is the standard
 low-noise estimator of the plan's actual cost.
 """
@@ -154,7 +154,7 @@ def skew_probe(spark, sf_dir: str, *, chunks: int = 16, copies: int = 4) -> dict
     )
     dim.count()
 
-    def best_of(build, reps: int = 2) -> float:
+    def best_of(build, reps: int = 3) -> float:
         best = float("inf")
         for _ in range(reps):
             t0 = time.perf_counter()
@@ -296,7 +296,7 @@ def main() -> None:
         "overwrite"
     ).save()
 
-    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
     timings: dict[str, float] = {}
     total = 0.0
     for name, q in sorted(queries.items()):
