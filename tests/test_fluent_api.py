@@ -120,3 +120,16 @@ def test_fluent_validation_errors(spark):
         from window_aggregation_spark.api import _fn
 
         _fn("frobnicate")
+
+
+def test_fluent_agg_percentile_strategy_passthrough(spark):
+    from window_aggregation_spark.api import median, window
+
+    df = spark.createDataFrame(
+        [(i, "g", float(i)) for i in range(6)], "id int, g string, v double"
+    )
+    out = window(df).partition_by("g").order_by("v").agg(
+        median("v").alias("m"), percentile_strategy="one_pass"
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "percentile(" in plan  # single-WindowExec plan, not the lookup

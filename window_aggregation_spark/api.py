@@ -179,8 +179,13 @@ class WindowBuilder:
             spec=self.spec, aggregates=tuple(aggs), declared_schema=self.declared
         )
 
-    def agg(self, *aggs: AggregateDef) -> DataFrame:
-        return window_aggregate(self.df, self.plan(*aggs))
+    def agg(
+        self, *aggs: AggregateDef, percentile_strategy: str = "rank_lookup"
+    ) -> DataFrame:
+        return window_aggregate(
+            self.df, self.plan(*aggs),
+            percentile_strategy=percentile_strategy,
+        )
 
     def sql(self, table: str, *aggs: AggregateDef, dialect: str = "spark") -> str:
         plan = self.plan(*aggs)
