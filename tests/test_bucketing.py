@@ -92,3 +92,47 @@ def test_window_over_bucketed_table_has_no_shuffle(spark, sf_dir):
     finally:
         spark.sql("DROP TABLE IF EXISTS li_wb")
         shutil.rmtree("spark-warehouse", ignore_errors=True)
+
+
+def test_clustered_parquet_files_cover_disjoint_ranges(spark, sf_dir, tmp_path):
+    """write_clustered_parquet must produce files whose ts min/max footer
+    stats cover narrow, mostly-disjoint slices — the property that lets
+    readers skip files on a time filter. A random layout would give every
+    file ~the full global range (sum of spans ~ n_files x global)."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from window_aggregation_spark.sources.io import write_clustered_parquet
+
+    events = read_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id"
+    )
+    n = events.count()
+    path = str(tmp_path / "clustered")
+    write_clustered_parquet(events, path, ["ts"], num_files=8)
+    files = sorted(glob.glob(f"{path}/*.parquet"))
+    assert len(files) >= 4
+    spans = []
+    lo_all, hi_all = None, None
+    for f in files:
+        md = pq.read_metadata(f)
+        idx = next(
+            i for i in range(md.num_columns)
+            if md.row_group(0).column(i).path_in_schema == "ts"
+        )
+        mins, maxs = [], []
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(idx).statistics
+            mins.append(st.min)
+            maxs.append(st.max)
+        lo, hi = min(mins), max(maxs)
+        spans.append((hi - lo).total_seconds())
+        lo_all = lo if lo_all is None else min(lo_all, lo)
+        hi_all = hi if hi_all is None else max(hi_all, hi)
+    global_span = (hi_all - lo_all).total_seconds()
+    assert global_span > 0
+    # disjoint-ish: total covered span ~= global span, nowhere near
+    # n_files x global (the random-layout worst case)
+    assert sum(spans) <= 1.5 * global_span
+    assert spark.read.parquet(path).count() == n
