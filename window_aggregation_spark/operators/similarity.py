@@ -436,8 +436,11 @@ def ivf_topk_index(
     this query batch — at most ``n_centroids`` small values, a bounded
     driver action — and pushes them as an ``isin`` filter on the
     partitioned scan, so only the probed ``lists/list_id=*/`` directories
-    are read. Off, the equi-join still only MATCHES those lists but the
-    scan reads all of them."""
+    are read. The collect evaluates the query-side assignment once ahead
+    of the join (a second pass over the QUERY batch only — the side that
+    is small by construction; the corpus-side saving is what matters).
+    Off, the equi-join still only MATCHES those lists but the scan reads
+    all of them."""
     spark = queries.sparkSession
     b_cents = spark.sparkContext.broadcast(index.centroids)
     q_lists = queries.select(
