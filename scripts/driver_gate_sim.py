@@ -1,15 +1,27 @@
 """Driver-gate simulation: plain SparkSession, __spark_entry__ contract,
-hash-compare every queries() entry vs its oracle_sql() in DuckDB at sf0.01."""
+hash-compare every queries() entry vs its oracle_sql() in DuckDB at sf0.01.
+
+Usage (MUST run from the repo root — executor Python workers inherit cwd
+to import the package):
+
+    python scripts/driver_gate_sim.py                 # all queries
+    python scripts/driver_gate_sim.py name1 name2 ... # just those
+
+Env: SPARK_GRAFT_GATE_SF_DIR overrides the fixture dir (default sf0.01).
+Exit 0 iff every checked query passes.
+"""
 import hashlib
 import json
 import sys
 import time
 
-sys.path.insert(0, "/root/repo")
+import os
+
+sys.path.insert(0, os.getcwd())
 
 from pyspark.sql import SparkSession
 
-SF_DIR = "/root/testdata/sf0.01"
+SF_DIR = os.environ.get("SPARK_GRAFT_GATE_SF_DIR", "/root/testdata/sf0.01")
 TABLES = [
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings",
@@ -51,6 +63,12 @@ def main():
 
     queries = entrymod.queries()
     oracles = entrymod.oracle_sql()
+    wanted = sys.argv[1:]
+    if wanted:
+        unknown = sorted(set(wanted) - set(queries))
+        if unknown:
+            raise SystemExit(f"unknown queries: {unknown}")
+        queries = {n: queries[n] for n in wanted}
     results = {}
     fails = []
     for name, fn in queries.items():
