@@ -58,6 +58,24 @@ def test_discrete_percentile_uses_rank_join_not_arrays(spark, sf_dir):
     assert "collect_list" not in plan, "rank-join rewrite regressed"
 
 
+def test_percentile_rank_lookup_is_two_keyed_shuffles(spark, sf_dir):
+    """The union + running-last-value lookup must keep its shape: exactly
+    two hash exchanges (enriched window + union window), both keyed on the
+    partition columns only — no join operator, no rank-keyed exchange, no
+    per-row buffers."""
+    import re
+
+    for name in ("w_median_running", "w_discrete_percentile"):
+        plan = _plan(SUITE[name].build(spark, sf_dir))
+        keys = re.findall(r"Exchange hashpartitioning\(([^)]*)", plan)
+        assert len(keys) == 2, f"{name}: {len(keys)} exchanges"
+        for k in keys:
+            assert "__pr_rk" not in k, f"{name}: rank-keyed exchange: {k}"
+        for bad in ("SortMergeJoin", "BroadcastHashJoin", "collect_list",
+                    "percentile("):
+            assert bad not in plan, f"{name}: {bad} crept back in"
+
+
 def test_unbounded_following_frame_is_reversed(spark, sf_dir):
     """The O(n^2) [X, UNBOUNDED FOLLOWING] frame must be rewritten to a
     running frame — no unboundedfollowing window frame may survive."""
