@@ -150,3 +150,50 @@ def test_asof_equals_naive_per_row(spark, case):
             best = None
         expected[lid] = best[1] if best else None
     assert got == expected
+
+
+@st.composite
+def stratum_case(draw):
+    n_rows = draw(st.integers(1, 40))
+    rows = [
+        (i, draw(st.sampled_from(["a", "b", "c", None])))
+        for i in range(n_rows)
+    ]
+    n = draw(st.integers(1, 6))
+    safety = draw(st.sampled_from([0.5, 1.0, 4.0]))  # 0.5/1.0 force rescues
+    return rows, n, safety
+
+
+@settings(max_examples=12, deadline=None)
+@given(stratum_case())
+def test_take_n_per_stratum_equals_plain_ranking(spark, case):
+    """The threshold-prune + rescue plan must stay bit-identical to the
+    plain ROW_NUMBER ranking for ANY safety factor — tight safeties
+    undershoot on purpose so the broadcast-rescue path actually runs —
+    and NULL strata must rank as their own partition."""
+    from pyspark.sql import Window
+
+    from window_aggregation_spark.operators.corpus import (
+        _sample_residue,
+        take_n_per_stratum,
+    )
+
+    rows, n, safety = case
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    got = sorted(
+        (r["doc_id"], r["source"])
+        for r in take_n_per_stratum(
+            df, "source", n, "doc_id", safety=safety
+        ).collect()
+    )
+    w = Window.partitionBy("source").orderBy(
+        _sample_residue("source", "doc_id", "strat"), F.col("doc_id")
+    )
+    expected = sorted(
+        (r["doc_id"], r["source"])
+        for r in df.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= n)
+        .drop("rn")
+        .collect()
+    )
+    assert got == expected
