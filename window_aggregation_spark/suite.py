@@ -1378,6 +1378,7 @@ def _register_multimodal_streaming() -> None:
           ON p.user_id = e.user_id
          AND p.ts >= e.ts AND p.ts < e.ts + INTERVAL 30 MINUTE
         """,
+        headline=True,
     )
     def stream_interval_join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
         """Batch twin of the LEFT-outer stream-stream interval join:
@@ -1495,6 +1496,7 @@ def _register_asof() -> None:
                  AS value_next
         FROM c WHERE side = 1
         """,
+        headline=True,
     )
     def asof_join_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
         """Forward as-of with tolerance: each purchase annotated with the
@@ -2228,7 +2230,7 @@ _register_pipeline()
 
 
 def _register_approx() -> None:
-    @_register("w_approx_percentile", None)  # rows-only: sketches aren't
+    @_register("w_approx_percentile", None, headline=True)  # rows-only: sketches aren't
     # bit-reproducible across engines, so no DuckDB value oracle — accuracy
     # vs the exact yardstick is pinned by tests/test_approx_functions.py
     def w_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
