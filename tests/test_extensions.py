@@ -140,6 +140,25 @@ def test_minhash_cc_merges_chains(spark):
     assert kept == [1, 4]
 
 
+def test_canonical_per_cluster(spark):
+    """keep = quality argmax per cluster; ties break to the smallest id;
+    a singleton cluster trivially keeps itself."""
+    rows = [
+        # cluster 10: 7 beats 5; id 2 wins the 0.9-tie against id 3
+        (1, 10, 0.5), (2, 10, 0.9), (3, 10, 0.9),
+        # cluster 20: singleton
+        (4, 20, 0.1),
+        # cluster 30: NULL score sorts last (desc puts NULL after values)
+        (5, 30, None), (6, 30, 0.2),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, component long, s double")
+    got = {
+        r["doc_id"]: r["keep"]
+        for r in dd.canonical_per_cluster(df, "doc_id", "s").collect()
+    }
+    assert got == {1: False, 2: True, 3: False, 4: True, 5: False, 6: True}
+
+
 def _clustered_vectors(spark, n_clusters=50, copies=3, dim=64, noise=0.02):
     """Synthetic corpus with known near-dups: each cluster is one base
     vector plus small noise, so intra-cluster cosine is ~1/(1+noise^2)."""

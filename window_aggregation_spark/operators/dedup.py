@@ -313,6 +313,33 @@ def minhash_dedup_cc(
     return df.join(keep, on=id_col, how="left_semi")
 
 
+def canonical_per_cluster(
+    df: DataFrame,
+    id_col: str,
+    score_col: str,
+    component_col: str = "component",
+    *,
+    alias: str = "keep",
+) -> DataFrame:
+    """Append ``alias`` = this row is its cluster's canonical survivor:
+    the highest ``score_col`` (ties broken by smallest ``id_col``) within
+    each ``component_col`` group. The keep-best half of cluster dedup —
+    CC labels say *what* is duplicated; this picks *which copy* survives
+    (the standard choice is the quality-classifier argmax, not the
+    arbitrary min-id the plain CC representative gives you).
+
+    One hash shuffle on the component key + a row_number window; scores
+    stay attached, so downstream re-weighting (instead of hard dropping)
+    is a filter-free projection."""
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(component_col)
+        .orderBy(F.col(score_col).desc(), F.col(id_col).asc())
+    )
+    return df.withColumn(alias, F.row_number().over(w) == F.lit(1))
+
+
 # ---------------------------------------------------------------------------
 # simhash
 # ---------------------------------------------------------------------------

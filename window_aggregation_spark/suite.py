@@ -894,6 +894,56 @@ def _register_dedup() -> None:
         df = read_table(spark, sf_dir, "documents")
         return dd.minhash_components(df, "doc_id", threshold=0.3)
 
+    from window_aggregation_spark.operators.text import (
+        quality_model_score_oracle_expr,
+    )
+
+    @_register(
+        "dedup_keep_best",
+        f"""
+        WITH RECURSIVE pairs AS ({_duck_minhash_lsh_sql()}),
+        edges AS (SELECT id_a AS u, id_b AS v FROM pairs
+                  UNION SELECT id_b, id_a FROM pairs),
+        walk(u, v) AS (
+          SELECT u, v FROM edges
+          UNION
+          SELECT w.u, e.v FROM walk w JOIN edges e ON w.v = e.u),
+        comp AS (SELECT u, min(v) AS mn FROM walk GROUP BY u),
+        labeled AS (
+          SELECT d.doc_id,
+                 CAST(COALESCE(least(c.u, c.mn), d.doc_id) AS BIGINT)
+                   AS component,
+                 {quality_model_score_oracle_expr("d.text")} AS model_score
+          FROM documents d LEFT JOIN comp c ON d.doc_id = c.u)
+        SELECT doc_id, component, model_score,
+               ROW_NUMBER() OVER (
+                 PARTITION BY component
+                 ORDER BY model_score DESC, doc_id ASC) = 1 AS keep
+        FROM labeled
+        """,
+    )
+    def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Keep-best cluster dedup: CC duplicate clusters (minhash LSH pair
+        graph) + the quality-model argmax as the canonical survivor per
+        cluster — the standard 'which copy do we train on' policy, vs. the
+        arbitrary min-id representative. Every stage is the already-pinned
+        scale shape (bucketed LSH, large-star/small-star CC, one window);
+        the oracle recomputes closure AND classifier, so the survivor
+        choice itself is hash-checked."""
+        from window_aggregation_spark.operators import text as tx
+
+        docs = read_table(spark, sf_dir, "documents")
+        comp = dd.minhash_components(docs, "doc_id", threshold=0.3)
+        scored = tx.quality_model_score(
+            docs.select("doc_id", "text")
+        ).select("doc_id", "model_score")
+        return dd.canonical_per_cluster(
+            comp.join(scored, on="doc_id"),
+            "doc_id",
+            "model_score",
+            "component",
+        )
+
     @_register("dedup_simhash", _duck_simhash_sql())
     def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         """max_hamming=3 is the classic simhash near-dup bar (4 pigeonhole
@@ -1574,6 +1624,56 @@ def _register_range_join() -> None:
 
         joined = range_join(
             pts, iv, "ts", "win_start", "win_end", bucket="15 minutes"
+        )
+        delay = (
+            unix_micros(F.col("ts").cast("timestamp"))
+            - unix_micros(F.col("win_start").cast("timestamp"))
+        ) / F.lit(1_000_000.0)
+        return joined.select(
+            "event_id", "incident_id", F.round(delay, 4).alias("delay_s")
+        )
+
+
+    @_register(
+        "range_join_left",
+        """
+        WITH iv AS (
+          SELECT event_id AS incident_id, ts AS win_start,
+                 ts + INTERVAL 15 MINUTE AS win_end
+          FROM events WHERE event_type = 'error' AND value > 99.9)
+        SELECT p.event_id, iv.incident_id,
+               round(date_diff('microsecond', iv.win_start, p.ts)
+                     / 1000000.0, 4) AS delay_s
+        FROM events p LEFT JOIN iv
+          ON iv.win_start <= p.ts AND p.ts < iv.win_end
+        WHERE p.event_type = 'purchase'
+        """,
+    )
+    def range_join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """LEFT interval join: every purchase kept, NULL incident columns
+        when no window covers it (the common 'annotate events with the
+        deploy/incident they fell into, if any' shape). Unmatched rows are
+        recovered by an anti-join on a per-row id — NOT on the point
+        columns, which is null-unsafe and double-emits NULL-bearing rows
+        (round-3 review finding, fixed in 3b0fe58); the oracle's plain
+        LEFT JOIN checks exactly that semantics. Windows are rare here
+        (value > 99.9) so most points exercise the unmatched branch."""
+        events = read_table(spark, sf_dir, "events")
+        pts = events.where(F.col("event_type") == "purchase").select(
+            "event_id", "ts"
+        )
+        iv = events.where(
+            (F.col("event_type") == "error") & (F.col("value") > 99.9)
+        ).select(
+            F.col("event_id").alias("incident_id"),
+            F.col("ts").alias("win_start"),
+            (F.col("ts") + F.expr("INTERVAL 15 MINUTES")).alias("win_end"),
+        )
+        from pyspark.sql.functions import unix_micros
+
+        joined = range_join(
+            pts, iv, "ts", "win_start", "win_end",
+            bucket="15 minutes", how="left",
         )
         delay = (
             unix_micros(F.col("ts").cast("timestamp"))
