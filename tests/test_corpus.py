@@ -312,6 +312,62 @@ def test_stratified_sample_rejects_bad_rate(spark, strat_docs):
         cp.stratified_sample(strat_docs, "src", {"s0": 1.5}, "doc_id")
 
 
+# ---------------------------------------------------------------------------
+# token-budget mixing
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def mix_docs(spark):
+    # s0: 300 docs x 10 tokens = 3000; s1: 300 x 2 = 600; s2 untargeted
+    return spark.range(0, 900).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("s"), F.pmod("id", F.lit(3)).cast("string")).alias("src"),
+        F.when(F.pmod("id", F.lit(3)) == 0, F.lit("a b c d e f g h i j"))
+        .otherwise(F.lit("a b"))
+        .alias("text"),
+    )
+
+
+def test_mix_to_token_budget_hits_shares(spark, mix_docs):
+    """Downsampled source lands near its quota; a source whose quota
+    exceeds its mass is kept whole (cap branch); untargeted dropped."""
+    out = cp.mix_to_token_budget(
+        mix_docs, "src", {"s0": 0.5, "s1": 0.5}, 2_000, "doc_id"
+    ).cache()
+    toks = {
+        r["src"]: r["t"]
+        for r in out.groupBy("src").agg(F.sum("n_tok").alias("t")).collect()
+    }
+    # s0 quota 1000 of 3000 tokens -> keep ~1/3 (hash variance at 300 docs)
+    assert 700 <= toks["s0"] <= 1300
+    # s1 quota 1000 > 600 actual -> keep ALL 600 exactly
+    assert toks["s1"] == 600
+    assert out.where("src = 's2'").count() == 0
+    out.unpersist()
+
+
+def test_mix_to_token_budget_partitioning_invariant(spark, mix_docs):
+    """Membership is a pure hash threshold: repartitioning the input must
+    not change which rows survive."""
+    kw = ("src", {"s0": 0.4, "s1": 0.2}, 1_500, "doc_id")
+    a = {r["doc_id"] for r in cp.mix_to_token_budget(mix_docs, *kw).collect()}
+    b = {
+        r["doc_id"]
+        for r in cp.mix_to_token_budget(mix_docs.repartition(17), *kw).collect()
+    }
+    assert a == b
+
+
+def test_mix_to_token_budget_rejects_oversubscribed(spark, mix_docs):
+    with pytest.raises(ValueError):
+        cp.mix_to_token_budget(
+            mix_docs, "src", {"s0": 0.7, "s1": 0.7}, 1_000, "doc_id"
+        )
+    with pytest.raises(ValueError):
+        cp.mix_to_token_budget(mix_docs, "src", {"s0": 0.5}, 0, "doc_id")
+
+
 def _plain_take_n(df, strata_col, n, id_col, salt="strat"):
     res = cp._sample_residue(strata_col, id_col, salt)
     w = Window.partitionBy(strata_col).orderBy(res, F.col(id_col))

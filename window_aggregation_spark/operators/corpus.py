@@ -552,6 +552,119 @@ def stratified_sample_oracle_where(
     return f"({residue}) < ({case})"
 
 
+def _share_tokens(
+    targets: dict[str, float], budget_tokens: int
+) -> dict[str, int]:
+    """Per-source token quota, quantized ONCE in Python so Spark and the
+    oracle compare against the exact same integer literals."""
+    if budget_tokens <= 0:
+        raise ValueError("budget_tokens must be positive")
+    total = sum(targets.values())
+    if total > 1.0 + 1e-9:
+        raise ValueError(f"mixture shares sum to {total} > 1")
+    out = {}
+    for name, share in targets.items():
+        if share < 0:
+            raise ValueError(f"mixture share for {name!r} must be >= 0")
+        out[name] = int(round(share * budget_tokens))
+    return out
+
+
+def mix_to_token_budget(
+    df: DataFrame,
+    source_col: str,
+    targets: dict[str, float],
+    budget_tokens: int,
+    id_col: str,
+    text_col: str = "text",
+    *,
+    salt: str = "mix",
+) -> DataFrame:
+    """Data mixing solved from a TOKEN budget: given target mixture shares
+    per source (``{"web": 0.5, "code": 0.3, "books": 0.2}``) and a total
+    token budget, derive each source's keep-rate from its actual token
+    mass and sample deterministically at that rate — the operator behind
+    "train on N tokens with this domain mixture" specs, where the inputs
+    are shares of *tokens*, not of documents (sources differ wildly in
+    doc length, so doc-rate sampling gets the mixture wrong).
+
+    keep-rate_s = min(1, share_s·budget / tokens_s): an over-represented
+    source is downsampled to its quota; an under-represented one is kept
+    whole (upsampling is the trainer's job — epochs/weights — not the
+    sampler's; the achieved-vs-target gap is visible in the output).
+
+    Scale shape: one map-side-combined ``groupBy(source)`` whose result is
+    |sources| rows (broadcast back), then a pure codegen filter — the
+    corpus itself is never shuffled. Sampling reuses the salted-residue
+    machinery of :func:`stratified_sample`, so membership is reproducible
+    across engines, runs, and cluster sizes. Sources absent from
+    ``targets`` are dropped (their share is 0).
+
+    Returns ``(id_col, source_col, n_tok)`` for the surviving rows.
+    """
+    quotas = _share_tokens(targets, budget_tokens)
+    base = df.where(
+        F.col(source_col).isin(list(quotas))
+    ).select(
+        F.col(id_col),
+        F.col(source_col),
+        F.size(tokens(F.col(text_col))).cast("long").alias("n_tok"),
+    )
+    totals = base.groupBy(source_col).agg(F.sum("n_tok").alias("__tok"))
+    quota = None
+    for name, q in quotas.items():
+        cond = F.col(source_col) == F.lit(name)
+        quota = (
+            F.when(cond, F.lit(q)) if quota is None else quota.when(cond, F.lit(q))
+        )
+    # bound = min(GRAIN, ceil(quota·GRAIN / tokens_s)) — double arithmetic
+    # in the same order on both engines, so the cut is bit-identical.
+    bound = F.least(
+        F.lit(SPLIT_GRAIN),
+        F.ceil(
+            quota.cast("double") * F.lit(SPLIT_GRAIN) / F.col("__tok")
+        ),
+    )
+    residue = _sample_residue(source_col, id_col, salt)
+    return (
+        base.join(F.broadcast(totals), on=source_col)
+        .where(residue < bound)
+        .select(id_col, source_col, "n_tok")
+    )
+
+
+def mix_to_token_budget_oracle_sql(
+    source_col: str,
+    targets: dict[str, float],
+    budget_tokens: int,
+    id_col: str,
+    text_col: str = "text",
+    *,
+    salt: str = "mix",
+    table: str = "documents",
+) -> str:
+    """DuckDB mirror of :func:`mix_to_token_budget`."""
+    quotas = _share_tokens(targets, budget_tokens)
+    srcs = ", ".join(f"'{s}'" for s in quotas)
+    arms = " ".join(
+        f"WHEN {source_col} = '{name}' THEN {q}" for name, q in quotas.items()
+    )
+    residue = _sample_residue_duck(source_col, id_col, salt)
+    return f"""
+        WITH toks AS (
+          SELECT {id_col}, {source_col},
+                 CAST(len(regexp_extract_all(lower({text_col}),
+                      '{TOKEN_RE}')) AS BIGINT) AS n_tok
+          FROM {table} WHERE {source_col} IN ({srcs})),
+        tot AS (SELECT {source_col}, sum(n_tok) AS t
+                FROM toks GROUP BY {source_col})
+        SELECT k.{id_col}, k.{source_col}, k.n_tok
+        FROM toks k JOIN tot USING ({source_col})
+        WHERE ({residue}) < least({SPLIT_GRAIN},
+              ceil(CAST((CASE {arms} END) AS DOUBLE) * {SPLIT_GRAIN} / t))
+    """
+
+
 def take_n_per_stratum(
     df: DataFrame,
     strata_col: str,

@@ -2131,6 +2131,33 @@ def _register_corpus() -> None:
             docs, "source", _MIX_RATES, "doc_id", default_rate=0.1
         )
 
+    _MIX_TARGETS = {"src0": 0.4, "src1": 0.3, "src2": 0.2, "src4": 0.1}
+    # quotas 1200/900/600/300 tokens vs ~1.4k actual tokens per source at
+    # sf0.01: every target source downsamples at a distinct rate. At
+    # sf0.001 (~140 tokens/source) every quota exceeds the actual mass,
+    # exercising the keep-all cap branch. Both regimes are hash-checked.
+    _MIX_BUDGET = 3_000
+
+    @_register(
+        "corpus_mix_budget",
+        cp.mix_to_token_budget_oracle_sql(
+            "source", _MIX_TARGETS, _MIX_BUDGET, "doc_id"
+        ),
+    )
+    def corpus_mix_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Token-budget data mixing: per-source keep-rates SOLVED from
+        target token shares and the measured token mass (min(1, quota /
+        tokens_s)) — "train on N tokens at this domain mixture" where
+        shares are of tokens, not docs. |sources|-row aggregate broadcast
+        back over a codegen filter; the corpus never shuffles. The oracle
+        recomputes quotas, token masses, and the salted threshold."""
+        docs = read_table(spark, sf_dir, "documents").select(
+            "doc_id", "source", "text"
+        )
+        return cp.mix_to_token_budget(
+            docs, "source", _MIX_TARGETS, _MIX_BUDGET, "doc_id"
+        )
+
     @_register(
         "corpus_shuffle",
         f"""
