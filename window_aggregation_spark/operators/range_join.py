@@ -65,59 +65,61 @@ def range_join(
     ``keys`` if given).
 
     ``how`` is ``inner`` or ``left`` (left keeps pointless points with
-    NULL interval columns — implemented as inner + anti-union so the
-    bucketed equi-join shape is preserved).
+    NULL interval columns).
+
+    Both modes are ONE bucketed join: the equi part ``(bucket [, keys])``
+    drives the shuffle/hash strategy and the exact containment predicate
+    rides along as the residual join condition — for LEFT joins Spark
+    applies residual conditions *as part of the join*, so a point whose
+    bucket has interval copies but none containing it still surfaces
+    exactly once with NULL interval columns. Because each point belongs
+    to exactly ONE bucket, no anti-join recovery pass (and no per-row id)
+    is needed — an earlier two-pass formulation recomputed the match for
+    the anti side, doubling scans.
 
     Column-name collisions between the two inputs (other than ``keys``)
     must be resolved by the caller before the join — standard Spark rules.
     """
+    if how not in ("inner", "left"):
+        raise ValueError(f"unsupported how={how!r} (inner/left)")
     keys = list(keys or [])
     width = _parse_bucket_micros(bucket)
-
-    out_cols = list(points.columns)
-    if how == "left":
-        # unmatched points are recovered by anti-joining on a per-row id,
-        # NOT on the point columns: column-equality is null-unsafe, so a
-        # matched row carrying a NULL in any column would never equal its
-        # copy in `matched` and be emitted twice (once matched, once with
-        # NULL interval columns). The id is assigned before bucketing so
-        # both branches see the same value for the same physical row.
-        points = points.withColumn("__rj_id", F.monotonically_increasing_id())
 
     p_ts = _micros(F.col(point_ts))
     s_ts = _micros(F.col(start_col))
     e_ts = _micros(F.col(end_col))
 
-    pts = points.withColumn("__bkt", _bucket_of(p_ts, width))
+    pts = points.withColumn("__bkt", _bucket_of(p_ts, width)).alias("__rj_p")
     # explode intervals to the buckets they overlap: floor(start/W) ..
     # floor((end - 1µs)/W) — half-open, so an interval ending exactly on a
     # bucket boundary does NOT enter the next bucket.
     first_b = _bucket_of(s_ts, width)
     last_b = _bucket_of(e_ts - F.lit(1), width)
-    ivals = intervals.where(F.col(start_col) < F.col(end_col)).withColumn(
-        "__bkt", F.explode(F.sequence(first_b, F.greatest(first_b, last_b)))
-    )
-
-    on = ["__bkt", *keys]
-    contained = (F.col(start_col) <= F.col(point_ts)) & (
-        F.col(point_ts) < F.col(end_col)
-    )
-    matched = pts.join(ivals, on=on, how="inner").where(contained).drop("__bkt")
-
-    if how == "inner":
-        return matched
-    if how != "left":
-        raise ValueError(f"unsupported how={how!r} (inner/left)")
-    ival_cols = [c for c in intervals.columns if c not in keys]
-    unmatched = pts.drop("__bkt").join(
-        matched.select("__rj_id"), on="__rj_id", how="left_anti"
-    )
-    for c in ival_cols:
-        unmatched = unmatched.withColumn(
-            c, F.lit(None).cast(dict(intervals.dtypes)[c])
+    ivals = (
+        intervals.where(F.col(start_col) < F.col(end_col))
+        .withColumn(
+            "__bkt", F.explode(F.sequence(first_b, F.greatest(first_b, last_b)))
         )
-    return matched.unionByName(unmatched).drop("__rj_id").select(
-        *out_cols, *ival_cols
+        .alias("__rj_i")
+    )
+
+    cond = F.col("__rj_p.__bkt") == F.col("__rj_i.__bkt")
+    for k in keys:
+        cond = cond & (F.col(f"__rj_p.{k}") == F.col(f"__rj_i.{k}"))
+    cond = (
+        cond
+        & (F.col(f"__rj_i.{start_col}") <= F.col(f"__rj_p.{point_ts}"))
+        & (F.col(f"__rj_p.{point_ts}") < F.col(f"__rj_i.{end_col}"))
+    )
+    joined = pts.join(ivals, cond, "inner" if how == "inner" else "leftOuter")
+    # keys come from the preserved point side; intervals contribute the rest
+    return joined.select(
+        *[F.col(f"__rj_p.{c}") for c in points.columns],
+        *[
+            F.col(f"__rj_i.{c}")
+            for c in intervals.columns
+            if c not in keys
+        ],
     )
 
 

@@ -2143,6 +2143,7 @@ def _register_corpus() -> None:
         cp.mix_to_token_budget_oracle_sql(
             "source", _MIX_TARGETS, _MIX_BUDGET, "doc_id"
         ),
+        headline=True,
     )
     def corpus_mix_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         """Token-budget data mixing: per-source keep-rates SOLVED from
