@@ -29,6 +29,16 @@ def test_skew_probe_shape(spark, sf_dir):
     )
 
 
+def test_streaming_probe_shape(spark, sf_dir, tmp_path, monkeypatch):
+    monkeypatch.setenv("SPARK_GRAFT_STREAM_SRC", str(tmp_path / "stream_src"))
+    out = bench.streaming_probe(spark, sf_dir, n_files=3)
+    assert out["rows"] > 0 and out["files"] == 3
+    for k in ("window_agg", "stateful_ewma"):
+        # every staged file becomes its own micro-batch (the probe's point)
+        assert out[k]["micro_batches"] == 3
+        assert out[k]["sec"] > 0 and out[k]["rows_per_sec"] > 0
+
+
 def test_scaled_dir_builder_shifts_keys_and_remaps_text(spark, sf_dir, tmp_path):
     out_dir = str(tmp_path / "scaled")
     bench._ensure_scaled_dir(spark, sf_dir, out_dir, copies=2)
