@@ -94,6 +94,76 @@ def test_window_over_bucketed_table_has_no_shuffle(spark, sf_dir):
         shutil.rmtree("spark-warehouse", ignore_errors=True)
 
 
+def _file_boxes(path, cols):
+    """Per-file (min, max) footer stats for each named column."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    boxes = []
+    for f in sorted(glob.glob(f"{path}/*.parquet")):
+        md = pq.read_metadata(f)
+        box = {}
+        for c in cols:
+            idx = next(
+                i for i in range(md.num_columns)
+                if md.row_group(0).column(i).path_in_schema == c
+            )
+            mins, maxs = [], []
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(idx).statistics
+                mins.append(st.min)
+                maxs.append(st.max)
+            box[c] = (min(mins), max(maxs))
+        boxes.append(box)
+    return boxes
+
+
+def test_zordered_parquet_prunes_second_dimension(spark, sf_dir, tmp_path):
+    """The z-order selling point: a filter on the SECOND clustered
+    dimension skips files. Single-key ts clustering gives every file the
+    full user_id span (a 10%-of-users query overlaps 100% of files);
+    z-order (ts, user_id) gives each file a 2-D box, so the same query
+    overlaps a strict subset."""
+    from window_aggregation_spark.sources.io import (
+        write_clustered_parquet,
+        write_zordered_parquet,
+    )
+
+    events = read_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id"
+    )
+    n = events.count()
+    lo, hi = events.agg(F.min("user_id"), F.max("user_id")).first()
+    # query box: ALL of ts x the lowest ~10% of users
+    u_cut = lo + (hi - lo) // 10
+
+    zpath, cpath = str(tmp_path / "z"), str(tmp_path / "c")
+    write_zordered_parquet(events, zpath, ["ts", "user_id"], num_files=16)
+    write_clustered_parquet(events, cpath, ["ts"], num_files=16)
+
+    def overlapping(path):
+        boxes = _file_boxes(path, ["user_id"])
+        return sum(1 for b in boxes if b["user_id"][0] <= u_cut), len(boxes)
+
+    z_hit, z_n = overlapping(zpath)
+    c_hit, c_n = overlapping(cpath)
+    assert c_hit == c_n  # single-key layout cannot prune the 2nd dim
+    assert z_hit <= z_n // 2  # z-order skips at least half the files
+    # and the data survives the round trip
+    assert spark.read.parquet(zpath).count() == n
+
+
+def test_zorder_key_validation(spark, sf_dir):
+    from window_aggregation_spark.sources.io import zorder_key
+
+    events = read_table(spark, sf_dir, "events")
+    with pytest.raises(ValueError):
+        zorder_key(events, ["ts"])
+    with pytest.raises(ValueError):
+        zorder_key(events, ["ts", "user_id", "value", "event_id"], bits=16)
+
+
 def test_clustered_parquet_files_cover_disjoint_ranges(spark, sf_dir, tmp_path):
     """write_clustered_parquet must produce files whose ts min/max footer
     stats cover narrow, mostly-disjoint slices — the property that lets

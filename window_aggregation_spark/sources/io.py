@@ -15,7 +15,7 @@ and a narrow projection prunes the read schema.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -178,6 +178,103 @@ def write_clustered_parquet(
         else df.repartitionByRange(*cols)
     )
     ranged.sortWithinPartitions(*cols).write.mode(mode).parquet(path)
+
+
+def _zorder_scaled(col: Column, dtype: str) -> Column:
+    """Column as double for z-order scaling (timestamps via unix_micros)."""
+    if dtype.startswith("timestamp"):
+        return F.unix_micros(col.cast("timestamp")).cast("double")
+    return col.cast("double")
+
+
+def zorder_key(
+    df: DataFrame, cluster_by: list[str], *, bits: int = 16
+) -> DataFrame:
+    """Append ``__z``: the Morton (z-order) interleaving of ``cluster_by``,
+    each dimension min/max-scaled to ``bits`` bits. Equal z-prefixes mean
+    nearby in EVERY dimension, so range-partitioning by ``__z`` clusters
+    multi-dimensionally.
+
+    The per-dimension min/max enters as a broadcast cross join of a 1-row
+    aggregate — one lazy plan, no driver action; the interleave itself is
+    ``bits × |dims|`` shift-and-mask terms, all whole-stage codegen.
+    """
+    ncols = len(cluster_by)
+    if ncols < 2:
+        raise ValueError("zorder_key wants >= 2 dimensions; use "
+                         "write_clustered_parquet for one")
+    if bits * ncols > 62:
+        raise ValueError(f"bits*dims = {bits * ncols} exceeds 62 (long)")
+    dtypes = dict(df.dtypes)
+    stats = df.agg(
+        *[
+            agg(_zorder_scaled(F.col(c), dtypes[c])).alias(f"__{nm}_{i}")
+            for i, c in enumerate(cluster_by)
+            for nm, agg in (("mn", F.min), ("mx", F.max))
+        ]
+    )
+    out = df.crossJoin(F.broadcast(stats))
+    top = (1 << bits) - 1
+    quantized = []
+    for i, c in enumerate(cluster_by):
+        v = _zorder_scaled(F.col(c), dtypes[c])
+        mn, mx = F.col(f"__mn_{i}"), F.col(f"__mx_{i}")
+        # degenerate dimension (mx == mn, or all-NULL) quantizes to 0;
+        # NULL values sort first (quantile 0)
+        q = F.when(
+            (mx > mn) & v.isNotNull(),
+            F.least(
+                F.lit(top),
+                F.floor((v - mn) * F.lit(float(1 << bits)) / (mx - mn)),
+            ),
+        ).otherwise(F.lit(0))
+        quantized.append(q)
+    z = None
+    for b in range(bits):
+        for i, q in enumerate(quantized):
+            term = F.shiftleft(
+                F.shiftright(q, b).bitwiseAND(F.lit(1)), b * ncols + i
+            )
+            z = term if z is None else z + term
+    return out.select(*df.columns, z.alias("__z"))
+
+
+def write_zordered_parquet(
+    df: DataFrame,
+    path: str,
+    cluster_by: list[str],
+    *,
+    bits: int = 16,
+    num_files: int | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Write parquet clustered on MULTIPLE dimensions at once: rows are
+    range-partitioned and sorted by their z-order (Morton) key, so every
+    file's footer min/max is narrow in EVERY ``cluster_by`` dimension.
+
+    Why this exists next to :func:`write_clustered_parquet`: single-key
+    range clustering makes files selective on that key only — a filter on
+    the *second* dimension still reads every file, because each file spans
+    that dimension's full domain. Interleaving the bits of k scaled keys
+    gives each file a small k-dimensional box instead of a thin slab; a
+    filter on ANY clustered dimension then skips most files. This is what
+    lakehouse OPTIMIZE ZORDER BY does, built from plain column expressions
+    (quantize → shift/mask interleave, all codegen) plus one
+    range-exchange at write time — no external library.
+
+    Trade-off vs single-key: per-dimension selectivity drops from ~1/files
+    to ~(1/files)^(1/k) — z-order when queries filter on several
+    dimensions, range-cluster when one key dominates.
+    """
+    keyed = zorder_key(df, cluster_by, bits=bits)
+    ranged = (
+        keyed.repartitionByRange(num_files, "__z")
+        if num_files
+        else keyed.repartitionByRange("__z")
+    )
+    ranged.sortWithinPartitions("__z").drop("__z").write.mode(mode).parquet(
+        path
+    )
 
 
 def write_compacted_parquet(
