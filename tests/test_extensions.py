@@ -242,6 +242,40 @@ def test_ann_lsh_recall_vs_bruteforce(emb):
             assert sims[key] == pytest.approx(r["cos_sim"], abs=1e-6)
 
 
+def test_quantized_topk_recall_vs_bruteforce(emb):
+    """int8 coarse + exact re-rank loses recall ONLY to quantization of
+    the coarse ordering — with 4x overfetch on this fixture it should be
+    near-perfect, and every returned cos_sim is full-precision exact."""
+    queries = emb.where(F.col("vec_id") < 20)
+    corpus = emb.where(F.col("vec_id") >= 20)
+    exact = sim.cosine_topk(queries, corpus, k=5)
+    approx = sim.quantized_topk(queries, corpus, k=5, overfetch=4)
+    exact_set = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    approx_set = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
+    recall = len(exact_set & approx_set) / len(exact_set)
+    assert recall >= 0.9, f"quantized recall {recall:.2f} too low"
+    sims = {
+        (r["query_id"], r["neighbor_id"]): r["cos_sim"] for r in exact.collect()
+    }
+    for r in approx.collect():
+        key = (r["query_id"], r["neighbor_id"])
+        if key in sims:
+            assert sims[key] == pytest.approx(r["cos_sim"], abs=1e-6)
+
+
+def test_quantize_embeddings_reconstruction(spark):
+    """q·scale reconstructs each component within half a quantization
+    step; the all-zero vector quantizes to zeros with scale 0."""
+    rows = [(1, [0.5, -1.0, 0.25, 0.0]), (2, [0.0, 0.0, 0.0, 0.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {r["vec_id"]: r for r in sim.quantize_embeddings(df).collect()}
+    assert got[2]["qvec"] == [0, 0, 0, 0] and got[2]["qscale"] == 0.0
+    q, s = got[1]["qvec"], got[1]["qscale"]
+    for orig, qi in zip(rows[0][1], q):
+        assert abs(qi * s - orig) <= s / 2 + 1e-9
+    assert max(abs(x) for x in q) == 127
+
+
 def test_ivf_recall_vs_bruteforce(emb):
     queries = emb.where(F.col("vec_id") < 20)
     corpus = emb.where(F.col("vec_id") >= 20)

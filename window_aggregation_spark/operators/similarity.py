@@ -67,6 +67,123 @@ def cosine_topk(
     )
 
 
+def quantize_embeddings(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    *,
+    alias_q: str = "qvec",
+    alias_scale: str = "qscale",
+) -> DataFrame:
+    """Append int8-range quantization of ``vec_col``: ``alias_q[i] =
+    round(127 · x_i / max|x|)`` (an ``array<int>`` holding [-127, 127])
+    and ``alias_scale = max|x| / 127`` so ``q · scale`` reconstructs the
+    vector. The 4× storage/scan-bandwidth lever for embedding tables —
+    at 100 TB the embedding column IS the table, and a quantized copy
+    (written once, next to the float original) feeds every coarse scan.
+
+    All expression-level; integer dot products of two quantized vectors
+    are EXACT in any engine, which is what makes the coarse ranking
+    oracle-checkable bit-for-bit (no float-sum drift until the final
+    re-rank, which reuses the existing rounded cosine). An all-zero
+    vector quantizes to zeros with scale 0.
+    """
+    v = F.col(vec_col)
+    mx = F.array_max(F.transform(v, lambda x: F.abs(x.cast("double"))))
+    q = F.when(
+        mx > 0,
+        F.transform(
+            v,
+            lambda x: F.round(F.lit(127.0) * x.cast("double") / mx).cast("int"),
+        ),
+    ).otherwise(F.transform(v, lambda x: F.lit(0)))
+    scale = F.when(mx > 0, mx / F.lit(127.0)).otherwise(F.lit(0.0))
+    return df.withColumn(alias_q, q).withColumn(
+        alias_scale, scale.cast("double")
+    )
+
+
+def _int_dot(a: Column, b: Column) -> Column:
+    """Exact integer dot product of two int arrays (long accumulator)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x * y).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+
+
+def quantized_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    *,
+    k: int = 5,
+    overfetch: int = 4,
+    query_id: str = "vec_id",
+    corpus_id: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Top-k by cosine with an int8 coarse scan + exact re-rank: score
+    every pair with the EXACT integer dot of the quantized vectors
+    (coarse ≈ cosine up to the per-vector scales; the corpus scale rides
+    along as ``dot · scale_c``, the query scale is rank-invariant), keep
+    ``k·overfetch`` candidates per query, then re-rank just those with
+    the full-precision cosine. Same output shape as :func:`cosine_topk`.
+
+    Scale story: full-precision arithmetic touches only ``k·overfetch``
+    rows per query instead of the corpus, and when the coarse scan reads
+    a pre-quantized table (:func:`quantize_embeddings` written at ingest)
+    it scans 4× fewer bytes. Composes with the bucketed candidate
+    generators (LSH/IVF) — here the coarse stage is exhaustive so recall
+    loss comes only from quantization, measured in tests against
+    :func:`cosine_topk`.
+    """
+    q = quantize_embeddings(
+        queries.select(
+            F.col(query_id).alias("query_id"), F.col(vec_col).alias("__qv")
+        ),
+        "__qv",
+        alias_q="__qq",
+        alias_scale="__qs",
+    )
+    c = quantize_embeddings(
+        corpus.select(
+            F.col(corpus_id).alias("neighbor_id"), F.col(vec_col).alias("__cv")
+        ),
+        "__cv",
+        alias_q="__cq",
+        alias_scale="__cs",
+    )
+    coarse = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "__qv",
+            "__cv",
+            (_int_dot(F.col("__qq"), F.col("__cq")) * F.col("__cs")).alias(
+                "__coarse"
+            ),
+        )
+    )
+    wc = Window.partitionBy("query_id").orderBy(
+        F.col("__coarse").desc(), F.col("neighbor_id").asc()
+    )
+    shortlist = coarse.withColumn("__crn", F.row_number().over(wc)).where(
+        F.col("__crn") <= k * overfetch
+    )
+    rer = shortlist.select(
+        "query_id",
+        "neighbor_id",
+        F.round(cosine(F.col("__qv"), F.col("__cv")), 4).alias("cos_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return rer.withColumn("nn_rank", F.row_number().over(w)).where(
+        F.col("nn_rank") <= k
+    )
+
+
 def hyperplane_buckets(
     *, vec_col: str = "embedding", nbits: int = 8, dim: int = 64
 ) -> Column:
