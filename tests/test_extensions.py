@@ -263,6 +263,26 @@ def test_quantized_topk_recall_vs_bruteforce(emb):
             assert sims[key] == pytest.approx(r["cos_sim"], abs=1e-6)
 
 
+def test_quantized_topk_full_overfetch_equals_exact(emb):
+    """With the shortlist covering the whole corpus the coarse ordering
+    is irrelevant — the re-rank must reproduce cosine_topk exactly
+    (rank, id, and similarity)."""
+    queries = emb.where(F.col("vec_id") < 10)
+    corpus = emb.where(F.col("vec_id") >= 10)
+    n = corpus.count()
+    exact = {
+        (r["query_id"], r["nn_rank"]): (r["neighbor_id"], r["cos_sim"])
+        for r in sim.cosine_topk(queries, corpus, k=5).collect()
+    }
+    full = {
+        (r["query_id"], r["nn_rank"]): (r["neighbor_id"], r["cos_sim"])
+        for r in sim.quantized_topk(
+            queries, corpus, k=5, overfetch=(n // 5) + 1
+        ).collect()
+    }
+    assert full == exact
+
+
 def test_quantize_embeddings_reconstruction(spark):
     """q·scale reconstructs each component within half a quantization
     step; the all-zero vector quantizes to zeros with scale 0."""
