@@ -140,6 +140,33 @@ def test_minhash_cc_merges_chains(spark):
     assert kept == [1, 4]
 
 
+def test_duplicated_spans_boundaries_and_merge(spark):
+    """A verbatim passage shared by two docs yields one merged span per
+    doc covering exactly the passage; within-doc-only repetition is NOT
+    flagged (min_docs counts distinct docs); short docs are skipped."""
+    shared = " ".join(f"s{i}" for i in range(8))  # 8 shared tokens
+    rows = [
+        # doc 1: 3 unique tokens, passage at positions 3..10
+        (1, "u1 u2 u3 " + shared + " t1 t2"),
+        # doc 2: passage at positions 0..7
+        (2, shared + " z1 z2 z3 z4"),
+        # doc 3: repeats ITS OWN phrase twice but shares nothing
+        (3, "a1 a2 a3 a4 a5 a1 a2 a3 a4 a5 b1 b2"),
+        # doc 4: shorter than the window
+        (4, "w1 w2"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    spans = {
+        r["doc_id"]: (r["span_start"], r["span_end"], r["n_windows"])
+        for r in dd.duplicated_spans(df, "doc_id", window=4).collect()
+    }
+    # doc 1: dup windows start at 3..7 (each 4-token window inside the
+    # passage), merged to [3, 11); doc 2: [0, 8)
+    assert spans[1] == (3, 11, 5)
+    assert spans[2] == (0, 8, 5)
+    assert 3 not in spans and 4 not in spans
+
+
 def test_canonical_per_cluster(spark):
     """keep = quality argmax per cluster; ties break to the smallest id;
     a singleton cluster trivially keeps itself."""

@@ -313,6 +313,136 @@ def minhash_dedup_cc(
     return df.join(keep, on=id_col, how="left_semi")
 
 
+def duplicated_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    *,
+    window: int = 15,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Cross-document duplicated token SPANS — exact substring dedup at
+    rolling-window granularity (the doc-level near-dup operators say two
+    docs are similar; this says WHICH contiguous stretches are literally
+    repeated across the corpus, the thing you cut before training since
+    verbatim-repeated passages dominate memorization).
+
+    Every length-``window`` token window is hashed (portable md5-derived
+    hash, so the whole result is oracle-checkable); a window duplicated
+    across >= ``min_docs`` distinct documents marks its positions, and
+    overlapping/adjacent marked windows merge into maximal spans per doc.
+    Returns ``(id_col, span_start, span_end, n_windows)`` with token
+    half-open bounds ``[span_start, span_end)``.
+
+    Scale shape: the window stream is O(total tokens) rows off a single
+    scan (explode + slice, all codegen); duplicated hashes come from one
+    map-side-combined count-distinct shuffle on the hash; marked
+    positions re-enter via an equi-join on the hash; span merging is one
+    per-doc window pass (lag + running sum — integers only, no floats
+    anywhere). No self-joins, no all-pairs anything.
+    """
+    arr = tokens(F.col(text_col))
+    base = df.where(F.size(arr) >= window).select(
+        F.col(id_col), arr.alias("__toks")
+    )
+    wins = base.select(
+        id_col,
+        F.explode(
+            F.sequence(F.lit(0), F.size("__toks") - F.lit(window))
+        ).alias("__pos"),
+        F.col("__toks"),
+    ).select(
+        id_col,
+        "__pos",
+        portable_hash64(
+            F.concat_ws(
+                " ", F.slice("__toks", F.col("__pos") + 1, window)
+            )
+        ).alias("__h"),
+    )
+    dup = (
+        wins.groupBy("__h")
+        .agg(F.countDistinct(id_col).alias("__d"))
+        .where(F.col("__d") >= min_docs)
+        .select("__h")
+    )
+    hits = wins.join(dup, on="__h").select(id_col, "__pos")
+    w = Window.partitionBy(id_col).orderBy("__pos")
+    prev = F.lag("__pos").over(w)
+    flagged = hits.withColumn(
+        "__new",
+        F.when(
+            prev.isNull() | (F.col("__pos") <= prev + F.lit(window)),
+            F.lit(0),
+        ).otherwise(F.lit(1)),
+    )
+    grped = flagged.withColumn(
+        "__grp",
+        F.sum("__new").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return (
+        grped.groupBy(id_col, "__grp")
+        .agg(
+            F.min("__pos").cast("long").alias("span_start"),
+            (F.max("__pos") + F.lit(window)).cast("long").alias("span_end"),
+            F.count(F.lit(1)).alias("n_windows"),
+        )
+        .select(id_col, "span_start", "span_end", "n_windows")
+    )
+
+
+def duplicated_spans_oracle_sql(
+    table: str,
+    id_col: str,
+    text_col: str = "text",
+    *,
+    window: int = 15,
+    min_docs: int = 2,
+) -> str:
+    """DuckDB mirror of :func:`duplicated_spans` (1-based inclusive list
+    slicing == Spark's ``slice(arr, pos+1, window)``)."""
+    from window_aggregation_spark.operators.text import TOKEN_RE
+
+    arr = f"regexp_extract_all(lower({text_col}), '{TOKEN_RE}')"
+    h = portable_hash64_duck(
+        f"array_to_string(toks[pos + 1 : pos + {window}], ' ')"
+    )
+    return f"""
+        WITH base AS (
+          SELECT {id_col}, {arr} AS toks FROM {table}
+          WHERE len({arr}) >= {window}),
+        pos AS (
+          SELECT {id_col}, toks,
+                 unnest(generate_series(0, len(toks) - {window})) AS pos
+          FROM base),
+        wins AS (SELECT {id_col}, pos, {h} AS h FROM pos),
+        dup AS (
+          SELECT h FROM (
+            SELECT h, count(DISTINCT {id_col}) AS d FROM wins GROUP BY h)
+          WHERE d >= {min_docs}),
+        hits AS (SELECT {id_col}, pos FROM wins WHERE h IN (SELECT h FROM dup)),
+        flagged AS (
+          SELECT {id_col}, pos,
+                 CASE WHEN lag(pos) OVER w IS NULL
+                        OR pos <= lag(pos) OVER w + {window}
+                      THEN 0 ELSE 1 END AS newf
+          FROM hits
+          WINDOW w AS (PARTITION BY {id_col} ORDER BY pos)),
+        grped AS (
+          SELECT {id_col}, pos,
+                 sum(newf) OVER (PARTITION BY {id_col} ORDER BY pos
+                                 ROWS UNBOUNDED PRECEDING) AS grp
+          FROM flagged)
+        SELECT {id_col},
+               CAST(min(pos) AS BIGINT) AS span_start,
+               CAST(max(pos) + {window} AS BIGINT) AS span_end,
+               count(*) AS n_windows
+        FROM grped GROUP BY {id_col}, grp
+    """
+
+
 def canonical_per_cluster(
     df: DataFrame,
     id_col: str,

@@ -944,6 +944,20 @@ def _register_dedup() -> None:
             "component",
         )
 
+    @_register(
+        "dedup_substring_spans",
+        dd.duplicated_spans_oracle_sql("documents", "doc_id", window=15),
+    )
+    def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Exact substring dedup at rolling-window granularity: maximal
+        per-doc token spans whose 15-token windows recur in >=2 distinct
+        documents — the 'cut verbatim-repeated passages before training'
+        operator, complementing doc-level near-dup. Integer-only pipeline
+        (portable window hashes, lag+cumsum interval merge), so the spans
+        themselves are hash-checked against the oracle."""
+        docs = read_table(spark, sf_dir, "documents")
+        return dd.duplicated_spans(docs, "doc_id", window=15)
+
     @_register("dedup_simhash", _duck_simhash_sql())
     def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         """max_hamming=3 is the classic simhash near-dup bar (4 pigeonhole
