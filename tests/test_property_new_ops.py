@@ -197,3 +197,58 @@ def test_take_n_per_stratum_equals_plain_ranking(spark, case):
         .collect()
     )
     assert got == expected
+
+
+@st.composite
+def span_case(draw):
+    # tiny alphabet so shared windows actually occur
+    n_docs = draw(st.integers(2, 5))
+    docs = []
+    for i in range(n_docs):
+        toks = draw(st.lists(st.sampled_from("abc"), min_size=0, max_size=25))
+        docs.append((i, " ".join(toks)))
+    window = draw(st.integers(2, 5))
+    return docs, window
+
+
+def _naive_spans(docs, window, min_docs=2):
+    """Brute-force reference: mark positions whose window recurs in
+    >= min_docs distinct docs, merge overlapping/adjacent marks."""
+    wins = {}
+    for did, text in docs:
+        toks = text.split() if text else []
+        for p in range(len(toks) - window + 1):
+            wins.setdefault(tuple(toks[p : p + window]), set()).add(did)
+    spans = []
+    for did, text in docs:
+        toks = text.split() if text else []
+        marks = [
+            p
+            for p in range(len(toks) - window + 1)
+            if len(wins[tuple(toks[p : p + window])]) >= min_docs
+        ]
+        cur = None
+        for p in marks:
+            if cur is not None and p <= cur[1]:  # overlap or adjacent
+                cur = (cur[0], max(cur[1], p + window), cur[2] + 1)
+            else:
+                if cur:
+                    spans.append((did, *cur))
+                cur = (p, p + window, 1)
+        if cur:
+            spans.append((did, *cur))
+    return sorted(spans)
+
+
+@settings(max_examples=15, deadline=None)
+@given(span_case())
+def test_duplicated_spans_equal_naive(spark, case):
+    from window_aggregation_spark.operators.dedup import duplicated_spans
+
+    docs, window = case
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = sorted(
+        (r["doc_id"], r["span_start"], r["span_end"], r["n_windows"])
+        for r in duplicated_spans(df, "doc_id", window=window).collect()
+    )
+    assert got == _naive_spans(docs, window)
