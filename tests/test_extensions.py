@@ -167,6 +167,27 @@ def test_duplicated_spans_boundaries_and_merge(spark):
     assert 3 not in spans and 4 not in spans
 
 
+def test_cut_token_spans_removes_exactly_the_spans(spark):
+    """Composing duplicated_spans -> cut_token_spans removes the shared
+    passage from every doc and nothing else; span-free docs keep their
+    (normalized) text unchanged."""
+    shared = " ".join(f"s{i}" for i in range(8))
+    rows = [
+        (1, "u1 u2 u3 " + shared + " t1 t2"),
+        (2, shared + " z1 z2 z3 z4"),
+        (3, "only unique words here nothing shared"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    spans = dd.duplicated_spans(df, "doc_id", window=4)
+    got = {
+        r["doc_id"]: r["cut_text"]
+        for r in dd.cut_token_spans(df, spans, "doc_id").collect()
+    }
+    assert got[1] == "u1 u2 u3 t1 t2"
+    assert got[2] == "z1 z2 z3 z4"
+    assert got[3] == "only unique words here nothing shared"
+
+
 def test_canonical_per_cluster(spark):
     """keep = quality argmax per cluster; ties break to the smallest id;
     a singleton cluster trivially keeps itself."""

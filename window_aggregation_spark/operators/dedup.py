@@ -443,6 +443,50 @@ def duplicated_spans_oracle_sql(
     """
 
 
+def cut_token_spans(
+    df: DataFrame,
+    spans: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    *,
+    alias: str = "cut_text",
+) -> DataFrame:
+    """Apply a span-removal policy: given ``spans`` rows ``(id_col,
+    span_start, span_end)`` (half-open token bounds, e.g. from
+    :func:`duplicated_spans` — possibly filtered by the caller's keep-one
+    /-cut-everywhere policy), return ``df`` with ``alias`` = the text
+    minus those token ranges. Docs with no spans pass through unchanged.
+
+    Shape: spans collapse to one array per doc (shuffle on the id — span
+    counts per doc are small by construction), then removal is ONE
+    codegen projection: ``filter(tokens, (t, i) -> no span contains i)``
+    — no token explode, no Python.
+    """
+    per_doc = spans.groupBy(id_col).agg(
+        F.collect_list(
+            F.struct(F.col("span_start").alias("s"), F.col("span_end").alias("e"))
+        ).alias("__spans")
+    )
+    toks = tokens(F.col(text_col))
+    kept = F.filter(
+        toks,
+        lambda t, i: ~F.exists(
+            F.col("__spans"),
+            lambda sp: (i >= sp["s"]) & (i < sp["e"]),
+        ),
+    )
+    return (
+        df.join(per_doc, on=id_col, how="left")
+        .withColumn(
+            alias,
+            F.when(F.col("__spans").isNull(), F.concat_ws(" ", toks)).otherwise(
+                F.concat_ws(" ", kept)
+            ),
+        )
+        .drop("__spans")
+    )
+
+
 def canonical_per_cluster(
     df: DataFrame,
     id_col: str,
