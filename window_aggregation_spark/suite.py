@@ -885,6 +885,9 @@ def _register_dedup() -> None:
                  AS component
         FROM documents d LEFT JOIN comp c ON d.doc_id = c.u
         """,
+        headline=True,  # the one iterative operator: its sf1 growth curve
+        # (convergence overhead amortizing, measured sub-linear) belongs in
+        # the per-round bench record
     )
     def dedup_minhash_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
         """Transitive duplicate clusters: large-star/small-star connected
