@@ -275,6 +275,68 @@ def streaming_probe(spark, sf_dir: str, *, n_files: int = 8) -> dict:
     }
 
 
+def layout_probe(spark, sf_dir: str, *, n_files: int = 16) -> dict:
+    """File-skipping evidence for the layout writers: events written once
+    range-clustered on ts and once z-ordered on (ts, user_id), then a
+    second-dimension slice query (ALL of ts × the lowest 10% of users) is
+    tested against every file's parquet footer min/max. The single-key
+    layout cannot prune that query (every file spans the full user
+    domain); the z-order layout skips most files — the fraction recorded
+    here is the read amplification a 100 TB scan would actually see."""
+    import glob
+    import shutil
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    from window_aggregation_spark.sources.io import (
+        read_table,
+        write_clustered_parquet,
+        write_zordered_parquet,
+    )
+
+    events = read_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id"
+    )
+    lo, hi = events.agg(F.min("user_id"), F.max("user_id")).first()
+    u_cut = lo + (hi - lo) // 10
+    base = tempfile.mkdtemp(prefix="spark_graft_layout_")
+    out: dict = {"files": n_files, "user_slice": 0.1}
+    try:
+        for label, write in (
+            ("clustered_ts", lambda p: write_clustered_parquet(
+                events, p, ["ts"], num_files=n_files)),
+            ("zorder_ts_user", lambda p: write_zordered_parquet(
+                events, p, ["ts", "user_id"], num_files=n_files)),
+        ):
+            path = f"{base}/{label}"
+            t0 = time.perf_counter()
+            write(path)
+            wsec = round(time.perf_counter() - t0, 3)
+            hit = total = 0
+            for f in glob.glob(f"{path}/*.parquet"):
+                md = pq.read_metadata(f)
+                idx = next(
+                    i for i in range(md.num_columns)
+                    if md.row_group(0).column(i).path_in_schema == "user_id"
+                )
+                fmin = min(
+                    md.row_group(rg).column(idx).statistics.min
+                    for rg in range(md.num_row_groups)
+                )
+                total += 1
+                hit += fmin <= u_cut
+            out[label] = {
+                "write_sec": wsec,
+                "files_read": hit,
+                "files_total": total,
+                "read_fraction": round(hit / max(total, 1), 3),
+            }
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return out
+
+
 # tables the headline queries actually scan; the rest are symlinked 1x
 _SCALED_TABLES = ("lineitem", "events", "documents", "embeddings")
 
@@ -405,6 +467,8 @@ def main() -> None:
         payload["skew_probe"] = skew_probe(spark, sf_dir)
     if os.environ.get("SPARK_GRAFT_STREAM_PROBE", "1") != "0":
         payload["streaming_probe"] = streaming_probe(spark, sf_dir)
+    if os.environ.get("SPARK_GRAFT_LAYOUT_PROBE", "1") != "0":
+        payload["layout_probe"] = layout_probe(spark, sf_dir)
     if sf == "0.1" and os.environ.get("SPARK_GRAFT_SF1", "1") != "0":
         try:
             payload["sf1"] = sf1_section(spark, sf_dir, timings)

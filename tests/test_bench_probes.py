@@ -39,6 +39,21 @@ def test_streaming_probe_shape(spark, sf_dir, tmp_path, monkeypatch):
         assert out[k]["sec"] > 0 and out[k]["rows_per_sec"] > 0
 
 
+def test_layout_probe_shape(spark, sf_dir):
+    out = bench.layout_probe(spark, sf_dir, n_files=6)
+    for k in ("clustered_ts", "zorder_ts_user"):
+        assert out[k]["files_total"] >= 4
+        assert 0 < out[k]["read_fraction"] <= 1.0
+        assert out[k]["write_sec"] > 0
+    # the probe's reason to exist: single-key reads everything on the
+    # 2nd-dim slice, z-order reads strictly less
+    assert out["clustered_ts"]["read_fraction"] == 1.0
+    assert (
+        out["zorder_ts_user"]["files_read"]
+        < out["clustered_ts"]["files_read"]
+    )
+
+
 def test_scaled_dir_builder_shifts_keys_and_remaps_text(spark, sf_dir, tmp_path):
     out_dir = str(tmp_path / "scaled")
     bench._ensure_scaled_dir(spark, sf_dir, out_dir, copies=2)

@@ -158,3 +158,23 @@ def test_semantic_pairs_compute_assignment_once(spark, sf_dir):
     # broadcast exchange; a self-join shape would show two
     assert plan.count("BroadcastExchange") <= 1
     assert "SortMergeJoin" not in plan
+
+
+def test_mix_budget_corpus_never_shuffled_for_the_filter(spark, sf_dir):
+    """mix_to_token_budget promises: one hash aggregation for the
+    |sources|-row totals (broadcast back), then a pure filter — the
+    corpus-side rows are shuffled ONLY by that aggregate's exchange, and
+    the totals re-enter via BroadcastHashJoin, never a sort-merge join."""
+    plan = _plan(SUITE["corpus_mix_budget"].build(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan, plan[:800]
+    assert "SortMergeJoin" not in plan, plan[:800]
+    assert plan.count("Exchange hashpartitioning") == 1, plan[:800]
+
+
+def test_substring_spans_dup_set_broadcast_no_self_join(spark, sf_dir):
+    """duplicated_spans: the dup-hash set re-enters via broadcast (the
+    corpus window stream is never shuffled for the match) and there is no
+    cartesian/nested-loop anywhere."""
+    plan = _plan(SUITE["dedup_substring_spans"].build(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan, plan[:800]
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
