@@ -166,4 +166,42 @@ def test_asof_forward_tolerance_and_bad_direction(spark):
 
     with _pt.raises(ValueError, match="direction"):
         asof_join(left, right, on=["k"], ts_col="ts", right_cols=["rid"],
-                  direction="nearest")
+                  direction="sideways")
+
+
+def test_asof_nearest_picks_closer_and_breaks_ties_backward(spark):
+    left = _tsdf(
+        spark,
+        [(1, 7, "2024-01-10 00:00:00"), (2, 7, "2024-01-20 00:00:00")],
+        "lid long, k long, ts_s string",
+    )
+    right = _tsdf(
+        spark,
+        [
+            (300, 7, "2024-01-08 00:00:00", 1.0),   # 2d before lid 1
+            (301, 7, "2024-01-11 00:00:00", 2.0),   # 1d after lid 1 (closer)
+            (302, 7, "2024-01-19 00:00:00", 3.0),   # 1d before lid 2
+            (303, 7, "2024-01-21 00:00:00", 4.0),   # 1d after lid 2 (tie)
+        ],
+        "rid long, k long, ts_s string, v double",
+    )
+    got = {
+        r["lid"]: r["rid"]
+        for r in asof_join(
+            left, right, on=["k"], ts_col="ts", right_cols=["rid"],
+            tiebreak="rid", direction="nearest",
+        ).collect()
+    }
+    assert got == {1: 301, 2: 302}  # closer wins; equidistant -> backward
+    # a single in-tolerance side still matches even when the closer side
+    # is out of tolerance (tolerance filters BEFORE the distance compare)
+    got_tol = {
+        r["lid"]: r["rid"]
+        for r in asof_join(
+            left.where("lid = 1"),
+            right.where("rid = 300"),  # only the 2-day-back candidate
+            on=["k"], ts_col="ts", right_cols=["rid"],
+            tiebreak="rid", direction="nearest", tolerance="3 days",
+        ).collect()
+    }
+    assert got_tol == {1: 300}

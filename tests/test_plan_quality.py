@@ -178,3 +178,26 @@ def test_substring_spans_dup_set_broadcast_no_self_join(spark, sf_dir):
     plan = _plan(SUITE["dedup_substring_spans"].build(spark, sf_dir))
     assert "BroadcastHashJoin" in plan, plan[:800]
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_asof_nearest_shares_one_exchange(spark, sf_dir):
+    """direction='nearest' carries both directions' matches over ONE hash
+    exchange — the second window differs only in sort order, so it pays an
+    in-partition re-sort, never a second shuffle (and still no join)."""
+    from window_aggregation_spark.operators.asof_join import asof_join
+    from window_aggregation_spark.sources.io import read_table
+
+    ev = read_table(spark, sf_dir, "events")
+    left = ev.where("event_type = 'purchase'").select("event_id", "user_id", "ts")
+    right = ev.where("event_type = 'error'").select(
+        F.col("event_id").alias("rid"), "user_id", "ts"
+    )
+    plan = _plan(
+        asof_join(
+            left, right, on=["user_id"], ts_col="ts", right_cols=["rid"],
+            tiebreak="rid", direction="nearest",
+        )
+    )
+    assert plan.count("Exchange hashpartitioning") == 1, plan[:800]
+    assert plan.count("Window ") == 2, plan[:800]
+    assert "Join" not in plan, plan[:800]

@@ -104,7 +104,7 @@ def asof_case(draw):
         (100 + i, draw(st.integers(0, 3)), draw(st.integers(0, 1000)))
         for i in range(n_r)
     ]
-    direction = draw(st.sampled_from(["backward", "forward"]))
+    direction = draw(st.sampled_from(["backward", "forward", "nearest"]))
     tol_s = draw(st.sampled_from([None, 60, 300]))
     return lefts, rights, direction, tol_s
 
@@ -132,9 +132,8 @@ def test_asof_equals_naive_per_row(spark, case):
             tolerance=f"{tol_s} seconds" if tol_s else None,
         ).collect()
     }
-    expected = {}
-    for lid, lk, lsec in lefts:
-        if direction == "backward":
+    def naive(lk, lsec, dir_):
+        if dir_ == "backward":
             cand = [(rs, rid) for rid, rk, rs in rights
                     if rk == lk and rs <= lsec]
             best = max(cand) if cand else None  # latest ts, then largest rid
@@ -148,6 +147,23 @@ def test_asof_equals_naive_per_row(spark, case):
                 best = None
         if best is not None and tol_s is not None and abs(best[0] - lsec) > tol_s:
             best = None
+        return best
+
+    expected = {}
+    for lid, lk, lsec in lefts:
+        if direction == "nearest":
+            # tolerance filters each side FIRST, then the closer wins;
+            # equidistant ties go to the backward match
+            b = naive(lk, lsec, "backward")
+            f = naive(lk, lsec, "forward")
+            if b is not None and (
+                f is None or (lsec - b[0]) <= (f[0] - lsec)
+            ):
+                best = b
+            else:
+                best = f
+        else:
+            best = naive(lk, lsec, direction)
         expected[lid] = best[1] if best else None
     assert got == expected
 

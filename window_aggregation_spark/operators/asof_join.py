@@ -44,6 +44,10 @@ def asof_join(
     default) or the earliest with ``right.ts >= left.ts``
     (``direction="forward"`` — pandas ``merge_asof`` naming). Forward is
     the same one-shuffle union+window plan with the time order reversed.
+    ``direction="nearest"`` picks whichever of the two is closer in time
+    (equidistant ties go to the backward match); both carried windows
+    share the one exchange — the second differs only in sort order, so
+    the plan is one shuffle + two in-partition sorts, still no join.
 
     ``tiebreak``: a right-side column making right's ordering total (ties
     on ``ts_col`` would otherwise be nondeterministic); the largest
@@ -55,10 +59,10 @@ def asof_join(
     the filter is a pure projection on top of the same plan: still one
     shuffle, no second pass.
     """
-    if direction not in ("backward", "forward"):
+    if direction not in ("backward", "forward", "nearest"):
         raise ValueError(
-            f"asof_join: direction must be 'backward' or 'forward', "
-            f"got {direction!r}"
+            f"asof_join: direction must be 'backward', 'forward' or "
+            f"'nearest', got {direction!r}"
         )
     overlap = [c for c in right_cols if c in left.columns]
     out_names = {c: (c + suffix if c in overlap else c) for c in right_cols}
@@ -99,15 +103,43 @@ def asof_join(
     # (latest <= left.ts); forward scans future->past, so the last right
     # row seen is the EARLIEST >= left.ts. Right sorts before left at
     # equal ts in both cases — as-of bounds are inclusive.
-    order_ts = (
-        F.col(ts_col).asc() if direction == "backward" else F.col(ts_col).desc()
-    )
-    w = Window.partitionBy(*on).orderBy(
-        order_ts, F.col("__side").asc(), F.col("__tb").asc()
-    )
-    carried = unioned.select(
-        "*", F.last("__r", ignorenulls=True).over(w).alias("__m")
-    )
+    def carried_over(dir_: str):
+        order_ts = (
+            F.col(ts_col).asc() if dir_ == "backward" else F.col(ts_col).desc()
+        )
+        w = Window.partitionBy(*on).orderBy(
+            order_ts, F.col("__side").asc(), F.col("__tb").asc()
+        )
+        return F.last("__r", ignorenulls=True).over(w)
+
+    if direction == "nearest":
+        # both windows share the one hash exchange (same partition keys);
+        # the second pays only an in-partition re-sort, never a shuffle
+        carried = unioned.select(
+            "*",
+            carried_over("backward").alias("__mb"),
+            carried_over("forward").alias("__mf"),
+        )
+        dist_b = F.col(ts_col) - F.col("__mb.__rts")
+        dist_f = F.col("__mf.__rts") - F.col(ts_col)
+        ok_b = F.col("__mb.__rts").isNotNull()
+        ok_f = F.col("__mf.__rts").isNotNull()
+        if tolerance is not None:
+            tol = F.expr(f"INTERVAL {tolerance}")
+            ok_b = ok_b & (dist_b <= tol)
+            ok_f = ok_f & (dist_f <= tol)
+        use_b = ok_b & (~ok_f | (dist_b <= dist_f))
+        picked = [
+            F.when(use_b, F.col(f"__mb.{c}"))
+            .when(ok_f, F.col(f"__mf.{c}"))
+            .alias(out_names[c])
+            for c in right_cols
+        ]
+        return carried.where(F.col("__side") == 1).select(
+            *[F.col(c) for c in left.columns], *picked
+        )
+
+    carried = unioned.select("*", carried_over(direction).alias("__m"))
     if tolerance is None:
         picked = [
             F.col(f"__m.{c}").alias(out_names[c]) for c in right_cols
