@@ -154,6 +154,21 @@ def test_zordered_parquet_prunes_second_dimension(spark, sf_dir, tmp_path):
     assert spark.read.parquet(zpath).count() == n
 
 
+def test_zorder_handles_nulls_and_degenerate_dims(spark, tmp_path):
+    """NULL values quantize to 0 (sort first), an all-equal dimension
+    contributes nothing, and no rows are lost in the round trip."""
+    from window_aggregation_spark.sources.io import write_zordered_parquet
+
+    rows = [(i, i % 7 if i % 5 else None, 42) for i in range(100)]
+    df = spark.createDataFrame(rows, "id long, a long, b long")
+    path = str(tmp_path / "z")
+    write_zordered_parquet(df, path, ["a", "b"], num_files=4)
+    back = spark.read.parquet(path)
+    assert back.count() == 100
+    assert back.where("a IS NULL").count() == 20
+    assert sorted(r["id"] for r in back.collect()) == list(range(100))
+
+
 def test_zorder_key_validation(spark, sf_dir):
     from window_aggregation_spark.sources.io import zorder_key
 
