@@ -175,3 +175,47 @@ def test_batch_sessionize_gap_semantics(spark):
         for r in sessionize(df, gap="30 minutes").collect()
     }
     assert out == {1: 1, 2: 1, 3: 2, 4: 1}
+
+
+def test_corpus_projection_ops_run_unchanged_on_streams(spark, sf_dir, tmp_path):
+    """The shuffle-free corpus operators (hash split, stratified sample,
+    PII redaction, model-scored quality) are pure projections, so the SAME
+    calls run on a streaming DataFrame — declare once, run batch or
+    stream. Streaming result must equal the batch run row-for-row."""
+    import shutil
+
+    from window_aggregation_spark.operators import corpus as cp
+    from window_aggregation_spark.operators import text as tx
+
+    d = tmp_path / "docs_stream"
+    d.mkdir()
+    shutil.copy(f"{sf_dir}/documents.parquet", d / "documents.parquet")
+
+    def pipeline(df):
+        df = cp.split_by_hash(df, "doc_id", {"train": 0.8, "val": 0.2})
+        df = cp.stratified_sample(
+            df, "source", {}, "doc_id", default_rate=0.5
+        )
+        df = df.withColumn("clean", cp.redact_pii(F.col("text")))
+        df = tx.quality_model_score(df, "clean")
+        return df.select("doc_id", "split", "model_score")
+
+    batch = pipeline(read_table(spark, sf_dir, "documents"))
+    stream_in = spark.readStream.schema(
+        "doc_id long, text string, lang string, source string, n_chars long"
+    ).parquet(str(d))
+    out = pipeline(stream_in)
+    assert out.isStreaming
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("corpus_stream_out")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = sorted(map(tuple, spark.table("corpus_stream_out").collect()))
+    want = sorted(map(tuple, batch.collect()))
+    assert got == want and len(got) > 0
