@@ -82,6 +82,22 @@ def test_pack_by_token_budget_matches_plain_window(spark, docs):
     assert got == want
 
 
+def test_shard_manifest_disjoint_ordered_ranges(spark, docs):
+    packed = cp.pack_by_token_budget(docs, "doc_id", "n_tok", 500, chunks=8)
+    man = cp.shard_manifest(packed, "doc_id", "n_tok").collect()
+    # totals conserve
+    assert sum(r["n_docs"] for r in man) == docs.count()
+    total = docs.agg(F.sum("n_tok")).first()[0]
+    assert sum(r["n_tokens"] for r in man) == total
+    # contiguous packing => id ranges are disjoint and ordered by shard
+    for prev, cur in zip(man, man[1:]):
+        assert cur["shard"] == prev["shard"] + 1
+        assert prev["last_id"] < cur["first_id"]
+    # every shard holds something and (except the last) fills its budget
+    for r in man[:-1]:
+        assert r["n_tokens"] > 0
+
+
 def test_pack_by_token_budget_fill_properties(spark, docs):
     out = cp.pack_by_token_budget(docs, "doc_id", "n_tok", 500, chunks=8)
     rows = sorted(

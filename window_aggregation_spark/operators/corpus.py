@@ -142,6 +142,35 @@ def pack_by_token_budget(
     ).drop("__run_tok")
 
 
+def shard_manifest(
+    packed: DataFrame,
+    id_col: str,
+    tokens_col: str,
+    *,
+    shard_col: str = "shard",
+) -> DataFrame:
+    """Per-shard manifest over :func:`pack_by_token_budget` output: doc
+    count, token mass, and the id range each shard covers — the dataset
+    index a trainer (or a resumable reader) consumes instead of listing
+    files. One map-side-combined aggregate whose result is |shards| rows;
+    write it next to the shards.
+
+    Because packing is contiguous in ``id_col`` order, the manifest's
+    ``[first_id, last_id]`` ranges are disjoint and ordered — pinned in
+    tests — so a reader can binary-search its resume point.
+    """
+    return (
+        packed.groupBy(shard_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(tokens_col).cast("long").alias("n_tokens"),
+            F.min(id_col).alias("first_id"),
+            F.max(id_col).alias("last_id"),
+        )
+        .orderBy(shard_col)
+    )
+
+
 # Regex dialect intersection (Java regex AND RE2): character classes,
 # bounded repetition, \b word boundaries — no lookaround, no backrefs.
 PII_PATTERNS: list[tuple[str, str, str]] = [
