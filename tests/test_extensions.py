@@ -331,6 +331,26 @@ def test_quantized_topk_full_overfetch_equals_exact(emb):
     assert full == exact
 
 
+def test_quantized_topk_prequantized_corpus_identical(emb, tmp_path):
+    """A corpus written once with qvec/qscale (parquet round trip) must
+    give byte-identical results to on-the-fly quantization — the
+    build-once path the 4x scan saving depends on."""
+    queries = emb.where(F.col("vec_id") < 10)
+    corpus = emb.where(F.col("vec_id") >= 10)
+    path = str(tmp_path / "quantized_corpus")
+    sim.quantize_embeddings(corpus).write.mode("overwrite").parquet(path)
+    stored = emb.sparkSession.read.parquet(path)
+    live = {
+        (r["query_id"], r["nn_rank"]): (r["neighbor_id"], r["cos_sim"])
+        for r in sim.quantized_topk(queries, corpus, k=5).collect()
+    }
+    pre = {
+        (r["query_id"], r["nn_rank"]): (r["neighbor_id"], r["cos_sim"])
+        for r in sim.quantized_topk(queries, stored, k=5).collect()
+    }
+    assert pre == live
+
+
 def test_quantize_embeddings_reconstruction(spark):
     """q·scale reconstructs each component within half a quantization
     step; the all-zero vector quantizes to zeros with scale 0."""
