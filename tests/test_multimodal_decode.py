@@ -130,3 +130,39 @@ def test_pil_path_when_available(spark):
     arr = np.arange(48, dtype=np.uint8).reshape(4, 4, 3)
     decoded = mm.get_image_decoder()(encode_png(arr))
     np.testing.assert_array_equal(decoded, arr)
+
+
+def test_wav_header_expression_parse(spark):
+    """Canonical PCM WAV headers parse JVM-side (LE fields from per-byte
+    conv terms); a LIST-before-fmt layout and non-audio bytes are refused
+    rather than misread."""
+    import struct
+
+    def wav_header(rate, channels, bits):
+        return (
+            b"RIFF" + struct.pack("<I", 36) + b"WAVE"
+            + b"fmt " + struct.pack("<IHHIIHH", 16, 1, channels, rate,
+                                    rate * channels * bits // 8,
+                                    channels * bits // 8, bits)
+            + b"data" + struct.pack("<I", 0)
+        )
+
+    list_first = b"RIFF" + struct.pack("<I", 40) + b"WAVE" + b"LIST" + b"\0" * 24
+    rows = [
+        (1, wav_header(44100, 2, 16)),
+        (2, wav_header(16000, 1, 24)),
+        (3, list_first),
+        (4, b"not audio at all"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = {
+        r["doc_id"]: (
+            r["is_wav"], r["wav_channels"], r["wav_sample_rate"],
+            r["wav_bits_per_sample"],
+        )
+        for r in mm.extract_wav_meta(df).collect()
+    }
+    assert got[1] == (True, 2, 44100, 16)
+    assert got[2] == (True, 1, 16000, 24)
+    assert got[3] == (False, None, None, None)
+    assert got[4] == (False, None, None, None)

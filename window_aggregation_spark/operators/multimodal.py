@@ -84,6 +84,50 @@ def extract_png_meta(df: DataFrame, payload_col: str = "payload") -> DataFrame:
     )
 
 
+def extract_wav_meta(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """Parse audio metadata out of a binary column with pure built-in
+    expressions — the audio sibling of :func:`extract_png_meta` (still no
+    sample decode: that stays behind :func:`require_decoder`).
+
+    Contract: the CANONICAL 44-byte PCM layout only — ``RIFF`` at 1,
+    ``WAVE`` at 9, and the ``fmt `` chunk immediately at 13 (files with
+    LIST/INFO chunks before ``fmt `` yield ``is_wav = false`` rather than
+    misread fields). WAV integers are little-endian, so each field is
+    summed from per-byte ``conv(hex(substring(...)))`` terms — everything
+    stays in whole-stage codegen across a 100 TB scan.
+    """
+    payload = F.col(payload_col)
+
+    def tag(offset: int, hex_magic: str) -> F.Column:
+        n = len(hex_magic) // 2
+        return F.upper(F.hex(F.substring(payload, offset, n))) == hex_magic
+
+    def byte_at(offset: int) -> F.Column:
+        return F.conv(F.hex(F.substring(payload, offset, 1)), 16, 10).cast(
+            "long"
+        )
+
+    def le_int(offset: int, nbytes: int) -> F.Column:
+        val = byte_at(offset)
+        for i in range(1, nbytes):
+            val = val + byte_at(offset + i) * F.lit(256**i)
+        return val.cast("int")
+
+    is_wav = (
+        tag(1, "52494646")        # "RIFF"
+        & tag(9, "57415645")      # "WAVE"
+        & tag(13, "666D7420")     # "fmt "
+        & (F.length(payload) >= 36)
+    )
+    return df.select(
+        "*",
+        is_wav.alias("is_wav"),
+        F.when(is_wav, le_int(23, 2)).alias("wav_channels"),
+        F.when(is_wav, le_int(25, 4)).alias("wav_sample_rate"),
+        F.when(is_wav, le_int(35, 2)).alias("wav_bits_per_sample"),
+    )
+
+
 def require_decoder(kind: str) -> None:
     """Where a real decoder plugs in. Image decoding IS implemented (PIL
     when importable, else the stdlib PNG decoder below); audio/video remain
