@@ -166,3 +166,19 @@ def test_wav_header_expression_parse(spark):
     assert got[2] == (True, 1, 16000, 24)
     assert got[3] == (False, None, None, None)
     assert got[4] == (False, None, None, None)
+
+
+def test_gif_header_expression_parse(spark):
+    import struct
+
+    gif = b"GIF89a" + struct.pack("<HH", 320, 200) + b"\0\0\0"
+    gif87 = b"GIF87a" + struct.pack("<HH", 17, 4000) + b"\0\0\0"
+    rows = [(1, gif), (2, gif87), (3, b"PNG\x00 not a gif")]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = {
+        r["doc_id"]: (r["is_gif"], r["gif_width"], r["gif_height"])
+        for r in mm.extract_gif_meta(df).collect()
+    }
+    assert got[1] == (True, 320, 200)
+    assert got[2] == (True, 17, 4000)
+    assert got[3] == (False, None, None)

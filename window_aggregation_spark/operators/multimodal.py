@@ -128,6 +128,33 @@ def extract_wav_meta(df: DataFrame, payload_col: str = "payload") -> DataFrame:
     )
 
 
+def extract_gif_meta(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """GIF dimensions from the fixed logical-screen descriptor: magic
+    ``GIF87a``/``GIF89a`` then width/height as little-endian uint16 at
+    1-based offsets 7 and 9 — fixed offsets, so the parse is sound (no
+    marker scanning) and pure codegen like the PNG/WAV siblings."""
+    payload = F.col(payload_col)
+
+    def byte_at(offset: int) -> F.Column:
+        return F.conv(F.hex(F.substring(payload, offset, 1)), 16, 10).cast(
+            "long"
+        )
+
+    def le16(offset: int) -> F.Column:
+        return (byte_at(offset) + byte_at(offset + 1) * F.lit(256)).cast("int")
+
+    magic = F.upper(F.hex(F.substring(payload, 1, 6)))
+    is_gif = magic.isin("474946383761", "474946383961") & (
+        F.length(payload) >= 10
+    )
+    return df.select(
+        "*",
+        is_gif.alias("is_gif"),
+        F.when(is_gif, le16(7)).alias("gif_width"),
+        F.when(is_gif, le16(9)).alias("gif_height"),
+    )
+
+
 def require_decoder(kind: str) -> None:
     """Where a real decoder plugs in. Image decoding IS implemented (PIL
     when importable, else the stdlib PNG decoder below); audio/video remain
