@@ -182,3 +182,19 @@ def test_gif_header_expression_parse(spark):
     assert got[1] == (True, 320, 200)
     assert got[2] == (True, 17, 4000)
     assert got[3] == (False, None, None)
+
+
+def test_mp4_detection_expression_parse(spark):
+    import struct
+
+    mp4 = struct.pack(">I", 20) + b"ftypisom" + b"\0" * 12
+    m4a = struct.pack(">I", 20) + b"ftypM4A " + b"\0" * 12
+    rows = [(1, mp4), (2, m4a), (3, b"RIFF....WAVE not mp4")]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = {
+        r["doc_id"]: (r["is_mp4"], r["mp4_brand"])
+        for r in mm.extract_mp4_meta(df).collect()
+    }
+    assert got[1] == (True, "isom")
+    assert got[2] == (True, "M4A")
+    assert got[3] == (False, None)

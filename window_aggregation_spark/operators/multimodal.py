@@ -155,6 +155,25 @@ def extract_gif_meta(df: DataFrame, payload_col: str = "payload") -> DataFrame:
     )
 
 
+def extract_mp4_meta(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """MP4/ISO-BMFF detection from the fixed-position ``ftyp`` box: the
+    box type lives at 1-based offset 5 and the major brand at 9 — both
+    fixed by the spec, so detection + brand are sound codegen
+    expressions. Duration/dimensions live in the variable-position
+    ``moov`` tree, which a fixed-offset parse cannot reach soundly —
+    those stay behind :func:`require_decoder` with the sample decoders."""
+    payload = F.col(payload_col)
+    is_mp4 = (
+        F.upper(F.hex(F.substring(payload, 5, 4))) == "66747970"  # "ftyp"
+    ) & (F.length(payload) >= 12)
+    brand = F.decode(F.substring(payload, 9, 4), "US-ASCII")
+    return df.select(
+        "*",
+        is_mp4.alias("is_mp4"),
+        F.when(is_mp4, F.trim(brand)).alias("mp4_brand"),
+    )
+
+
 def require_decoder(kind: str) -> None:
     """Where a real decoder plugs in. Image decoding IS implemented (PIL
     when importable, else the stdlib PNG decoder below); audio/video remain
