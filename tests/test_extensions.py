@@ -346,9 +346,35 @@ def test_quantized_topk_prequantized_corpus_identical(emb, tmp_path):
     }
     pre = {
         (r["query_id"], r["nn_rank"]): (r["neighbor_id"], r["cos_sim"])
-        for r in sim.quantized_topk(queries, stored, k=5).collect()
+        for r in sim.quantized_topk(
+            queries, stored, k=5, qvec_col="qvec", qscale_col="qscale"
+        ).collect()
     }
     assert pre == live
+
+
+def test_quantized_topk_qcols_must_be_paired(emb):
+    """qvec_col/qscale_col are an explicit pair — naming only one is a
+    usage error, and a corpus that merely HAPPENS to carry a 'qvec'
+    column is never silently scored with it (detection is opt-in, not
+    name-sniffed)."""
+    queries = emb.where(F.col("vec_id") < 5)
+    corpus = emb.where(F.col("vec_id") >= 5)
+    with pytest.raises(ValueError, match="together"):
+        sim.quantized_topk(queries, corpus, qvec_col="qvec")
+    # an unrelated column named qvec is ignored by the default path
+    decoy = corpus.withColumn("qvec", F.array(F.lit(0))).withColumn(
+        "qscale", F.lit(0.0)
+    )
+    clean = {
+        (r["query_id"], r["nn_rank"]): r["neighbor_id"]
+        for r in sim.quantized_topk(queries, corpus, k=3).collect()
+    }
+    with_decoy = {
+        (r["query_id"], r["nn_rank"]): r["neighbor_id"]
+        for r in sim.quantized_topk(queries, decoy, k=3).collect()
+    }
+    assert with_decoy == clean
 
 
 def test_quantize_embeddings_reconstruction(spark):

@@ -201,3 +201,43 @@ def test_asof_nearest_shares_one_exchange(spark, sf_dir):
     assert plan.count("Exchange hashpartitioning") == 1, plan[:800]
     assert plan.count("Window ") == 2, plan[:800]
     assert "Join" not in plan, plan[:800]
+
+
+def test_quantized_coarse_scan_excludes_float_vectors(spark, sf_dir, tmp_path):
+    """With a pre-quantized corpus, the coarse cross-join's parquet scan
+    must read (id, qvec, qscale) ONLY — the float embedding column enters
+    the plan solely through the id-pruned shortlist re-rank fetch. This is
+    the 4x scan-bandwidth claim, asserted on ReadSchema (VERDICT r4 #1)."""
+    from window_aggregation_spark.operators import similarity as sim
+    from window_aggregation_spark.sources.io import read_table
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    path = str(tmp_path / "prequantized")
+    sim.quantize_embeddings(emb.where(F.col("vec_id") >= 8)).write.mode(
+        "overwrite"
+    ).parquet(path)
+    stored = spark.read.parquet(path)
+    out = sim.quantized_topk(
+        emb.where(F.col("vec_id") < 8), stored,
+        k=5, qvec_col="qvec", qscale_col="qscale",
+    )
+    plan = _plan(out)
+    schemas = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
+    coarse = [s for s in schemas if "qvec" in s]
+    assert coarse, plan[:1200]
+    for s in coarse:
+        assert "embedding" not in s, f"float vectors in coarse scan: {s}"
+    # and the re-rank fetch reads id+embedding only, no qvec
+    rerank = [s for s in schemas if "embedding" in s and "vec_id" in s]
+    assert any("qvec" not in s for s in rerank), schemas
+
+
+def test_ivf_expr_assignment_is_per_row_no_crossjoin(spark, sf_dir):
+    """assign='expr' list assignment must be a per-row fold over literal
+    centroids — no centroid cross-join, no assignment window, no exchange
+    carrying the exploded (row x centroid) float vectors (r5 rewrite)."""
+    plan = _plan(SUITE["sim_topk_ivf"].build(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in plan, plan[:800]
+    assert "CartesianProduct" not in plan, plan[:800]
+    # one window remains: the final per-query top-k
+    assert plan.count("Window ") == 1, plan[:800]

@@ -120,6 +120,8 @@ def quantized_topk(
     query_id: str = "vec_id",
     corpus_id: str = "vec_id",
     vec_col: str = "embedding",
+    qvec_col: str | None = None,
+    qscale_col: str | None = None,
 ) -> DataFrame:
     """Top-k by cosine with an int8 coarse scan + exact re-rank: score
     every pair with the EXACT integer dot of the quantized vectors
@@ -128,32 +130,40 @@ def quantized_topk(
     ``k·overfetch`` candidates per query, then re-rank just those with
     the full-precision cosine. Same output shape as :func:`cosine_topk`.
 
-    Scale story: full-precision arithmetic touches only ``k·overfetch``
-    rows per query instead of the corpus, and when the coarse scan reads
-    a pre-quantized table (:func:`quantize_embeddings` written at ingest)
-    it scans 4× fewer bytes. Composes with the bucketed candidate
+    The coarse stage carries ONLY ``(query_id, neighbor_id, score)`` —
+    no float vectors. The ``k·overfetch`` shortlist is then broadcast
+    back into a second, id-pruned pass over the corpus to fetch
+    full-precision vectors for just those rows, so the float column
+    never rides through the cross-join or the top-k shuffle.
+
+    Pass ``qvec_col``/``qscale_col`` (together) to read a pre-quantized
+    corpus written at ingest via :func:`quantize_embeddings` — the
+    coarse scan then reads the int8 columns instead of the float
+    vectors, which is where the 4× bandwidth saving actually lands.
+    Default (both ``None``) quantizes on the fly. The columns are named
+    explicitly rather than sniffed so an unrelated ``qvec`` column can
+    never be silently mis-scored.
+
+    Scale story: full-precision arithmetic (and the float-vector scan,
+    when pre-quantized) touches only ``k·overfetch`` rows per query
+    instead of the corpus. Composes with the bucketed candidate
     generators (LSH/IVF) — here the coarse stage is exhaustive so recall
     loss comes only from quantization, measured in tests against
     :func:`cosine_topk`.
     """
-    q = quantize_embeddings(
-        queries.select(
-            F.col(query_id).alias("query_id"), F.col(vec_col).alias("__qv")
-        ),
-        "__qv",
-        alias_q="__qq",
-        alias_scale="__qs",
+    if (qvec_col is None) != (qscale_col is None):
+        raise ValueError("qvec_col and qscale_col must be given together")
+    q_named = queries.select(
+        F.col(query_id).alias("query_id"), F.col(vec_col).alias("__qv")
     )
-    # a corpus carrying qvec/qscale (written once at ingest via
-    # quantize_embeddings) skips re-quantization — the coarse scan then
-    # reads the int8 columns instead of the float vectors, which is where
-    # the 4x bandwidth saving actually lands
-    if "qvec" in corpus.columns and "qscale" in corpus.columns:
+    q = quantize_embeddings(
+        q_named, "__qv", alias_q="__qq", alias_scale="__qs"
+    )
+    if qvec_col is not None:
         c = corpus.select(
             F.col(corpus_id).alias("neighbor_id"),
-            F.col(vec_col).alias("__cv"),
-            F.col("qvec").alias("__cq"),
-            F.col("qscale").cast("double").alias("__cs"),
+            F.col(qvec_col).alias("__cq"),
+            F.col(qscale_col).cast("double").alias("__cs"),
         )
     else:
         c = quantize_embeddings(
@@ -164,15 +174,13 @@ def quantized_topk(
             "__cv",
             alias_q="__cq",
             alias_scale="__cs",
-        )
+        ).select("neighbor_id", "__cq", "__cs")
     coarse = (
-        F.broadcast(q)
+        F.broadcast(q.select("query_id", "__qq"))
         .crossJoin(c)
         .select(
             "query_id",
             "neighbor_id",
-            "__qv",
-            "__cv",
             (_int_dot(F.col("__qq"), F.col("__cq")) * F.col("__cs")).alias(
                 "__coarse"
             ),
@@ -181,13 +189,26 @@ def quantized_topk(
     wc = Window.partitionBy("query_id").orderBy(
         F.col("__coarse").desc(), F.col("neighbor_id").asc()
     )
-    shortlist = coarse.withColumn("__crn", F.row_number().over(wc)).where(
-        F.col("__crn") <= k * overfetch
+    shortlist = (
+        coarse.withColumn("__crn", F.row_number().over(wc))
+        .where(F.col("__crn") <= k * overfetch)
+        .select("query_id", "neighbor_id")
     )
-    rer = shortlist.select(
-        "query_id",
-        "neighbor_id",
-        F.round(cosine(F.col("__qv"), F.col("__cv")), 4).alias("cos_sim"),
+    # id-pruned full-precision fetch: the tiny shortlist is the broadcast
+    # build side, so the corpus float column is filtered at the probe and
+    # never shuffles; the query vectors rejoin via the (small, broadcast)
+    # query set.
+    corpus_vec = corpus.select(
+        F.col(corpus_id).alias("neighbor_id"), F.col(vec_col).alias("__cv")
+    )
+    rer = (
+        corpus_vec.join(F.broadcast(shortlist), "neighbor_id")
+        .join(F.broadcast(q_named), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("__qv"), F.col("__cv")), 4).alias("cos_sim"),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("neighbor_id").asc()
@@ -422,31 +443,45 @@ def _ivf_topk_expr(
     corpus_id: str,
     vec_col: str,
 ) -> DataFrame:
-    """Expression-level IVF (see :func:`ivf_topk` ``assign="expr"``)."""
-    from pyspark.sql import Window as W
+    """Expression-level IVF (see :func:`ivf_topk` ``assign="expr"``).
 
-    cents = (
+    List assignment is a PER-ROW expression: the (bounded,
+    ``n_centroids × dim``) codebook is collected once and inlined as
+    literal arrays, each row scores all centroids with the same
+    left-to-right cosine fold the verify step uses, and the top-``n``
+    lists fall out of one ``sort_array`` over ``(sim, -idx)`` structs —
+    desc struct order gives "sim desc, centroid index asc", the exact
+    tie-break the oracle reproduces. Zero shuffles and zero row
+    explosion in assignment (the r4 shape cross-joined every row
+    against the codebook and ranked through a per-id window — an
+    O(n_centroids · |corpus|) exchange carrying float vectors)."""
+    cent_rows = (
         corpus.select(F.col(corpus_id).alias("__cent_id"),
                       F.col(vec_col).alias("__cent_v"))
         .orderBy("__cent_id")
         .limit(n_centroids)
-        .withColumn(
-            "__cidx",
-            F.row_number().over(W.orderBy(F.col("__cent_id").asc())) - 1,
-        )
+        .collect()
     )
 
     def assign_lists(df: DataFrame, id_alias: str, top_n: int) -> DataFrame:
-        sim = cosine(F.col("__v"), F.col("__cent_v"))
-        w = W.partitionBy(id_alias).orderBy(
-            F.col("__sim").desc(), F.col("__cidx").asc()
-        )
-        return (
-            df.crossJoin(F.broadcast(cents))
-            .withColumn("__sim", sim)
-            .withColumn("__arank", F.row_number().over(w))
-            .where(F.col("__arank") <= top_n)
-            .select(id_alias, "__v", F.col("__cidx").alias("list_id"))
+        scored = F.array(*[
+            F.struct(
+                cosine(
+                    F.col("__v"),
+                    F.array(*[F.lit(float(x)) for x in r["__cent_v"]])
+                    .cast("array<float>"),
+                ).alias("s"),
+                F.lit(-i).alias("negidx"),
+            )
+            for i, r in enumerate(cent_rows)
+        ])
+        top = F.slice(F.sort_array(scored, asc=False), 1, top_n)
+        return df.select(
+            id_alias,
+            "__v",
+            F.explode(
+                F.transform(top, lambda t: -t["negidx"])
+            ).alias("list_id"),
         )
 
     c_lists = assign_lists(
