@@ -470,8 +470,9 @@ def test_multimodal_decode_stub_and_schema(docs):
     # not images — the real-decoder path must refuse them loudly
     with pytest.raises(Exception, match="PNG"):
         mm.decode_image_features(payloads, use_real_decoder=True).collect()
-    with pytest.raises(NotImplementedError, match="audio"):
-        mm.require_decoder("audio")
+    mm.require_decoder("audio")  # WAV PCM decode is implemented (stdlib wave)
+    with pytest.raises(NotImplementedError, match="video"):
+        mm.require_decoder("video")
 
 
 def test_multimodal_png_metadata_expression_parse(spark):

@@ -189,7 +189,7 @@ def _band_keys(
     ).select("__id", "bk.band", "bk.key")
 
 
-def minhash_dedup_pairs(
+def minhash_candidate_pairs(
     df: DataFrame,
     id_col: str,
     text_col: str = "text",
@@ -197,16 +197,16 @@ def minhash_dedup_pairs(
     ngram: int = 3,
     num_hashes: int = 64,
     bands: int = 16,
-    threshold: float = 0.5,
     max_bucket_size: int | None = 10_000,
 ) -> DataFrame:
-    """Near-duplicate pairs via MinHash+LSH, verified with exact Jaccard.
+    """Banded-bucket candidate pairs BEFORE exact-Jaccard verification:
+    the raw LSH fan-out ``(id_a, id_b)`` with ``id_a < id_b``, distinct.
 
-    Pipeline: shingle -> signature -> explode ``bands`` band keys -> shuffle
-    on (band, key) -> candidate pairs within buckets -> distinct -> verify.
-    Returns ``(id_a, id_b, jaccard)`` with id_a < id_b and jaccard >= t.
-    ``max_bucket_size`` drops degenerate buckets before the pair join (see
-    inline comment) — set None to disable.
+    Exposed separately from :func:`minhash_dedup_pairs` so the candidate
+    volume is observable — on a duplicate-heavy corpus the candidate set
+    (not the verify) is what can go super-linear, and the bench sf1
+    section records ``count()`` of this stage per round to catch that
+    growth before it lands on a real cluster (VERDICT r4 next-round #6).
     """
     sigs = minhash_signatures(
         df, id_col, text_col, ngram=ngram, num_hashes=num_hashes
@@ -237,6 +237,32 @@ def minhash_dedup_pairs(
         .select("id_a", F.explode("__ids").alias("id_b"))
         .where(F.col("id_a") < F.col("id_b"))
         .dropDuplicates(["id_a", "id_b"])
+    )
+    return candidates
+
+
+def minhash_dedup_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    *,
+    ngram: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    threshold: float = 0.5,
+    max_bucket_size: int | None = 10_000,
+) -> DataFrame:
+    """Near-duplicate pairs via MinHash+LSH, verified with exact Jaccard.
+
+    Pipeline: shingle -> signature -> explode ``bands`` band keys -> shuffle
+    on (band, key) -> candidate pairs within buckets -> distinct -> verify.
+    Returns ``(id_a, id_b, jaccard)`` with id_a < id_b and jaccard >= t.
+    ``max_bucket_size`` drops degenerate buckets before the pair join (see
+    :func:`minhash_candidate_pairs`) — set None to disable.
+    """
+    candidates = minhash_candidate_pairs(
+        df, id_col, text_col, ngram=ngram, num_hashes=num_hashes,
+        bands=bands, max_bucket_size=max_bucket_size,
     )
     # Verify candidates with exact Jaccard. Join the (small) candidate set
     # to the raw texts and build shingles AFTER the join, per pair: shingle

@@ -8,9 +8,12 @@ schemas and bounded batch sizes. IMAGE decoding is real too:
 when importable, else the stdlib zlib PNG decoder (:func:`decode_png`) —
 no codec library required. The oracle-stable default keeps deterministic
 byte-derived fake features so the correctness gate stays engine-neutral.
-Audio/video decoding remains explicitly unimplemented
-(:func:`require_decoder`): those codecs genuinely aren't in the
-container, and the seam shows exactly where torchaudio/pyav plug in —
+AUDIO decoding is real for PCM/WAV: :func:`decode_wav_features` parses
+the RIFF container with the stdlib ``wave`` module and emits per-payload
+sample statistics (no codec library required; other formats would plug
+torchaudio into the same seam). Video decoding remains explicitly
+unimplemented (:func:`require_decoder`): those codecs genuinely aren't
+in the container, and the seam shows exactly where pyav plugs in —
 swapping the inner function body, never the schema/partitioning/batch
 shape.
 
@@ -86,8 +89,8 @@ def extract_png_meta(df: DataFrame, payload_col: str = "payload") -> DataFrame:
 
 def extract_wav_meta(df: DataFrame, payload_col: str = "payload") -> DataFrame:
     """Parse audio metadata out of a binary column with pure built-in
-    expressions — the audio sibling of :func:`extract_png_meta` (still no
-    sample decode: that stays behind :func:`require_decoder`).
+    expressions — the audio sibling of :func:`extract_png_meta` (the
+    codegen header peek; full sample decode is :func:`decode_wav_features`).
 
     Contract: the CANONICAL 44-byte PCM layout only — ``RIFF`` at 1,
     ``WAVE`` at 9, and the ``fmt `` chunk immediately at 13 (files with
@@ -176,13 +179,15 @@ def extract_mp4_meta(df: DataFrame, payload_col: str = "payload") -> DataFrame:
 
 def require_decoder(kind: str) -> None:
     """Where a real decoder plugs in. Image decoding IS implemented (PIL
-    when importable, else the stdlib PNG decoder below); audio/video remain
-    explicitly unimplemented — the container ships no codec libraries."""
-    if kind == "image":
+    when importable, else the stdlib PNG decoder below) and audio PCM/WAV
+    decoding is implemented with the stdlib ``wave`` module
+    (:func:`decode_wav_features`); video remains explicitly
+    unimplemented — the container ships no video codec libraries."""
+    if kind in ("image", "audio"):
         return
     raise NotImplementedError(
         f"No {kind} decoder available in this environment. Plug a real "
-        f"decoder (torchaudio / pyav) into a mapInPandas body like "
+        f"decoder (pyav) into a mapInPandas body like "
         f"decode_image_features's; schema and batching are already in place."
     )
 
@@ -368,3 +373,120 @@ def sample_frames(
     return df.select("doc_id", F.explode(frames).alias("frame")).select(
         "doc_id", "frame.frame_idx", "frame.frame_bytes"
     )
+
+
+# ---------------------------------------------------------------------------
+# Audio: real PCM/WAV decode — stdlib wave/struct, no codec library needed
+# ---------------------------------------------------------------------------
+
+AUDIO_FEATURE_SCHEMA = (
+    "doc_id long, sample_rate int, n_channels int, n_frames long, "
+    "n_bytes long, smean double, srms double, smin int, smax int"
+)
+
+
+def encode_pcm16_wav(
+    samples: "list[int]", sample_rate: int = 16000, n_channels: int = 1
+) -> bytes:
+    """Encode interleaved int16 samples into a canonical 44-byte-header
+    RIFF/WAVE container via the stdlib ``wave`` module. The inverse of
+    :func:`decode_wav_features`'s parse — tests round-trip through it."""
+    import io
+    import struct
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(n_channels)
+        w.setsampwidth(2)
+        w.setframerate(sample_rate)
+        w.writeframes(struct.pack(f"<{len(samples)}h", *samples))
+    return buf.getvalue()
+
+
+def synth_wav_payloads(
+    df: DataFrame, id_col: str = "doc_id", *, sample_rate: int = 16000
+) -> DataFrame:
+    """Deterministic WAV corpus builder: one mono PCM16 payload per id with
+    ``n = 256 + id % 64`` frames, ``sample[i] = (id·31 + i·7) mod 65536 −
+    32768``. The formula (not the container) is what a SQL oracle
+    recomputes, so the REAL byte round-trip — stdlib ``wave`` encode here,
+    ``wave`` decode in :func:`decode_wav_features` — is value-checked
+    end-to-end: any container/parse bug shows up as a feature mismatch."""
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf[id_col].astype("int64")
+            payloads = []
+            for did in ids:
+                n = 256 + int(did) % 64
+                samples = [
+                    (int(did) * 31 + i * 7) % 65536 - 32768 for i in range(n)
+                ]
+                payloads.append(encode_pcm16_wav(samples, sample_rate))
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    return df.select(F.col(id_col).cast("long").alias(id_col)).mapInPandas(
+        synth, schema="doc_id long, payload binary"
+    )
+
+
+def decode_wav_features(
+    df: DataFrame, payload_col: str = "payload", id_col: str = "doc_id"
+) -> DataFrame:
+    """REAL audio decode over binary WAV payloads: the stdlib ``wave``
+    module parses the RIFF container (any chunk layout, not just the
+    44-byte canonical one the codegen header peek
+    :func:`extract_wav_meta` handles), PCM16 frames are vectorized
+    through numpy, and per-payload sample statistics come out as typed
+    columns. Arrow-batched ``mapInPandas`` like the image path — memory
+    bounded by batch size × payload size; malformed payloads raise
+    (``ValueError``) rather than emitting garbage rows.
+
+    Stats are over all interleaved samples (all channels). Only PCM16 is
+    decoded — other sample widths raise ``NotImplementedError`` honestly.
+    """
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io
+        import wave
+
+        import numpy as np
+
+        for pdf in batches:
+            out = {k: [] for k in (
+                "doc_id", "sample_rate", "n_channels", "n_frames",
+                "n_bytes", "smean", "srms", "smin", "smax",
+            )}
+            for did, raw in zip(pdf[id_col], pdf[payload_col]):
+                b = bytes(raw)
+                try:
+                    with wave.open(io.BytesIO(b), "rb") as w:
+                        if w.getsampwidth() != 2:
+                            raise NotImplementedError(
+                                f"PCM16 only (got sampwidth="
+                                f"{w.getsampwidth()})"
+                            )
+                        nf = w.getnframes()
+                        frames = w.readframes(nf)
+                        out["sample_rate"].append(int(w.getframerate()))
+                        out["n_channels"].append(int(w.getnchannels()))
+                        out["n_frames"].append(int(nf))
+                except wave.Error as e:
+                    raise ValueError(
+                        f"doc_id={did}: not a decodable WAV payload: {e}"
+                    ) from e
+                x = np.frombuffer(frames, dtype="<i2").astype("float64")
+                if x.size == 0:
+                    raise ValueError(f"doc_id={did}: WAV has no samples")
+                out["doc_id"].append(int(did))
+                out["n_bytes"].append(len(b))
+                out["smean"].append(float(x.sum() / x.size))
+                out["srms"].append(
+                    float(np.sqrt(np.dot(x, x) / x.size))
+                )
+                out["smin"].append(int(x.min()))
+                out["smax"].append(int(x.max()))
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(decode, schema=AUDIO_FEATURE_SCHEMA)
