@@ -84,3 +84,58 @@ def test_kmeans_iters_rejected_for_expr(spark, emb):
         cluster_assign(emb, assign="expr", kmeans_iters=2)
     with pytest.raises(ValueError):
         cluster_assign(emb, assign="nope")
+
+
+def test_hot_cluster_guard_bounds_tasks_and_keeps_pairs(spark, emb):
+    """Degenerate hot cluster (>50% of mass in one centroid — here forced
+    by a tiny max_cluster_size): the guard re-buckets oversized clusters
+    by hyperplane sign bits, so (a) per-task member lists stay bounded,
+    (b) hot-cluster pairs are still FOUND (pre-r5 they were dropped
+    wholesale), and (c) small clusters keep exact within-cluster search."""
+    from window_aggregation_spark.operators.similarity import (
+        hyperplane_buckets,
+    )
+
+    n = emb.count()
+    cap = max(4, n // 10)  # with n_clusters=2 both clusters are "hot"
+    guarded = semantic_dup_pairs(
+        emb, n_clusters=2, probes=1, threshold=THRESH,
+        assign="expr", max_cluster_size=cap, hot_nbits=3,
+    )
+    got = {(r["id_a"], r["id_b"]) for r in guarded.collect()}
+    # pre-r5 behavior: every cluster over the cap dropped -> zero pairs
+    assert got, "hot-cluster guard must keep (approximate) pairs, not drop"
+    # every surviving pair is a true near-dup (no garbage from sub-bucketing)
+    exact = _exact_pairs(emb, THRESH)
+    assert got <= exact
+    # the per-task bound: recompute the guard's grouping keys and check
+    # the largest (cluster, sub_bucket) member list
+    assigned = cluster_assign(emb, n_clusters=2, probes=1, assign="expr")
+    sub = assigned.withColumn(
+        "__sub", hyperplane_buckets(vec_col="v", nbits=3, dim=64)
+    )
+    max_bucket = (
+        sub.groupBy("cluster_id", "__sub").count()
+        .agg(F.max("count").alias("m")).first()["m"]
+    )
+    assert max_bucket < n / 2, "sub-bucketing failed to split the hot mass"
+
+
+def test_hot_cluster_guard_noop_below_cap(spark, emb):
+    """With the default (large) cap no cluster is hot: results must be
+    IDENTICAL to the unguarded path — the suite oracle depends on it."""
+    base = {
+        (r["id_a"], r["id_b"], r["cos_sim"])
+        for r in semantic_dup_pairs(
+            emb, n_clusters=8, probes=3, threshold=THRESH,
+            assign="expr", max_cluster_size=None,
+        ).collect()
+    }
+    guarded = {
+        (r["id_a"], r["id_b"], r["cos_sim"])
+        for r in semantic_dup_pairs(
+            emb, n_clusters=8, probes=3, threshold=THRESH,
+            assign="expr",
+        ).collect()
+    }
+    assert guarded == base

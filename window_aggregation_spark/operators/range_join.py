@@ -79,6 +79,11 @@ def range_join(
 
     Column-name collisions between the two inputs (other than ``keys``)
     must be resolved by the caller before the join — standard Spark rules.
+
+    Output column ORDER is ``points.columns`` then the non-key
+    ``intervals`` columns. (Changed in the r4 single-pass rewrite: the
+    old ``on=[bucket, *keys]`` join hoisted key columns first. Name-based
+    access is unaffected; positional consumers should re-select.)
     """
     if how not in ("inner", "left"):
         raise ValueError(f"unsupported how={how!r} (inner/left)")

@@ -19,13 +19,15 @@ Scale shape:
   join against the ≤``n_clusters`` centroid rows + expression-level
   cosine + one ``row_number`` — every arithmetic step reproducible in any
   SQL engine, which is what makes the suite query value-checkable.
-- **pair search**: equi-join on ``cluster_id`` (one hash shuffle per
-  side) with ``id_a < id_b`` and an expression-:func:`~.dedup.cosine`
-  threshold — each cluster is a local cartesian, so per-task cost is
-  bounded by the largest cluster. A pathological hot cluster (half the
-  corpus in one centroid) is the known failure mode: raise ``n_clusters``
-  or run :func:`.dedup.embedding_dup_pairs` *within* the hot cluster —
-  both leave this operator's contract unchanged.
+- **pair search**: bucket-grouped double explode keyed on
+  ``(cluster_id, sub_bucket)`` with ``id_a < id_b`` and an
+  expression-:func:`~.dedup.cosine` threshold — each bucket is a local
+  cartesian, so per-task cost is bounded by the largest bucket. A
+  pathological hot cluster (half the corpus in one centroid) is guarded
+  automatically: clusters over ``max_cluster_size`` are re-bucketed
+  in-cluster by fixed hyperplane sign bits (``hot_nbits``), so the
+  degenerate mass splits into ``2^hot_nbits`` bounded tasks instead of
+  one OOM-ing collect_list.
 
 Approximation is inherited from clustering: a true near-dup pair split
 across two clusters is missed. Recall vs the exact all-pairs path is
@@ -35,7 +37,7 @@ variants are held to.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from window_aggregation_spark.operators.dedup import cosine
@@ -84,24 +86,31 @@ def cluster_assign(
         raise ValueError(f"cluster_assign: unknown assign={assign!r}")
     if kmeans_iters:
         raise ValueError("cluster_assign: kmeans_iters requires assign='numpy'")
-    cents = (
-        rows.orderBy("id")
-        .limit(n_clusters)
-        .select(F.col("id").alias("__cent_id"), F.col("v").alias("__cent_v"))
-        .withColumn(
-            "__cidx",
-            F.row_number().over(Window.orderBy(F.col("__cent_id").asc())) - 1,
+    # Per-row fold over literal centroids (same shape as the IVF expr
+    # assignment, r5): the bounded codebook is collected once, each row
+    # scores all centroids with the oracle-reproducible left-to-right
+    # cosine fold, and `sort_array desc` over (sim, -idx) structs yields
+    # "sim desc, centroid index asc" — zero shuffles and zero row
+    # explosion vs the old crossJoin + per-id ranking window.
+    cent_rows = rows.orderBy("id").limit(n_clusters).collect()
+    scored = F.array(*[
+        F.struct(
+            cosine(
+                F.col("v"),
+                F.array(*[F.lit(float(x)) for x in r["v"]])
+                .cast("array<float>"),
+            ).alias("s"),
+            F.lit(-i).alias("negidx"),
         )
-    )
-    w = Window.partitionBy("id").orderBy(
-        F.col("__sim").desc(), F.col("__cidx").asc()
-    )
-    return (
-        rows.crossJoin(F.broadcast(cents))
-        .withColumn("__sim", cosine(F.col("v"), F.col("__cent_v")))
-        .withColumn("__arank", F.row_number().over(w))
-        .where(F.col("__arank") <= probes)
-        .select("id", "v", F.col("__cidx").cast("int").alias("cluster_id"))
+        for i, r in enumerate(cent_rows)
+    ])
+    top = F.slice(F.sort_array(scored, asc=False), 1, probes)
+    return rows.select(
+        "id",
+        "v",
+        F.explode(
+            F.transform(top, lambda t: (-t["negidx"]).cast("int"))
+        ).alias("cluster_id"),
     )
 
 
@@ -116,6 +125,7 @@ def semantic_dup_pairs(
     assign: str = "numpy",
     kmeans_iters: int = 0,
     max_cluster_size: int | None = 100_000,
+    hot_nbits: int = 4,
 ) -> DataFrame:
     """Within-cluster near-duplicate pairs: ``(id_a, id_b, cos_sim)`` with
     ``id_a < id_b`` and ``round(cos, 4) >= threshold`` (distinct — with
@@ -125,13 +135,22 @@ def semantic_dup_pairs(
 
     Pair generation is bucket-grouping + double explode, NOT a self-join
     on ``cluster_id``: a self-join computes the whole assignment pipeline
-    (broadcast matmul or crossJoin+window) TWICE and shuffles it twice —
-    Spark does not common-subexpression join branches (same reasoning as
-    the minhash candidate stage). ``collect_list`` materializes one
-    cluster per task, so ``max_cluster_size`` caps the degenerate-cluster
-    blowup (a capped cluster's pairs are skipped — raise ``n_clusters``
-    or sub-bucket with :func:`.dedup.embedding_dup_pairs` if that
-    happens on real data)."""
+    (broadcast matmul or literal-fold projection) TWICE and shuffles it
+    twice — Spark does not common-subexpression join branches (same
+    reasoning as the minhash candidate stage). ``collect_list``
+    materializes one cluster per task, so a hot cluster is the known
+    failure mode — and it is guarded AUTOMATICALLY: clusters whose
+    assignment count exceeds ``max_cluster_size`` are re-bucketed
+    in-cluster by ``hot_nbits`` fixed hyperplane sign bits (the
+    :func:`~.similarity.hyperplane_buckets` LSH), bounding per-task
+    members near ``hot/2^hot_nbits`` while small clusters keep exact
+    within-cluster comparison. Hot-cluster pairs split across hyperplane
+    sub-buckets are missed — the same approximation contract as
+    :func:`.dedup.embedding_dup_pairs`, and strictly better than the
+    pre-r5 behavior (oversized clusters were dropped wholesale). The
+    guard costs one extra column-pruned assignment pass for the
+    per-cluster counts (a map-side-combined groupBy — skew-safe);
+    ``max_cluster_size=None`` disables it and that pass entirely."""
     assigned = cluster_assign(
         df,
         id_col,
@@ -141,11 +160,32 @@ def semantic_dup_pairs(
         assign=assign,
         kmeans_iters=kmeans_iters,
     )
-    buckets = assigned.groupBy("cluster_id").agg(
+    if max_cluster_size is not None:
+        from window_aggregation_spark.operators.similarity import (
+            hyperplane_buckets,
+        )
+
+        sizes = assigned.groupBy("cluster_id").agg(
+            F.count(F.lit(1)).alias("__csz")
+        )
+        dim_row = df.select(F.size(F.col(vec_col)).alias("d")).first()
+        dim = int(dim_row["d"]) if dim_row and dim_row["d"] else 0
+        assigned = (
+            assigned.join(F.broadcast(sizes), "cluster_id")
+            .withColumn(
+                "__sub",
+                F.when(
+                    F.col("__csz") > max_cluster_size,
+                    hyperplane_buckets(vec_col="v", nbits=hot_nbits, dim=dim),
+                ).otherwise(F.lit(0)),
+            )
+            .drop("__csz")
+        )
+    else:
+        assigned = assigned.withColumn("__sub", F.lit(0))
+    buckets = assigned.groupBy("cluster_id", "__sub").agg(
         F.collect_list(F.struct("id", "v")).alias("__m")
     )
-    if max_cluster_size is not None:
-        buckets = buckets.where(F.size("__m") <= max_cluster_size)
     return (
         buckets.where(F.size("__m") >= 2)
         .select(F.explode("__m").alias("__a"), F.col("__m"))

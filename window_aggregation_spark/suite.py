@@ -1770,12 +1770,12 @@ def _register_range_join() -> None:
     def range_join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
         """LEFT interval join: every purchase kept, NULL incident columns
         when no window covers it (the common 'annotate events with the
-        deploy/incident they fell into, if any' shape). Unmatched rows are
-        recovered by an anti-join on a per-row id — NOT on the point
-        columns, which is null-unsafe and double-emits NULL-bearing rows
-        (round-3 review finding, fixed in 3b0fe58); the oracle's plain
-        LEFT JOIN checks exactly that semantics. Windows are rare here
-        (value > 99.9) so most points exercise the unmatched branch."""
+        deploy/incident they fell into, if any' shape). Since r4 this is
+        ONE bucketed left outer join with the containment predicate as a
+        residual condition (see range_join's docstring) — no per-row-id
+        anti-join, no second scan; the oracle's plain LEFT JOIN checks
+        the unmatched semantics. Windows are rare here (value > 99.9) so
+        most points exercise the unmatched branch."""
         events = read_table(spark, sf_dir, "events")
         pts = events.where(F.col("event_type") == "purchase").select(
             "event_id", "ts"
