@@ -32,8 +32,37 @@ def soak_framed(plan):
     assert api == via_sql, plan
     checked["n"] += 1
 
+@settings(max_examples=100, deadline=None,
+          suppress_health_check=list(HealthCheck))
+@given(m.range_plan())
+def soak_range(plan):
+    df = spark.createDataFrame(m.NULL_ROWS, m.SCHEMA)
+    from window_aggregation_spark.operators.window_aggregation import (
+        window_aggregate,
+    )
+    from window_aggregation_spark.plans.sql_gen import plan_to_sql
+
+    api = window_aggregate(df, plan).orderBy("id").collect()
+    df.createOrReplaceTempView("soak_range_input")
+    sql = plan_to_sql(plan, "soak_range_input", df.columns, dialect="spark")
+    assert api == spark.sql(sql).orderBy("id").collect(), plan
+    checked["n"] += 1
+
+@settings(max_examples=75, deadline=None,
+          suppress_health_check=list(HealthCheck))
+@given(m.interval_frame_case())
+def soak_interval(case):
+    m.test_interval_range_frame_equals_numeric_twin.hypothesis.inner_test(
+        spark, case
+    )
+    checked["n"] += 1
+
 soak_unframed()
 print("unframed ok", checked["n"], flush=True)
 soak_framed()
 print("framed ok", checked["n"], flush=True)
+soak_range()
+print("range ok", checked["n"], flush=True)
+soak_interval()
+print("interval ok", checked["n"], flush=True)
 spark.stop()

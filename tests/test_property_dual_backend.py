@@ -10,6 +10,7 @@ from __future__ import annotations
 import pytest
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
+from pyspark.sql import functions as F
 
 from window_aggregation_spark.operators.window_aggregation import window_aggregate
 from window_aggregation_spark.plans.sql_gen import plan_to_sql
@@ -176,22 +177,23 @@ first_last = st.sampled_from(
 @st.composite
 def range_plan(draw):
     """RANGE frame over a single numeric order key (the Catalyst rule),
-    bounds in value units."""
+    bounds in value units — random function set and random direction
+    (desc RANGE inverts which values 'precede'; both doors must agree)."""
     start = draw(st.sampled_from([UNBOUNDED_PRECEDING, -4, -2, 0]))
     end = draw(st.sampled_from([0, 2, 5, UNBOUNDED_FOLLOWING]))
     spec = WindowSpecDef(
         partition_by=("grp",),
-        order_by=(OrderKey("id"),),  # unique ints -> deterministic RANGE
+        order_by=(OrderKey("id", draw(direction)),),  # unique ints
         frame_type=FrameType.RANGE,
         start=start,
         end=end,
     )
+    fns = draw(st.lists(frame_capable_agg, min_size=1, max_size=3, unique=True))
     fn, ignore = draw(first_last)
-    aggs = (
-        AggregateDef("a0", "accumulate", field="val"),
-        AggregateDef("a1", fn, field="val", ignore_nulls=ignore),
-        AggregateDef("a2", "count", field="small"),
-    )
+    aggs = tuple(
+        AggregateDef(f"a{i}", f, field=field, args=args)
+        for i, (f, field, args) in enumerate(fns)
+    ) + (AggregateDef("afl", fn, field="val", ignore_nulls=ignore),)
     return WindowPlan(spec=spec, aggregates=aggs)
 
 
@@ -232,3 +234,87 @@ def test_unframed_plans_with_nulls_dual_backend(spark, plan):
     sql = plan_to_sql(plan, "prop_null_input2", df.columns, dialect="spark")
     via_sql = spark.sql(sql).orderBy("id").collect()
     assert api == via_sql
+
+
+# ---- time-interval RANGE frames vs their numeric-epoch twins -------------
+
+# whole-second timestamps (ties included: i//2 repeats each second) so the
+# INTERVAL frame over ts and the numeric RANGE frame over epoch seconds
+# define byte-identical frames.
+TS_ROWS = [
+    (
+        i,
+        ["x", "y"][i % 2],
+        None if i % 6 == 0 else float((i * 7) % 10),
+        None if i % 5 == 0 else (i * 3) % 7,
+        f"2024-01-01 00:00:{(i // 2) % 60:02d}",
+    )
+    for i in range(24)
+]
+TS_SCHEMA = "id int, grp string, val double, small int, ts_str string"
+
+_UNITS = {"seconds": 1, "minutes": 60}
+
+
+@st.composite
+def interval_frame_case(draw):
+    fns = draw(st.lists(frame_capable_agg, min_size=1, max_size=3, unique=True))
+    amt = draw(st.sampled_from([1, 2, 5, 30]))
+    unit = draw(st.sampled_from(sorted(_UNITS)))
+    follow = draw(st.sampled_from([None, 1, 3]))
+    return fns, amt, unit, follow
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(case=interval_frame_case())
+def test_interval_range_frame_equals_numeric_twin(spark, case):
+    """INTERVAL-framed plans execute through the generated-SQL door (the
+    DataFrame rangeBetween API takes longs). Equivalence proof: the same
+    aggregates over RANGE INTERVAL <amt> <unit> PRECEDING on a timestamp
+    order key must equal the numeric RANGE frame over epoch seconds
+    through the DataFrame door — two formulations, two doors, one answer."""
+    fns, amt, unit, follow = case
+    df = (
+        spark.createDataFrame(TS_ROWS, TS_SCHEMA)
+        .withColumn("ts", F.to_timestamp("ts_str"))
+        .withColumn("tss", F.unix_timestamp(F.to_timestamp("ts_str")))
+        .drop("ts_str")
+    )
+    aggs = tuple(
+        AggregateDef(f"a{i}", f, field=field, args=args)
+        for i, (f, field, args) in enumerate(fns)
+    )
+    via_interval = window_aggregate(
+        df,
+        WindowPlan(
+            spec=WindowSpecDef(
+                partition_by=("grp",), order_by=(OrderKey("ts"),)
+            ).range_interval(
+                f"{amt} {unit}",
+                None if follow is None else f"{follow} {unit}",
+            ),
+            aggregates=aggs,
+        ),
+    ).orderBy("id").collect()
+    sec = amt * _UNITS[unit]
+    via_numeric = window_aggregate(
+        df,
+        WindowPlan(
+            spec=WindowSpecDef(
+                partition_by=("grp",),
+                order_by=(OrderKey("tss"),),
+                frame_type=FrameType.RANGE,
+                start=-sec,
+                end=0 if follow is None else follow * _UNITS[unit],
+            ),
+            aggregates=aggs,
+        ),
+    ).orderBy("id").collect()
+    cols = [f"a{i}" for i in range(len(fns))]
+    assert [[r[c] for c in cols] for r in via_interval] == [
+        [r[c] for c in cols] for r in via_numeric
+    ]

@@ -70,8 +70,14 @@ def window_aggregate(
     *,
     validate: bool = True,
     percentile_strategy: str = "rank_lookup",
+    advise_skew: bool = False,
 ) -> DataFrame:
     """Apply a :class:`WindowPlan` to ``df`` and return the widened DataFrame.
+
+    ``advise_skew=True`` additionally runs :func:`..plans.advisor.skew_hints`
+    (a bounded sampling job) and warns when the partition keys' distinct
+    count sits below the parallelism — the serial-at-scale running-window
+    shape. Opt-in: data-touching work stays out of the default plan build.
 
     Aggregates are applied sequentially (``withColumn`` semantics, matching
     the reference's apply loop: a later aggregate reading a replaced column
@@ -104,6 +110,10 @@ def window_aggregate(
         collector = FailureCollector()
         validate_plan(df.schema, plan, collector)
         collector.get_or_throw()
+    if advise_skew:
+        from window_aggregation_spark.plans.advisor import warn_if_skewed
+
+        warn_if_skewed(df, plan)
 
     if plan.spec.has_interval_frame:
         # Time-based RANGE frames exist only in the SQL surface (the
