@@ -523,3 +523,46 @@ def test_chunk_documents_every_token_covered(spark, sf_dir):
             assert rebuilt[-8:] == ctoks[:8]  # overlap agreement
             rebuilt.extend(ctoks[8:])
         assert rebuilt == toks[doc_id]
+
+
+def test_pack_sequences_tiles_the_token_stream(spark, docs):
+    """Concat-and-chop invariants: tok_start is the exact exclusive prefix
+    sum in id order; each doc's sequence span matches its offset+length;
+    and every interior sequence boundary falls strictly inside or between
+    docs (the stream tiles with no gaps or overlaps)."""
+    L = 64
+    rows = sorted(
+        cp.pack_sequences(docs, "doc_id", "n_tok", L, chunks=8).collect(),
+        key=lambda r: r["doc_id"],
+    )
+    cum = 0
+    for r in rows:
+        assert r["tok_start"] == cum
+        assert r["off_in_seq"] == cum % L
+        assert r["seq_first"] == cum // L
+        end = cum + r["n_tok"]
+        expect_last = max(cum // L, (end - 1) // L)
+        assert r["seq_last"] == expect_last
+        cum = end
+    # every sequence id up to the last is covered by some document
+    covered = set()
+    for r in rows:
+        covered.update(range(r["seq_first"], r["seq_last"] + 1))
+    assert covered == set(range(rows[-1]["seq_last"] + 1))
+
+
+def test_pack_sequences_empty_doc_pins_to_offset_sequence(spark):
+    df = spark.createDataFrame(
+        [(1, 100), (2, 0), (3, 50)], "doc_id long, n_tok int"
+    )
+    got = {
+        r["doc_id"]: r
+        for r in cp.pack_sequences(df, "doc_id", "n_tok", 64).collect()
+    }
+    # doc 2 starts at offset 100 (sequence 1) and contributes nothing:
+    # seq_last must not underflow below seq_first
+    assert got[2]["tok_start"] == 100
+    assert got[2]["seq_first"] == got[2]["seq_last"] == 1
+    # doc 1 crosses the 64-boundary: spans sequences 0..1
+    assert (got[1]["seq_first"], got[1]["seq_last"]) == (0, 1)
+    assert got[3]["off_in_seq"] == 100 % 64

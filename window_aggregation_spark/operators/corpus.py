@@ -171,6 +171,63 @@ def shard_manifest(
     )
 
 
+def pack_sequences(
+    df: DataFrame,
+    id_col: str,
+    tokens_col: str,
+    seq_len: int,
+    *,
+    chunks: int = 32,
+) -> DataFrame:
+    """Concat-and-chop sequence packing: lay every document's tokens
+    end-to-end in ``id_col`` order and cut the stream every ``seq_len``
+    tokens — the batch-construction step of an LLM training pipeline
+    (each cut is one fixed-length training sequence; documents crossing a
+    cut are split across sequences, exactly like GPT-style packing).
+
+    Appends per-document placement metadata a loader materializes
+    sequences from without ever re-scanning neighbours:
+
+    - ``tok_start`` — the document's global token offset (exclusive
+      prefix sum)
+    - ``seq_first`` / ``seq_last`` — the first/last sequence ids the
+      document's tokens land in (``seq_last - seq_first`` = number of
+      cuts through the document); empty documents pin both to the
+      sequence at their offset
+    - ``off_in_seq`` — the document's starting offset inside
+      ``seq_first``
+
+    Scale: like :func:`pack_by_token_budget`, the global running sum is
+    the two-phase chunked decomposition (no single-task window); token
+    counts are integral longs, so it is bit-equal to a plain window
+    cumsum — which is what the suite oracle recomputes.
+    """
+    run = salted_running_agg(
+        df,
+        [],
+        id_col,
+        tokens_col,
+        agg="sum",
+        chunks=chunks,
+        alias="__run_tok",
+    )
+    start = (F.col("__run_tok") - F.col(tokens_col)).cast("long")
+    end = F.col("__run_tok").cast("long")
+    seq_first = F.floor(start / F.lit(seq_len)).cast("long")
+    return (
+        run.withColumn("tok_start", start)
+        .withColumn("seq_first", seq_first)
+        .withColumn(
+            "seq_last",
+            F.greatest(
+                seq_first, F.floor((end - 1) / F.lit(seq_len)).cast("long")
+            ),
+        )
+        .withColumn("off_in_seq", F.pmod(start, F.lit(seq_len)).cast("long"))
+        .drop("__run_tok")
+    )
+
+
 # Regex dialect intersection (Java regex AND RE2): character classes,
 # bounded repetition, \b word boundaries — no lookaround, no backrefs.
 PII_PATTERNS: list[tuple[str, str, str]] = [

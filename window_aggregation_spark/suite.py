@@ -2190,6 +2190,42 @@ def _register_corpus() -> None:
         )
 
     @_register(
+        "corpus_pack_sequences",
+        """
+        WITH c AS (
+          SELECT doc_id,
+                 CAST(len(regexp_extract_all(text, '\\S+')) AS INT)
+                   AS ws_tokens
+          FROM documents),
+        r AS (
+          SELECT doc_id, ws_tokens,
+                 CAST(sum(ws_tokens) OVER (ORDER BY doc_id ASC
+                        RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                      - ws_tokens AS BIGINT) AS tok_start
+          FROM c)
+        SELECT doc_id, ws_tokens, tok_start,
+               CAST(floor(tok_start / 512) AS BIGINT) AS seq_first,
+               CAST(greatest(floor(tok_start / 512),
+                    floor((tok_start + ws_tokens - 1) / 512)) AS BIGINT)
+                 AS seq_last,
+               CAST(tok_start % 512 AS BIGINT) AS off_in_seq
+        FROM r
+        """,
+    )
+    def corpus_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Concat-and-chop sequence packing (512-token training sequences)
+        over engine-portable whitespace token counts: per-document global
+        token offset + first/last sequence ids + in-sequence offset — the
+        LLM batch-construction step. Oracle is the PLAIN window cumsum,
+        proving the two-phase chunked prefix sum bit-equal (new r5)."""
+        from window_aggregation_spark.operators import text as tx
+
+        docs = tx.token_counts(
+            read_table(spark, sf_dir, "documents").select("doc_id", "text")
+        ).select("doc_id", "ws_tokens")
+        return cp.pack_sequences(docs, "doc_id", "ws_tokens", 512, chunks=16)
+
+    @_register(
         "corpus_redact_pii",
         f"""
         SELECT doc_id,
