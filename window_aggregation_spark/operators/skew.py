@@ -104,6 +104,25 @@ _COMPOSITE = {
 }
 
 
+def _bucket_of(col: Column, bounds: list) -> Column:
+    """Chunk index = |{b in bounds : col > b}| as a BALANCED binary
+    ``when`` tree: O(log chunks) comparisons per row with short-circuit
+    evaluation, vs the O(chunks) linear chain it replaced — which also
+    re-evaluated ``col``'s expression per term after projection collapse
+    (ruinous when the order column is computed, e.g. a timezone cast)."""
+
+    def tree(lo: int, hi: int) -> Column:
+        # bucket index is somewhere in [lo, hi]; bounds[lo:hi] still split it
+        if lo == hi:
+            return F.lit(lo)
+        mid = (lo + hi) // 2
+        return F.when(col > bounds[mid], tree(mid + 1, hi)).otherwise(
+            tree(lo, mid)
+        )
+
+    return tree(0, len(bounds))
+
+
 def salted_running_agg(
     df: DataFrame,
     keys: list[str],
@@ -146,27 +165,33 @@ def salted_running_agg(
         df.approxQuantile(order_col, probs, quantile_error) if probs else []
     )
 
-    bucket = F.lit(0)
-    for b in sorted(set(boundaries)):
-        bucket = bucket + F.when(F.col(order_col) > b, 1).otherwise(0)
-    chunked = df.withColumn("__chunk", bucket)
+    chunked = df.withColumn(
+        "__chunk", _bucket_of(F.col(order_col), sorted(set(boundaries)))
+    )
 
+    # The running partials AND the per-chunk totals come out of the SAME
+    # (keys, chunk)-partitioned window stage: the totals use the
+    # whole-partition frame, so the source is scanned and shuffled ONCE.
+    # (The pre-r5 shape aggregated totals from a second scan of the
+    # input — a full extra pass, ~2x cold wall-clock at sf1.)
     w_local = Window.partitionBy(*keys, "__chunk").orderBy(F.col(order_col))
+    w_total = Window.partitionBy(*keys, "__chunk")
     local = chunked
     for name, (partial, _, _) in comps.items():
         local = local.withColumn(f"__local_{name}", partial(field).over(w_local))
+        local = local.withColumn(f"__total_{name}", partial(field).over(w_total))
 
     w_off = (
         Window.partitionBy(*keys)
         .orderBy(F.col("__chunk"))
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    offsets = chunked.groupBy(*keys, "__chunk").agg(
-        *[
-            partial(field).alias(f"__total_{name}")
-            for name, (partial, _, _) in comps.items()
-        ]
-    )
+    # one row per (keys, chunk): every row in the group carries identical
+    # whole-partition totals, and the map-side partial dedup collapses
+    # each group inside its own partition before the (tiny) exchange.
+    offsets = local.select(
+        *keys, "__chunk", *[f"__total_{name}" for name in comps]
+    ).dropDuplicates([*keys, "__chunk"])
     for name, (_, combine, _) in comps.items():
         offsets = offsets.withColumn(
             f"__off_{name}", combine(f"__total_{name}").over(w_off)
@@ -183,6 +208,7 @@ def salted_running_agg(
     return joined.withColumn(alias, finalize(merged)).drop(
         "__chunk",
         *[f"__local_{name}" for name in comps],
+        *[f"__total_{name}" for name in comps],
         *[f"__off_{name}" for name in comps],
     )
 
