@@ -511,8 +511,11 @@ def main() -> None:
     # enough to always survive the tail capture.
     detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                "BENCH_DETAIL.json")
-    with open(detail_path, "w") as f:
-        json.dump({**headline, **sections}, f, indent=1)
+    try:
+        with open(detail_path, "w") as f:
+            json.dump({**headline, **sections}, f, indent=1)
+    except OSError as e:  # read-only checkout etc. — never lose the headline
+        print(f"# BENCH_DETAIL.json not written: {e}", file=sys.stderr)
     if sections:
         print(json.dumps(sections))
     print(json.dumps({**headline, "detail": "BENCH_DETAIL.json"}))

@@ -36,16 +36,10 @@ def soak_framed(plan):
           suppress_health_check=list(HealthCheck))
 @given(m.range_plan())
 def soak_range(plan):
-    df = spark.createDataFrame(m.NULL_ROWS, m.SCHEMA)
-    from window_aggregation_spark.operators.window_aggregation import (
-        window_aggregate,
+    # reuse the pytest body so the soak can never drift from the property
+    m.test_range_frames_with_nulls_dual_backend.hypothesis.inner_test(
+        spark, plan
     )
-    from window_aggregation_spark.plans.sql_gen import plan_to_sql
-
-    api = window_aggregate(df, plan).orderBy("id").collect()
-    df.createOrReplaceTempView("soak_range_input")
-    sql = plan_to_sql(plan, "soak_range_input", df.columns, dialect="spark")
-    assert api == spark.sql(sql).orderBy("id").collect(), plan
     checked["n"] += 1
 
 @settings(max_examples=75, deadline=None,

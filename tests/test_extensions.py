@@ -557,3 +557,12 @@ def test_quality_model_score_behavior(spark):
     assert scores[1] > scores[3]
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "EvalPython" not in plan and "Exchange" not in plan
+
+
+def test_ivf_expr_empty_corpus_returns_empty(spark, emb):
+    """An empty (or all-null-vector) corpus yields an empty result rather
+    than a VOID-typed literal-array analysis error (r5 review)."""
+    queries = emb.where(F.col("vec_id") < 3)
+    empty = emb.where(F.lit(False))
+    out = sim.ivf_topk(queries, empty, k=3, assign="expr")
+    assert out.count() == 0

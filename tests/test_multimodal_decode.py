@@ -256,3 +256,11 @@ def test_wav_synth_payloads_are_real_containers(spark):
         assert r["n_frames"] == n
         assert r["smean"] == pytest.approx(xs.mean())
         assert (r["smin"], r["smax"]) == (int(xs.min()), int(xs.max()))
+
+
+def test_wav_decode_null_payload_raises_with_doc_id(spark):
+    df = spark.createDataFrame(
+        [(7, None)], "doc_id long, payload binary"
+    )
+    with pytest.raises(Exception, match="doc_id=7"):
+        mm.decode_wav_features(df).collect()

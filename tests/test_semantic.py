@@ -139,3 +139,15 @@ def test_hot_cluster_guard_noop_below_cap(spark, emb):
         ).collect()
     }
     assert guarded == base
+
+
+def test_expr_assignment_handles_empty_and_null_inputs(spark):
+    """Empty or all-null-vector inputs must yield an empty assignment
+    (the literal-fold rewrite would otherwise build a VOID-typed array
+    and fail analysis — r5 review regression)."""
+    empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    assert cluster_assign(empty, assign="expr").count() == 0
+    nulls = spark.createDataFrame(
+        [(1, None), (2, None)], "vec_id long, embedding array<float>"
+    )
+    assert cluster_assign(nulls, assign="expr").count() == 0

@@ -459,6 +459,11 @@ def decode_wav_features(
                 "n_bytes", "smean", "srms", "smin", "smax",
             )}
             for did, raw in zip(pdf[id_col], pdf[payload_col]):
+                if raw is None:
+                    raise ValueError(
+                        f"doc_id={did}: null WAV payload (upstream fetch "
+                        f"failure?) — refusing to emit a garbage row"
+                    )
                 b = bytes(raw)
                 try:
                     with wave.open(io.BytesIO(b), "rb") as w:

@@ -92,7 +92,17 @@ def cluster_assign(
     # cosine fold, and `sort_array desc` over (sim, -idx) structs yields
     # "sim desc, centroid index asc" — zero shuffles and zero row
     # explosion vs the old crossJoin + per-id ranking window.
-    cent_rows = rows.orderBy("id").limit(n_clusters).collect()
+    cent_rows = (
+        rows.where(F.col("v").isNotNull())
+        .orderBy("id")
+        .limit(n_clusters)
+        .collect()
+    )
+    if not cent_rows:
+        # empty / all-null input: no codebook -> no assignments (the old
+        # crossJoin shape returned empty too; F.array() of zero struct
+        # branches would be VOID-typed and fail analysis)
+        return rows.withColumn("cluster_id", F.lit(0)).where(F.lit(False))
     scored = F.array(*[
         F.struct(
             cosine(
@@ -168,7 +178,13 @@ def semantic_dup_pairs(
         sizes = assigned.groupBy("cluster_id").agg(
             F.count(F.lit(1)).alias("__csz")
         )
-        dim_row = df.select(F.size(F.col(vec_col)).alias("d")).first()
+        # one bounded driver action to size the hyperplanes (first
+        # NON-NULL vector — a leading null row must not zero the dim);
+        # construction-time eagerness is confined to this one row fetch,
+        # documented in the docstring alongside the counts pass.
+        dim_row = df.where(F.col(vec_col).isNotNull()).select(
+            F.size(F.col(vec_col)).alias("d")
+        ).first()
         dim = int(dim_row["d"]) if dim_row and dim_row["d"] else 0
         assigned = (
             assigned.join(F.broadcast(sizes), "cluster_id")

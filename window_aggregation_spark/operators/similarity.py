@@ -458,10 +458,18 @@ def _ivf_topk_expr(
     cent_rows = (
         corpus.select(F.col(corpus_id).alias("__cent_id"),
                       F.col(vec_col).alias("__cent_v"))
+        .where(F.col("__cent_v").isNotNull())
         .orderBy("__cent_id")
         .limit(n_centroids)
         .collect()
     )
+    if not cent_rows:
+        # empty / all-null corpus: nothing to probe; an empty literal
+        # array would be VOID-typed and fail analysis
+        return queries.sparkSession.createDataFrame(
+            [],
+            "query_id long, neighbor_id long, cos_sim double, nn_rank int",
+        )
 
     def assign_lists(df: DataFrame, id_alias: str, top_n: int) -> DataFrame:
         scored = F.array(*[

@@ -23,7 +23,7 @@ to O(partition / chunks).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -169,29 +169,29 @@ def salted_running_agg(
         "__chunk", _bucket_of(F.col(order_col), sorted(set(boundaries)))
     )
 
-    # The running partials AND the per-chunk totals come out of the SAME
-    # (keys, chunk)-partitioned window stage: the totals use the
-    # whole-partition frame, so the source is scanned and shuffled ONCE.
-    # (The pre-r5 shape aggregated totals from a second scan of the
-    # input — a full extra pass, ~2x cold wall-clock at sf1.)
     w_local = Window.partitionBy(*keys, "__chunk").orderBy(F.col(order_col))
-    w_total = Window.partitionBy(*keys, "__chunk")
     local = chunked
     for name, (partial, _, _) in comps.items():
         local = local.withColumn(f"__local_{name}", partial(field).over(w_local))
-        local = local.withColumn(f"__total_{name}", partial(field).over(w_total))
 
     w_off = (
         Window.partitionBy(*keys)
         .orderBy(F.col("__chunk"))
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    # one row per (keys, chunk): every row in the group carries identical
-    # whole-partition totals, and the map-side partial dedup collapses
-    # each group inside its own partition before the (tiny) exchange.
-    offsets = local.select(
-        *keys, "__chunk", *[f"__total_{name}" for name in comps]
-    ).dropDuplicates([*keys, "__chunk"])
+    # Per-chunk totals are a SECOND pass over the input, on purpose: a
+    # map-side-combined groupBy exchanges only ~keys x chunks partial
+    # rows, so the extra cost is one scan + the O(log chunks) bucket
+    # projection. (An r5 attempt moved the totals into the window stage
+    # as whole-partition frames + dropDuplicates — review showed that
+    # shape re-shuffles and re-sorts the ENTIRE table for the offsets
+    # branch, which loses badly at scale; the scan is the cheap part.)
+    offsets = chunked.groupBy(*keys, "__chunk").agg(
+        *[
+            partial(field).alias(f"__total_{name}")
+            for name, (partial, _, _) in comps.items()
+        ]
+    )
     for name, (_, combine, _) in comps.items():
         offsets = offsets.withColumn(
             f"__off_{name}", combine(f"__total_{name}").over(w_off)
@@ -208,7 +208,6 @@ def salted_running_agg(
     return joined.withColumn(alias, finalize(merged)).drop(
         "__chunk",
         *[f"__local_{name}" for name in comps],
-        *[f"__total_{name}" for name in comps],
         *[f"__off_{name}" for name in comps],
     )
 
