@@ -151,3 +151,46 @@ def test_bq_full_select_no_boundary_casts():
     # BigQuery results carry engine-native types, exactly like the
     # reference's pushdown — no CAST wrappers
     assert "CAST(" not in sql
+
+
+# -- random-plan structural properties (r5): the dialect must stay total
+# and well-formed as the registry grows, not just on the fixed templates
+
+
+def test_bq_dialect_renders_every_random_plan():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from tests.test_property_dual_backend import (
+        framed_plan,
+        range_plan,
+        unframed_plan,
+    )
+
+    cols = ["id", "grp", "val", "small"]
+    types = {"id": "int", "grp": "string", "val": "double", "small": "int"}
+
+    @settings(max_examples=60, deadline=None)
+    @given(plan=st.one_of(unframed_plan(), framed_plan(), range_plan()))
+    def check(plan):
+        sql = plan_to_sql(plan, "t", cols, dialect="bigquery",
+                          input_types=types)
+        # one aliased window expression per aggregate, in declared order
+        pos = -1
+        for agg in plan.aggregates:
+            nxt = sql.find(f" AS {agg.alias}")
+            assert nxt > pos, f"alias {agg.alias} missing/out of order:\n{sql}"
+            pos = nxt
+        assert sql.count("OVER (") >= len(plan.aggregates)
+        # frame text mirrors the spec
+        from window_aggregation_spark.spec import FrameType
+        if plan.spec.frame_type is FrameType.ROW:
+            assert "ROWS BETWEEN" in sql
+        elif plan.spec.frame_type is FrameType.RANGE:
+            assert "RANGE BETWEEN" in sql
+        # Spark-only spellings must not leak into the BQ dialect
+        assert "DOUBLE" not in sql and "percentile(" not in sql
+        # balanced parens = no truncated template splice
+        assert sql.count("(") == sql.count(")")
+
+    check()
