@@ -264,3 +264,37 @@ def test_wav_decode_null_payload_raises_with_doc_id(spark):
     )
     with pytest.raises(Exception, match="doc_id=7"):
         mm.decode_wav_features(df).collect()
+
+
+def test_resize_images_nearest_neighbor_exact(spark):
+    """Real PNG -> decode -> nearest-neighbor resize: output pixels must
+    equal the numpy index-map ground truth byte-for-byte, and the payload
+    size must be exactly out_h * out_w * channels."""
+    arr = np.arange(4 * 6 * 3, dtype=np.uint8).reshape(4, 6, 3)
+    df = spark.createDataFrame(
+        [(1, encode_png(arr))], "doc_id long, payload binary"
+    )
+    (row,) = mm.resize_images(df, out_h=2, out_w=3).collect()
+    assert (row["height"], row["width"], row["channels"]) == (2, 3, 3)
+    ys = (np.arange(2) * 4) // 2
+    xs = (np.arange(3) * 6) // 3
+    expect = arr[ys][:, xs]
+    assert bytes(row["pixels"]) == expect.tobytes()
+    assert len(row["pixels"]) == 2 * 3 * 3
+
+
+def test_resize_images_upscale_and_errors(spark):
+    """Upscaling repeats source pixels (floor map); garbage and null
+    payloads raise naming the doc_id."""
+    arr = np.array([[[10], [20]], [[30], [40]]], dtype=np.uint8)  # 2x2x1
+    df = spark.createDataFrame(
+        [(5, encode_png(arr))], "doc_id long, payload binary"
+    )
+    (row,) = mm.resize_images(df, out_h=4, out_w=4).collect()
+    px = np.frombuffer(bytes(row["pixels"]), dtype=np.uint8).reshape(4, 4)
+    assert (px[:2, :2] == 10).all() and (px[2:, 2:] == 40).all()
+    bad = spark.createDataFrame(
+        [(9, b"not an image")], "doc_id long, payload binary"
+    )
+    with pytest.raises(Exception, match="doc_id=9"):
+        mm.resize_images(bad, out_h=2, out_w=2).collect()

@@ -495,3 +495,59 @@ def decode_wav_features(
             yield pd.DataFrame(out)
 
     return df.mapInPandas(decode, schema=AUDIO_FEATURE_SCHEMA)
+
+
+def resize_images(
+    df: DataFrame,
+    *,
+    out_h: int,
+    out_w: int,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """REAL image resize over binary payloads: decode
+    (:func:`get_image_decoder` — PIL when importable, stdlib PNG
+    otherwise), nearest-neighbor resample with the deterministic integer
+    index map ``src = floor(dst * in / out)`` (no interpolation, so the
+    output is bit-identical across PIL and the stdlib decoder), and emit
+    the raw interleaved HxWxC uint8 bytes plus dimensions — the standard
+    pre-embedding normalization step of a multimodal pipeline.
+
+    Arrow-batched ``mapInPandas`` like the other decode stages; a
+    malformed or null payload raises with the offending ``doc_id``
+    rather than emitting a garbage row. Output payload size is exactly
+    ``out_h * out_w * channels`` bytes.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        decoder = get_image_decoder()
+        for pdf in batches:
+            out = {k: [] for k in ("doc_id", "height", "width",
+                                   "channels", "pixels")}
+            for did, raw in zip(pdf[id_col], pdf[payload_col]):
+                if raw is None:
+                    raise ValueError(f"doc_id={did}: null image payload")
+                try:
+                    px = decoder(bytes(raw))
+                except Exception as e:
+                    raise ValueError(
+                        f"doc_id={did}: undecodable image payload: {e}"
+                    ) from e
+                h, w, c = px.shape
+                ys = (np.arange(out_h) * h) // out_h
+                xs = (np.arange(out_w) * w) // out_w
+                resized = px[ys][:, xs]
+                out["doc_id"].append(int(did))
+                out["height"].append(out_h)
+                out["width"].append(out_w)
+                out["channels"].append(int(c))
+                out["pixels"].append(resized.astype("uint8").tobytes())
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(
+        run,
+        schema="doc_id long, height int, width int, channels int, "
+               "pixels binary",
+    )
