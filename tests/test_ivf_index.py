@@ -79,3 +79,54 @@ def test_kmeans_index_roundtrip(spark, emb, tmp_path):
     assert _rows(sim.ivf_topk_index(queries, built, k=3, nprobe=3)) == _rows(
         sim.ivf_topk_index(queries, loaded, k=3, nprobe=3)
     )
+
+
+def test_quantized_index_coarse_matches_and_prunes(spark, emb, tmp_path):
+    """quantize=True + coarse='quantized': (a) with overfetch covering the
+    probed lists the result equals the float coarse path exactly, (b) at
+    overfetch=4 recall vs the float path stays >= 0.9, and (c) the coarse
+    branch's list scan reads (id, qvec, qscale, list_id) ONLY — the float
+    vectors enter through the id-pruned re-rank fetch alone."""
+    import re
+
+    queries = emb.where(F.col("vec_id") < 8)
+    corpus = emb.where(F.col("vec_id") >= 8)
+    path = str(tmp_path / "qivf")
+    idx = sim.build_ivf_index(corpus, path, n_centroids=8, quantize=True)
+    assert {"qvec", "qscale"} <= set(idx.lists.columns)
+
+    base = _rows(sim.ivf_topk_index(queries, idx, k=5, nprobe=3))
+    n_corpus = corpus.count()
+    exact_q = _rows(
+        sim.ivf_topk_index(
+            queries, idx, k=5, nprobe=3, coarse="quantized",
+            overfetch=(n_corpus // 5) + 1,
+        )
+    )
+    assert exact_q == base
+
+    approx = sim.ivf_topk_index(
+        queries, idx, k=5, nprobe=3, coarse="quantized", overfetch=4
+    )
+    base_set = {(q, n) for q, n, _, _ in base}
+    approx_set = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
+    recall = len(base_set & approx_set) / len(base_set)
+    assert recall >= 0.9, f"quantized-coarse recall {recall:.2f}"
+
+    plan = approx._jdf.queryExecution().executedPlan().toString()
+    schemas = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
+    coarse_scans = [s for s in schemas if "qvec" in s]
+    assert coarse_scans, plan[:1200]
+    for s in coarse_scans:
+        assert "v:" not in s, f"float vectors in quantized coarse scan: {s}"
+
+
+def test_quantized_coarse_requires_quantized_index(spark, emb, tmp_path):
+    queries = emb.where(F.col("vec_id") < 4)
+    corpus = emb.where(F.col("vec_id") >= 4)
+    path = str(tmp_path / "plain_ivf")
+    idx = sim.build_ivf_index(corpus, path, n_centroids=4)
+    with pytest.raises(ValueError, match="quantize=True"):
+        sim.ivf_topk_index(queries, idx, coarse="quantized")
+    with pytest.raises(ValueError, match="coarse"):
+        sim.ivf_topk_index(queries, idx, coarse="nope")

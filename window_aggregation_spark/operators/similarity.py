@@ -540,6 +540,7 @@ def build_ivf_index(
     corpus_id: str = "vec_id",
     vec_col: str = "embedding",
     mode: str = "overwrite",
+    quantize: bool = False,
 ) -> IVFIndex:
     """Build an IVF index ONCE and persist it: at 100 TB you do not
     recompute centroids and list assignments per query batch —
@@ -555,6 +556,11 @@ def build_ivf_index(
       probes ``nprobe`` lists scans only those directories (partition
       pruning), which is the point of an inverted-file layout on object
       storage.
+
+    ``quantize=True`` additionally stores int8 ``qvec``/``qscale``
+    columns (:func:`quantize_embeddings`) next to each list vector —
+    written once at build, they let :func:`ivf_topk_index` run its
+    coarse list scans over 4× fewer bytes (``coarse="quantized"``).
 
     Returns the index with ``lists`` re-read from disk, so downstream
     plans run against exactly what was persisted.
@@ -574,6 +580,8 @@ def build_ivf_index(
         _assign_lists_fn(b_cents, 1),
         schema="id long, v array<float>, list_id int",
     )
+    if quantize:
+        c_lists = quantize_embeddings(c_lists, "v")
     c_lists.write.mode(mode).partitionBy("list_id").parquet(f"{path}/lists")
     cent_rows = [(i, [float(x) for x in row]) for i, row in enumerate(cents)]
     spark.createDataFrame(
@@ -600,6 +608,8 @@ def ivf_topk_index(
     query_id: str = "vec_id",
     vec_col: str = "embedding",
     prune_lists: bool = True,
+    coarse: str = "float",
+    overfetch: int = 4,
 ) -> DataFrame:
     """:func:`ivf_topk` against a prebuilt :class:`IVFIndex` — identical
     results to the in-memory ``assign="numpy"`` path on the same corpus
@@ -613,7 +623,20 @@ def ivf_topk_index(
     of the join (a second pass over the QUERY batch only — the side that
     is small by construction; the corpus-side saving is what matters).
     Off, the equi-join still only MATCHES those lists but the scan reads
-    all of them."""
+    all of them.
+
+    ``coarse="quantized"`` (index built with ``quantize=True``) stacks
+    the two ANN levers: the probed-list scan reads ONLY
+    ``(id, qvec, qscale)`` — never the float vectors — scores candidates
+    with the exact integer dot, keeps ``k·overfetch`` per query, and
+    re-ranks just that shortlist with full-precision cosine fetched by
+    an id-pruned broadcast join (same shape as :func:`quantized_topk`).
+    Partition pruning cuts which lists are read; quantization cuts the
+    bytes per list read — multiplicative at 100 TB. Recall loss vs
+    ``coarse="float"`` comes only from int8 coarse ordering, bounded by
+    ``overfetch`` (measured in tests)."""
+    if coarse not in ("float", "quantized"):
+        raise ValueError(f"coarse must be 'float' or 'quantized': {coarse!r}")
     spark = queries.sparkSession
     b_cents = spark.sparkContext.broadcast(index.centroids)
     q_lists = queries.select(
@@ -628,6 +651,68 @@ def ivf_topk_index(
             r["list_id"] for r in q_lists.select("list_id").distinct().collect()
         )
         c_lists = c_lists.where(F.col("list_id").isin(probed))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    if coarse == "quantized":
+        if not {"qvec", "qscale"} <= set(index.lists.columns):
+            raise ValueError(
+                "coarse='quantized' needs an index built with "
+                "build_ivf_index(..., quantize=True)"
+            )
+        q_q = quantize_embeddings(q_lists, "v", alias_q="__qq",
+                                  alias_scale="__qs")
+        coarse_scored = (
+            q_q.select("id", "list_id", "__qq")
+            .alias("q")
+            .join(
+                c_lists.select(
+                    "list_id",
+                    F.col("id").alias("neighbor_id"),
+                    F.col("qvec").alias("__cq"),
+                    F.col("qscale").cast("double").alias("__cs"),
+                ).alias("c"),
+                on="list_id",
+            )
+            .select(
+                F.col("q.id").alias("query_id"),
+                "neighbor_id",
+                (_int_dot(F.col("__qq"), F.col("__cq"))
+                 * F.col("__cs")).alias("__coarse"),
+            )
+            .dropDuplicates(["query_id", "neighbor_id"])
+        )
+        wc = Window.partitionBy("query_id").orderBy(
+            F.col("__coarse").desc(), F.col("neighbor_id").asc()
+        )
+        shortlist = (
+            coarse_scored.withColumn("__crn", F.row_number().over(wc))
+            .where(F.col("__crn") <= k * overfetch)
+            .select("query_id", "neighbor_id")
+        )
+        rer = (
+            index.lists.select(
+                F.col("id").alias("neighbor_id"), F.col("v").alias("__cv")
+            )
+            .join(F.broadcast(shortlist), "neighbor_id")
+            .join(
+                F.broadcast(
+                    q_lists.select(
+                        F.col("id").alias("query_id"), F.col("v").alias("__qv")
+                    ).dropDuplicates(["query_id"])
+                ),
+                "query_id",
+            )
+            .select(
+                "query_id",
+                "neighbor_id",
+                F.round(cosine(F.col("__qv"), F.col("__cv")), 4)
+                .alias("cos_sim"),
+            )
+        )
+        return rer.withColumn("nn_rank", F.row_number().over(w)).where(
+            F.col("nn_rank") <= k
+        )
     scored = (
         q_lists.alias("q")
         .join(c_lists.alias("c"), on="list_id")
@@ -637,9 +722,6 @@ def ivf_topk_index(
             F.round(cosine(F.col("q.v"), F.col("c.v")), 4).alias("cos_sim"),
         )
         .dropDuplicates(["query_id", "neighbor_id"])
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
     )
     return (
         scored.withColumn("nn_rank", F.row_number().over(w))
