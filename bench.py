@@ -444,12 +444,25 @@ def dedup_pair_counts(spark, sf_dir: str) -> dict:
     n_docs = docs.count()
     cand = minhash_candidate_pairs(docs, "doc_id").count()
     verified = SUITE["dedup_minhash_lsh"].build(spark, sf_dir).count()
+    # ngram-Jaccard blocking: candidate volume = sum over prefix blocks of
+    # k*(k-1)/2 — one cheap aggregate, the number the blocked join pays
+    # before the exact-Jaccard filter
+    blk = (
+        docs.select(F.substring("text", 1, 40).alias("b"))
+        .groupBy("b").count()
+        .agg(F.sum(F.expr("count * (count - 1) / 2")).alias("c"))
+        .first()["c"]
+    )
+    ngram_cand = int(blk or 0)
+    ngram_verified = SUITE["dedup_ngram_jaccard"].build(spark, sf_dir).count()
     return {
         "documents": n_docs,
         "minhash_candidate_pairs": cand,
         "minhash_verified_pairs": verified,
         "verify_rate": round(verified / cand, 4) if cand else None,
         "candidates_per_doc": round(cand / n_docs, 3) if n_docs else None,
+        "ngram_block_candidate_pairs": ngram_cand,
+        "ngram_verified_pairs": ngram_verified,
     }
 
 
