@@ -2622,8 +2622,10 @@ _DRIVER_PRIORITY = [
     "asof_join_events", "asof_join_forward", "range_join_incidents",
     # skew
     "skew_salted_running_sum", "skew_salted_join",
-    # corpus prep (zero driver rows r1-r4 — now guaranteed six)
-    "corpus_split_hash", "corpus_pack_shards", "corpus_decontaminate",
+    # corpus prep (zero driver rows r1-r4 — now guaranteed six);
+    # pack_sequences holds the slot for the shared two-phase prefix-sum
+    # engine (pack_shards is the same core with a coarser output)
+    "corpus_split_hash", "corpus_pack_sequences", "corpus_decontaminate",
     "corpus_mix_budget", "corpus_stratified_sample", "pipeline_clean_corpus",
 ]
 
