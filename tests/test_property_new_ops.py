@@ -268,3 +268,45 @@ def test_duplicated_spans_equal_naive(spark, case):
         for r in duplicated_spans(df, "doc_id", window=window).collect()
     )
     assert got == _naive_spans(docs, window)
+
+
+@settings(max_examples=12, deadline=None)
+@given(interval_case(), st.booleans())
+def test_left_range_join_equals_naive_with_keys(spark, case, use_keys):
+    """LEFT range join (single-pass residual-condition form, r4 rewrite)
+    vs the per-row definition, with and without equality keys: every
+    covered (point, interval) pair at matching key appears exactly once,
+    every uncovered point appears exactly once with NULL interval
+    columns, and nothing is duplicated."""
+    pts, ivs, bucket_s = case
+    points = spark.createDataFrame(
+        [(i, s, i % 2) for i, s in enumerate(pts)],
+        "pid long, sec long, k int",
+    ).select("pid", "k", F.timestamp_seconds("sec").alias("ts"))
+    intervals = spark.createDataFrame(
+        [(j, s, e, j % 2) for j, (s, e) in enumerate(ivs)],
+        "iid long, s long, e long, k int",
+    ).select(
+        "iid",
+        "k",
+        F.timestamp_seconds("s").alias("win_start"),
+        F.timestamp_seconds("e").alias("win_end"),
+    )
+    bucket = {60: "1 minute", 3600: "1 hour", 86400: "1 day"}[bucket_s]
+    keys = ["k"] if use_keys else None
+    rows = range_join(
+        points, intervals, "ts", "win_start", "win_end",
+        keys=keys, bucket=bucket, how="left",
+    ).collect()
+    got = [(r["pid"], r["iid"]) for r in rows]
+    matches = {
+        (i, j)
+        for i, p in enumerate(pts)
+        for j, (s, e) in enumerate(ivs)
+        if s <= p < e and (not use_keys or i % 2 == j % 2)
+    }
+    matched_pids = {i for i, _ in matches}
+    want = sorted(matches | {
+        (i, None) for i in range(len(pts)) if i not in matched_pids
+    })
+    assert sorted(got) == want
