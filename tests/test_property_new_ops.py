@@ -310,3 +310,71 @@ def test_left_range_join_equals_naive_with_keys(spark, case, use_keys):
         (i, None) for i in range(len(pts)) if i not in matched_pids
     })
     assert sorted(got) == want
+
+
+@st.composite
+def salted_case(draw):
+    n = draw(st.integers(1, 50))
+    rows = [
+        (
+            i,
+            draw(st.sampled_from(["a", "b"])),
+            draw(st.integers(0, 9)),           # order col WITH ties
+            draw(st.one_of(
+                st.none(), st.integers(-5, 5).map(float)
+            )),
+        )
+        for i in range(n)
+    ]
+    agg = draw(st.sampled_from(
+        ["sum", "count", "min", "max", "avg", "var_samp", "stddev"]
+    ))
+    chunks = draw(st.sampled_from([1, 3, 8]))
+    return rows, agg, chunks
+
+
+@settings(max_examples=15, deadline=None)
+@given(salted_case())
+def test_salted_running_agg_equals_plain_window_randomized(spark, case):
+    """salted_running_agg vs the plain RANGE-frame window on random data
+    (duplicate order values, nulls, negatives, every supported agg,
+    chunk counts incl. the degenerate 1): integral inputs make every
+    power sum exact, so the two-phase result must be BIT-equal to the
+    same formulation over one window."""
+    from pyspark.sql import Window
+
+    from window_aggregation_spark.operators.skew import salted_running_agg
+
+    rows, agg, chunks = case
+    df = spark.createDataFrame(
+        rows, "rid long, k string, o int, v double"
+    )
+    got = {
+        r["rid"]: r["x"]
+        for r in salted_running_agg(
+            df, ["k"], "o", "v", agg=agg, chunks=chunks, alias="x"
+        ).collect()
+    }
+    w = Window.partitionBy("k").orderBy("o").rangeBetween(
+        Window.unboundedPreceding, 0
+    )
+    v = F.col("v")
+    if agg in ("sum", "count", "min", "max"):
+        plain = getattr(F, agg)(v).over(w)
+    else:
+        s = F.sum(v.cast("double")).over(w)
+        s2 = F.sum(v.cast("double") * v.cast("double")).over(w)
+        n = F.count(v).over(w)
+        var = F.when(
+            n > 1, F.greatest(F.lit(0.0), (s2 - s * s / n) / (n - 1))
+        )
+        plain = {
+            "avg": F.when(n > 0, s / n),
+            "var_samp": var,
+            "stddev": F.sqrt(var),
+        }[agg]
+    want = {
+        r["rid"]: r["x"]
+        for r in df.withColumn("x", plain).collect()
+    }
+    assert got == want
