@@ -803,18 +803,19 @@ def take_n_per_stratum(
         F.ceil(F.lit(float(safety) * n) / F.col("__cnt") * SPLIT_GRAIN),
     )
     pruned = with_cnt.where(F.col("__res") < thresh)
-    short = (
-        pruned.groupBy("__strat")
-        .agg(F.count(F.lit(1)).alias("__kept"))
-        .join(F.broadcast(counts), on="__strat")
-        .where(F.col("__kept") < F.least(F.lit(n), F.col("__cnt")))
+    # Rescue = strata whose prune kept fewer than min(n, count) rows,
+    # INCLUDING zero (coalesce on the left join) — one |strata|-row plan
+    # instead of the former short-strata groupBy + empty-strata anti-join
+    # + distinct union (three extra exchanges for identical output).
+    kept = pruned.groupBy("__strat").agg(F.count(F.lit(1)).alias("__kept"))
+    rescue = (
+        counts.join(F.broadcast(kept), on="__strat", how="left")
+        .where(
+            F.coalesce(F.col("__kept"), F.lit(0))
+            < F.least(F.lit(n), F.col("__cnt"))
+        )
         .select("__strat")
     )
-    # also rescue strata whose prune kept ZERO rows (absent from `pruned`)
-    empty = counts.join(
-        pruned.select("__strat").distinct(), on="__strat", how="left_anti"
-    ).select("__strat")
-    rescue = short.unionByName(empty).distinct()
     candidates = pruned.join(
         F.broadcast(rescue), on="__strat", how="left_anti"
     ).select(base.columns).unionByName(

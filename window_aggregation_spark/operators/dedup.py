@@ -156,6 +156,75 @@ def minhash_signatures(
     )
 
 
+class SignatureStore:
+    """A persisted minhash-signature artifact (``build_signature_store``).
+
+    At 100 TB the signatures — one shingle+hash pass over every byte of
+    the corpus — are the dominant cost of the whole near-dup family, and
+    r5 measured the LSH-pairs + CC-components pair recomputing them twice
+    at 35% of sf1 wall-clock (VERDICT r5 next-round #5). Compute them
+    ONCE, persist ``(id, m0..m{k-1})`` columns (a few hundred bytes/doc,
+    ~1000x smaller than raw text), and feed every downstream consumer
+    (``minhash_dedup_pairs``, ``minhash_components``, ``minhash_dedup_cc``,
+    ``dedup_keep_best``-style flows) through ``signatures=``. Same
+    write-once pattern as :func:`..similarity.build_ivf_index`.
+
+    ``ngram``/``num_hashes`` are persisted alongside and re-checked at
+    use: a store built with different parameters than the consuming call
+    raises instead of silently producing wrong buckets.
+    """
+
+    def __init__(self, sigs: DataFrame, *, ngram: int, num_hashes: int):
+        self.sigs = sigs
+        self.ngram = ngram
+        self.num_hashes = num_hashes
+
+    def check(self, *, ngram: int, num_hashes: int) -> None:
+        if (ngram, num_hashes) != (self.ngram, self.num_hashes):
+            raise ValueError(
+                f"signature store was built with ngram={self.ngram}, "
+                f"num_hashes={self.num_hashes}; call requested "
+                f"ngram={ngram}, num_hashes={num_hashes}"
+            )
+
+
+def build_signature_store(
+    df: DataFrame,
+    id_col: str,
+    path: str,
+    text_col: str = "text",
+    *,
+    ngram: int = 3,
+    num_hashes: int = 64,
+    mode: str = "overwrite",
+) -> SignatureStore:
+    """Compute minhash signatures once and persist them under ``path``
+    (``sigs/`` parquet + a one-row ``params/`` parquet). Returns the
+    store re-read from disk, so downstream plans run against exactly
+    what was persisted."""
+    spark = df.sparkSession
+    sigs = minhash_signatures(
+        df, id_col, text_col, ngram=ngram, num_hashes=num_hashes
+    )
+    sigs.write.mode(mode).parquet(f"{path}/sigs")
+    spark.createDataFrame(
+        [(id_col, ngram, num_hashes)],
+        "id_col string, ngram int, num_hashes int",
+    ).coalesce(1).write.mode(mode).parquet(f"{path}/params")
+    return load_signature_store(spark, path)
+
+
+def load_signature_store(spark, path: str) -> SignatureStore:
+    """Load a persisted signature store; the signatures stay a lazy
+    parquet scan (only the one params row reaches the driver)."""
+    p = spark.read.parquet(f"{path}/params").first()
+    return SignatureStore(
+        spark.read.parquet(f"{path}/sigs"),
+        ngram=int(p["ngram"]),
+        num_hashes=int(p["num_hashes"]),
+    )
+
+
 def jaccard(a: Column, b: Column) -> Column:
     """Exact Jaccard similarity of two distinct-element arrays."""
     inter = F.size(F.array_intersect(a, b))
@@ -198,6 +267,7 @@ def minhash_candidate_pairs(
     num_hashes: int = 64,
     bands: int = 16,
     max_bucket_size: int | None = 10_000,
+    signatures: "SignatureStore | DataFrame | None" = None,
 ) -> DataFrame:
     """Banded-bucket candidate pairs BEFORE exact-Jaccard verification:
     the raw LSH fan-out ``(id_a, id_b)`` with ``id_a < id_b``, distinct.
@@ -207,10 +277,26 @@ def minhash_candidate_pairs(
     (not the verify) is what can go super-linear, and the bench sf1
     section records ``count()`` of this stage per round to catch that
     growth before it lands on a real cluster (VERDICT r4 next-round #6).
+
+    ``signatures`` skips the shingle+signature pass — pass a
+    :class:`SignatureStore` (parameter-checked) or a raw
+    ``(id_col, m0..m{num_hashes-1})`` DataFrame. The store must cover
+    every id in ``df``; ids absent from it simply generate no candidates.
     """
-    sigs = minhash_signatures(
-        df, id_col, text_col, ngram=ngram, num_hashes=num_hashes
-    )
+    if signatures is None:
+        sigs = minhash_signatures(
+            df, id_col, text_col, ngram=ngram, num_hashes=num_hashes
+        )
+    elif isinstance(signatures, SignatureStore):
+        signatures.check(ngram=ngram, num_hashes=num_hashes)
+        sigs = signatures.sigs
+    else:
+        sigs = signatures
+    if f"m{num_hashes - 1}" not in sigs.columns:
+        raise ValueError(
+            f"signatures are missing column m{num_hashes - 1} — built "
+            f"with fewer hashes than num_hashes={num_hashes}?"
+        )
     banded = _band_keys(sigs, id_col, num_hashes=num_hashes, bands=bands)
 
     # Candidate pairs WITHOUT a self-join: group member ids per (band, key)
@@ -251,6 +337,7 @@ def minhash_dedup_pairs(
     bands: int = 16,
     threshold: float = 0.5,
     max_bucket_size: int | None = 10_000,
+    signatures: "SignatureStore | DataFrame | None" = None,
 ) -> DataFrame:
     """Near-duplicate pairs via MinHash+LSH, verified with exact Jaccard.
 
@@ -258,11 +345,15 @@ def minhash_dedup_pairs(
     on (band, key) -> candidate pairs within buckets -> distinct -> verify.
     Returns ``(id_a, id_b, jaccard)`` with id_a < id_b and jaccard >= t.
     ``max_bucket_size`` drops degenerate buckets before the pair join (see
-    :func:`minhash_candidate_pairs`) — set None to disable.
+    :func:`minhash_candidate_pairs`) — set None to disable. ``signatures``
+    (a :class:`SignatureStore` or signature DataFrame) skips the
+    signature pass; the exact-Jaccard verify still reads raw text for the
+    candidate pairs only.
     """
     candidates = minhash_candidate_pairs(
         df, id_col, text_col, ngram=ngram, num_hashes=num_hashes,
         bands=bands, max_bucket_size=max_bucket_size,
+        signatures=signatures,
     )
     # Verify candidates with exact Jaccard. Join the (small) candidate set
     # to the raw texts and build shingles AFTER the join, per pair: shingle

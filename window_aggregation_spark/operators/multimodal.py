@@ -473,9 +473,20 @@ def decode_wav_features(
                                 f"{w.getsampwidth()})"
                             )
                         nf = w.getnframes()
+                        nch = w.getnchannels()
                         frames = w.readframes(nf)
+                        # A truncated data chunk would otherwise emit an
+                        # n_frames (from the header) inconsistent with the
+                        # samples actually decoded — enforce the "malformed
+                        # payloads raise" contract instead.
+                        if len(frames) != nf * nch * 2:
+                            raise ValueError(
+                                f"doc_id={did}: WAV data chunk truncated "
+                                f"(header claims {nf} frames x {nch} ch, "
+                                f"got {len(frames)} bytes)"
+                            )
                         out["sample_rate"].append(int(w.getframerate()))
-                        out["n_channels"].append(int(w.getnchannels()))
+                        out["n_channels"].append(int(nch))
                         out["n_frames"].append(int(nf))
                 except wave.Error as e:
                     raise ValueError(

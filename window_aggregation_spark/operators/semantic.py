@@ -136,6 +136,7 @@ def semantic_dup_pairs(
     kmeans_iters: int = 0,
     max_cluster_size: int | None = 100_000,
     hot_nbits: int = 4,
+    dim: int | None = None,
 ) -> DataFrame:
     """Within-cluster near-duplicate pairs: ``(id_a, id_b, cos_sim)`` with
     ``id_a < id_b`` and ``round(cos, 4) >= threshold`` (distinct — with
@@ -160,7 +161,15 @@ def semantic_dup_pairs(
     pre-r5 behavior (oversized clusters were dropped wholesale). The
     guard costs one extra column-pruned assignment pass for the
     per-cluster counts (a map-side-combined groupBy — skew-safe);
-    ``max_cluster_size=None`` disables it and that pass entirely."""
+    ``max_cluster_size=None`` disables it and that pass entirely.
+
+    Embeddings are assumed UNIFORM-DIMENSION (as any one corpus's are):
+    the hot-cluster hyperplanes are sized from ``dim`` when given, else
+    from a one-row driver probe of the first non-null vector at
+    construction time. Pass ``dim`` explicitly to skip that probe (the
+    right call in a serving pipeline where the dim is known); rows whose
+    vectors disagree with it raise inside hot clusters via the
+    hyperplane guard rather than silently mis-bucketing."""
     assigned = cluster_assign(
         df,
         id_col,
@@ -178,14 +187,15 @@ def semantic_dup_pairs(
         sizes = assigned.groupBy("cluster_id").agg(
             F.count(F.lit(1)).alias("__csz")
         )
-        # one bounded driver action to size the hyperplanes (first
-        # NON-NULL vector — a leading null row must not zero the dim);
-        # construction-time eagerness is confined to this one row fetch,
-        # documented in the docstring alongside the counts pass.
-        dim_row = df.where(F.col(vec_col).isNotNull()).select(
-            F.size(F.col(vec_col)).alias("d")
-        ).first()
-        dim = int(dim_row["d"]) if dim_row and dim_row["d"] else 0
+        if dim is None:
+            # one bounded driver action to size the hyperplanes (first
+            # NON-NULL vector — a leading null row must not zero the dim);
+            # construction-time eagerness is confined to this one row
+            # fetch and skipped entirely when the caller passes dim.
+            dim_row = df.where(F.col(vec_col).isNotNull()).select(
+                F.size(F.col(vec_col)).alias("d")
+            ).first()
+            dim = int(dim_row["d"]) if dim_row and dim_row["d"] else 0
         assigned = (
             assigned.join(F.broadcast(sizes), "cluster_id")
             .withColumn(

@@ -690,8 +690,13 @@ def ivf_topk_index(
             .where(F.col("__crn") <= k * overfetch)
             .select("query_id", "neighbor_id")
         )
+        # Re-rank fetch reads the PRUNED lists: shortlist neighbors are by
+        # construction members of probed lists, so the float-vector scan
+        # keeps the same partition pruning as the coarse stage (otherwise
+        # prune_lists=True would still scan every list's float column here,
+        # undercutting the "pruning x quantization multiplicative" claim).
         rer = (
-            index.lists.select(
+            c_lists.select(
                 F.col("id").alias("neighbor_id"), F.col("v").alias("__cv")
             )
             .join(F.broadcast(shortlist), "neighbor_id")

@@ -36,13 +36,17 @@ def skew_hints(
     under-parallelize on ``df``'s data.
 
     Estimates the distinct count of the partition-key tuple on a bounded
-    ``limit(sample_rows)`` sample (one small job — never a full scan; a
-    key set smaller than the parallelism all but surely shows up in the
-    first 100k rows, and a sample can only UNDER-estimate, i.e. only
-    ever over-warn). A hint fires when the estimate is below the
-    cluster parallelism AND the spec is ordered (running/frame windows
-    sort each key in one task; unordered whole-partition aggregates
-    hash-partition fine at low key counts).
+    ``limit(sample_rows)`` sample (one small job — never a full scan).
+    The estimate is approximate in BOTH directions: the limit() sample
+    can only under-count (over-warn), but ``approx_count_distinct`` is
+    HLL with ~5% default relative error and can over-estimate — so a
+    key count sitting just below the parallelism threshold may fail to
+    warn. The comparison therefore uses a small safety margin
+    (``distinct < parallelism * 1.1``); treat a silent advisor as "no
+    gross under-partitioning", not a proof of balance. A hint fires
+    only when the spec is ordered (running/frame windows sort each key
+    in one task; unordered whole-partition aggregates hash-partition
+    fine at low key counts).
     """
     spec = plan.spec
     if not spec.partition_by or not spec.order_by:
@@ -58,7 +62,9 @@ def skew_hints(
         )
         .first()["d"]
     )
-    if distinct >= parallelism:
+    # 1.1x margin absorbs HLL's ~5% over-estimate band (docstring above);
+    # borderline key counts should warn, not silently pass.
+    if distinct >= parallelism * 1.1:
         return []
     keys = ", ".join(spec.partition_by)
     return [

@@ -23,7 +23,7 @@ from __future__ import annotations
 from dataclasses import dataclass
 from typing import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from window_aggregation_spark.parser import config_to_plan
@@ -869,9 +869,7 @@ def _register_dedup() -> None:
             new, corpus, "doc_id", threshold=0.3
         )
 
-    @_register(
-        "dedup_minhash_cc",
-        f"""
+    _cc_oracle = f"""
         WITH RECURSIVE pairs AS ({_duck_minhash_lsh_sql()}),
         edges AS (SELECT id_a AS u, id_b AS v FROM pairs
                   UNION SELECT id_b, id_a FROM pairs),
@@ -884,7 +882,11 @@ def _register_dedup() -> None:
                CAST(COALESCE(least(c.u, c.mn), d.doc_id) AS BIGINT)
                  AS component
         FROM documents d LEFT JOIN comp c ON d.doc_id = c.u
-        """,
+        """
+
+    @_register(
+        "dedup_minhash_cc",
+        _cc_oracle,
         headline=True,  # the one iterative operator: its sf1 growth curve
         # (convergence overhead amortizing, measured sub-linear) belongs in
         # the per-round bench record
@@ -896,6 +898,52 @@ def _register_dedup() -> None:
         recursive CTE, so the component labels themselves are hash-checked."""
         df = read_table(spark, sf_dir, "documents")
         return dd.minhash_components(df, "doc_id", threshold=0.3)
+
+    # --- signature-store-backed twins (VERDICT r5 next-round #5) --------
+    # Signatures are the dominant near-dup cost (one shingle+hash pass
+    # over every corpus byte) and the plain LSH+CC pair recomputes them
+    # twice — 35% of r5 sf1 wall-clock. These twins consume ONE persisted
+    # store (built on first use per sf_dir, same artifact pattern as the
+    # IVF index) and must stay hash-equal to the recompute twins: the
+    # oracle strings are literally the same objects.
+
+    def _sig_store_for(spark: SparkSession, sf_dir: str):
+        import os
+
+        src = os.path.join(sf_dir, "documents.parquet")
+        st = os.stat(src)
+        tag = f"{abs(hash((sf_dir, st.st_mtime_ns, st.st_size)))}"
+        path = f"/tmp/spark_graft_stores/minhash_{tag}"
+        if not os.path.exists(f"{path}/params"):
+            docs = read_table(spark, sf_dir, "documents")
+            return dd.build_signature_store(docs, "doc_id", path)
+        return dd.load_signature_store(spark, path)
+
+    @_register("dedup_minhash_lsh_stored", _duck_minhash_lsh_sql(),
+               headline=True)
+    def dedup_minhash_lsh_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Near-dup pairs from the persisted signature store — the serving
+        shape for repeated dedup over a stable corpus: band keys and
+        buckets read (id, m0..m63) parquet, raw text is only fetched for
+        the exact-Jaccard verify of the candidate pairs. Hash-equal to
+        dedup_minhash_lsh by construction (same oracle SQL object)."""
+        docs = read_table(spark, sf_dir, "documents")
+        store = _sig_store_for(spark, sf_dir)
+        return dd.minhash_dedup_pairs(
+            docs, "doc_id", threshold=0.3, signatures=store
+        )
+
+    @_register("dedup_minhash_cc_stored", _cc_oracle, headline=True)
+    def dedup_minhash_cc_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Duplicate-cluster labels from the persisted signature store;
+        with the store built once, LSH pairs + CC components share a
+        single signature pass across the whole family instead of one
+        each. Hash-equal to dedup_minhash_cc (same oracle SQL object)."""
+        docs = read_table(spark, sf_dir, "documents")
+        store = _sig_store_for(spark, sf_dir)
+        return dd.minhash_components(
+            docs, "doc_id", threshold=0.3, signatures=store
+        )
 
     from window_aggregation_spark.operators.text import (
         quality_model_score_oracle_expr,
@@ -2550,16 +2598,47 @@ _register_pipeline()
 
 
 def _register_approx() -> None:
-    @_register("w_approx_percentile", None, headline=True)  # rows-only: sketches aren't
-    # bit-reproducible across engines, so no DuckDB value oracle — accuracy
-    # vs the exact yardstick is pinned by tests/test_approx_functions.py
+    # Sketch values are not bit-reproducible across engines, so the oracle
+    # cannot hash-compare apx_* directly. What it CAN hash-compare is (a)
+    # the exact discrete percentiles the sketch is supposed to approximate
+    # and (b) a boolean per sketch asserting |sketch - exact| is inside
+    # the sketch's published bound — DuckDB emits TRUE literals, so any
+    # out-of-bound sketch value flips a flag and fails the driver hash.
+    # This upgrades the old rows-only row to a full value check
+    # (VERDICT r5 next-round #3); the tighter accuracy curve itself stays
+    # pinned by tests/test_approx_functions.py.
+    _approx_oracle = """
+        WITH g AS (
+          SELECT l_returnflag,
+                 CAST(quantile_disc(l_quantity, 0.5) AS DOUBLE) AS exact_p50,
+                 CAST(quantile_disc(l_quantity, 0.9) AS DOUBLE) AS exact_p90
+          FROM lineitem GROUP BY l_returnflag)
+        SELECT l.l_orderkey, l.l_linenumber, l.l_returnflag, l.l_quantity,
+               g.exact_p50, g.exact_p90,
+               TRUE AS p50_ok, TRUE AS p90_ok, TRUE AS parts_ok
+        FROM lineitem l JOIN g USING (l_returnflag)
+        """
+
+    @_register("w_approx_percentile", _approx_oracle, headline=True)
     def w_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
         """The 100 TB fallback path: sketch-based percentile and distinct
         count, partition-only — ONE mergeable sketch per partition and one
         evaluate, the shape that replaces discrete_percentile /
         count(distinct) at scale. (An ordered spec would compute a running
         sketch with a per-row evaluate — supported, but 40x slower and
-        never what you want from a sketch.)"""
+        never what you want from a sketch.)
+
+        The sketch columns are checked against a DISTRIBUTED exact
+        yardstick in the same job: the exact discrete percentile per group
+        comes from a (flag, quantity) pre-aggregation + running-count rank
+        walk — distinct-value-bounded, never a per-group sort of raw rows
+        — and the exact distinct count from one countDistinct. The output
+        carries the exact values plus one in-bound flag per sketch:
+        approx_percentile's rank-error guarantee is eps=1/accuracy, the
+        flag allows 4*eps*N ranks (+1 for rank-convention slack); HLL's
+        default rsd is 5%, the flag allows 5 sigma (25%). The DuckDB
+        oracle recomputes the exact columns and pins every flag TRUE, so
+        a sketch drifting out of bound fails the driver hash-compare."""
         df = read_table(spark, sf_dir, "lineitem")
         plan = WindowPlan(
             spec=WindowSpecDef(partition_by=("l_returnflag",)),
@@ -2574,7 +2653,64 @@ def _register_approx() -> None:
             declared_schema=("l_orderkey", "l_linenumber", "l_returnflag",
                              "l_quantity", "apx_p50", "apx_p90", "apx_parts"),
         )
-        return window_aggregate(df, plan)
+        sketched = window_aggregate(df, plan)
+
+        # Exact yardsticks, all shuffle-bounded: value-at-rank over the
+        # per-(flag, quantity) counts (|distinct values| rows per group,
+        # not |rows|), countDistinct in a second tiny agg.
+        eps = 1e-4  # rank-error bound at accuracy=10000
+        counts = df.groupBy("l_returnflag", "l_quantity").agg(
+            F.count(F.lit(1)).alias("__c")
+        )
+        wcum = (
+            Window.partitionBy("l_returnflag")
+            .orderBy("l_quantity")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        cum = counts.withColumn("__cum", F.sum("__c").over(wcum)).withColumn(
+            "__tot",
+            F.sum("__c").over(Window.partitionBy("l_returnflag")),
+        )
+
+        def at_rank(rank_col) -> F.Column:
+            return F.min(
+                F.when(F.col("__cum") >= rank_col, F.col("l_quantity"))
+            )
+
+        def rank(p: float) -> F.Column:
+            return F.ceil(F.lit(p) * F.col("__tot"))
+
+        margin = F.ceil(F.lit(4 * eps) * F.col("__tot")) + F.lit(1)
+        exact = cum.groupBy("l_returnflag").agg(
+            at_rank(rank(0.5)).alias("exact_p50"),
+            at_rank(rank(0.9)).alias("exact_p90"),
+            at_rank(F.greatest(rank(0.5) - margin, F.lit(1))).alias("__p50_lo"),
+            at_rank(F.least(rank(0.5) + margin, F.col("__tot"))).alias("__p50_hi"),
+            at_rank(F.greatest(rank(0.9) - margin, F.lit(1))).alias("__p90_lo"),
+            at_rank(F.least(rank(0.9) + margin, F.col("__tot"))).alias("__p90_hi"),
+        )
+        parts = df.groupBy("l_returnflag").agg(
+            F.countDistinct("l_partkey").alias("__exact_parts")
+        )
+        yard = exact.join(parts, on="l_returnflag")
+        return (
+            sketched.join(F.broadcast(yard), on="l_returnflag")
+            .select(
+                "l_orderkey", "l_linenumber", "l_returnflag", "l_quantity",
+                F.col("exact_p50").cast("double").alias("exact_p50"),
+                F.col("exact_p90").cast("double").alias("exact_p90"),
+                F.col("apx_p50").between(
+                    F.col("__p50_lo"), F.col("__p50_hi")
+                ).alias("p50_ok"),
+                F.col("apx_p90").between(
+                    F.col("__p90_lo"), F.col("__p90_hi")
+                ).alias("p90_ok"),
+                (
+                    F.abs(F.col("apx_parts") - F.col("__exact_parts"))
+                    <= F.lit(0.25) * F.col("__exact_parts")
+                ).alias("parts_ok"),
+            )
+        )
 
 
 _register_approx()
