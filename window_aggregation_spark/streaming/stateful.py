@@ -29,13 +29,29 @@ STATE_SCHEMA = "count long, ewma double"
 def _ewma_update(
     pdf: pd.DataFrame, alpha: float, prev: float | None
 ) -> tuple[pd.Series, float | None]:
+    """Vectorized recurrence ``y_t = alpha*x_t + (1-alpha)*y_{t-1}``:
+    pandas' C ``ewm(adjust=False)`` kernel, seeded from the carried state
+    by prepending ``prev`` as row 0 (``adjust=False`` defines
+    ``y_0 = x_0``, so the seeded series continues the recurrence exactly)
+    and dropping it from the output. Replaces the per-row Python loop the
+    r5 verdict flagged (2.3x slower than the window-agg stream probe);
+    equality with the DuckDB sequential-fold oracle after the shared
+    6-decimal round is pinned by the driver gate and
+    tests/test_stateful_streaming.py."""
     pdf = pdf.sort_values(["ts", "event_id"])
-    out = []
-    cur = prev
-    for v in pdf["value"]:
-        cur = v if cur is None else alpha * v + (1 - alpha) * cur
-        out.append(cur)
-    return pd.Series(out, index=pdf.index), cur
+    vals = pdf["value"].astype("float64")
+    if prev is None:
+        seeded = vals.reset_index(drop=True)
+        skip = 0
+    else:
+        seeded = pd.concat(
+            [pd.Series([prev], dtype="float64"), vals], ignore_index=True
+        )
+        skip = 1
+    smoothed = seeded.ewm(alpha=alpha, adjust=False).mean().to_numpy()[skip:]
+    out = pd.Series(smoothed, index=pdf.index)
+    cur = float(out.iloc[-1]) if len(out) else prev
+    return out, cur
 
 
 def streaming_ewma(
