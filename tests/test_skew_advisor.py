@@ -57,6 +57,78 @@ def test_high_cardinality_and_unordered_plans_stay_silent(spark, sf_dir):
     assert skew_hints(li, unordered, parallelism=32) == []
 
 
+def _routable_plan() -> WindowPlan:
+    # single ascending order key: the shape salted_running_agg computes
+    # (RANGE running frame; multi-key orders are ineligible by design)
+    return WindowPlan(
+        spec=WindowSpecDef(
+            partition_by=("event_type",), order_by=(OrderKey("ts"),)
+        ),
+        aggregates=(AggregateDef("run_value", "accumulate", field="value"),),
+    )
+
+
+def test_skew_mitigation_routes_hot_keys_and_matches_plain(spark, sf_dir):
+    from window_aggregation_spark.operators.window_aggregation import (
+        _salted_route,
+    )
+
+    # one-key partition: hints always fire under the local[4] test session
+    events = (
+        read_table(spark, sf_dir, "events")
+        .select("event_id", "event_type", "value", "ts")
+        .withColumn("event_type", F.lit("only"))
+    )
+    plan = _routable_plan()
+    routed = _salted_route(events, plan)
+    assert routed is not None, "hints fired + eligible shape must route"
+    # the routed physical plan is the two-phase chunked rewrite
+    assert "__chunk" in routed._jdf.queryExecution().optimizedPlan().toString()
+    plain = window_aggregate(events, plan)
+    key = ["event_id"]
+    r = {t["event_id"]: round(t["run_value"], 4)
+         for t in routed.select(*key, "run_value").collect()}
+    p = {t["event_id"]: round(t["run_value"], 4)
+         for t in plain.select(*key, "run_value").collect()}
+    assert r == p
+    # and window_aggregate(skew_mitigation=...) takes exactly that route
+    via_api = window_aggregate(events, plan, skew_mitigation="salted")
+    assert "__chunk" in via_api._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_skew_mitigation_quiet_advisor_or_ineligible_stays_plain(spark, sf_dir):
+    from window_aggregation_spark.operators.window_aggregation import (
+        _salted_route,
+    )
+
+    li = read_table(spark, sf_dir, "lineitem")
+    high = WindowPlan(
+        spec=WindowSpecDef(
+            partition_by=("l_orderkey",), order_by=(OrderKey("l_linenumber"),)
+        ),
+        aggregates=(AggregateDef("rq", "accumulate", field="l_quantity"),),
+    )
+    # plentiful keys -> advisor quiet -> no routing
+    assert _salted_route(li, high) is None
+    # ineligible shapes (multi-key order / non-routable function) never
+    # even reach the sampling job
+    events = read_table(spark, sf_dir, "events")
+    assert _salted_route(events, _events_plan()) is None  # two order keys
+    rank_plan = WindowPlan(
+        spec=WindowSpecDef(
+            partition_by=("event_type",), order_by=(OrderKey("ts"),)
+        ),
+        aggregates=(AggregateDef("rn", "row_number"),),
+    )
+    assert _salted_route(events, rank_plan) is None
+    # mitigation-off on the hot shape: plain WindowExec, no chunk columns
+    hot = events.withColumn("event_type", F.lit("only"))
+    plain = window_aggregate(hot, _routable_plan())
+    assert "__chunk" not in plain._jdf.queryExecution().optimizedPlan().toString()
+    with pytest.raises(ValueError, match="skew_mitigation"):
+        window_aggregate(hot, _routable_plan(), skew_mitigation="bogus")
+
+
 def test_window_aggregate_advise_flag_warns_and_still_computes(spark, sf_dir):
     # the test session runs local[4] (conftest): a ONE-key partition column
     # sits below that parallelism no matter the fixture's key counts

@@ -64,6 +64,95 @@ def _output_field_type(
     return None
 
 
+# Running-aggregate functions the two-phase salted rewrite can compute
+# (skew.salted_running_agg), keyed by registry name -> salted agg name.
+# Bit-equality of the routed plan with the plain WindowExec is pinned by
+# the w_events_running_salted driver oracle and tests/test_skew_advisor.py.
+_SALTED_ROUTABLE = {
+    "accumulate": "sum",
+    "count": "count",
+    "min": "min",
+    "max": "max",
+    "avg": "avg",
+    "variance": "var_samp",
+    "stddev": "stddev",
+}
+
+_SALTED_NUMERIC_ORDER_TYPES = {
+    "tinyint", "smallint", "int", "bigint", "float", "double",
+}
+
+
+def _salted_route(df: DataFrame, plan: WindowPlan) -> DataFrame | None:
+    """The opt-in advisor-routed plan: when the skew advisor's hints fire
+    AND every aggregate is a salted-routable running aggregate over the
+    default (running RANGE) frame with one ascending order key, compute
+    the plan through :func:`..operators.skew.salted_running_agg` instead
+    of a single hot-key-serialized WindowExec. Returns None when the plan
+    shape is ineligible or the advisor stays quiet (caller falls through
+    to the plain WindowExec)."""
+    from window_aggregation_spark.spec import Direction, FrameType
+
+    spec = plan.spec
+    if (
+        spec.frame_type is not FrameType.NONE
+        or spec.has_interval_frame
+        or not spec.partition_by
+        or len(spec.order_by) != 1
+        or spec.order_by[0].direction is not Direction.ASCENDING
+    ):
+        return None
+    mapped = []
+    for agg in plan.aggregates:
+        fdef = lookup(agg.function)
+        if fdef.name not in _SALTED_ROUTABLE or not agg.field:
+            return None
+        mapped.append((agg, _SALTED_ROUTABLE[fdef.name]))
+    order_field = spec.order_by[0].field
+    dtypes = dict(df.dtypes)
+    order_dtype = dtypes.get(order_field)
+    tmp_order = None
+    if order_dtype in _SALTED_NUMERIC_ORDER_TYPES:
+        order_col = order_field
+    elif order_dtype in ("timestamp", "timestamp_ntz", "date"):
+        # chunk boundaries come from approxQuantile (numeric only);
+        # unix_micros is a monotone tie-preserving map, so RANGE peer
+        # groups are preserved exactly.
+        tmp_order = "__salted_order_us"
+        if tmp_order in df.columns:  # collision — bail to the plain plan
+            return None
+        df = df.withColumn(
+            tmp_order, F.unix_micros(F.col(order_field).cast("timestamp"))
+        )
+        order_col = tmp_order
+    else:
+        return None
+
+    from window_aggregation_spark.plans.advisor import skew_hints
+
+    if not skew_hints(df, plan):
+        return None
+
+    from window_aggregation_spark.operators.skew import salted_running_agg
+
+    out = df
+    for agg, salted_name in mapped:
+        out = salted_running_agg(
+            out, list(spec.partition_by), order_col, agg.field,
+            agg=salted_name, alias=agg.alias,
+        )
+        declared = _output_field_type(agg, df.schema)
+        if declared is not None:
+            out = out.withColumn(agg.alias, F.col(agg.alias).cast(declared))
+    if tmp_order is not None:
+        out = out.drop(tmp_order)
+    if plan.declared_schema is not None:
+        out = out.select(*[F.col(name) for name in plan.declared_schema])
+    if plan.spec.num_partitions:
+        out = out.repartition(plan.spec.num_partitions)
+    return out
+
+
 def window_aggregate(
     df: DataFrame,
     plan: WindowPlan,
@@ -71,6 +160,7 @@ def window_aggregate(
     validate: bool = True,
     percentile_strategy: str = "rank_lookup",
     advise_skew: bool = False,
+    skew_mitigation: str | None = None,
 ) -> DataFrame:
     """Apply a :class:`WindowPlan` to ``df`` and return the widened DataFrame.
 
@@ -78,6 +168,18 @@ def window_aggregate(
     (a bounded sampling job) and warns when the partition keys' distinct
     count sits below the parallelism — the serial-at-scale running-window
     shape. Opt-in: data-touching work stays out of the default plan build.
+
+    ``skew_mitigation="salted"`` closes that loop: the advisor runs and,
+    when its hints fire AND the plan is an eligible running-aggregate
+    shape (every aggregate in accumulate/count/min/max/avg/variance/
+    stddev, default frame, one ascending numeric-or-timestamp order key),
+    the plan executes through the bit-equal two-phase
+    :func:`..operators.skew.salted_running_agg` rewrite (~chunks-way
+    parallel per hot key) instead of one WindowExec task per key. Quiet
+    advisor or ineligible shape falls through to the plain plan
+    unchanged; each routed aggregate runs its own two-phase pass, so
+    prefer one or few aggregates on this path. Like ``advise_skew`` this
+    is opt-in because the advisor samples data at plan-build time.
 
     Aggregates are applied sequentially (``withColumn`` semantics, matching
     the reference's apply loop: a later aggregate reading a replaced column
@@ -114,6 +216,15 @@ def window_aggregate(
         from window_aggregation_spark.plans.advisor import warn_if_skewed
 
         warn_if_skewed(df, plan)
+    if skew_mitigation is not None:
+        if skew_mitigation != "salted":
+            raise ValueError(
+                f"unknown skew_mitigation {skew_mitigation!r} "
+                f"(supported: 'salted')"
+            )
+        routed = _salted_route(df, plan)
+        if routed is not None:
+            return routed
 
     if plan.spec.has_interval_frame:
         # Time-based RANGE frames exist only in the SQL surface (the
