@@ -23,7 +23,11 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 from pyspark.sql import functions as F  # noqa: E402
 
 from window_aggregation_spark.session import get_spark  # noqa: E402
-from window_aggregation_spark.suite import SUITE, headline_queries  # noqa: E402
+from window_aggregation_spark.suite import (  # noqa: E402
+    SUITE,
+    headline_queries,
+    signature_store_for,
+)
 
 
 def frame_scaling_probe(spark, sf_dir: str, k: int = 8) -> dict:
@@ -404,6 +408,13 @@ def sf1_section(
     past ~2 is a growth-curve outlier that needs a named explanation."""
     out_dir = os.environ.get("SPARK_GRAFT_SF1_DIR", "/tmp/spark_graft_sf1")
     _ensure_scaled_dir(spark, sf01_dir, out_dir, copies)
+    # Write-once artifact accounting: the *_stored dedup twins read the
+    # persisted signature store, so its build happens HERE, outside the
+    # per-query timings, and is recorded as its own number (≈load time
+    # when a previous run already built it for this fixture).
+    t0 = time.perf_counter()
+    signature_store_for(spark, out_dir)
+    sig_build = round(time.perf_counter() - t0, 3)
     timings: dict[str, float] = {}
     ratios: dict[str, float] = {}
     total = 0.0
@@ -424,6 +435,7 @@ def sf1_section(
     }
     if ratios:
         out["linear_ratio"] = ratios
+    out["signature_store_build_sec"] = sig_build
     out["dedup_pair_counts"] = dedup_pair_counts(spark, out_dir)
     return out
 
@@ -478,6 +490,12 @@ def main() -> None:
     next(iter(queries.values())).build(spark, sf_dir).write.format("noop").mode(
         "overwrite"
     ).save()
+    # build the signature store outside the timed region too (the
+    # *_stored dedup twins consume it; write-once artifact), recording
+    # its cost as its own section number rather than inside a query.
+    t0 = time.perf_counter()
+    signature_store_for(spark, sf_dir)
+    sig_build_sec = round(time.perf_counter() - t0, 3)
 
     reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
     timings: dict[str, float] = {}
@@ -500,7 +518,7 @@ def main() -> None:
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
-    sections: dict = {}
+    sections: dict = {"signature_store": {"build_sec": sig_build_sec}}
     if os.environ.get("SPARK_GRAFT_FRAME_PROBE", "1") != "0":
         sections["frame_probe"] = frame_scaling_probe(spark, sf_dir)
     if os.environ.get("SPARK_GRAFT_SKEW_PROBE", "1") != "0":

@@ -471,8 +471,10 @@ def test_multimodal_decode_stub_and_schema(docs):
     with pytest.raises(Exception, match="PNG"):
         mm.decode_image_features(payloads, use_real_decoder=True).collect()
     mm.require_decoder("audio")  # WAV PCM decode is implemented (stdlib wave)
-    with pytest.raises(NotImplementedError, match="video"):
-        mm.require_decoder("video")
+    mm.require_decoder("video")  # AVI/DIB decode is implemented (r6);
+    # codecs beyond DIB/MJPEG raise per payload inside decode_avi_features
+    with pytest.raises(NotImplementedError, match="hologram"):
+        mm.require_decoder("hologram")
 
 
 def test_multimodal_png_metadata_expression_parse(spark):
@@ -566,3 +568,63 @@ def test_ivf_expr_empty_corpus_returns_empty(spark, emb):
     empty = emb.where(F.lit(False))
     out = sim.ivf_topk(queries, empty, k=3, assign="expr")
     assert out.count() == 0
+
+
+# ---------------------------------------------------------------------------
+# persisted minhash signature store (round 6)
+# ---------------------------------------------------------------------------
+
+def test_signature_store_backed_pairs_equal_recompute(docs, tmp_path):
+    """The store-backed path must be indistinguishable from the recompute
+    path: identical pair sets with identical jaccard values, and identical
+    CC component labels — the property the *_stored suite twins pin
+    against the driver oracle at sf0.01."""
+    store = dd.build_signature_store(docs, "doc_id", str(tmp_path / "s"))
+    plain = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in dd.minhash_dedup_pairs(docs, "doc_id", threshold=0.3).collect()
+    }
+    stored = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in dd.minhash_dedup_pairs(
+            docs, "doc_id", threshold=0.3, signatures=store
+        ).collect()
+    }
+    assert plain == stored
+    plain_cc = {
+        (r["doc_id"], r["component"])
+        for r in dd.minhash_components(docs, "doc_id", threshold=0.3).collect()
+    }
+    stored_cc = {
+        (r["doc_id"], r["component"])
+        for r in dd.minhash_components(
+            docs, "doc_id", threshold=0.3, signatures=store
+        ).collect()
+    }
+    assert plain_cc == stored_cc
+
+
+def test_signature_store_load_and_param_guard(docs, spark, tmp_path):
+    """load_signature_store reads back the persisted params; consuming a
+    store with mismatched ngram/num_hashes raises instead of silently
+    bucketing on wrong signatures, and a raw signature DataFrame missing
+    columns is rejected."""
+    path = str(tmp_path / "s2")
+    dd.build_signature_store(docs, "doc_id", path, ngram=3, num_hashes=32)
+    store = dd.load_signature_store(spark, path)
+    assert (store.ngram, store.num_hashes) == (3, 32)
+    assert "m31" in store.sigs.columns and "m32" not in store.sigs.columns
+    with pytest.raises(ValueError, match="built with ngram"):
+        dd.minhash_dedup_pairs(
+            docs, "doc_id", num_hashes=64, signatures=store
+        )
+    with pytest.raises(ValueError, match="missing column m63"):
+        dd.minhash_dedup_pairs(
+            docs, "doc_id", num_hashes=64, signatures=store.sigs
+        )
+    # matching params work end-to-end off the loaded store
+    n = dd.minhash_dedup_pairs(
+        docs, "doc_id", num_hashes=32, bands=8, threshold=0.3,
+        signatures=store,
+    ).count()
+    assert n >= 0

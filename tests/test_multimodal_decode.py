@@ -298,3 +298,126 @@ def test_resize_images_upscale_and_errors(spark):
     )
     with pytest.raises(Exception, match="doc_id=9"):
         mm.resize_images(bad, out_h=2, out_w=2).collect()
+
+
+# ---------------------------------------------------------------------------
+# video: real RIFF/AVI mux + decode (round 6)
+# ---------------------------------------------------------------------------
+
+def test_avi_real_decode_roundtrip(spark):
+    """Mux known RGB frames into a real RIFF/AVI container and decode them
+    back through the Spark operator: pixel statistics must match the numpy
+    ground truth and the container size must match the fixed layout
+    formula (232 header/index bytes + 168 per 8x6 frame)."""
+    rng = np.random.RandomState(7)
+    frames = [rng.randint(0, 256, (6, 8, 3)).astype(np.uint8)
+              for _ in range(3)]
+    payload = mm.encode_avi_dib(frames, fps=25)
+    assert len(payload) == 232 + 168 * 3
+    df = spark.createDataFrame([(1, payload)], "doc_id long, payload binary")
+    (row,) = mm.decode_avi_features(df).collect()
+    x = np.concatenate([f.reshape(-1) for f in frames]).astype(np.float64)
+    assert (row["width"], row["height"], row["n_frames"]) == (8, 6, 3)
+    assert row["fps"] == pytest.approx(25.0)
+    assert row["n_bytes"] == len(payload)
+    assert row["pmean"] == pytest.approx(x.mean())
+    assert row["prms"] == pytest.approx(np.sqrt((x * x).mean()))
+    assert (row["pmin"], row["pmax"]) == (int(x.min()), int(x.max()))
+
+
+def test_avi_decode_is_pixel_exact_not_just_stats():
+    """The parse must invert the mux exactly (bottom-up row order, BGR
+    channel swap, stride padding) — checked at array level, because
+    aggregate statistics alone cannot see a flipped or channel-swapped
+    frame. Uses a non-4-multiple row width so stride padding is live."""
+    rng = np.random.RandomState(11)
+    frames = [rng.randint(0, 256, (5, 7, 3)).astype(np.uint8)
+              for _ in range(2)]
+    b = mm.encode_avi_dib(frames, fps=10)
+    (riff_size,) = struct.unpack("<I", b[4:8])
+    w = h = None
+    got = []
+    for fcc, p0, sz in mm._iter_riff_chunks(b, 12, 8 + riff_size):
+        if fcc != b"LIST":
+            continue
+        sub = b[p0:p0 + 4]
+        if sub == b"hdrl":
+            for f2, q0, s2 in mm._iter_riff_chunks(b, p0 + 4, p0 + sz):
+                if f2 == b"avih":
+                    vals = struct.unpack("<14I", b[q0:q0 + 56])
+                    w, h = vals[8], vals[9]
+        elif sub == b"movi":
+            for f2, q0, s2 in mm._iter_riff_chunks(b, p0 + 4, p0 + sz):
+                if f2.endswith(b"db"):
+                    stride = (w * 3 + 3) & ~3
+                    rows = np.frombuffer(
+                        b, dtype=np.uint8, count=s2, offset=q0
+                    ).reshape(h, stride)
+                    got.append(rows[:, : w * 3].reshape(h, w, 3)[::-1, :, ::-1])
+    assert len(got) == 2
+    for a, c in zip(frames, got):
+        assert np.array_equal(a, c)
+
+
+def test_avi_decode_malformed_payloads_raise(spark):
+    """Garbage, truncated containers, and wrong-size DIB frames raise with
+    the offending doc_id instead of emitting garbage rows; video now
+    passes require_decoder."""
+    mm.require_decoder("video")  # must not raise (r5 'What's missing #1')
+    frames = [np.zeros((6, 8, 3), dtype=np.uint8)]
+    good = mm.encode_avi_dib(frames)
+    cases = {
+        2: b"not an avi at all",
+        3: good[:40],                      # truncated inside hdrl
+        4: good[:4] + struct.pack("<I", len(good) * 2) + good[8:],  # size lies
+    }
+    for did, payload in cases.items():
+        df = spark.createDataFrame(
+            [(did, payload)], "doc_id long, payload binary"
+        )
+        with pytest.raises(Exception, match="AVI|RIFF|overruns|truncated"):
+            mm.decode_avi_features(df).collect()
+
+
+def test_avi_synth_payloads_match_formula(spark):
+    """synth_avi_payloads writes true containers whose decoded pixels equal
+    the documented formula — the property the DuckDB oracle relies on."""
+    ids = spark.createDataFrame([(0,), (1,), (5,)], "doc_id long")
+    rows = {
+        r["doc_id"]: r
+        for r in mm.decode_avi_features(mm.synth_avi_payloads(ids)).collect()
+    }
+    for did, r in rows.items():
+        n = 2 + did % 3
+        assert (r["width"], r["height"], r["n_frames"]) == (8, 6, n)
+        assert r["n_bytes"] == 232 + 168 * n
+        vals = np.array(
+            [
+                (did * 31 + f * 17 + y * 5 + x * 3 + c) % 256
+                for f in range(n)
+                for y in range(6)
+                for x in range(8)
+                for c in range(3)
+            ],
+            dtype=np.float64,
+        )
+        assert r["pmean"] == pytest.approx(vals.mean())
+        assert r["prms"] == pytest.approx(np.sqrt((vals * vals).mean()))
+
+
+def test_wav_truncated_data_chunk_raises(spark):
+    """A WAV whose data chunk is shorter than the header's frame count
+    raises (the 'malformed payloads raise' contract) instead of emitting
+    an n_frames inconsistent with the decoded samples."""
+    import io
+    import wave
+
+    good = mm.encode_pcm16_wav([1, 2, 3, 4, 5, 6, 7, 8], sample_rate=8000)
+    truncated = good[:-6]  # drop 3 samples' bytes, keep the header intact
+    with wave.open(io.BytesIO(truncated), "rb") as w:
+        assert w.getnframes() == 8  # header still claims all 8 frames
+    df = spark.createDataFrame(
+        [(9, truncated)], "doc_id long, payload binary"
+    )
+    with pytest.raises(Exception, match="truncated"):
+        mm.decode_wav_features(df).collect()

@@ -778,6 +778,27 @@ def _duck_simhash_sql() -> str:
         """
 
 
+def signature_store_for(spark: SparkSession, sf_dir: str):
+    """The per-fixture persisted minhash-signature store the *_stored
+    dedup twins consume: built once under /tmp (path keyed by the source
+    parquet's identity, so a regenerated fixture invalidates the cache),
+    loaded on every later call. bench.py calls this outside its timed
+    region to record the build cost separately from the steady-state
+    query cost — the write-once-artifact accounting."""
+    import os
+
+    from window_aggregation_spark.operators import dedup as dd
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    st = os.stat(src)
+    tag = f"{abs(hash((sf_dir, st.st_mtime_ns, st.st_size)))}"
+    path = f"/tmp/spark_graft_stores/minhash_{tag}"
+    if not os.path.exists(f"{path}/params"):
+        docs = read_table(spark, sf_dir, "documents")
+        return dd.build_signature_store(docs, "doc_id", path)
+    return dd.load_signature_store(spark, path)
+
+
 def _register_dedup() -> None:
     from window_aggregation_spark.operators import dedup as dd
 
@@ -907,18 +928,6 @@ def _register_dedup() -> None:
     # IVF index) and must stay hash-equal to the recompute twins: the
     # oracle strings are literally the same objects.
 
-    def _sig_store_for(spark: SparkSession, sf_dir: str):
-        import os
-
-        src = os.path.join(sf_dir, "documents.parquet")
-        st = os.stat(src)
-        tag = f"{abs(hash((sf_dir, st.st_mtime_ns, st.st_size)))}"
-        path = f"/tmp/spark_graft_stores/minhash_{tag}"
-        if not os.path.exists(f"{path}/params"):
-            docs = read_table(spark, sf_dir, "documents")
-            return dd.build_signature_store(docs, "doc_id", path)
-        return dd.load_signature_store(spark, path)
-
     @_register("dedup_minhash_lsh_stored", _duck_minhash_lsh_sql(),
                headline=True)
     def dedup_minhash_lsh_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -928,7 +937,7 @@ def _register_dedup() -> None:
         the exact-Jaccard verify of the candidate pairs. Hash-equal to
         dedup_minhash_lsh by construction (same oracle SQL object)."""
         docs = read_table(spark, sf_dir, "documents")
-        store = _sig_store_for(spark, sf_dir)
+        store = signature_store_for(spark, sf_dir)
         return dd.minhash_dedup_pairs(
             docs, "doc_id", threshold=0.3, signatures=store
         )
@@ -940,7 +949,7 @@ def _register_dedup() -> None:
         single signature pass across the whole family instead of one
         each. Hash-equal to dedup_minhash_cc (same oracle SQL object)."""
         docs = read_table(spark, sf_dir, "documents")
-        store = _sig_store_for(spark, sf_dir)
+        store = signature_store_for(spark, sf_dir)
         return dd.minhash_components(
             docs, "doc_id", threshold=0.3, signatures=store
         )
