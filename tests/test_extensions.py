@@ -628,3 +628,34 @@ def test_signature_store_load_and_param_guard(docs, spark, tmp_path):
         signatures=store,
     ).count()
     assert n >= 0
+
+
+def test_signature_store_backed_incremental_equals_recompute(
+    docs, tmp_path
+):
+    """The ingestion-time serving shape: a store built ONCE over the
+    corpus, every new batch checked against it without a corpus signature
+    pass. Must return exactly the recompute path's pairs, and the
+    param-mismatch guard must fire here too."""
+    new = docs.where("doc_id % 7 = 3")
+    corpus = docs.where("doc_id % 7 <> 3")
+    store = dd.build_signature_store(
+        corpus, "doc_id", str(tmp_path / "corpus_sigs")
+    )
+    plain = {
+        (r["new_id"], r["corpus_id"]): r["jaccard"]
+        for r in dd.minhash_dedup_against(
+            new, corpus, "doc_id", threshold=0.3
+        ).collect()
+    }
+    stored = {
+        (r["new_id"], r["corpus_id"]): r["jaccard"]
+        for r in dd.minhash_dedup_against(
+            new, corpus, "doc_id", threshold=0.3, corpus_signatures=store
+        ).collect()
+    }
+    assert plain and plain == stored
+    with pytest.raises(ValueError, match="built with ngram"):
+        dd.minhash_dedup_against(
+            new, corpus, "doc_id", num_hashes=32, corpus_signatures=store
+        )

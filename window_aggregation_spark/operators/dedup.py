@@ -1002,6 +1002,7 @@ def minhash_dedup_against(
     num_hashes: int = 64,
     bands: int = 16,
     threshold: float = 0.5,
+    corpus_signatures: "SignatureStore | DataFrame | None" = None,
 ) -> DataFrame:
     """Incremental (cross-corpus) near-dup detection: which ``new`` docs
     near-duplicate something ALREADY IN ``corpus``. Returns
@@ -1010,18 +1011,36 @@ def minhash_dedup_against(
     This is the ingestion-time shape: the corpus is 100 TB and static, the
     new batch is small. Both sides get signatures + band keys, the join
     runs on ``(band, key)`` with the NEW side broadcast — the corpus's
-    banded rows are never shuffled, and with persisted corpus signatures
-    (``minhash_signatures`` output is a plain DataFrame — write it once)
-    the corpus text is touched only to verify the few candidates.
-    Candidates are verified with exact Jaccard post-join, same as
+    banded rows are never shuffled. Pass ``corpus_signatures`` (the
+    :class:`SignatureStore` built once by :func:`build_signature_store` —
+    THE serving configuration) and the corpus text is touched only to
+    verify the few candidates; every ingestion batch then costs
+    O(new batch) plus the candidate verify, never a corpus signature
+    pass. Candidates are verified with exact Jaccard post-join, same as
     :func:`minhash_dedup_pairs`.
+
+    Contract: ``corpus_signatures`` must cover exactly the ids of
+    ``corpus`` — a store built over corpus+new would report new-vs-new
+    pairs as corpus hits (build the store over the corpus, ingest, THEN
+    fold the accepted batch in).
     """
     nsig = minhash_signatures(
         new, id_col, text_col, ngram=ngram, num_hashes=num_hashes
     )
-    csig = minhash_signatures(
-        corpus, id_col, text_col, ngram=ngram, num_hashes=num_hashes
-    )
+    if corpus_signatures is None:
+        csig = minhash_signatures(
+            corpus, id_col, text_col, ngram=ngram, num_hashes=num_hashes
+        )
+    elif isinstance(corpus_signatures, SignatureStore):
+        corpus_signatures.check(ngram=ngram, num_hashes=num_hashes)
+        csig = corpus_signatures.sigs
+    else:
+        csig = corpus_signatures
+    if f"m{num_hashes - 1}" not in csig.columns:
+        raise ValueError(
+            f"corpus signatures are missing column m{num_hashes - 1} — "
+            f"built with fewer hashes than num_hashes={num_hashes}?"
+        )
     nband = _band_keys(nsig, id_col, num_hashes=num_hashes, bands=bands)
     cband = _band_keys(csig, id_col, num_hashes=num_hashes, bands=bands)
     candidates = (
