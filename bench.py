@@ -238,10 +238,10 @@ def streaming_probe(spark, sf_dir: str, *, n_files: int = 8) -> dict:
         except Exception:
             return getattr(p, "numInputRows", 0) or 0
 
-    def run(build, mode: str) -> dict:
+    def run(build, mode: str, *, warm: bool = False) -> dict:
         stream = (
             spark.readStream.schema(schema)
-            .option("maxFilesPerTrigger", 1)
+            .option("maxFilesPerTrigger", 1 if not warm else n_files)
             .parquet(str(data_dir))
             # micros-fixture ts arrives as TIMESTAMP_NTZ, which watermarks
             # reject; the cast is a no-op on LTZ (session zone is UTC)
@@ -269,6 +269,13 @@ def streaming_probe(spark, sf_dir: str, *, n_files: int = 8) -> dict:
             "rows_per_sec": int(n_rows / dt),
         }
 
+    # Warm BOTH paths before timing either (one single-trigger pass each):
+    # whichever query starts first in a session otherwise pays JVM/codegen/
+    # Python-worker spin-up inside its measurement — r6 observed the
+    # window/EWMA ratio FLIPPING between warm and cold sessions on
+    # identical code, which is measurement noise, not engine behavior.
+    run(lambda s: tumbling_counts(s, watermark="2 hours"), "update", warm=True)
+    run(streaming_ewma, "append", warm=True)
     return {
         "rows": n_rows,
         "files": n_files,
