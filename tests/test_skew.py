@@ -212,3 +212,37 @@ def test_salted_join_rejects_bad_args(spark):
         salted_join(df, df, ["k"], how="full")
     with pytest.raises(ValueError):
         salted_join(df, df, ["k"], salts=0)
+
+
+def test_precomputed_boundaries_reused_and_arbitrary_ok(spark, sf_dir):
+    """chunk_boundaries computed once must feed repeated salted calls with
+    results identical to per-call approxQuantile — and because boundaries
+    only balance chunk sizes, even a deliberately terrible boundary list
+    (all mass in one chunk) stays exactly correct."""
+    from window_aggregation_spark.operators.skew import (
+        chunk_boundaries,
+        salted_running_agg,
+    )
+
+    df = read_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_returnflag", "l_quantity"
+    )
+    bounds = chunk_boundaries(df, "l_quantity", chunks=16)
+    assert len(bounds) == 15
+    key = ["l_orderkey", "l_linenumber", "l_returnflag", "l_quantity"]
+    fresh = salted_running_agg(
+        df, ["l_returnflag"], "l_quantity", "l_quantity",
+        agg="sum", chunks=16,
+    )
+    for reused_bounds in (bounds, [-1e18, 0.0]):  # good and terrible
+        reused = salted_running_agg(
+            df, ["l_returnflag"], "l_quantity", "l_quantity",
+            agg="sum", boundaries=reused_bounds,
+        )
+        joined = fresh.withColumnRenamed("run_agg", "a").join(
+            reused.withColumnRenamed("run_agg", "b"), on=key
+        )
+        bad = joined.where(
+            F.abs(F.col("a") - F.col("b")) > F.abs(F.col("a")) * 1e-9
+        ).count()
+        assert bad == 0

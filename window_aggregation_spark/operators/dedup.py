@@ -1003,6 +1003,7 @@ def minhash_dedup_against(
     bands: int = 16,
     threshold: float = 0.5,
     corpus_signatures: "SignatureStore | DataFrame | None" = None,
+    verify: str = "exact",
 ) -> DataFrame:
     """Incremental (cross-corpus) near-dup detection: which ``new`` docs
     near-duplicate something ALREADY IN ``corpus``. Returns
@@ -1016,14 +1017,27 @@ def minhash_dedup_against(
     THE serving configuration) and the corpus text is touched only to
     verify the few candidates; every ingestion batch then costs
     O(new batch) plus the candidate verify, never a corpus signature
-    pass. Candidates are verified with exact Jaccard post-join, same as
-    :func:`minhash_dedup_pairs`.
+    pass. ``verify`` picks how candidates are confirmed:
+
+    - ``"exact"`` (default): exact Jaccard over recomputed shingles, same
+      as :func:`minhash_dedup_pairs`. Touches corpus TEXT for candidate
+      rows — one column-pruned corpus join per call.
+    - ``"estimate"``: the standard MinHash estimator — the fraction of
+      agreeing signature components (its expected value IS the Jaccard,
+      stderr ~ 1/sqrt(num_hashes) ≈ 0.125 at the default 64). With a
+      signature store this makes ingestion touch ZERO corpus bytes —
+      the shape to serve continuously at 100 TB. The returned column is
+      named ``jaccard`` either way (it estimates the same quantity), but
+      a borderline pair can land on the other side of ``threshold`` than
+      the exact mode puts it.
 
     Contract: ``corpus_signatures`` must cover exactly the ids of
     ``corpus`` — a store built over corpus+new would report new-vs-new
     pairs as corpus hits (build the store over the corpus, ingest, THEN
     fold the accepted batch in).
     """
+    if verify not in ("exact", "estimate"):
+        raise ValueError(f"verify must be 'exact' or 'estimate', got {verify!r}")
     nsig = minhash_signatures(
         new, id_col, text_col, ngram=ngram, num_hashes=num_hashes
     )
@@ -1049,6 +1063,29 @@ def minhash_dedup_against(
         .select("new_id", "corpus_id")
         .dropDuplicates(["new_id", "corpus_id"])
     )
+    if verify == "estimate":
+        # Signature-agreement estimator: mean over i of [m_i(new)==m_i(corpus)].
+        # Joins only the (small) new-side signatures broadcast against the
+        # corpus signatures — the corpus text column is never in any plan.
+        agree = sum(
+            (F.col(f"__n{i}") == F.col(f"__c{i}")).cast("int")
+            for i in range(num_hashes)
+        )
+        nsel = nsig.select(
+            F.col(id_col).alias("new_id"),
+            *[F.col(f"m{i}").alias(f"__n{i}") for i in range(num_hashes)],
+        )
+        csel = csig.select(
+            F.col(id_col).alias("corpus_id"),
+            *[F.col(f"m{i}").alias(f"__c{i}") for i in range(num_hashes)],
+        )
+        return (
+            csel.join(F.broadcast(candidates), on="corpus_id")
+            .join(F.broadcast(nsel), on="new_id")
+            .withColumn("jaccard", F.round(agree / F.lit(num_hashes), 4))
+            .where(F.col("jaccard") >= threshold)
+            .select("new_id", "corpus_id", "jaccard")
+        )
     ntexts = new.select(
         F.col(id_col).alias("new_id"), F.col(text_col).alias("__ta")
     )

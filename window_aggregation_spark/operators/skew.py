@@ -123,6 +123,24 @@ def _bucket_of(col: Column, bounds: list) -> Column:
     return tree(0, len(bounds))
 
 
+def chunk_boundaries(
+    df: DataFrame,
+    order_col: str,
+    *,
+    chunks: int = 32,
+    quantile_error: float = 0.01,
+) -> list:
+    """Compute the ``chunks - 1`` approximate quantile boundaries of
+    ``order_col`` once, for reuse across repeated :func:`salted_running_agg`
+    calls over the same table (each call otherwise runs its own
+    driver-coordinated ``approxQuantile`` pass). ANY boundary list is
+    correct — boundaries only balance chunk sizes — so reusing slightly
+    stale boundaries after appends is safe; recompute when the order-column
+    distribution shifts enough that chunks go unbalanced."""
+    probs = [i / chunks for i in range(1, chunks)]
+    return df.approxQuantile(order_col, probs, quantile_error) if probs else []
+
+
 def salted_running_agg(
     df: DataFrame,
     keys: list[str],
@@ -133,6 +151,7 @@ def salted_running_agg(
     chunks: int = 32,
     alias: str = "run_agg",
     quantile_error: float = 0.01,
+    boundaries: "list | None" = None,
 ) -> DataFrame:
     """Append ``alias`` = running (RANGE-semantics) ``agg`` of ``field`` per
     ``keys`` ordered by ``order_col``, computed in two phases so no single
@@ -141,7 +160,10 @@ def salted_running_agg(
     (avg/var_samp/stddev — sample semantics, like SQL STDDEV_SAMP).
     ``quantile_error`` only shifts chunk boundaries —
     correctness never depends on sketch precision (equal order values always
-    land in one chunk), it just balances chunk sizes."""
+    land in one chunk), it just balances chunk sizes. Pass ``boundaries``
+    (from :func:`chunk_boundaries`, computed once) to skip this call's own
+    approxQuantile pass when salting the same table repeatedly; ``chunks``
+    is ignored then."""
     if agg in _DECOMPOSABLE:
         fn, combine, merge = _DECOMPOSABLE[agg]
         comps = {"v": (fn, combine, merge)}
@@ -160,10 +182,10 @@ def salted_running_agg(
             f"agg must be one of {sorted(set(_DECOMPOSABLE) | set(_COMPOSITE))}"
         )
 
-    probs = [i / chunks for i in range(1, chunks)]
-    boundaries = (
-        df.approxQuantile(order_col, probs, quantile_error) if probs else []
-    )
+    if boundaries is None:
+        boundaries = chunk_boundaries(
+            df, order_col, chunks=chunks, quantile_error=quantile_error
+        )
 
     chunked = df.withColumn(
         "__chunk", _bucket_of(F.col(order_col), sorted(set(boundaries)))
