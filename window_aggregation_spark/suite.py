@@ -678,6 +678,7 @@ def _duck_minhash_lsh_sql(
     split_where: str | None = None,
     id_a: str = "id_a",
     id_b: str = "id_b",
+    verify: str = "exact",
 ) -> str:
     """DuckDB recomputation of minhash+LSH dedup from first principles:
     same shingles, same portable md5-derived hash, same 64 universal-hash
@@ -688,7 +689,11 @@ def _duck_minhash_lsh_sql(
 
     With ``split_where`` the self-pair rule (``l.doc_id < r.doc_id``)
     becomes the CROSS-corpus rule: left side = docs matching the filter
-    (the "new batch"), right side = the rest (the existing corpus)."""
+    (the "new batch"), right side = the rest (the existing corpus).
+
+    ``verify="estimate"`` swaps the exact-Jaccard confirmation for the
+    signature-agreement MinHash estimator (fraction of equal components),
+    mirroring the operator's zero-corpus-bytes serving mode."""
     from window_aggregation_spark.operators import dedup as dd
 
     h = dd.portable_hash64_duck("s")
@@ -712,6 +717,27 @@ def _duck_minhash_lsh_sql(
         if split_where
         else "l.doc_id < r.doc_id"
     )
+    if verify == "estimate":
+        agree = " + ".join(
+            f"CASE WHEN a.m{i} = b.m{i} THEN 1 ELSE 0 END" for i in range(64)
+        )
+        confirm = f"""
+        SELECT {id_a}, {id_b}, jaccard FROM (
+          SELECT c.{id_a}, c.{id_b}, ROUND(({agree}) / 64.0, 4) AS jaccard
+          FROM cand c
+          JOIN sig a ON c.{id_a} = a.doc_id
+          JOIN sig b ON c.{id_b} = b.doc_id)
+        WHERE jaccard >= 0.3
+        """
+    else:
+        confirm = f"""
+        SELECT {id_a}, {id_b}, jaccard FROM (
+          SELECT c.{id_a}, c.{id_b}, ROUND({jac}, 4) AS jaccard
+          FROM cand c
+          JOIN sh a ON c.{id_a} = a.doc_id
+          JOIN sh b ON c.{id_b} = b.doc_id)
+        WHERE jaccard >= 0.3
+        """
     return f"""
         WITH sh AS (SELECT doc_id, {_DUCK_SHINGLES} AS sh FROM documents),
         ex AS (SELECT doc_id, unnest(sh) AS s FROM sh),
@@ -722,12 +748,7 @@ def _duck_minhash_lsh_sql(
         cand AS (SELECT l.doc_id AS {id_a}, r.doc_id AS {id_b}
                  FROM sig l JOIN sig r
                    ON {pair_rule} AND ({band_conds}))
-        SELECT {id_a}, {id_b}, jaccard FROM (
-          SELECT c.{id_a}, c.{id_b}, ROUND({jac}, 4) AS jaccard
-          FROM cand c
-          JOIN sh a ON c.{id_a} = a.doc_id
-          JOIN sh b ON c.{id_b} = b.doc_id)
-        WHERE jaccard >= 0.3
+        {confirm}
         """
 
 
@@ -888,6 +909,29 @@ def _register_dedup() -> None:
         corpus = docs.where(~F.expr(_NEW_BATCH_WHERE))
         return dd.minhash_dedup_against(
             new, corpus, "doc_id", threshold=0.3
+        )
+
+    @_register(
+        "dedup_incremental_estimate",
+        _duck_minhash_lsh_sql(
+            split_where=_NEW_BATCH_WHERE, id_a="new_id", id_b="corpus_id",
+            verify="estimate",
+        ),
+    )
+    def dedup_incremental_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """The zero-corpus-bytes serving mode of incremental dedup:
+        candidates confirmed by the signature-agreement MinHash estimator
+        instead of exact Jaccard over text, so with a persisted signature
+        store no byte of the 100 TB corpus is read per ingestion batch
+        (``streaming/ingest_dedup.py`` runs exactly this per micro-batch).
+        The DuckDB oracle recomputes signatures from first principles and
+        applies the same agreement fraction — the estimator itself is
+        value-checked, not just the candidate set."""
+        docs = read_table(spark, sf_dir, "documents")
+        new = docs.where(F.expr(_NEW_BATCH_WHERE))
+        corpus = docs.where(~F.expr(_NEW_BATCH_WHERE))
+        return dd.minhash_dedup_against(
+            new, corpus, "doc_id", threshold=0.3, verify="estimate"
         )
 
     _cc_oracle = f"""
