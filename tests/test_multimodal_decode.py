@@ -421,3 +421,76 @@ def test_wav_truncated_data_chunk_raises(spark):
     )
     with pytest.raises(Exception, match="truncated"):
         mm.decode_wav_features(df).collect()
+
+
+def test_avi_multistream_audio_and_rec_lists_decode(spark):
+    """Real-world AVI shapes the minimal muxer doesn't emit: a SECOND
+    'auds' stream (whose 16-byte WAVEFORMATEX strf must NOT be parsed as
+    a BITMAPINFOHEADER and clobber `compression`) and frames wrapped in
+    'rec ' interleave LISTs next to audio data chunks. The decode must
+    match the plain single-stream container's statistics exactly."""
+    import struct
+
+    rng = np.random.RandomState(11)
+    frames = [rng.randint(0, 256, (6, 8, 3)).astype(np.uint8)
+              for _ in range(2)]
+    plain = mm.encode_avi_dib(frames, fps=10)
+
+    def chunk(fourcc, payload):
+        pad = b"\x00" if len(payload) % 2 else b""
+        return fourcc + struct.pack("<I", len(payload)) + payload + pad
+
+    def lst(subtype, payload):
+        return chunk(b"LIST", subtype + payload)
+
+    h, w = 6, 8
+    stride = (w * 3 + 3) & ~3
+    dib_size = stride * h
+    avih = struct.pack(
+        "<14I", 100_000, dib_size * 10, 0, 0x10,
+        len(frames), 0, 2, dib_size, w, h, 0, 0, 0, 0,
+    )
+    vids_strh = struct.pack(
+        "<4s4sIHHIIIIIIII4H", b"vids", b"DIB ", 0, 0, 0, 0,
+        1, 10, 0, len(frames), dib_size, 0xFFFFFFFF, dib_size,
+        0, 0, w, h,
+    )
+    vids_strf = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, dib_size, 0, 0, 0, 0
+    )
+    auds_strh = struct.pack(
+        "<4s4sIHHIIIIIIII4H", b"auds", b"\x00\x00\x00\x00", 0, 0, 0, 0,
+        1, 8000, 0, 8000, 16000, 0xFFFFFFFF, 2, 0, 0, 0, 0,
+    )
+    # 16-byte WAVEFORMATEX (PCM16 mono 8 kHz) — as a BITMAPINFOHEADER
+    # prefix this would read a garbage nonzero "compression" field
+    auds_strf = struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+    hdrl = lst(
+        b"hdrl",
+        chunk(b"avih", avih)
+        + lst(b"strl", chunk(b"strh", vids_strh) + chunk(b"strf", vids_strf))
+        + lst(b"strl", chunk(b"strh", auds_strh) + chunk(b"strf", auds_strf)),
+    )
+    recs = []
+    for fr in frames:
+        bgr = np.asarray(fr, dtype=np.uint8)[::-1, :, ::-1]
+        rows = np.zeros((h, stride), dtype=np.uint8)
+        rows[:, : w * 3] = bgr.reshape(h, w * 3)
+        recs.append(
+            lst(
+                b"rec ",
+                chunk(b"00db", rows.tobytes())
+                + chunk(b"01wb", b"\x00\x01" * 50),
+            )
+        )
+    movi = lst(b"movi", b"".join(recs))
+    body = b"AVI " + hdrl + movi
+    payload = b"RIFF" + struct.pack("<I", len(body)) + body
+
+    df = spark.createDataFrame(
+        [(1, plain), (2, payload)], "doc_id long, payload binary"
+    )
+    out = {r["doc_id"]: r for r in mm.decode_avi_features(df).collect()}
+    for field in ("width", "height", "n_frames", "pmean", "prms",
+                  "pmin", "pmax"):
+        assert out[2][field] == out[1][field], field

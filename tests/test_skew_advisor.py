@@ -146,3 +146,49 @@ def test_window_aggregate_advise_flag_warns_and_still_computes(spark, sf_dir):
         warnings.simplefilter("always")
         window_aggregate(events, _events_plan())
     assert not [x for x in w if "salted" in str(x.message)]
+
+
+def test_salted_route_preserves_column_order_and_samples_once(spark, sf_dir):
+    """Two contract properties of the routed path (r6 review findings):
+
+    1. With no declared_schema the routed output must have EXACTLY the
+       plain path's columns in the plain path's order (input fields in
+       input order, then appended aliases) — salted_running_agg's join
+       would otherwise float the join keys to the front, making the
+       result schema depend on whether routing fired.
+    2. advise_skew=True + skew_mitigation='salted' must run the advisor's
+       sampling job ONCE, not once for the warning and once for the route.
+    """
+    from unittest.mock import patch
+
+    from window_aggregation_spark.operators.window_aggregation import (
+        _salted_route,
+    )
+    from window_aggregation_spark.plans import advisor
+
+    events = (
+        read_table(spark, sf_dir, "events")
+        .select("event_id", "event_type", "value", "ts")
+        .withColumn("event_type", F.lit("only"))
+    )
+    plan = _routable_plan()
+    plain = window_aggregate(events, plan)
+    routed = _salted_route(events, plan)
+    assert routed is not None
+    assert routed.columns == plain.columns
+
+    calls = {"n": 0}
+    real = advisor.skew_hints
+
+    def counted(*a, **k):
+        calls["n"] += 1
+        return real(*a, **k)
+
+    with patch.object(advisor, "skew_hints", side_effect=counted):
+        with pytest.warns(UserWarning):
+            out = window_aggregate(
+                events, plan, advise_skew=True, skew_mitigation="salted"
+            )
+    assert calls["n"] == 1
+    assert "__chunk" in out._jdf.queryExecution().optimizedPlan().toString()
+    assert out.columns == plain.columns

@@ -75,3 +75,72 @@ def test_streaming_ewma_state_spans_batches(spark, staged_stream):
     assert got == pytest.approx(expected)
     # state really spanned multiple micro-batches
     assert len([b for b in batches if b["numInputRows"] > 0]) >= 3
+
+
+def test_null_value_poisons_rest_of_key_batch_and_stream(spark, tmp_path):
+    """A null/NaN value must poison every later EWMA output of its key —
+    the scalar recurrence's semantics (alpha*NaN + ... = NaN forever) and
+    the fold oracle's (NULL propagates). pandas' ewm would silently SKIP
+    the NaN and resume finite output; the cumulative mask prevents that.
+    Other keys are unaffected, and the poison must carry ACROSS
+    micro-batches through the saved state."""
+    import math
+
+    rows = []
+    for i in range(20):
+        rows.append(
+            {
+                "event_id": i,
+                "user_id": i % 2,
+                "ts": pd.Timestamp("2024-01-01") + pd.Timedelta(minutes=i),
+                # key 0's 3rd event (event_id 4, first file) is null
+                "value": None if i == 4 else float(i),
+            }
+        )
+    pdf = pd.DataFrame(rows)
+    d = tmp_path / "stream"
+    d.mkdir()
+    for part, chunk in enumerate([pdf[:10], pdf[10:]]):
+        p = d / f"part-{part}.parquet"
+        chunk.to_parquet(
+            p, index=False, coerce_timestamps="us",
+            allow_truncated_timestamps=True,
+        )
+        mtime = time.time() - 120 + part * 10
+        os.utime(p, (mtime, mtime))
+
+    src = spark.createDataFrame(pdf)
+    for label, out in (
+        ("batch", batch_ewma(src, alpha=0.3).collect()),
+        ("stream", None),
+    ):
+        if label == "stream":
+            stream = (
+                spark.readStream.schema(SCHEMA)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(str(d))
+            )
+            q = (
+                streaming_ewma(stream, alpha=0.3)
+                .writeStream.outputMode("append")
+                .format("memory")
+                .queryName("ewma_poison")
+                .start()
+            )
+            try:
+                q.processAllAvailable()
+            finally:
+                q.stop()
+            out = spark.table("ewma_poison").collect()
+        got = {r["event_id"]: r["ewma"] for r in out}
+        assert len(got) == 20, label
+        for eid, ewma in got.items():
+            if eid % 2 == 0 and eid >= 4:
+                # poisoned from the null onward — including events in the
+                # SECOND file (eid 10..18), which only a poisoned carried
+                # state can produce
+                assert ewma is None or math.isnan(ewma), (label, eid, ewma)
+            else:
+                assert ewma is not None and not math.isnan(ewma), (
+                    label, eid, ewma,
+                )

@@ -196,3 +196,31 @@ def test_streaming_ingest_equals_sequential_batch_model(
     n_new_sigs = dd.minhash_signatures(survivors, "doc_id").count()
     grown = dd.load_signature_store(spark, store_path)
     assert grown.sigs.count() == n_sigs_before + n_new_sigs
+
+
+def test_exact_verify_with_fold_is_rejected(spark, sf_dir, tmp_path):
+    """verify='exact' + fold_signatures=True would silently skip folded
+    survivors during verification (their text is not in `corpus`) —
+    disabling the cross-batch dedup the fold exists for. The writer must
+    refuse the combination up front."""
+    docs = read_table(spark, sf_dir, "documents")
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .parquet(str(tmp_path))  # never started; construction-time check
+    )
+    with pytest.raises(ValueError, match="folded"):
+        streaming_ingest_dedup(
+            stream, docs, "doc_id",
+            store_path=str(tmp_path / "s"),
+            out_path=str(tmp_path / "o"),
+            checkpoint_dir=str(tmp_path / "c"),
+            verify="exact",
+        )
+    # exact against a frozen corpus stays allowed
+    streaming_ingest_dedup(
+        stream, docs, "doc_id",
+        store_path=str(tmp_path / "s"),
+        out_path=str(tmp_path / "o"),
+        checkpoint_dir=str(tmp_path / "c"),
+        verify="exact", fold_signatures=False,
+    )

@@ -654,6 +654,17 @@ def _iter_riff_chunks(b: bytes, start: int, end: int):
         pos += 8 + size + (size % 2)
 
 
+def _iter_movi_chunks(b: bytes, start: int, end: int):
+    """Yield the data chunks of a ``movi`` region, descending into
+    ``rec `` LISTs (interleave groups mainstream muxers wrap around
+    frame+audio chunks) so frames inside them are not skipped."""
+    for fourcc, p0, size in _iter_riff_chunks(b, start, end):
+        if fourcc == b"LIST" and b[p0:p0 + 4] == b"rec ":
+            yield from _iter_movi_chunks(b, p0 + 4, p0 + size)
+        else:
+            yield fourcc, p0, size
+
+
 def decode_avi_features(
     df: DataFrame, payload_col: str = "payload", id_col: str = "doc_id"
 ) -> DataFrame:
@@ -706,21 +717,30 @@ def decode_avi_features(
                                 vals = struct.unpack("<14I", b[q0:q0 + 56])
                                 w, h = vals[8], vals[9]
                             elif f2 == b"LIST" and b[q0:q0 + 4] == b"strl":
+                                # strh precedes strf within a strl; only
+                                # the VIDEO stream's strf is a
+                                # BITMAPINFOHEADER — an audio strl's strf
+                                # (WAVEFORMATEX) must not overwrite
+                                # `compression` with garbage
+                                is_vids = False
                                 for f3, r0, s3 in _iter_riff_chunks(
                                     b, q0 + 4, q0 + s2
                                 ):
-                                    if f3 == b"strh" and b[r0:r0 + 4] == b"vids":
-                                        sh = struct.unpack(
-                                            "<4s4sIHHIIIIIIII4H", b[r0:r0 + 56]
-                                        )
-                                        scale, rate = sh[6], sh[7]
-                                    elif f3 == b"strf":
+                                    if f3 == b"strh":
+                                        is_vids = b[r0:r0 + 4] == b"vids"
+                                        if is_vids:
+                                            sh = struct.unpack(
+                                                "<4s4sIHHIIIIIIII4H",
+                                                b[r0:r0 + 56],
+                                            )
+                                            scale, rate = sh[6], sh[7]
+                                    elif f3 == b"strf" and is_vids:
                                         bi = struct.unpack(
                                             "<IiiHHI", b[r0:r0 + 20]
                                         )
                                         compression = bi[5]
                     elif subtype == b"movi":
-                        for f2, q0, s2 in _iter_riff_chunks(b, p0 + 4, p0 + sz):
+                        for f2, q0, s2 in _iter_movi_chunks(b, p0 + 4, p0 + sz):
                             if f2.endswith(b"db"):  # uncompressed DIB
                                 if w is None or h is None:
                                     raise ValueError(

@@ -83,14 +83,20 @@ _SALTED_NUMERIC_ORDER_TYPES = {
 }
 
 
-def _salted_route(df: DataFrame, plan: WindowPlan) -> DataFrame | None:
+def _salted_route(
+    df: DataFrame, plan: WindowPlan, hints: list | None = None
+) -> DataFrame | None:
     """The opt-in advisor-routed plan: when the skew advisor's hints fire
     AND every aggregate is a salted-routable running aggregate over the
     default (running RANGE) frame with one ascending order key, compute
     the plan through :func:`..operators.skew.salted_running_agg` instead
     of a single hot-key-serialized WindowExec. Returns None when the plan
     shape is ineligible or the advisor stays quiet (caller falls through
-    to the plain WindowExec)."""
+    to the plain WindowExec). ``hints`` carries an already-computed
+    :func:`..plans.advisor.skew_hints` result so ``advise_skew=True``
+    plus mitigation runs ONE sampling job, not two."""
+    if hints is not None and not hints:
+        return None
     from window_aggregation_spark.spec import Direction, FrameType
 
     spec = plan.spec
@@ -128,18 +134,26 @@ def _salted_route(df: DataFrame, plan: WindowPlan) -> DataFrame | None:
     else:
         return None
 
-    from window_aggregation_spark.plans.advisor import skew_hints
+    if hints is None:
+        from window_aggregation_spark.plans.advisor import skew_hints
 
-    if not skew_hints(df, plan):
+        hints = skew_hints(df, plan)
+    if not hints:
         return None
 
-    from window_aggregation_spark.operators.skew import salted_running_agg
+    from window_aggregation_spark.operators.skew import (
+        chunk_boundaries,
+        salted_running_agg,
+    )
 
+    # one approxQuantile pass shared by every routed aggregate (they all
+    # chunk on the same order column)
+    bounds = chunk_boundaries(df, order_col)
     out = df
     for agg, salted_name in mapped:
         out = salted_running_agg(
             out, list(spec.partition_by), order_col, agg.field,
-            agg=salted_name, alias=agg.alias,
+            agg=salted_name, alias=agg.alias, boundaries=bounds,
         )
         declared = _output_field_type(agg, df.schema)
         if declared is not None:
@@ -148,6 +162,20 @@ def _salted_route(df: DataFrame, plan: WindowPlan) -> DataFrame | None:
         out = out.drop(tmp_order)
     if plan.declared_schema is not None:
         out = out.select(*[F.col(name) for name in plan.declared_schema])
+    else:
+        # match the plain path's contract exactly: input fields in input
+        # order (salted_running_agg's join re-orders join keys first),
+        # then the appended alias fields; an alias replacing an input
+        # column keeps that column's position, like withColumn does
+        base = [c for c in df.columns if c != tmp_order]
+        appended = [
+            a.alias
+            for a, _ in mapped
+            if a.alias not in base
+        ]
+        seen: set = set()
+        appended = [a for a in appended if not (a in seen or seen.add(a))]
+        out = out.select(*base, *appended)
     if plan.spec.num_partitions:
         out = out.repartition(plan.spec.num_partitions)
     return out
@@ -212,17 +240,24 @@ def window_aggregate(
         collector = FailureCollector()
         validate_plan(df.schema, plan, collector)
         collector.get_or_throw()
+    hints = None
     if advise_skew:
-        from window_aggregation_spark.plans.advisor import warn_if_skewed
+        import warnings
 
-        warn_if_skewed(df, plan)
+        from window_aggregation_spark.plans.advisor import skew_hints
+
+        # computed once and handed to the salted route below, so
+        # advise_skew + skew_mitigation costs ONE sampling job
+        hints = skew_hints(df, plan)
+        for hint in hints:
+            warnings.warn(hint, stacklevel=2)
     if skew_mitigation is not None:
         if skew_mitigation != "salted":
             raise ValueError(
                 f"unknown skew_mitigation {skew_mitigation!r} "
                 f"(supported: 'salted')"
             )
-        routed = _salted_route(df, plan)
+        routed = _salted_route(df, plan, hints=hints)
         if routed is not None:
             return routed
 

@@ -116,7 +116,23 @@ def streaming_ingest_dedup(
     them up. ``corpus`` itself is only consulted when ``verify="exact"``
     (text verification of candidates); the default estimator never reads
     it, so the static side of every batch plan is the store's signatures.
-    Caller starts it: ``streaming_ingest_dedup(...).start()``."""
+    Caller starts it: ``streaming_ingest_dedup(...).start()``.
+
+    ``verify="exact"`` is rejected when ``fold_signatures=True``: exact
+    verification joins candidate pairs against ``corpus`` TEXT, and folded
+    survivors exist only in the signature store — their candidates would
+    silently drop in that join, disabling exactly the cross-batch dedup
+    the fold is for. Use the estimator with folding (the serving shape),
+    or exact verification against a frozen corpus with ``fold_signatures=
+    False``."""
+    if verify == "exact" and fold_signatures:
+        raise ValueError(
+            "verify='exact' cannot confirm candidates against folded "
+            "survivors (their text is not in `corpus`) — use "
+            "verify='estimate' with fold_signatures=True, or "
+            "fold_signatures=False for exact verification against a "
+            "frozen corpus"
+        )
 
     def handle(batch_df: DataFrame, epoch_id: int) -> None:
         if not batch_df.head(1):

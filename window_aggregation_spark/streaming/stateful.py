@@ -42,7 +42,14 @@ def _ewma_update(
 
     ``presorted=True`` skips the (ts, event_id) sort — both callers sort
     once themselves (per-key groups are SMALL, so redundant per-group
-    pandas work, not arithmetic, is what the throughput probe sees)."""
+    pandas work, not arithmetic, is what the throughput probe sees).
+
+    Null/NaN values POISON the rest of the key, exactly like the scalar
+    recurrence (``alpha*NaN + ... = NaN`` forever) and the fold oracle
+    (NULL propagates): pandas' ``ewm`` would silently SKIP NaNs and
+    resume finite output, so the skip-mask is re-applied cumulatively."""
+    import numpy as np
+
     if not presorted:
         pdf = pdf.sort_values(["ts", "event_id"])
     vals = pdf["value"].astype("float64")
@@ -54,7 +61,9 @@ def _ewma_update(
             [pd.Series([prev], dtype="float64"), vals], ignore_index=True
         )
         skip = 1
-    smoothed = seeded.ewm(alpha=alpha, adjust=False).mean().to_numpy()[skip:]
+    smoothed = seeded.ewm(alpha=alpha, adjust=False).mean().to_numpy()
+    poisoned = np.maximum.accumulate(np.isnan(seeded.to_numpy()))
+    smoothed = np.where(poisoned, np.nan, smoothed)[skip:]
     out = pd.Series(smoothed, index=pdf.index)
     cur = float(out.iloc[-1]) if len(out) else prev
     return out, cur

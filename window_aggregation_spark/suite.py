@@ -806,13 +806,19 @@ def signature_store_for(spark: SparkSession, sf_dir: str):
     loaded on every later call. bench.py calls this outside its timed
     region to record the build cost separately from the steady-state
     query cost — the write-once-artifact accounting."""
+    import hashlib
     import os
 
     from window_aggregation_spark.operators import dedup as dd
 
     src = os.path.join(sf_dir, "documents.parquet")
     st = os.stat(src)
-    tag = f"{abs(hash((sf_dir, st.st_mtime_ns, st.st_size)))}"
+    # md5, NOT hash(): Python's str hash is per-process randomized, which
+    # would give every run a fresh tag — the cache would never hit across
+    # processes and /tmp would accumulate one full store per run
+    tag = hashlib.md5(
+        f"{sf_dir}|{st.st_mtime_ns}|{st.st_size}".encode()
+    ).hexdigest()[:16]
     path = f"/tmp/spark_graft_stores/minhash_{tag}"
     if not os.path.exists(f"{path}/params"):
         docs = read_table(spark, sf_dir, "documents")
@@ -2853,16 +2859,19 @@ _DRIVER_PRIORITY = [
     "corpus_repetition", "corpus_shuffle", "corpus_chunk",
     "corpus_stats", "corpus_top_terms", "corpus_length_quantiles",
     "corpus_take_n_stratum",
-    # --- r6 verdict-criteria rows (5) ----------------------------------
+    # --- r6 verdict-criteria rows (6) ----------------------------------
     "stream_stateful_ewma",       # vectorized update must stay hash-green
     "w_approx_percentile",        # first round with a full value oracle
     "mm_video_features",          # new real AVI decode
     "dedup_minhash_lsh_stored", "dedup_minhash_cc_stored",
-    # --- family anchors (19) -------------------------------------------
+    "dedup_incremental_estimate",  # new estimator verify (ingest loop)
+    # --- family anchors (18) -------------------------------------------
     "w_rank_family", "w_lead_lag", "w_first_last_ignore_nulls",
     "w_accumulate_running", "w_median_running", "w_discrete_percentile",
     "w_sql_backend", "w_events_running", "w_events_running_salted",
-    "text_profile",
+    # text family anchor ceded to dedup_incremental_estimate this round:
+    # text_profile was driver-recorded green in r5 and the family keeps
+    # three rows via text_language_id/token_counts/fingerprint above
     "dedup_minhash_lsh", "dedup_minhash_cc",  # recompute twins: the
     # driver records them next to the *_stored rows with the SAME oracle
     # SQL, making the store's hash-equality externally evidenced
