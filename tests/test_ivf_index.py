@@ -130,3 +130,68 @@ def test_quantized_coarse_requires_quantized_index(spark, emb, tmp_path):
         sim.ivf_topk_index(queries, idx, coarse="quantized")
     with pytest.raises(ValueError, match="coarse"):
         sim.ivf_topk_index(queries, idx, coarse="nope")
+
+
+def test_index_add_equals_one_shot_build(spark, emb, tmp_path):
+    """Appending a batch with ivf_index_add must yield an index
+    indistinguishable from building over the full corpus in one shot with
+    the same centroids: identical top-k results, appended vectors
+    retrievable, list partitioning intact. (The corpus halves are split
+    so the deterministic sample codebook — first 8 by id — is identical
+    for both builds.)"""
+    queries = emb.where(F.col("vec_id") < 8)
+    corpus = emb.where(F.col("vec_id") >= 8)
+    ids = sorted(r["vec_id"] for r in corpus.select("vec_id").collect())
+    cut = ids[len(ids) // 2]
+    first, second = (
+        corpus.where(F.col("vec_id") < cut),
+        corpus.where(F.col("vec_id") >= cut),
+    )
+
+    grow_path = str(tmp_path / "grow")
+    sim.build_ivf_index(first, grow_path, n_centroids=8)
+    grown = sim.ivf_index_add(spark, grow_path, second)
+
+    full_path = str(tmp_path / "full")
+    full = sim.build_ivf_index(corpus, full_path, n_centroids=8)
+
+    got = _rows(sim.ivf_topk_index(queries, grown, k=5, nprobe=4))
+    want = _rows(sim.ivf_topk_index(queries, full, k=5, nprobe=4))
+    assert got == want
+    # the added half is really in the neighbor pool
+    assert any(nid >= cut for _, nid, _, _ in got)
+    # appended rows landed under the existing list_id partitions
+    assert grown.lists.count() == corpus.count()
+    dirs = {
+        d for d in os.listdir(f"{grow_path}/lists")
+        if d.startswith("list_id=")
+    }
+    assert dirs and all(d.startswith("list_id=") for d in dirs)
+
+
+def test_index_add_preserves_quantized_layout(spark, emb, tmp_path):
+    """Adding to a quantize=True index must quantize the batch the same
+    way: the appended rows carry qvec/qscale, and the quantized coarse
+    path returns the added vectors."""
+    corpus = emb.where(F.col("vec_id") >= 8)
+    ids = sorted(r["vec_id"] for r in corpus.select("vec_id").collect())
+    cut = ids[len(ids) // 2]
+    first, second = (
+        corpus.where(F.col("vec_id") < cut),
+        corpus.where(F.col("vec_id") >= cut),
+    )
+    path = str(tmp_path / "q")
+    sim.build_ivf_index(first, path, n_centroids=8, quantize=True)
+    grown = sim.ivf_index_add(spark, path, second)
+    assert {"qvec", "qscale"} <= set(grown.lists.columns)
+    assert (
+        grown.lists.where(
+            F.col("id") >= cut
+        ).where(F.col("qvec").isNull()).count()
+        == 0
+    )
+    queries = emb.where(F.col("vec_id") < 8)
+    out = sim.ivf_topk_index(
+        queries, grown, k=5, nprobe=4, coarse="quantized"
+    )
+    assert any(r["neighbor_id"] >= cut for r in out.collect())

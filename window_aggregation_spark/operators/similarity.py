@@ -590,6 +590,48 @@ def build_ivf_index(
     return load_ivf_index(spark, path)
 
 
+def ivf_index_add(
+    spark,
+    path: str,
+    new_vectors: DataFrame,
+    *,
+    corpus_id: str = "vec_id",
+    vec_col: str = "embedding",
+) -> IVFIndex:
+    """Append a batch of vectors to a persisted IVF index WITHOUT a
+    rebuild — the ANN twin of the dedup signature fold
+    (``streaming/ingest_dedup.py``): a serving corpus is never static,
+    and re-clustering 100 TB of embeddings per ingest batch is not a
+    plan. New vectors are assigned against the index's FROZEN centroids
+    (standard IVF serving: the codebook only moves on a periodic rebuild)
+    and appended under the existing ``lists/list_id=*/`` partitions, so
+    partition pruning keeps working and the next
+    :func:`ivf_topk_index` call sees them with zero other changes.
+
+    If the index was built with ``quantize=True`` the batch is quantized
+    the same way (detected from the stored lists' schema) — appended rows
+    always match the layout the coarse scans expect.
+
+    Ids are NOT deduplicated against the existing lists (that's the
+    ingestion filter's job, upstream); appending an id twice yields
+    duplicate candidates. Returns the reloaded index."""
+    idx = load_ivf_index(spark, path)
+    n_base = new_vectors.select(
+        F.col(corpus_id).alias("id"), F.col(vec_col).alias("v")
+    )
+    b_cents = spark.sparkContext.broadcast(idx.centroids)
+    assigned = n_base.mapInPandas(
+        _assign_lists_fn(b_cents, 1),
+        schema="id long, v array<float>, list_id int",
+    )
+    if "qvec" in idx.lists.columns:
+        assigned = quantize_embeddings(assigned, "v")
+    assigned.write.mode("append").partitionBy("list_id").parquet(
+        f"{path}/lists"
+    )
+    return load_ivf_index(spark, path)
+
+
 def load_ivf_index(spark, path: str) -> IVFIndex:
     """Load a persisted IVF index. Only ``n_centroids`` rows reach the
     driver; the inverted lists stay a lazy partition-pruned scan."""
