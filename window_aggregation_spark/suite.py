@@ -644,6 +644,30 @@ def _register_text() -> None:
 _register_text()
 
 
+def _register_lm() -> None:
+    from window_aggregation_spark.operators import lm
+
+    @_register(
+        "text_perplexity_unigram",
+        lm.perplexity_unigram_oracle_sql(keep_cols=("lang", "source")),
+        headline=True,
+    )
+    def text_perplexity_unigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """CCNet-style perplexity scoring under a self-trained add-1
+        unigram LM: one corpus-side exchange (repartition by doc before
+        the token explode), vocabulary aggregated from the already
+        partially-combined per-doc counts, log-probability table
+        broadcast back, per-doc fold in token-sorted order for bit-exact
+        cross-engine sums (operators/lm.py)."""
+        docs = read_table(spark, sf_dir, "documents").select(
+            "doc_id", "lang", "source", "text"
+        )
+        return lm.perplexity_unigram(docs, keep_cols=("lang", "source"))
+
+
+_register_lm()
+
+
 # ---------------------------------------------------------------------------
 # Extension operators: deduplication
 # ---------------------------------------------------------------------------
