@@ -1,0 +1,336 @@
+"""BM25 full-text relevance search over a document corpus.
+
+Keyword retrieval is the standard lexical complement to the embedding-ANN
+operators in ``operators/similarity.py`` (hybrid retrieval pipelines score
+candidates under both). This module implements Okapi BM25 (Lucene's
+variant: ``idf = ln((N - df + 0.5)/(df + 0.5) + 1)``, saturation
+``tf*(k1+1)/(tf + k1*(1 - b + b*dl/avgdl))``) with built-in Catalyst
+expressions only — no UDFs, no inverted index to maintain.
+
+- :func:`bm25_topk` — one literal query. Two corpus passes: a 1-row
+  stats aggregate (N, avgdl, per-term document frequencies — all map-side
+  combined, broadcast back), then a scan-and-score pass where each
+  term's tf is a ``size(filter(tokens, = term))`` projection (the query
+  terms are literals, so there is NO explode and NO join on the corpus)
+  feeding ``TakeOrderedAndProject`` — the top-k never shuffles the
+  corpus.
+- :func:`bm25_topk_batch` — a batch of queries as a DataFrame (the scale
+  path for query logs). The corpus token stream is filtered to the union
+  of query terms BEFORE its one aggregation shuffle, per-term statistics
+  join the query plan broadcast, and per-(query, doc) scores fold in
+  term-sorted order so the DuckDB oracle reproduces the double bit-for-bit.
+
+Cross-engine determinism: idf values round to 9 decimals before use,
+final scores to 6; ties break on doc_id in both engines.
+"""
+
+from __future__ import annotations
+
+import re
+from functools import reduce
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from window_aggregation_spark.operators.text import TOKEN_RE, tokens
+
+_IDF_SCALE = 9
+_SCORE_SCALE = 6
+_TOK = re.compile(TOKEN_RE)
+
+
+def query_terms(query: str) -> list[str]:
+    """Sorted distinct alnum tokens of a query string (duplicates in the
+    query do not re-weight BM25)."""
+    return sorted(set(_TOK.findall(query.lower())))
+
+
+def _idf(n_docs, df_col):
+    return F.round(
+        F.log((n_docs - df_col + F.lit(0.5)) / (df_col + F.lit(0.5))
+              + F.lit(1.0)),
+        _IDF_SCALE,
+    )
+
+
+def bm25_topk(
+    df: DataFrame,
+    query: str,
+    k: int = 10,
+    *,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    keep_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Top-``k`` documents for one query under BM25.
+
+    Returns ``id_col`` + ``keep_cols`` + ``score`` (rounded to 6),
+    descending, ties broken by ``id_col``; documents matching no query
+    term (score 0) are excluded. The per-term tf is a literal-folded
+    projection, so the scoring pass is one whole-stage-codegen scan and
+    the top-k is a ``TakeOrderedAndProject`` (no corpus shuffle at all —
+    the only exchanged bytes are the 1-row stats broadcast).
+    """
+    terms = query_terms(query)
+    if not terms:
+        raise ValueError("query contains no indexable terms")
+
+    toks = tokens(F.col(text_col))
+    dl = F.size(toks)
+
+    stats = df.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(toks)).alias("sum_dl"),
+        *[
+            F.sum(F.array_contains(toks, t).cast("long")).alias(f"df_{i}")
+            for i, t in enumerate(terms)
+        ],
+    )
+
+    scored = df.crossJoin(F.broadcast(stats))
+    avgdl = F.col("sum_dl") / F.col("n_docs")
+    norm = F.lit(1.0) - F.lit(b) + F.lit(b) * dl / avgdl
+
+    def term_score(i: int, t: str):
+        tf = F.size(F.filter(toks, lambda x: x == F.lit(t))).cast("double")
+        idf = _idf(F.col("n_docs"), F.col(f"df_{i}"))
+        return idf * (tf * F.lit(k1 + 1.0)) / (tf + F.lit(k1) * norm)
+
+    score = F.round(
+        reduce(lambda a, c: a + c,
+               [term_score(i, t) for i, t in enumerate(terms)]),
+        _SCORE_SCALE,
+    )
+    return (
+        scored.select(id_col, *keep_cols, score.alias("score"))
+        .where(F.col("score") > 0)
+        .orderBy(F.col("score").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
+def bm25_topk_batch(
+    df: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    *,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    query_id_col: str = "query_id",
+    query_text_col: str = "query_text",
+    materialize: bool = True,
+) -> DataFrame:
+    """Top-``k`` per query for a batch of queries (``query_id``,
+    ``query_text``) — the query-log scale path.
+
+    The corpus explodes to (doc, token) pairs but is filtered to the
+    union of query terms via a broadcast semi-join BEFORE its one
+    aggregation shuffle, so shuffle volume is bounded by matches, not
+    corpus tokens. Scores fold in term-sorted order per (query, doc);
+    output adds ``rn`` (1-based rank, ties broken by doc id).
+    """
+    q_terms = (
+        queries.select(
+            query_id_col,
+            F.explode(tokens(F.col(query_text_col))).alias("token"),
+        )
+        .dropDuplicates([query_id_col, "token"])
+    )
+    all_terms = q_terms.select("token").distinct()
+
+    toks = tokens(F.col(text_col))
+    base = df.select(id_col, toks.alias("toks"))
+    stats = base.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size("toks")).alias("sum_dl"),
+    )
+
+    doc_tok = base.select(
+        id_col, F.size("toks").alias("dl"), F.explode("toks").alias("token")
+    ).join(F.broadcast(all_terms), "token", "left_semi")
+    doc_tf = doc_tok.groupBy(id_col, "token").agg(
+        F.count(F.lit(1)).alias("tf"), F.first("dl").alias("dl")
+    )
+    if materialize:
+        # consumed by the per-term statistics AND the scoring join;
+        # localCheckpoint so the filtered-explode pipeline runs once
+        # (same rationale as operators/lm.py — AQE exchange reuse does
+        # not dedupe the branches).
+        doc_tf = doc_tf.localCheckpoint(eager=False)
+
+    term_df = doc_tf.groupBy("token").agg(
+        F.count(F.lit(1)).alias("df_t")
+    )
+    term_idf = term_df.crossJoin(F.broadcast(stats)).select(
+        "token", _idf(F.col("n_docs"), F.col("df_t")).alias("idf"),
+        "n_docs", "sum_dl",
+    )
+
+    avgdl = F.col("sum_dl") / F.col("n_docs")
+    norm = F.lit(1.0) - F.lit(b) + F.lit(b) * F.col("dl") / avgdl
+    tf = F.col("tf").cast("double")
+    contrib = (
+        doc_tf.join(F.broadcast(term_idf), "token")
+        .join(F.broadcast(q_terms), "token")
+        .select(
+            query_id_col,
+            id_col,
+            "token",
+            (F.col("idf") * (tf * F.lit(k1 + 1.0))
+             / (tf + F.lit(k1) * norm)).alias("term_score"),
+        )
+    )
+    scored = contrib.groupBy(query_id_col, id_col).agg(
+        F.round(
+            F.aggregate(
+                F.sort_array(F.collect_list(
+                    F.struct(F.col("token"), F.col("term_score"))
+                )),
+                F.lit(0.0),
+                lambda acc, s: acc + s["term_score"],
+            ),
+            _SCORE_SCALE,
+        ).alias("score")
+    ).where(F.col("score") > 0)
+
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("score").desc(), F.col(id_col)
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w).cast("int"))
+        .where(F.col("rn") <= k)
+    )
+
+
+# ---------------------------------------------------------------------------
+# DuckDB oracle mirrors
+# ---------------------------------------------------------------------------
+
+def bm25_topk_oracle_sql(
+    query: str,
+    k: int = 10,
+    *,
+    k1: float = 1.2,
+    b: float = 0.75,
+    table: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    keep_cols: tuple[str, ...] = (),
+) -> str:
+    """DuckDB mirror of :func:`bm25_topk` — identical literal term order,
+    arithmetic shape, and rounding scales."""
+    terms = query_terms(query)
+    toks = f"regexp_extract_all(lower({text_col}), '{TOKEN_RE}')"
+    keep = "".join(f", {c}" for c in keep_cols)
+    df_aggs = ", ".join(
+        f"CAST(sum(CASE WHEN list_contains({toks}, '{t}') THEN 1 ELSE 0 END)"
+        f" AS BIGINT) AS df_{i}"
+        for i, t in enumerate(terms)
+    )
+    norm = f"(1.0 - {b!r} + {b!r} * len({toks}) / (sum_dl / n_docs))"
+
+    def term_score(i: int, t: str) -> str:
+        tf = f"CAST(len(list_filter({toks}, x -> x = '{t}')) AS DOUBLE)"
+        idf = (
+            f"round(ln((n_docs - df_{i} + 0.5) / (df_{i} + 0.5) + 1.0), "
+            f"{_IDF_SCALE})"
+        )
+        return f"{idf} * ({tf} * {k1 + 1.0!r}) / ({tf} + {k1!r} * {norm})"
+
+    score = " + ".join(term_score(i, t) for i, t in enumerate(terms))
+    return f"""
+    WITH stats AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(len({toks})) AS BIGINT) AS sum_dl,
+             {df_aggs}
+      FROM {table}
+    )
+    SELECT {id_col}{keep}, score FROM (
+      SELECT {id_col}{keep}, round({score}, {_SCORE_SCALE}) AS score
+      FROM {table} CROSS JOIN stats
+    ) WHERE score > 0
+    ORDER BY score DESC, {id_col}
+    LIMIT {k}
+    """
+
+
+def bm25_topk_batch_oracle_sql(
+    queries: list[tuple[str, str]],
+    k: int = 10,
+    *,
+    k1: float = 1.2,
+    b: float = 0.75,
+    table: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> str:
+    """DuckDB mirror of :func:`bm25_topk_batch` for a literal query batch
+    (same term-sorted fold order per (query, doc))."""
+    toks = f"regexp_extract_all(lower({text_col}), '{TOKEN_RE}')"
+    qvals = ", ".join(
+        f"('{qid}', '{qtext}')" for qid, qtext in queries
+    )
+    return f"""
+    WITH qraw(query_id, query_text) AS (VALUES {qvals}),
+    q_terms AS (
+      SELECT DISTINCT query_id, token FROM (
+        SELECT query_id,
+               unnest(regexp_extract_all(lower(query_text), '{TOKEN_RE}'))
+                 AS token
+        FROM qraw
+      )
+    ),
+    base AS (
+      SELECT {id_col}, {toks} AS toks FROM {table}
+    ),
+    stats AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(len(toks)) AS BIGINT) AS sum_dl
+      FROM base
+    ),
+    doc_tok AS (
+      SELECT {id_col}, len(toks) AS dl, unnest(toks) AS token FROM base
+    ),
+    doc_tf AS (
+      SELECT {id_col}, token, CAST(count(*) AS BIGINT) AS tf,
+             any_value(dl) AS dl
+      FROM doc_tok
+      WHERE token IN (SELECT token FROM q_terms)
+      GROUP BY 1, 2
+    ),
+    term_idf AS (
+      SELECT token,
+             round(ln((n_docs - df_t + 0.5) / (df_t + 0.5) + 1.0),
+                   {_IDF_SCALE}) AS idf,
+             n_docs, sum_dl
+      FROM (SELECT token, CAST(count(*) AS BIGINT) AS df_t
+            FROM doc_tf GROUP BY 1) CROSS JOIN stats
+    ),
+    contrib AS (
+      SELECT q.query_id, d.{id_col}, d.token,
+             i.idf * (CAST(d.tf AS DOUBLE) * {k1 + 1.0!r})
+               / (CAST(d.tf AS DOUBLE) + {k1!r} *
+                  (1.0 - {b!r} + {b!r} * d.dl / (i.sum_dl / i.n_docs)))
+               AS term_score
+      FROM doc_tf d
+      JOIN term_idf i USING (token)
+      JOIN q_terms q USING (token)
+    ),
+    scored AS (
+      SELECT query_id, {id_col},
+             round(list_reduce(
+               list_prepend(0.0, list(term_score ORDER BY token)),
+               (acc, v) -> acc + v), {_SCORE_SCALE}) AS score
+      FROM contrib GROUP BY 1, 2
+    )
+    SELECT query_id, {id_col}, score, rn FROM (
+      SELECT query_id, {id_col}, score,
+             CAST(row_number() OVER (PARTITION BY query_id
+                    ORDER BY score DESC, {id_col}) AS INT) AS rn
+      FROM scored WHERE score > 0
+    ) WHERE rn <= {k}
+    """

@@ -668,6 +668,52 @@ def _register_lm() -> None:
 _register_lm()
 
 
+_BM25_QUERY = "hash join spark window"
+_BM25_BATCH = (
+    ("q_exec", "hash join spark window"),
+    ("q_tpch", "customer order line"),
+    ("q_stream", "vector stream batch"),
+)
+
+
+def _register_search() -> None:
+    from window_aggregation_spark.operators import search as se
+
+    @_register(
+        "search_bm25_topk",
+        se.bm25_topk_oracle_sql(_BM25_QUERY, k=20, keep_cols=("lang",)),
+        headline=True,
+    )
+    def search_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Lexical retrieval: Okapi BM25 top-20 for one query. Stats pass
+        is a 1-row map-side-combined aggregate broadcast back; scoring is
+        a literal-folded whole-stage-codegen scan (no explode, no corpus
+        join) into TakeOrderedAndProject (operators/search.py)."""
+        docs = read_table(spark, sf_dir, "documents").select(
+            "doc_id", "lang", "text"
+        )
+        return se.bm25_topk(docs, _BM25_QUERY, k=20, keep_cols=("lang",))
+
+    @_register(
+        "search_bm25_batch",
+        se.bm25_topk_batch_oracle_sql(list(_BM25_BATCH), k=10),
+    )
+    def search_bm25_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Query-log batch BM25: corpus tokens filtered to the union of
+        query terms by broadcast semi-join BEFORE the one aggregation
+        shuffle; per-(query, doc) scores fold in term-sorted order."""
+        docs = read_table(spark, sf_dir, "documents").select(
+            "doc_id", "lang", "text"
+        )
+        qdf = spark.createDataFrame(
+            list(_BM25_BATCH), ["query_id", "query_text"]
+        )
+        return se.bm25_topk_batch(docs, qdf, k=10)
+
+
+_register_search()
+
+
 # ---------------------------------------------------------------------------
 # Extension operators: deduplication
 # ---------------------------------------------------------------------------
