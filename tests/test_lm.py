@@ -129,6 +129,80 @@ def test_band_filter_keeps_only_in_band(spark):
     assert 4 not in got_ids  # empty doc (NULL perplexity) always dropped
 
 
+def _py_bigram_perplexity(
+    texts: dict[int, str], train: dict[int, str] | None = None,
+    add_k: float = 1.0,
+) -> dict[int, tuple[int, float | None]]:
+    """Unrounded bigram reference: (n_transitions, perplexity) per doc."""
+    train = train if train is not None else texts
+    uni: Counter[str] = Counter()
+    bi: Counter[str] = Counter()
+    for t in train.values():
+        toks = TOK.findall(t.lower())
+        uni.update(toks)
+        bi.update(f"{a} {b}" for a, b in zip(toks, toks[1:]))
+    v = len(uni)
+
+    out: dict[int, tuple[int, float | None]] = {}
+    for doc_id, t in texts.items():
+        toks = TOK.findall(t.lower())
+        bgs = [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+        if not bgs:
+            out[doc_id] = (0, None)
+            continue
+        s = 0.0
+        for bg, tf in sorted(Counter(bgs).items()):
+            prefix = bg.split(" ")[0]
+            p = (bi.get(bg, 0) + add_k) / (uni.get(prefix, 0) + add_k * v)
+            s += tf * math.log(p)
+        out[doc_id] = (len(bgs), math.exp(-s / len(bgs)))
+    return out
+
+
+def test_bigram_matches_reference(spark):
+    texts = {
+        1: "the cat sat on the mat",
+        2: "the dog sat",
+        3: "a cat and a dog and a mat",
+    }
+    got = {
+        r["doc_id"]: (r["n_transitions"], r["perplexity"])
+        for r in lm.perplexity_bigram(_docs_df(spark, texts)).collect()
+    }
+    want = _py_bigram_perplexity(texts)
+    assert set(got) == set(want)
+    for doc_id, (n, ppl) in want.items():
+        assert got[doc_id][0] == n
+        assert math.isclose(got[doc_id][1], ppl, abs_tol=1e-4)
+
+
+def test_bigram_short_docs_get_null_metrics(spark):
+    texts = {1: "solo", 2: "", 3: "two tokens"}
+    rows = {r["doc_id"]: r
+            for r in lm.perplexity_bigram(_docs_df(spark, texts)).collect()}
+    assert rows[1]["n_transitions"] == 0 and rows[1]["perplexity"] is None
+    assert rows[2]["n_transitions"] == 0 and rows[2]["perplexity"] is None
+    assert rows[3]["n_transitions"] == 1 and rows[3]["perplexity"] is not None
+
+
+def test_bigram_pretrained_counts_with_oov(spark):
+    train = {10: "red green blue red green blue", 11: "red blue red"}
+    score = {1: "red green blue", 2: "purple red zig zag"}
+    tdf = _docs_df(spark, train)
+    counts = (lm.bigram_counts(tdf), lm.unigram_counts(tdf))
+    got = {
+        r["doc_id"]: (r["n_transitions"], r["perplexity"])
+        for r in lm.perplexity_bigram(
+            _docs_df(spark, score), counts=counts
+        ).collect()
+    }
+    want = _py_bigram_perplexity(score, train=train)
+    for doc_id, (n, ppl) in want.items():
+        assert got[doc_id][0] == n
+        assert math.isclose(got[doc_id][1], ppl, abs_tol=1e-4)
+    assert got[2][1] > got[1][1]
+
+
 def test_materialized_plan_scans_corpus_twice_only(spark, sf_dir):
     from window_aggregation_spark.sources.io import read_table
 

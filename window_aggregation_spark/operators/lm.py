@@ -197,6 +197,167 @@ def perplexity_band_filter(
     )
 
 
+def _bigram_array(toks):
+    """Adjacent-token bigrams ('a b') of a token array; empty below 2
+    tokens (``slice`` rejects negative lengths, so guard explicitly)."""
+    n = F.size(toks)
+    return F.when(
+        n >= 2,
+        F.zip_with(
+            F.slice(toks, 1, n - 1),
+            F.slice(toks, 2, n - 1),
+            lambda a, b: F.concat_ws(" ", a, b),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def bigram_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Train bigram transition counts: ``(bigram, cnt)`` where bigram is
+    ``'w1 w2'`` — multiplicities preserved (these are transition counts,
+    not shingle sets)."""
+    return (
+        df.select(
+            F.explode(_bigram_array(tokens(F.col(text_col)))).alias("bigram")
+        )
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def perplexity_bigram(
+    df: DataFrame,
+    *,
+    counts: tuple[DataFrame, DataFrame] | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    keep_cols: tuple[str, ...] = (),
+    add_k: float = 1.0,
+    broadcast_vocab: bool = True,
+    materialize: bool = True,
+) -> DataFrame:
+    """Contextual perplexity under an add-k bigram LM:
+    ``p(w2 | w1) = (c(w1 w2) + k) / (c(w1) + k*V)`` with ``V`` the unigram
+    vocabulary size. Only transitions are scored (``n_transitions`` =
+    token count − 1); documents with fewer than 2 tokens keep a row with
+    ``n_transitions`` 0 and NULL metrics.
+
+    ``counts`` is an optional pretrained pair ``(bigram_counts,
+    unigram_counts)``; unseen transitions fall back to
+    ``(k) / (c(w1) + k*V)`` with ``c(w1)`` 0 when the prefix itself is
+    out-of-vocabulary. Same plan shape as :func:`perplexity_unigram`:
+    one corpus-side exchange, broadcast probability tables, token-sorted
+    per-document folds, 9/6-decimal rounding for the cross-engine
+    contract.
+    """
+    base = df.select(id_col, *keep_cols, tokens(F.col(text_col)).alias("toks"))
+    base = base.repartition(id_col)
+
+    exploded = base.select(
+        id_col, F.explode(_bigram_array(F.col("toks"))).alias("bigram")
+    )
+    doc_bf = exploded.groupBy(id_col, "bigram").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    if materialize:
+        doc_bf = doc_bf.localCheckpoint(eager=False)
+
+    if counts is None:
+        bi = doc_bf.groupBy("bigram").agg(F.sum("tf").alias("cnt"))
+        uni = (
+            base.select(F.explode("toks").alias("token"))
+            .groupBy("token")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        if materialize:
+            bi = bi.localCheckpoint(eager=False)
+            uni = uni.localCheckpoint(eager=False)
+    else:
+        bi, uni = counts
+
+    vsize = uni.agg(F.count(F.lit(1)).alias("vocab_size"))
+    # prefix-count denominator table: token -> c(token) (+ V broadcast in)
+    denom = uni.select(F.col("token").alias("prefix"),
+                       F.col("cnt").alias("prefix_cnt"))
+    if broadcast_vocab:
+        denom = F.broadcast(denom)
+    blnp = (
+        bi.join(
+            denom.withColumnRenamed("prefix", "bg_prefix"),
+            F.split_part(F.col("bigram"), F.lit(" "), F.lit(1))
+            == F.col("bg_prefix"),
+            "left",
+        )
+        .crossJoin(F.broadcast(vsize))
+        .select(
+            "bigram",
+            F.round(
+                F.log(
+                    (F.col("cnt") + F.lit(add_k))
+                    / (F.coalesce("prefix_cnt", F.lit(0))
+                       + F.lit(add_k) * F.col("vocab_size"))
+                ),
+                _LNP_SCALE,
+            ).alias("lnp"),
+        )
+    )
+    if broadcast_vocab:
+        blnp = F.broadcast(blnp)
+
+    contrib = (
+        doc_bf.join(blnp, "bigram", "left")
+        .join(
+            denom,
+            F.split_part(F.col("bigram"), F.lit(" "), F.lit(1))
+            == F.col("prefix"),
+            "left",
+        )
+        .crossJoin(F.broadcast(vsize))
+        .select(
+            id_col,
+            "bigram",
+            "tf",
+            F.coalesce(
+                "lnp",
+                F.round(
+                    F.log(
+                        F.lit(add_k)
+                        / (F.coalesce("prefix_cnt", F.lit(0))
+                           + F.lit(add_k) * F.col("vocab_size"))
+                    ),
+                    _LNP_SCALE,
+                ),
+            ).alias("lnp"),
+        )
+    )
+    scored = contrib.groupBy(id_col).agg(
+        F.sum("tf").alias("n_transitions"),
+        F.aggregate(
+            F.sort_array(
+                F.collect_list(
+                    F.struct(
+                        F.col("bigram"),
+                        (F.col("tf") * F.col("lnp")).alias("term"),
+                    )
+                )
+            ),
+            F.lit(0.0),
+            lambda acc, s: acc + s["term"],
+        ).alias("ll_sum"),
+    )
+
+    spine = base.select(id_col, *keep_cols)
+    out = spine.join(scored, id_col, "left")
+    avg_nll = F.round(-F.col("ll_sum") / F.col("n_transitions"), _OUT_SCALE)
+    return out.select(
+        id_col,
+        *keep_cols,
+        F.coalesce("n_transitions", F.lit(0).cast("long"))
+        .alias("n_transitions"),
+        avg_nll.alias("avg_nll"),
+        F.round(F.exp(avg_nll), _OUT_SCALE).alias("perplexity"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # DuckDB oracle mirror
 # ---------------------------------------------------------------------------
@@ -251,6 +412,76 @@ def perplexity_unigram_oracle_sql(
            COALESCE(s.n_tokens, 0) AS n_tokens,
            round(-s.ll_sum / s.n_tokens, {_OUT_SCALE}) AS avg_nll,
            round(exp(round(-s.ll_sum / s.n_tokens, {_OUT_SCALE})),
+                 {_OUT_SCALE}) AS perplexity
+    FROM base b LEFT JOIN scored s USING ({id_col})
+    """
+
+
+def perplexity_bigram_oracle_sql(
+    *,
+    table: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    keep_cols: tuple[str, ...] = (),
+    add_k: float = 1.0,
+) -> str:
+    """DuckDB mirror of :func:`perplexity_bigram` (self-trained LM) —
+    identical smoothing arithmetic, rounding scales, and bigram-sorted
+    fold order."""
+    toks = f"regexp_extract_all(lower({text_col}), '[a-z0-9]+')"
+    keep = "".join(f", {c}" for c in keep_cols)
+    k = repr(float(add_k))
+    return f"""
+    WITH base AS (
+      SELECT {id_col}{keep}, {toks} AS toks FROM {table}
+    ),
+    bg AS (
+      SELECT {id_col},
+             CASE WHEN len(toks) >= 2
+                  THEN list_transform(
+                         generate_series(1, len(toks) - 1),
+                         i -> toks[i] || ' ' || toks[i + 1])
+                  ELSE CAST([] AS VARCHAR[]) END AS bgs
+      FROM base
+    ),
+    doc_bf AS (
+      SELECT {id_col}, bigram, count(*) AS tf
+      FROM (SELECT {id_col}, unnest(bgs) AS bigram FROM bg)
+      GROUP BY 1, 2
+    ),
+    bi AS (
+      SELECT bigram, sum(tf) AS cnt FROM doc_bf GROUP BY 1
+    ),
+    uni AS (
+      SELECT token, count(*) AS cnt
+      FROM (SELECT unnest(toks) AS token FROM base)
+      GROUP BY 1
+    ),
+    vs AS (
+      SELECT count(*) AS vocab_size FROM uni
+    ),
+    blnp AS (
+      SELECT b.bigram,
+             round(ln((b.cnt + {k}) /
+                      (COALESCE(u.cnt, 0) + {k} * vocab_size)),
+                   {_LNP_SCALE}) AS lnp
+      FROM bi b
+      LEFT JOIN uni u ON split_part(b.bigram, ' ', 1) = u.token
+      CROSS JOIN vs
+    ),
+    scored AS (
+      SELECT d.{id_col},
+             CAST(sum(d.tf) AS BIGINT) AS n_transitions,
+             list_reduce(
+               list_prepend(0.0, list(d.tf * l.lnp ORDER BY d.bigram)),
+               (acc, v) -> acc + v) AS ll_sum
+      FROM doc_bf d JOIN blnp l USING (bigram)
+      GROUP BY 1
+    )
+    SELECT b.{id_col}{keep},
+           COALESCE(s.n_transitions, 0) AS n_transitions,
+           round(-s.ll_sum / s.n_transitions, {_OUT_SCALE}) AS avg_nll,
+           round(exp(round(-s.ll_sum / s.n_transitions, {_OUT_SCALE})),
                  {_OUT_SCALE}) AS perplexity
     FROM base b LEFT JOIN scored s USING ({id_col})
     """

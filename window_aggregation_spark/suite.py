@@ -664,6 +664,20 @@ def _register_lm() -> None:
         )
         return lm.perplexity_unigram(docs, keep_cols=("lang", "source"))
 
+    @_register(
+        "text_perplexity_bigram",
+        lm.perplexity_bigram_oracle_sql(keep_cols=("lang", "source")),
+    )
+    def text_perplexity_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Contextual perplexity under a self-trained add-1 bigram LM
+        (p(w2|w1) with unigram-prefix denominators); same one-exchange
+        corpus plan and sorted-fold determinism as the unigram variant
+        (operators/lm.py)."""
+        docs = read_table(spark, sf_dir, "documents").select(
+            "doc_id", "lang", "source", "text"
+        )
+        return lm.perplexity_bigram(docs, keep_cols=("lang", "source"))
+
 
 _register_lm()
 
