@@ -19,6 +19,7 @@ FAMILIES = {
     "skew_": "skew mitigation",
     "corpus_": "corpus prep",
     "pipeline_": "composed pipeline",
+    "search_": "lexical retrieval",
 }
 
 

@@ -107,6 +107,45 @@ def test_batch_rank_is_dense_from_one(spark):
     assert [r["rn"] for r in rows] == list(range(1, len(rows) + 1))
 
 
+def test_tfidf_keywords_match_reference(spark):
+    got = [
+        (r["doc_id"], r["token"], r["score"], r["rank"])
+        for r in search.tfidf_keywords(_df(spark, CORPUS), m=2).collect()
+    ]
+    # brute-force reference
+    toks = {i: TOK.findall(t.lower()) for i, t in CORPUS.items()}
+    n = len(CORPUS)
+    df_t: Counter[str] = Counter()
+    for v in toks.values():
+        df_t.update(set(v))
+    want = []
+    for i, v in sorted(toks.items()):
+        scores = {
+            t: c * (math.log(n / (1 + df_t[t])) + 1.0)
+            for t, c in Counter(v).items()
+        }
+        top = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:2]
+        for rank, (t, s) in enumerate(top, 1):
+            want.append((i, t, s, rank))
+    got_sorted = sorted(got)
+    want_sorted = sorted(want)
+    assert [(g[0], g[1], g[3]) for g in got_sorted] == [
+        (w[0], w[1], w[3]) for w in want_sorted
+    ]
+    for g, w in zip(got_sorted, want_sorted):
+        assert math.isclose(g[2], w[2], abs_tol=1e-4)
+
+
+def test_tfidf_rank_respects_m(spark):
+    rows = search.tfidf_keywords(_df(spark, CORPUS), m=3).collect()
+    per_doc: dict[int, list[int]] = {}
+    for r in rows:
+        per_doc.setdefault(r["doc_id"], []).append(r["rank"])
+    for doc_id, ranks in per_doc.items():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1)), doc_id
+        assert len(ranks) <= 3
+
+
 def test_single_query_plan_has_no_corpus_shuffle(spark, sf_dir):
     from window_aggregation_spark.sources.io import read_table
 

@@ -206,9 +206,97 @@ def bm25_topk_batch(
     )
 
 
+def tfidf_keywords(
+    df: DataFrame,
+    m: int = 5,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    materialize: bool = True,
+) -> DataFrame:
+    """Top-``m`` characteristic terms per document by tf-idf (keyword
+    extraction / doc summarization for corpus exploration).
+
+    ``score = tf * round(ln(N / (1 + df_t)) + 1, 9)`` rounded to 6; output
+    is exploded ``(id, token, score, rank)`` rows with rank ties broken by
+    token. One corpus-side exchange (the same repartition-before-explode
+    shape as ``operators/lm.py``) — the per-document ranking window reuses
+    that partitioning, so the ranking adds NO shuffle; document
+    frequencies aggregate from the per-doc counts and broadcast back.
+    """
+    base = df.select(id_col, tokens(F.col(text_col)).alias("toks"))
+    base = base.repartition(id_col)
+    doc_tf = (
+        base.select(id_col, F.explode("toks").alias("token"))
+        .groupBy(id_col, "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    if materialize:
+        doc_tf = doc_tf.localCheckpoint(eager=False)
+
+    n_docs = base.agg(F.count(F.lit(1)).alias("n_docs"))
+    term_df = doc_tf.groupBy("token").agg(F.count(F.lit(1)).alias("df_t"))
+    idf = term_df.crossJoin(F.broadcast(n_docs)).select(
+        "token",
+        F.round(
+            F.log(F.col("n_docs") / (F.lit(1) + F.col("df_t"))) + F.lit(1.0),
+            _IDF_SCALE,
+        ).alias("idf"),
+    )
+
+    scored = doc_tf.join(F.broadcast(idf), "token").select(
+        id_col,
+        "token",
+        F.round(F.col("tf") * F.col("idf"), _SCORE_SCALE).alias("score"),
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("score").desc(), F.col("token")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= m)
+    )
+
+
 # ---------------------------------------------------------------------------
 # DuckDB oracle mirrors
 # ---------------------------------------------------------------------------
+
+
+def tfidf_keywords_oracle_sql(
+    m: int = 5,
+    *,
+    table: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> str:
+    """DuckDB mirror of :func:`tfidf_keywords` (same rounding scales and
+    token tiebreak)."""
+    toks = f"regexp_extract_all(lower({text_col}), '{TOKEN_RE}')"
+    return f"""
+    WITH doc_tf AS (
+      SELECT {id_col}, token, CAST(count(*) AS BIGINT) AS tf
+      FROM (SELECT {id_col}, unnest({toks}) AS token FROM {table})
+      GROUP BY 1, 2
+    ),
+    n AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_docs FROM {table}
+    ),
+    idf AS (
+      SELECT token,
+             round(ln(n_docs / (1 + df_t)) + 1.0, {_IDF_SCALE}) AS idf
+      FROM (SELECT token, CAST(count(*) AS BIGINT) AS df_t
+            FROM doc_tf GROUP BY 1) CROSS JOIN n
+    )
+    SELECT {id_col}, token, score, rank FROM (
+      SELECT d.{id_col}, d.token,
+             round(d.tf * i.idf, {_SCORE_SCALE}) AS score,
+             CAST(row_number() OVER (PARTITION BY d.{id_col}
+                    ORDER BY round(d.tf * i.idf, {_SCORE_SCALE}) DESC,
+                             d.token) AS INT) AS rank
+      FROM doc_tf d JOIN idf i USING (token)
+    ) WHERE rank <= {m}
+    """
 
 def bm25_topk_oracle_sql(
     query: str,

@@ -724,6 +724,17 @@ def _register_search() -> None:
         )
         return se.bm25_topk_batch(docs, qdf, k=10)
 
+    @_register(
+        "search_tfidf_keywords",
+        se.tfidf_keywords_oracle_sql(m=3),
+    )
+    def search_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Per-document keyword extraction: top-3 terms by tf-idf; the
+        ranking window reuses the one corpus-side exchange, document
+        frequencies broadcast back (operators/search.py)."""
+        docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+        return se.tfidf_keywords(docs, m=3)
+
 
 _register_search()
 
@@ -2952,7 +2963,11 @@ _DRIVER_PRIORITY = [
     # --- family anchors (18) -------------------------------------------
     "w_rank_family", "w_lead_lag", "w_first_last_ignore_nulls",
     "w_accumulate_running", "w_median_running", "w_discrete_percentile",
-    "w_sql_backend", "w_events_running", "w_events_running_salted",
+    "w_sql_backend", "w_events_running_salted",
+    # w_events_running ceded its slot to the new lexical-retrieval family
+    # (r6): it was driver-recorded green in r5 and w_events_running_salted
+    # pins the identical result via the same plain-window oracle.
+    "search_bm25_topk",
     # text family anchor ceded to dedup_incremental_estimate this round:
     # text_profile was driver-recorded green in r5 and the family keeps
     # three rows via text_language_id/token_counts/fingerprint above
