@@ -1476,6 +1476,27 @@ def _register_similarity() -> None:
 _register_similarity()
 
 
+def _register_linalg() -> None:
+    from window_aggregation_spark.operators import linalg as la
+
+    @_register(
+        "sim_embedding_covariance",
+        la.covariance_cells_oracle_sql(),
+    )
+    def sim_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Population covariance of the embedding column as (i, j, cov)
+        cells — the PCA pre-step for quantization/IVF. BLAS X'X per Arrow
+        batch in one mapInPandas pass (shuffle volume = partitions x d^2,
+        never rows), tiny element-wise reduce; distributed float sums are
+        order-dependent so the cross-engine contract is the rounded 1e-4
+        grid, nine orders above the reorder error (operators/linalg.py)."""
+        emb = read_table(spark, sf_dir, "embeddings")
+        return la.covariance_cells(emb)
+
+
+_register_linalg()
+
+
 # ---------------------------------------------------------------------------
 # Extension operators: multimodal plumbing + streaming-shaped aggregations
 # ---------------------------------------------------------------------------
