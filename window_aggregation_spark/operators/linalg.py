@@ -87,7 +87,11 @@ def covariance_cells(
     element-wise sums via posexplode + groupBy, then two broadcast joins
     of d-row mean tables onto the d^2 cells."""
     parts = gram_moments(df, vec_col, dim)
-    # tiny frames from here on (one input row per pandas batch)
+    # one row per pandas batch from here on — localCheckpoint so the four
+    # consuming branches (total, s_sum, g_sum, d_row) run the BLAS corpus
+    # pass ONCE, not once each (the lm.py lesson: AQE exchange reuse does
+    # not dedupe mapInPandas branches)
+    parts = parts.localCheckpoint(eager=False)
     total = parts.agg(F.sum("n").alias("n"))
     s_sum = (
         parts.select(F.posexplode("s").alias("i", "v"))
