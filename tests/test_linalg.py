@@ -56,6 +56,18 @@ def test_declared_dim_mismatch_raises(spark):
         linalg.covariance_cells(df, dim=5).collect()
 
 
+def test_pca_k_exceeding_dim_raises(spark):
+    df = _emb_df(spark, _rand(n=10, d=6))
+    with pytest.raises(ValueError, match="exceeds embedding dimension"):
+        linalg.pca_components(df, k=7)
+
+
+def test_pca_empty_corpus_raises(spark):
+    empty = _emb_df(spark, _rand(n=1)).where("vec_id < 0")
+    with pytest.raises(ValueError, match="empty corpus"):
+        linalg.pca_components(empty, k=1)
+
+
 def test_pca_components_orthonormal_and_ordered(spark):
     mat = _rand(n=200)
     comps = linalg.pca_components(_emb_df(spark, mat), k=3)

@@ -107,6 +107,25 @@ def test_batch_rank_is_dense_from_one(spark):
     assert [r["rn"] for r in rows] == list(range(1, len(rows) + 1))
 
 
+def test_batch_termless_query_yields_no_rows(spark, duck):
+    # contract (documented): a query with no indexable terms produces no
+    # output rows in the batch path (single-query path raises instead)
+    qdf = spark.createDataFrame(
+        [("q_ok", "hash join"), ("q_bad", "?!")], ["query_id", "query_text"]
+    )
+    rows = search.bm25_topk_batch(_df(spark, CORPUS), qdf, k=5).collect()
+    assert {r["query_id"] for r in rows} == {"q_ok"}
+
+
+def test_batch_oracle_sql_escapes_quotes(duck):
+    # must not be a syntax error; the apostrophe-bearing text tokenizes
+    # to terms like 'don' and 't'
+    sql = search.bm25_topk_batch_oracle_sql(
+        [("q'1", "don't panic")], k=3, table="documents"
+    )
+    duck.sql(sql).df()  # raises on malformed SQL
+
+
 def test_tfidf_keywords_match_reference(spark):
     got = [
         (r["doc_id"], r["token"], r["score"], r["rank"])

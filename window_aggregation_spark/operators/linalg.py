@@ -151,7 +151,11 @@ def pca_components(
     import numpy as np
 
     rows = covariance_cells(df, vec_col, dim, scale=12).collect()
-    d = max(r["i"] for r in rows) + 1
+    if not rows:
+        raise ValueError("cannot compute PCA components of an empty corpus")
+    d = dim if dim is not None else max(r["i"] for r in rows) + 1
+    if k > d:
+        raise ValueError(f"k={k} exceeds embedding dimension d={d}")
     cov = np.zeros((d, d))
     for r in rows:
         cov[r["i"], r["j"]] = r["cov"]

@@ -45,10 +45,24 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from window_aggregation_spark.operators.text import tokens
+from window_aggregation_spark.operators.text import TOKEN_RE, tokens
 
 _LNP_SCALE = 9   # decimals kept on per-token log probabilities
 _OUT_SCALE = 6   # decimals kept on per-document metrics
+
+
+def sorted_fold_sum(key, term) -> "F.Column":
+    """THE determinism contract for cross-engine float sums: collect
+    ``(key, term)`` structs, sort by key, fold ``acc + term`` from a 0.0
+    seed — the DuckDB mirror is ``list_reduce(list_prepend(0.0,
+    list(term ORDER BY key)), (acc, v) -> acc + v)``. Shared by the
+    perplexity scorers and the batched BM25 path so the contract lives
+    in exactly one place."""
+    return F.aggregate(
+        F.sort_array(F.collect_list(F.struct(key, term.alias("term")))),
+        F.lit(0.0),
+        lambda acc, s: acc + s["term"],
+    )
 
 
 def unigram_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
@@ -154,17 +168,8 @@ def perplexity_unigram(
     )
     scored = contrib.groupBy(id_col).agg(
         F.sum("tf").alias("n_tokens"),
-        F.aggregate(
-            F.sort_array(
-                F.collect_list(
-                    F.struct(
-                        F.col("token"),
-                        (F.col("tf") * F.col("lnp")).alias("term"),
-                    )
-                )
-            ),
-            F.lit(0.0),
-            lambda acc, s: acc + s["term"],
+        sorted_fold_sum(
+            F.col("token"), F.col("tf") * F.col("lnp")
         ).alias("ll_sum"),
     )
 
@@ -331,17 +336,8 @@ def perplexity_bigram(
     )
     scored = contrib.groupBy(id_col).agg(
         F.sum("tf").alias("n_transitions"),
-        F.aggregate(
-            F.sort_array(
-                F.collect_list(
-                    F.struct(
-                        F.col("bigram"),
-                        (F.col("tf") * F.col("lnp")).alias("term"),
-                    )
-                )
-            ),
-            F.lit(0.0),
-            lambda acc, s: acc + s["term"],
+        sorted_fold_sum(
+            F.col("bigram"), F.col("tf") * F.col("lnp")
         ).alias("ll_sum"),
     )
 
@@ -373,7 +369,7 @@ def perplexity_unigram_oracle_sql(
     """ANSI/DuckDB mirror of :func:`perplexity_unigram` (self-trained LM):
     identical rounding scales and an identical token-sorted fold order, so
     the doubles match bit-for-bit."""
-    toks = f"regexp_extract_all(lower({text_col}), '[a-z0-9]+')"
+    toks = f"regexp_extract_all(lower({text_col}), '{TOKEN_RE}')"
     keep = "".join(f", {c}" for c in keep_cols)
     k = repr(float(add_k))
     return f"""
@@ -428,7 +424,7 @@ def perplexity_bigram_oracle_sql(
     """DuckDB mirror of :func:`perplexity_bigram` (self-trained LM) —
     identical smoothing arithmetic, rounding scales, and bigram-sorted
     fold order."""
-    toks = f"regexp_extract_all(lower({text_col}), '[a-z0-9]+')"
+    toks = f"regexp_extract_all(lower({text_col}), '{TOKEN_RE}')"
     keep = "".join(f", {c}" for c in keep_cols)
     k = repr(float(add_k))
     return f"""

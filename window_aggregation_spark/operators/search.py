@@ -32,6 +32,7 @@ from functools import reduce
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from window_aggregation_spark.operators.lm import sorted_fold_sum
 from window_aggregation_spark.operators.text import TOKEN_RE, tokens
 
 _IDF_SCALE = 9
@@ -132,6 +133,13 @@ def bm25_topk_batch(
     aggregation shuffle, so shuffle volume is bounded by matches, not
     corpus tokens. Scores fold in term-sorted order per (query, doc);
     output adds ``rn`` (1-based rank, ties broken by doc id).
+
+    Contract difference from :func:`bm25_topk`: a query whose text
+    tokenizes to nothing simply produces no output rows (the plan is
+    declarative — there is no place to raise per-row), the same
+    signature as a query matching no documents. Callers who must
+    distinguish should anti-join the result's query ids against the
+    input.
     """
     q_terms = (
         queries.select(
@@ -186,13 +194,7 @@ def bm25_topk_batch(
     )
     scored = contrib.groupBy(query_id_col, id_col).agg(
         F.round(
-            F.aggregate(
-                F.sort_array(F.collect_list(
-                    F.struct(F.col("token"), F.col("term_score"))
-                )),
-                F.lit(0.0),
-                lambda acc, s: acc + s["term_score"],
-            ),
+            sorted_fold_sum(F.col("token"), F.col("term_score")),
             _SCORE_SCALE,
         ).alias("score")
     ).where(F.col("score") > 0)
@@ -234,7 +236,10 @@ def tfidf_keywords(
     if materialize:
         doc_tf = doc_tf.localCheckpoint(eager=False)
 
-    n_docs = base.agg(F.count(F.lit(1)).alias("n_docs"))
+    # count the RAW input (map-side combined, no exchange) — counting
+    # through `base` would inherit the doc-id repartition shuffle just to
+    # produce one row
+    n_docs = df.agg(F.count(F.lit(1)).alias("n_docs"))
     term_df = doc_tf.groupBy("token").agg(F.count(F.lit(1)).alias("df_t"))
     idf = term_df.crossJoin(F.broadcast(n_docs)).select(
         "token",
@@ -359,8 +364,12 @@ def bm25_topk_batch_oracle_sql(
     """DuckDB mirror of :func:`bm25_topk_batch` for a literal query batch
     (same term-sorted fold order per (query, doc))."""
     toks = f"regexp_extract_all(lower({text_col}), '{TOKEN_RE}')"
+
+    def q(s: str) -> str:  # SQL string literal, quotes doubled
+        return "'" + s.replace("'", "''") + "'"
+
     qvals = ", ".join(
-        f"('{qid}', '{qtext}')" for qid, qtext in queries
+        f"({q(qid)}, {q(qtext)})" for qid, qtext in queries
     )
     return f"""
     WITH qraw(query_id, query_text) AS (VALUES {qvals}),
