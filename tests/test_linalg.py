@@ -13,6 +13,8 @@ import math
 import numpy as np
 import pytest
 
+from pyspark.sql import functions as F
+
 from window_aggregation_spark.operators import linalg
 
 
@@ -105,6 +107,26 @@ def test_projection_preserves_variance_ordering(spark):
     ])
     variances = proj.var(axis=0)
     assert variances[0] >= variances[1] >= variances[2]
+
+
+def test_pca_composes_with_ann_operators(spark, sf_dir):
+    """The decorrelate-then-index pipeline: pca_project output feeds
+    cosine_topk directly (schema-compatible), and because the fixture
+    embeddings' variance is near-isotropic-plus-noise, a 16-of-64
+    projection must keep top-1 self-similarity intact (a vector's
+    nearest neighbor in projected space is itself)."""
+    from window_aggregation_spark.operators.similarity import cosine_topk
+    from window_aggregation_spark.sources.io import read_table
+
+    emb = read_table(spark, sf_dir, "embeddings").limit(40)
+    comps = linalg.pca_components(emb, k=16)
+    proj = linalg.pca_project(emb, comps, out_col="embedding_pca")
+    proj = proj.select("vec_id", F.col("embedding_pca").alias("embedding"))
+    top1 = cosine_topk(proj.limit(8), proj, k=1)
+    rows = top1.collect()
+    assert len(rows) == 8
+    for r in rows:
+        assert r["query_id"] == r["neighbor_id"], rows
 
 
 def test_projection_plan_is_pure_expressions(spark):
