@@ -2943,6 +2943,67 @@ _register_approx()
 
 
 # ---------------------------------------------------------------------------
+# Extension operators: join reduction (bloom pre-filter)
+# ---------------------------------------------------------------------------
+
+def _register_joins() -> None:
+    @_register(
+        "join_bloom_prefilter",
+        """
+        SELECT l.l_orderkey, l.l_linenumber, l.l_quantity,
+               ROUND(l.l_extendedprice * (1 - l.l_discount), 4) AS revenue,
+               o.o_totalprice
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        WHERE o.o_orderpriority = '1-URGENT' AND o.o_totalprice > 250000
+        """,
+        headline=True,
+    )
+    def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Bloom-reduced fact/dim join: the filtered orders subset builds
+        a compact bloom filter (one tiny aggregation), lineitem is cut at
+        the scan by k codegen bit-tests against the one-row broadcast
+        word array, and the exact join then removes the ~fpp false
+        positives — so the ORACLE is the plain join, proving the
+        reduction is invisible in the result. At 100 TB this is the
+        "join a fact table against a 1 % dimension slice without
+        shuffling the other 99 %" pattern; here the pre-filter passes
+        ~11 % of lineitem (volume asserted in tests/test_bloom_join.py).
+        """
+        from window_aggregation_spark.operators.bloom_join import bloom_join
+
+        li = read_table(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_linenumber", "l_quantity",
+            F.round(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")), 4
+            ).alias("revenue"),
+        )
+        orders = (
+            read_table(spark, sf_dir, "orders")
+            .where(
+                (F.col("o_orderpriority") == "1-URGENT")
+                & (F.col("o_totalprice") > 250000)
+            )
+            .select(
+                F.col("o_orderkey").alias("l_orderkey"), "o_totalprice"
+            )
+        )
+        # expected_items=None -> one count() job over the already-filtered
+        # dim slice (tiny; at 100 TB you would pass table-stats instead).
+        # A static guess under-sized at a larger SF would saturate the
+        # filter: still correct, but the reduction silently evaporates.
+        return bloom_join(
+            li, orders, "l_orderkey", expected_items=None, fpp=0.01
+        ).select(
+            "l_orderkey", "l_linenumber", "l_quantity",
+            "revenue", "o_totalprice",
+        )
+
+
+_register_joins()
+
+
+# ---------------------------------------------------------------------------
 # Driver-slot curation: the driver's CORRECTNESS snapshot records only the
 # FIRST 50 queries() entries (observed r1-r4; r4 silently rotated six green
 # rows out and the corpus family never held a slot). The first 50 names
