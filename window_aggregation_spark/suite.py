@@ -2999,6 +2999,51 @@ def _register_joins() -> None:
             "revenue", "o_totalprice",
         )
 
+    @_register(
+        "join_fuzzy_part_names",
+        """
+        WITH q AS (SELECT p_partkey AS q_key,
+                          concat(substr(p_name, 1, 3), substr(p_name, 5))
+                            AS q_name
+                   FROM part WHERE p_partkey % 97 = 0)
+        SELECT q.q_key, q.q_name, p.p_partkey, p.p_name,
+               CAST(levenshtein(q.q_name, p.p_name) AS INT) AS distance
+        FROM q JOIN part p
+          ON abs(length(q.q_name) - length(p.p_name)) <= 1
+        WHERE levenshtein(q.q_name, p.p_name) <= 1
+        """,
+        headline=True,
+    )
+    def join_fuzzy_part_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Record linkage: part names with the 4th character deleted are
+        linked back to the catalog at levenshtein distance <= 1 via the
+        symmetric-deletion blocking (complete by the SymSpell theorem) +
+        threshold-levenshtein verify. The ORACLE is the brute-force SQL
+        definition of the join — a blocking scheme that lost even one
+        candidate pair would hash-mismatch, so completeness (not just
+        speed) is externally checked. Matching work is per DISTINCT
+        name pair (the fixtures' part names are heavily duplicated —
+        the payload re-attachment path is exercised for real).
+        """
+        from window_aggregation_spark.operators.fuzzy_join import fuzzy_join
+
+        part = read_table(spark, sf_dir, "part")
+        q = part.where(F.col("p_partkey") % 97 == 0).select(
+            F.col("p_partkey").alias("q_key"),
+            F.concat(
+                F.substring("p_name", 1, 3),
+                F.expr("substr(p_name, 5)"),
+            ).alias("q_name"),
+        )
+        return fuzzy_join(
+            q,
+            part.select("p_partkey", "p_name"),
+            "q_name",
+            "p_name",
+            max_distance=1,
+            distance_col="distance",
+        ).select("q_key", "q_name", "p_partkey", "p_name", "distance")
+
 
 _register_joins()
 
