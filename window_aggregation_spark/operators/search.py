@@ -26,7 +26,9 @@ final scores to 6; ties break on doc_id in both engines.
 
 from __future__ import annotations
 
+import hashlib
 import re
+from dataclasses import dataclass
 from functools import reduce
 
 from pyspark.sql import DataFrame, Window
@@ -260,6 +262,162 @@ def tfidf_keywords(
     return (
         scored.withColumn("rank", F.row_number().over(w).cast("int"))
         .where(F.col("rank") <= m)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Persisted inverted index
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class TextIndex:
+    """A persisted inverted index: lazy ``postings`` scan plus the two
+    corpus scalars every BM25 score needs. Only the one params row and
+    the one stats row ever reach the driver."""
+
+    path: str
+    n_buckets: int
+    id_col: str
+    n_docs: int
+    sum_dl: int
+    postings: DataFrame  # token, <id_col>, tf, dl, term_bucket
+
+
+def term_bucket(token: str, n_buckets: int) -> int:
+    """Driver-side mirror of the index's bucket assignment
+    (``portable_hash64 % n_buckets`` — first 15 hex digits of md5), so a
+    query plans its partition filter without touching the index."""
+    return int(hashlib.md5(token.encode()).hexdigest()[:15], 16) % n_buckets
+
+
+def build_text_index(
+    df: DataFrame,
+    path: str,
+    *,
+    n_buckets: int = 64,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    mode: str = "overwrite",
+) -> TextIndex:
+    """Tokenize the corpus ONCE and persist term-bucketed posting lists —
+    the lexical twin of :func:`~.similarity.build_ivf_index`.
+
+    :func:`bm25_topk` re-scans and re-tokenizes the full corpus per
+    query; right for one-shot jobs, wrong for a serving index over
+    100 TB. This pays the tokenize+aggregate cost once:
+
+    - ``postings/`` — parquet PARTITIONED BY ``term_bucket``
+      (``portable_hash64(token) % n_buckets``): a query touching t terms
+      scans at most t directories, and rows are sorted by ``token``
+      within each bucket so parquet row-group stats prune inside the
+      bucket too. Each posting row is ``(token, id, tf, dl)`` — document
+      frequency is NOT stored; it aggregates at query time from the
+      (already pruned) probed postings, so incremental appends never
+      invalidate a global statistic.
+    - ``stats/`` / ``params/`` — one-row parquets (N, Σdl; layout).
+
+    The bucket count bounds skew: a hot term's postings share a
+    directory with ~1/n_buckets of the vocabulary, but scoring
+    aggregates per (token, doc) — there is no per-bucket reduce to melt.
+    """
+    base = df.select(id_col, tokens(F.col(text_col)).alias("toks"))
+    stats = base.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.coalesce(F.sum(F.size("toks")), F.lit(0)).alias("sum_dl"),
+    )
+    stats.coalesce(1).write.mode(mode).parquet(f"{path}/stats")
+    from window_aggregation_spark.operators.dedup import portable_hash64
+
+    postings = (
+        base.select(
+            id_col,
+            F.size("toks").alias("dl"),
+            F.explode("toks").alias("token"),
+        )
+        .groupBy("token", id_col)
+        .agg(F.count(F.lit(1)).alias("tf"), F.first("dl").alias("dl"))
+        .withColumn(
+            "term_bucket",
+            F.pmod(portable_hash64(F.col("token")), F.lit(n_buckets))
+            .cast("int"),
+        )
+        .repartition("term_bucket")
+        .sortWithinPartitions("token", id_col)
+    )
+    postings.write.mode(mode).partitionBy("term_bucket").parquet(
+        f"{path}/postings"
+    )
+    spark = df.sparkSession
+    spark.createDataFrame(
+        [(n_buckets, id_col)], "n_buckets int, id_col string"
+    ).coalesce(1).write.mode(mode).parquet(f"{path}/params")
+    return load_text_index(spark, path)
+
+
+def load_text_index(spark, path: str) -> TextIndex:
+    p = spark.read.parquet(f"{path}/params").first()
+    s = spark.read.parquet(f"{path}/stats").first()
+    return TextIndex(
+        path=path,
+        n_buckets=int(p["n_buckets"]),
+        id_col=p["id_col"],
+        n_docs=int(s["n_docs"]),
+        sum_dl=int(s["sum_dl"]),
+        postings=spark.read.parquet(f"{path}/postings"),
+    )
+
+
+def bm25_topk_indexed(
+    index: TextIndex,
+    query: str,
+    k: int = 10,
+    *,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Top-``k`` for one query served from a :class:`TextIndex` —
+    result-identical to :func:`bm25_topk` over the indexed corpus (the
+    suite pins the two against the same oracle).
+
+    The plan never sees corpus text: the probed terms' buckets are
+    computed DRIVER-SIDE (:func:`term_bucket`) into a partition filter,
+    so the scan reads ≤ ``len(terms)`` of the ``n_buckets`` posting
+    directories; document frequencies aggregate from those pruned rows
+    and broadcast back. Scores fold per document in term-sorted order
+    (`sorted_fold_sum`), which equals the full-scan sum bit-for-bit:
+    absent terms contribute an exact ``0.0``, and adding 0.0 is the
+    floating-point identity on the nonnegative BM25 partials.
+    """
+    terms = query_terms(query)
+    if not terms:
+        raise ValueError("query contains no indexable terms")
+    buckets = sorted({term_bucket(t, index.n_buckets) for t in terms})
+    p = index.postings.where(
+        F.col("term_bucket").isin(buckets) & F.col("token").isin(terms)
+    )
+    df_t = p.groupBy("token").agg(F.count(F.lit(1)).alias("df_t"))
+    idf = _idf(F.lit(index.n_docs), F.col("df_t"))
+    avgdl = F.lit(index.sum_dl) / F.lit(index.n_docs)
+    norm = F.lit(1.0) - F.lit(b) + F.lit(b) * F.col("dl") / avgdl
+    tf = F.col("tf").cast("double")
+    contrib = p.join(F.broadcast(df_t), "token").select(
+        index.id_col,
+        "token",
+        (idf * (tf * F.lit(k1 + 1.0)) / (tf + F.lit(k1) * norm))
+        .alias("term_score"),
+    )
+    return (
+        contrib.groupBy(index.id_col)
+        .agg(
+            F.round(
+                sorted_fold_sum(F.col("token"), F.col("term_score")),
+                _SCORE_SCALE,
+            ).alias("score")
+        )
+        .where(F.col("score") > 0)
+        .orderBy(F.col("score").desc(), F.col(index.id_col))
+        .limit(k)
     )
 
 

@@ -735,8 +735,45 @@ def _register_search() -> None:
         docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
         return se.tfidf_keywords(docs, m=3)
 
+    @_register(
+        "search_bm25_indexed",
+        se.bm25_topk_oracle_sql(_BM25_QUERY, k=20),
+    )
+    def search_bm25_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """BM25 served from the PERSISTED inverted index — same oracle as
+        the full-scan query, so scan path ≡ index path is externally
+        hash-checked. The index builds once per fixture under /tmp
+        (write-once-artifact pattern); a query touching t terms scans at
+        most t of the term-bucket partitions and never reads corpus
+        text, which is the 100 TB serving shape
+        (operators/search.py: build_text_index / bm25_topk_indexed)."""
+        return se.bm25_topk_indexed(
+            text_index_for(spark, sf_dir), _BM25_QUERY, k=20
+        )
+
 
 _register_search()
+
+
+def text_index_for(spark: SparkSession, sf_dir: str):
+    """The per-fixture persisted inverted index (same tag-and-cache
+    pattern as ``signature_store_for``); bench.py builds it outside the
+    timed region to account build cost separately from query cost."""
+    import hashlib
+    import os
+
+    from window_aggregation_spark.operators import search as se
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    st = os.stat(src)
+    tag = hashlib.md5(
+        f"{sf_dir}|{st.st_mtime_ns}|{st.st_size}".encode()
+    ).hexdigest()[:16]
+    path = f"/tmp/spark_graft_stores/text_index_{tag}"
+    if not os.path.exists(f"{path}/params"):
+        docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+        return se.build_text_index(docs, path)
+    return se.load_text_index(spark, path)
 
 
 # ---------------------------------------------------------------------------
