@@ -275,6 +275,27 @@ def test_decontaminate_counts_distinct_shared_ngrams(spark, contam_docs):
     assert out[4] == (0, False)
 
 
+def test_decontaminate_bloom_mode_identical(spark, contam_docs):
+    """The bloom pre-filter must be invisible in the result — same rows
+    as broadcast mode, false positives removed by the exact semi-join."""
+    bench = contam_docs.where("doc_id = 1")
+    want = sorted(
+        map(tuple, cp.decontaminate(
+            contam_docs, bench, "doc_id", "text", ngram=5
+        ).collect())
+    )
+    for expected in (None, 1):  # sized and deliberately UNDER-sized
+        got = sorted(
+            map(tuple, cp.decontaminate(
+                contam_docs, bench, "doc_id", "text", ngram=5,
+                mode="bloom", expected_bench_grams=expected,
+            ).collect())
+        )
+        assert got == want
+    with pytest.raises(ValueError, match="mode"):
+        cp.decontaminate(contam_docs, bench, mode="nope")
+
+
 def test_decontaminate_clean_benchmark_flags_nothing(spark, contam_docs):
     bench = spark.createDataFrame(
         [(99, "entirely disjoint benchmark question answer pairs here")],

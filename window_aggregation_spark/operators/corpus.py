@@ -468,36 +468,89 @@ def decontaminate(
     *,
     ngram: int = 5,
     bench_text_col: str = "text",
+    mode: str = "broadcast",
+    expected_bench_grams: int | None = None,
+    fpp: float = 0.01,
 ) -> DataFrame:
     """Per-document count of distinct token ``ngram``-grams shared with a
     benchmark/eval set, plus a ``contaminated`` flag — the standard
     train-set decontamination pass (drop or flag any training document that
     contains a verbatim n-gram from an eval benchmark).
 
-    Scale shape: the benchmark side is SMALL by definition (eval suites are
-    thousands of documents, not billions) — its distinct n-gram set is
-    built with one shuffle over benchmark rows only and **broadcast**. The
-    100 TB training side is never shuffled for the match: explode doc
-    n-grams (projection), broadcast-hash left join against the benchmark
-    set, then one map-side-combined ``groupBy(id)`` to count hits. Every
-    document survives to the output (``shingles`` emits the whole token
-    string for sub-``ngram`` docs, so no doc has zero shingles).
+    ``mode="broadcast"`` (default): the benchmark side is SMALL by
+    definition (eval suites are thousands of documents, not billions) —
+    its distinct n-gram set is built with one shuffle over benchmark rows
+    only and **broadcast**. The 100 TB training side is never shuffled for
+    the match: explode doc n-grams (projection), broadcast-hash left join
+    against the benchmark set, then one map-side-combined ``groupBy(id)``
+    to count hits. Every document survives to the output (``shingles``
+    emits the whole token string for sub-``ngram`` docs, so no doc has
+    zero shingles).
+
+    ``mode="bloom"``: for benchmark-gram sets past the broadcast budget
+    (a consolidated eval registry, or decontaminating against another
+    CORPUS). The gram strings never broadcast — only a bloom filter of
+    them (~10 bits/gram at 1 % fpp, built by
+    :func:`~.bloom_join.build_bloom_filter`); doc grams are cut by the
+    codegen bit-tests BEFORE any shuffle, and the survivors (~true hits
+    + fpp of the rest) meet the benchmark grams in a plain shuffled
+    left-semi join that removes the false positives — so the RESULT is
+    identical to broadcast mode (the suite twin shares one oracle).
+    ``expected_bench_grams`` sizes the filter (None = one count() job);
+    an under-sized filter saturates and silently degrades to shuffling
+    more survivors, never to wrong output.
 
     Reuses :func:`.dedup.shingles` (distinct n-grams per doc), so the
     overlap count is a count of *distinct* shared n-grams.
     """
     from window_aggregation_spark.operators.dedup import shingles
 
+    if mode not in ("broadcast", "bloom"):
+        raise ValueError(f"mode must be 'broadcast' or 'bloom': {mode!r}")
     bench_grams = (
         bench.select(F.explode(shingles(F.col(bench_text_col), ngram)).alias("__g"))
         .distinct()
-        .withColumn("__hit", F.lit(1))
     )
     doc_grams = docs.select(
         F.col(id_col), F.explode(shingles(F.col(text_col), ngram)).alias("__g")
     )
+    if mode == "bloom":
+        from window_aggregation_spark.operators.bloom_join import (
+            bloom_prefilter,
+            build_bloom_filter,
+        )
+
+        n = (
+            expected_bench_grams
+            if expected_bench_grams is not None
+            else bench_grams.count()
+        )
+        bf = build_bloom_filter(
+            bench_grams, "__g", expected_items=max(1, n), fpp=fpp
+        )
+        hits = (
+            bloom_prefilter(doc_grams, bf, "__g")
+            .join(bench_grams, on="__g", how="left_semi")
+            .groupBy(id_col)
+            .agg(F.count(F.lit(1)).cast("long").alias("n_overlap_ngrams"))
+        )
+        return (
+            docs.select(id_col)
+            .join(hits, on=id_col, how="left")
+            .select(
+                id_col,
+                F.coalesce(F.col("n_overlap_ngrams"), F.lit(0))
+                .cast("long")
+                .alias("n_overlap_ngrams"),
+            )
+            .withColumn("contaminated", F.col("n_overlap_ngrams") > 0)
+        )
     return (
-        doc_grams.join(F.broadcast(bench_grams), on="__g", how="left")
+        doc_grams.join(
+            F.broadcast(bench_grams.withColumn("__hit", F.lit(1))),
+            on="__g",
+            how="left",
+        )
         .groupBy(id_col)
         .agg(
             F.sum(F.coalesce(F.col("__hit"), F.lit(0)))

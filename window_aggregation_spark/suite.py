@@ -2614,6 +2614,27 @@ def _register_corpus() -> None:
         bench = docs.where(F.expr(_BENCH_WHERE))
         return cp.decontaminate(docs, bench, "doc_id", "text", ngram=5)
 
+    @_register(
+        "corpus_decontaminate_bloom",
+        cp.decontaminate_oracle_sql(
+            "documents", _BENCH_WHERE, "doc_id", "text", ngram=5
+        ),
+    )
+    def corpus_decontaminate_bloom(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        """Decontamination for benchmark-gram sets past the broadcast
+        budget: only a BLOOM of the eval grams ships (~10 bits/gram); doc
+        grams are cut by codegen bit-tests before any shuffle and the
+        survivors meet the gram set in a plain left-semi join that
+        removes the false positives. SAME oracle as corpus_decontaminate
+        — the reduction must be invisible in the result."""
+        docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+        bench = docs.where(F.expr(_BENCH_WHERE))
+        return cp.decontaminate(
+            docs, bench, "doc_id", "text", ngram=5, mode="bloom"
+        )
+
     _MIX_RATES = {"src0": 1.0, "src1": 0.5, "src2": 0.25, "src3": 0.0}
 
     @_register(
