@@ -11,6 +11,7 @@ from window_aggregation_spark.operators.search import (
     build_text_index,
     load_text_index,
     term_bucket,
+    text_index_add,
 )
 
 
@@ -86,3 +87,19 @@ def test_empty_query_raises(spark, tmp_path):
     idx = build_text_index(_corpus(spark), str(tmp_path / "ix4"))
     with pytest.raises(ValueError, match="no indexable terms"):
         bm25_topk_indexed(idx, "!!! ...")
+
+
+def test_index_add_equals_rebuild(spark, tmp_path):
+    """An appended index must score exactly like a from-scratch rebuild
+    over the union corpus (df derived at query time, stats summed)."""
+    docs = _corpus(spark)
+    first, rest = docs.where("doc_id <= 'd4'"), docs.where("doc_id > 'd4'")
+    idx = build_text_index(first, str(tmp_path / "inc"), n_buckets=4)
+    idx = text_index_add(spark, str(tmp_path / "inc"), rest)
+    full = build_text_index(docs, str(tmp_path / "full"), n_buckets=4)
+    assert (idx.n_docs, idx.sum_dl) == (full.n_docs, full.sum_dl)
+    for q in ["hash join", "window partition sort", "spark"]:
+        got = bm25_topk_indexed(idx, q, k=10).collect()
+        want = bm25_topk_indexed(full, q, k=10).collect()
+        scan = bm25_topk(docs, q, k=10).collect()
+        assert got == want == scan

@@ -266,6 +266,107 @@ def tfidf_keywords(
 
 
 # ---------------------------------------------------------------------------
+# Hybrid retrieval (reciprocal-rank fusion)
+# ---------------------------------------------------------------------------
+
+
+def rrf_fuse(
+    ranked: list[DataFrame],
+    *,
+    id_col: str = "doc_id",
+    rank_col: str = "rank",
+    k: int = 10,
+    k_rrf: int = 60,
+) -> DataFrame:
+    """Fuse N ranked candidate lists by reciprocal-rank fusion:
+    ``score(d) = Σ_i 1/(k_rrf + rank_i(d))``, absent-from-a-list
+    contributing 0 (Cormack et al.'s standard formulation — rank-based,
+    so lexical and vector scores need no calibration against each other).
+
+    Each input carries ``(id_col, rank_col)``; output is ``id_col``,
+    ``rank_1..rank_N`` (nullable int, input order), and ``rrf_score``
+    (rounded to 6, summed in input order so cross-engine oracles can
+    reproduce the double exactly). Top-``k`` by score, ties broken by id.
+
+    Candidate lists are k-bounded BY CONSTRUCTION (they come out of
+    top-k operators), so the outer-join chain is over tiny inputs —
+    scale lives in the retrievers, not the fusion.
+    """
+    if not ranked:
+        raise ValueError("ranked must contain at least one DataFrame")
+    out = None
+    for i, df in enumerate(ranked, 1):
+        cur = df.select(
+            F.col(id_col),
+            F.col(rank_col).cast("int").alias(f"rank_{i}"),
+        )
+        out = cur if out is None else out.join(cur, id_col, "full_outer")
+    score = reduce(
+        lambda a, c: a + c,
+        [
+            F.coalesce(
+                F.lit(1.0) / (F.lit(k_rrf) + F.col(f"rank_{i}")),
+                F.lit(0.0),
+            )
+            for i in range(1, len(ranked) + 1)
+        ],
+    )
+    return (
+        out.withColumn("rrf_score", F.round(score, _SCORE_SCALE))
+        .orderBy(F.col("rrf_score").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
+def hybrid_topk_rrf(
+    docs: DataFrame,
+    vectors: DataFrame,
+    query_text: str,
+    query_vectors: DataFrame,
+    *,
+    k: int = 10,
+    n_candidates: int = 50,
+    k_rrf: int = 60,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    vec_id: str = "vec_id",
+    vec_col: str = "embedding",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Hybrid retrieval for ONE query: BM25 candidates and exact-cosine
+    candidates (``query_vectors`` = a 1-row (id, vector) frame) fused by
+    :func:`rrf_fuse`. Output: ``(id, rank_1 lexical, rank_2 semantic,
+    rrf_score)``.
+
+    This is the composition seam, not the scale limit: swap
+    ``cosine_topk`` for ``ivf_topk_index`` and ``bm25_topk`` for
+    ``bm25_topk_indexed`` at serving scale — any ranked list feeds
+    :func:`rrf_fuse` unchanged. The lexical rank window is
+    single-partition over the ``n_candidates`` surviving rows only
+    (bounded by construction).
+    """
+    from window_aggregation_spark.operators.similarity import cosine_topk
+
+    lex = bm25_topk(
+        docs, query_text, k=n_candidates, k1=k1, b=b,
+        text_col=text_col, id_col=id_col,
+    )
+    wl = Window.orderBy(F.col("score").desc(), F.col(id_col))
+    lex_ranked = lex.select(
+        id_col, F.row_number().over(wl).alias("rank")
+    )
+    sem_ranked = cosine_topk(
+        query_vectors, vectors, k=n_candidates,
+        query_id=vec_id, corpus_id=vec_id, vec_col=vec_col,
+    ).select(F.col("neighbor_id").alias(id_col), F.col("nn_rank").alias("rank"))
+    return rrf_fuse(
+        [lex_ranked, sem_ranked],
+        id_col=id_col, rank_col="rank", k=k, k_rrf=k_rrf,
+    )
+
+
+# ---------------------------------------------------------------------------
 # Persisted inverted index
 # ---------------------------------------------------------------------------
 
@@ -352,6 +453,69 @@ def build_text_index(
     spark.createDataFrame(
         [(n_buckets, id_col)], "n_buckets int, id_col string"
     ).coalesce(1).write.mode(mode).parquet(f"{path}/params")
+    return load_text_index(spark, path)
+
+
+def text_index_add(
+    spark,
+    path: str,
+    new_docs: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str | None = None,
+) -> TextIndex:
+    """Append a document batch to a persisted :class:`TextIndex` without
+    a rebuild — the lexical twin of ``ivf_index_add``.
+
+    New postings are bucketed with the index's FROZEN ``n_buckets`` and
+    appended under the existing ``term_bucket=*/`` partitions; the
+    one-row stats (N, Σdl) are summed with the batch's and rewritten.
+    Because document frequency is derived at query time from postings,
+    an appended index scores queries EXACTLY like a from-scratch rebuild
+    over the union corpus (pinned in tests) — there is no stale-df decay.
+
+    Ids are NOT deduplicated against existing postings (upstream
+    ingestion filter's job); re-adding a document double-counts its tf
+    AND its stats row. Stats rewrite happens after the postings append —
+    a job dying between the two leaves postings visible with slightly
+    stale N/Σdl (scores shift marginally, no crash); re-run the stats
+    step or rebuild to heal.
+    """
+    idx = load_text_index(spark, path)
+    idc = id_col or idx.id_col
+    base = new_docs.select(
+        F.col(idc).alias(idx.id_col), tokens(F.col(text_col)).alias("toks")
+    )
+    batch = base.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.coalesce(F.sum(F.size("toks")), F.lit(0)).alias("sum_dl"),
+    ).first()
+    from window_aggregation_spark.operators.dedup import portable_hash64
+
+    postings = (
+        base.select(
+            idx.id_col,
+            F.size("toks").alias("dl"),
+            F.explode("toks").alias("token"),
+        )
+        .groupBy("token", idx.id_col)
+        .agg(F.count(F.lit(1)).alias("tf"), F.first("dl").alias("dl"))
+        .withColumn(
+            "term_bucket",
+            F.pmod(portable_hash64(F.col("token")), F.lit(idx.n_buckets))
+            .cast("int"),
+        )
+        .repartition("term_bucket")
+        .sortWithinPartitions("token", idx.id_col)
+    )
+    postings.write.mode("append").partitionBy("term_bucket").parquet(
+        f"{path}/postings"
+    )
+    spark.createDataFrame(
+        [(idx.n_docs + int(batch["n_docs"]),
+          idx.sum_dl + int(batch["sum_dl"]))],
+        "n_docs bigint, sum_dl bigint",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/stats")
     return load_text_index(spark, path)
 
 

@@ -682,6 +682,20 @@ def _register_lm() -> None:
 _register_lm()
 
 
+# DuckDB mirror of operators.dedup.cosine — explicit double folds in the
+# same left-to-right order as Spark's F.aggregate, so values match exactly.
+def _duck_cosine(a: str, b: str) -> str:
+    def dot(x: str, y: str) -> str:
+        return (
+            f"list_reduce(list_prepend(0.0, list_transform("
+            f"generate_series(1, len({x})), "
+            f"i -> CAST({x}[i] AS DOUBLE) * CAST({y}[i] AS DOUBLE))), "
+            f"(acc, v) -> acc + v)"
+        )
+
+    return f"({dot(a, b)} / (sqrt({dot(a, a)}) * sqrt({dot(b, b)})))"
+
+
 _BM25_QUERY = "hash join spark window"
 _BM25_BATCH = (
     ("q_exec", "hash join spark window"),
@@ -751,6 +765,82 @@ def _register_search() -> None:
             text_index_for(spark, sf_dir), _BM25_QUERY, k=20
         )
 
+    @_register(
+        "search_bm25_index_add",
+        se.bm25_topk_oracle_sql(_BM25_QUERY, k=20),
+    )
+    def search_bm25_index_add(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Serving-loop evidence for the lexical index: the index is
+        built on HALF the corpus and the other half APPENDED via
+        text_index_add (frozen bucketing, stats summed, df derived at
+        query time) — then scored against the FULL-corpus scan oracle.
+        Any append-path drift (stale stats, missed postings, bucket
+        mismatch) hash-fails here."""
+        import hashlib
+        import os
+
+        src = os.path.join(sf_dir, "documents.parquet")
+        st = os.stat(src)
+        tag = hashlib.md5(
+            f"{sf_dir}|{st.st_mtime_ns}|{st.st_size}".encode()
+        ).hexdigest()[:16]
+        path = f"/tmp/spark_graft_stores/text_index_incr_{tag}"
+        if not os.path.exists(f"{path}/_ADDED"):
+            docs = read_table(spark, sf_dir, "documents").select(
+                "doc_id", "text"
+            )
+            se.build_text_index(docs.where("doc_id % 2 = 0"), path)
+            se.text_index_add(spark, path, docs.where("doc_id % 2 = 1"))
+            open(f"{path}/_ADDED", "w").close()
+        return se.bm25_topk_indexed(
+            se.load_text_index(spark, path), _BM25_QUERY, k=20
+        )
+
+    _HY_K, _HY_CAND, _HY_KRRF = 20, 50, 60
+
+    @_register(
+        "search_hybrid_rrf",
+        f"""
+        WITH lex AS (
+          SELECT doc_id,
+                 CAST(row_number() OVER (ORDER BY score DESC, doc_id)
+                      AS INT) AS rank_1
+          FROM ({se.bm25_topk_oracle_sql(_BM25_QUERY, k=_HY_CAND)})),
+        qv AS (SELECT embedding AS v FROM embeddings WHERE vec_id = 0),
+        sem AS (
+          SELECT neighbor_id AS doc_id, CAST(rn AS INT) AS rank_2 FROM (
+            SELECT c.vec_id AS neighbor_id,
+                   row_number() OVER (
+                     ORDER BY ROUND({_duck_cosine('c.embedding', 'q.v')}, 4)
+                       DESC, c.vec_id) AS rn
+            FROM embeddings c CROSS JOIN qv q) WHERE rn <= {_HY_CAND}),
+        fused AS (
+          SELECT COALESCE(l.doc_id, s.doc_id) AS doc_id, l.rank_1, s.rank_2,
+                 ROUND(COALESCE(CAST(1.0 AS DOUBLE) / ({_HY_KRRF} + l.rank_1),
+                                0.0)
+                     + COALESCE(CAST(1.0 AS DOUBLE) / ({_HY_KRRF} + s.rank_2),
+                                0.0), 6) AS rrf_score
+          FROM lex l FULL OUTER JOIN sem s ON l.doc_id = s.doc_id)
+        SELECT doc_id, rank_1, rank_2, rrf_score FROM fused
+        ORDER BY rrf_score DESC, doc_id LIMIT {_HY_K}
+        """,
+        headline=True,
+    )
+    def search_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Hybrid retrieval: BM25 and exact-cosine candidate lists fused
+        by reciprocal-rank fusion (score = Σ 1/(60+rank), rank-based so
+        the two scorers need no calibration). The oracle recomputes BOTH
+        retrievers and the fusion arithmetic from first principles. At
+        serving scale the same rrf_fuse seam takes bm25_topk_indexed and
+        ivf_topk_index lists unchanged (operators/search.py)."""
+        docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+        emb = read_table(spark, sf_dir, "embeddings")
+        qv = emb.where(F.col("vec_id") == 0)
+        return se.hybrid_topk_rrf(
+            docs, emb, _BM25_QUERY, qv,
+            k=_HY_K, n_candidates=_HY_CAND, k_rrf=_HY_KRRF,
+        )
+
 
 _register_search()
 
@@ -791,20 +881,6 @@ _DUCK_SHINGLES = f"""
                      || ' ' || {_DUCK_TOKENS}[i+2]))
     END
 """
-
-# DuckDB mirror of operators.dedup.cosine — explicit double folds in the
-# same left-to-right order as Spark's F.aggregate, so values match exactly.
-def _duck_cosine(a: str, b: str) -> str:
-    def dot(x: str, y: str) -> str:
-        return (
-            f"list_reduce(list_prepend(0.0, list_transform("
-            f"generate_series(1, len({x})), "
-            f"i -> CAST({x}[i] AS DOUBLE) * CAST({y}[i] AS DOUBLE))), "
-            f"(acc, v) -> acc + v)"
-        )
-
-    return f"({dot(a, b)} / (sqrt({dot(a, a)}) * sqrt({dot(b, b)})))"
-
 
 def _duck_minhash_lsh_sql(
     split_where: str | None = None,
