@@ -27,6 +27,7 @@ from window_aggregation_spark.suite import (  # noqa: E402
     SUITE,
     headline_queries,
     signature_store_for,
+    text_index_for,
 )
 
 
@@ -422,6 +423,9 @@ def sf1_section(
     t0 = time.perf_counter()
     signature_store_for(spark, out_dir)
     sig_build = round(time.perf_counter() - t0, 3)
+    t0 = time.perf_counter()
+    text_index_for(spark, out_dir)
+    tix_build = round(time.perf_counter() - t0, 3)
     timings: dict[str, float] = {}
     ratios: dict[str, float] = {}
     total = 0.0
@@ -443,6 +447,7 @@ def sf1_section(
     if ratios:
         out["linear_ratio"] = ratios
     out["signature_store_build_sec"] = sig_build
+    out["text_index_build_sec"] = tix_build
     out["dedup_pair_counts"] = dedup_pair_counts(spark, out_dir)
     return out
 
@@ -503,6 +508,10 @@ def main() -> None:
     t0 = time.perf_counter()
     signature_store_for(spark, sf_dir)
     sig_build_sec = round(time.perf_counter() - t0, 3)
+    # same accounting for the inverted index (search_bm25_indexed reads it)
+    t0 = time.perf_counter()
+    text_index_for(spark, sf_dir)
+    tix_build_sec = round(time.perf_counter() - t0, 3)
 
     reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
     timings: dict[str, float] = {}
@@ -525,7 +534,10 @@ def main() -> None:
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
-    sections: dict = {"signature_store": {"build_sec": sig_build_sec}}
+    sections: dict = {
+        "signature_store": {"build_sec": sig_build_sec},
+        "text_index": {"build_sec": tix_build_sec},
+    }
     if os.environ.get("SPARK_GRAFT_FRAME_PROBE", "1") != "0":
         sections["frame_probe"] = frame_scaling_probe(spark, sf_dir)
     if os.environ.get("SPARK_GRAFT_SKEW_PROBE", "1") != "0":

@@ -752,6 +752,7 @@ def _register_search() -> None:
     @_register(
         "search_bm25_indexed",
         se.bm25_topk_oracle_sql(_BM25_QUERY, k=20),
+        headline=True,
     )
     def search_bm25_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
         """BM25 served from the PERSISTED inverted index — same oracle as
