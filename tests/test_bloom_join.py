@@ -105,6 +105,23 @@ def test_budget_guard():
         )
 
 
+def test_mismatched_key_types_rejected(spark):
+    """An equi-join would coerce '5' = 5L; the hash pre-filter cannot —
+    mismatched key dtypes must raise, not silently drop matches."""
+    big = spark.range(10).selectExpr("cast(id as string) as k")
+    dim = spark.range(3).selectExpr("id as k")
+    with pytest.raises(ValueError, match="different types"):
+        bloom_join(big, dim, "k")
+
+
+def test_reserved_probe_columns_rejected(spark):
+    big = spark.range(10).selectExpr("id as k", "id as __pos0")
+    dim = spark.range(3).selectExpr("id as k")
+    bf = build_bloom_filter(dim, "k", expected_items=3, fpp=0.01)
+    with pytest.raises(ValueError, match="reserved"):
+        bloom_prefilter(big, bf, "k")
+
+
 def test_probe_filter_is_codegen(spark):
     """The probe-side pre-filter must stay JVM-side: no BatchEvalPython /
     ArrowEvalPython in the plan, and the bloom ships as a broadcast."""

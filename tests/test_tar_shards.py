@@ -120,3 +120,36 @@ def test_empty_input(spark, tmp_path):
 def test_invalid_n_shards(spark):
     with pytest.raises(ValueError, match="n_shards"):
         assign_shards(_docs(spark), "doc_id", 0)
+
+
+def test_json_ext_rejected(spark, tmp_path):
+    """ext='json' would make the reader file every payload under meta —
+    rejected at write time instead of silently losing all rows."""
+    df = assign_shards(_docs(spark), "doc_id", 2)
+    with pytest.raises(ValueError, match="json"):
+        write_tar_shards(df, str(tmp_path), "doc_id", "payload", ext="json")
+
+
+def test_reader_skips_non_regular_members(spark, tmp_path):
+    """Externally-produced WebDataset tars carry directory members; the
+    reader must skip them, not crash on extractfile() returning None."""
+    import io
+    import tarfile
+
+    path = tmp_path / "shard-000000.tar"
+    with tarfile.open(path, "w") as tf:
+        d = tarfile.TarInfo("samples")
+        d.type = tarfile.DIRTYPE
+        tf.addfile(d)
+        ti = tarfile.TarInfo("doc1.bin")
+        ti.size = 3
+        tf.addfile(ti, io.BytesIO(b"abc"))
+    rows = read_tar_shards(spark, str(tmp_path)).collect()
+    assert [(r.doc_id, bytes(r.payload)) for r in rows] == [("doc1", b"abc")]
+
+
+def test_no_temp_files_left_behind(spark, tmp_path):
+    """Atomic-rename writing must leave only final shard files."""
+    df = assign_shards(_docs(spark), "doc_id", 3)
+    write_tar_shards(df, str(tmp_path), "doc_id", "payload").collect()
+    assert all(f.endswith(".tar") for f in os.listdir(tmp_path))

@@ -89,6 +89,13 @@ def test_empty_query_raises(spark, tmp_path):
         bm25_topk_indexed(idx, "!!! ...")
 
 
+def test_append_mode_rejected(spark, tmp_path):
+    """mode='append' would stack rows into the one-row stats/params
+    files and corrupt loads — growing an index is text_index_add."""
+    with pytest.raises(ValueError, match="text_index_add"):
+        build_text_index(_corpus(spark), str(tmp_path / "m"), mode="append")
+
+
 def test_index_add_equals_rebuild(spark, tmp_path):
     """An appended index must score exactly like a from-scratch rebuild
     over the union corpus (df derived at query time, stats summed)."""

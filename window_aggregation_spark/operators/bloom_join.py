@@ -148,8 +148,20 @@ def bloom_prefilter(
     and codegen source, while a broadcast row is a single block every
     executor fetches once. The cross join is a BroadcastNestedLoopJoin of
     one row — a per-task array pointer, not a join in any real sense.
+
+    The probe column's TYPE must match what the filter was built from:
+    ``xxhash64`` hashes the binary representation, so ``"5"`` and ``5L``
+    never collide even though an equi-join would coerce them
+    (:func:`bloom_join` checks this; direct callers own it).
     """
     spark = big.sparkSession
+    reserved = {"__bloom", *(f"__pos{i}" for i in range(bf.n_hashes))}
+    clash = reserved & set(big.columns)
+    if clash:
+        raise ValueError(
+            f"probe side already has reserved column(s) {sorted(clash)}; "
+            "rename before bloom_prefilter"
+        )
     bfdf = spark.createDataFrame([(bf.words,)], "__bloom array<long>")
     h1, h2 = _hash_cols(F.col(key_col))
     m = F.lit(bf.n_bits).cast("long")
@@ -198,6 +210,17 @@ def bloom_join(
     """
     if how not in ("inner", "left_semi"):
         raise ValueError(f"bloom_join supports inner/left_semi, got {how!r}")
+    bt, st = big.schema[on].dataType, small.schema[on].dataType
+    if bt != st:
+        # an equi-join would coerce ("5" = 5L matches), but xxhash64
+        # hashes the binary representation — a coerced match would be
+        # silently DROPPED by the pre-filter. Make the caller cast.
+        raise ValueError(
+            f"join key {on!r} has different types on the two sides "
+            f"({bt.simpleString()} vs {st.simpleString()}); cast to a "
+            "common type before bloom_join — the hash pre-filter cannot "
+            "reproduce SQL's implicit coercion"
+        )
     n = expected_items if expected_items is not None else small.count()
     bf = build_bloom_filter(
         small,

@@ -520,6 +520,10 @@ def decontaminate(
             build_bloom_filter,
         )
 
+        # the gram set is consumed up to three times (count, filter
+        # build, exact semi-join) — materialize its explode+distinct
+        # once instead of re-shuffling the benchmark text per consumer
+        bench_grams = bench_grams.localCheckpoint(eager=True)
         n = (
             expected_bench_grams
             if expected_bench_grams is not None

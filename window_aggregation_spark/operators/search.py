@@ -392,6 +392,31 @@ def term_bucket(token: str, n_buckets: int) -> int:
     return int(hashlib.md5(token.encode()).hexdigest()[:15], 16) % n_buckets
 
 
+def _postings_frame(base: DataFrame, id_col: str, n_buckets: int) -> DataFrame:
+    """(token, id, tf, dl, term_bucket) postings from a ``(id, toks)``
+    frame — the ONE definition of the index's physical layout, shared by
+    :func:`build_text_index` and :func:`text_index_add` so the append
+    path can never drift from the build path."""
+    from window_aggregation_spark.operators.dedup import portable_hash64
+
+    return (
+        base.select(
+            id_col,
+            F.size("toks").alias("dl"),
+            F.explode("toks").alias("token"),
+        )
+        .groupBy("token", id_col)
+        .agg(F.count(F.lit(1)).alias("tf"), F.first("dl").alias("dl"))
+        .withColumn(
+            "term_bucket",
+            F.pmod(portable_hash64(F.col("token")), F.lit(n_buckets))
+            .cast("int"),
+        )
+        .repartition("term_bucket")
+        .sortWithinPartitions("token", id_col)
+    )
+
+
 def build_text_index(
     df: DataFrame,
     path: str,
@@ -421,34 +446,25 @@ def build_text_index(
     The bucket count bounds skew: a hot term's postings share a
     directory with ~1/n_buckets of the vocabulary, but scoring
     aggregates per (token, doc) — there is no per-bucket reduce to melt.
+
+    ``mode`` is restricted to overwrite/error semantics: ``append``
+    would stack extra rows into the one-row stats/params files and
+    silently corrupt loads — growing an index is :func:`text_index_add`.
     """
+    if mode not in ("overwrite", "error", "errorifexists"):
+        raise ValueError(
+            f"mode must be overwrite/error, got {mode!r}; to grow an "
+            "existing index use text_index_add"
+        )
     base = df.select(id_col, tokens(F.col(text_col)).alias("toks"))
     stats = base.agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.coalesce(F.sum(F.size("toks")), F.lit(0)).alias("sum_dl"),
     )
     stats.coalesce(1).write.mode(mode).parquet(f"{path}/stats")
-    from window_aggregation_spark.operators.dedup import portable_hash64
-
-    postings = (
-        base.select(
-            id_col,
-            F.size("toks").alias("dl"),
-            F.explode("toks").alias("token"),
-        )
-        .groupBy("token", id_col)
-        .agg(F.count(F.lit(1)).alias("tf"), F.first("dl").alias("dl"))
-        .withColumn(
-            "term_bucket",
-            F.pmod(portable_hash64(F.col("token")), F.lit(n_buckets))
-            .cast("int"),
-        )
-        .repartition("term_bucket")
-        .sortWithinPartitions("token", id_col)
-    )
-    postings.write.mode(mode).partitionBy("term_bucket").parquet(
-        f"{path}/postings"
-    )
+    _postings_frame(base, id_col, n_buckets).write.mode(mode).partitionBy(
+        "term_bucket"
+    ).parquet(f"{path}/postings")
     spark = df.sparkSession
     spark.createDataFrame(
         [(n_buckets, id_col)], "n_buckets int, id_col string"
@@ -490,27 +506,9 @@ def text_index_add(
         F.count(F.lit(1)).alias("n_docs"),
         F.coalesce(F.sum(F.size("toks")), F.lit(0)).alias("sum_dl"),
     ).first()
-    from window_aggregation_spark.operators.dedup import portable_hash64
-
-    postings = (
-        base.select(
-            idx.id_col,
-            F.size("toks").alias("dl"),
-            F.explode("toks").alias("token"),
-        )
-        .groupBy("token", idx.id_col)
-        .agg(F.count(F.lit(1)).alias("tf"), F.first("dl").alias("dl"))
-        .withColumn(
-            "term_bucket",
-            F.pmod(portable_hash64(F.col("token")), F.lit(idx.n_buckets))
-            .cast("int"),
-        )
-        .repartition("term_bucket")
-        .sortWithinPartitions("token", idx.id_col)
-    )
-    postings.write.mode("append").partitionBy("term_bucket").parquet(
-        f"{path}/postings"
-    )
+    _postings_frame(base, idx.id_col, idx.n_buckets).write.mode(
+        "append"
+    ).partitionBy("term_bucket").parquet(f"{path}/postings")
     spark.createDataFrame(
         [(idx.n_docs + int(batch["n_docs"]),
           idx.sum_dl + int(batch["sum_dl"]))],

@@ -119,8 +119,22 @@ def write_tar_shards(
 
     The manifest rows are produced by the SAME tasks that wrote the
     bytes, counting what was actually serialized — a writer that dropped
-    or duplicated rows cannot produce a clean manifest.
+    or duplicated rows cannot produce a clean manifest. Each tar is
+    written to a per-task-attempt temp name and atomically renamed on
+    close, so a retried/speculative task attempt can never leave a
+    half-written shard behind a clean manifest (the losing attempt's
+    rename is simply overwritten by a complete file).
+
+    ``ext="json"`` is rejected: the reader's WebDataset convention
+    routes ``.json`` members to metadata, so JSON payloads would vanish
+    from the roundtrip (and collide with ``meta_cols`` member names) —
+    use ``ext="jsonl"`` or similar for JSON-document corpora.
     """
+    if ext == "json":
+        raise ValueError(
+            'ext="json" collides with the metadata member convention; '
+            "payloads would be read back as meta — pick another extension"
+        )
     os.makedirs(out_dir, exist_ok=True)
     cols = [shard_col, id_col, payload_col, *meta_cols]
     src = df.select(*cols).repartition(F.col(shard_col)).sortWithinPartitions(
@@ -128,15 +142,20 @@ def write_tar_shards(
     )
 
     def _write(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        cur = None  # (shard, tarfile, path, n_docs, payload_bytes)
+        from pyspark import TaskContext
+
+        ctx = TaskContext.get()
+        attempt = ctx.taskAttemptId() if ctx is not None else os.getpid()
+        cur = None  # (shard, tarfile, tmp_path, final_path, n_docs, payload_bytes)
         out: list[tuple] = []
 
         def _close() -> None:
             nonlocal cur
             if cur is None:
                 return
-            shard, tf, path, n, pb = cur
+            shard, tf, tmp, path, n, pb = cur
             tf.close()
+            os.rename(tmp, path)
             out.append((shard, n, pb, os.path.getsize(path), path))
             cur = None
 
@@ -152,11 +171,12 @@ def write_tar_shards(
                 if cur is None or cur[0] != shard:
                     _close()
                     path = os.path.join(out_dir, f"shard-{shard:06d}.tar")
+                    tmp = f"{path}.tmp-{attempt}"
                     tf = tarfile.open(
-                        path, "w", format=tarfile.USTAR_FORMAT
+                        tmp, "w", format=tarfile.USTAR_FORMAT
                     )
-                    cur = (shard, tf, path, 0, 0)
-                shard_, tf, path, n, pb = cur
+                    cur = (shard, tf, tmp, path, 0, 0)
+                shard_, tf, tmp, path, n, pb = cur
                 tf.addfile(_tar_info(f"{rid}.{ext}", len(payload)),
                            io.BytesIO(payload))
                 if meta_cols:
@@ -167,7 +187,7 @@ def write_tar_shards(
                     ).encode()
                     tf.addfile(_tar_info(f"{rid}.json", len(meta)),
                                io.BytesIO(meta))
-                cur = (shard_, tf, path, n + 1, pb + len(payload))
+                cur = (shard_, tf, tmp, path, n + 1, pb + len(payload))
         _close()
         yield pd.DataFrame(
             out,
@@ -208,6 +228,11 @@ def read_tar_shards(
                 payloads: dict[str, bytes] = {}
                 with tarfile.open(fileobj=io.BytesIO(bytes(content))) as tf:
                     for ti in tf.getmembers():
+                        if not ti.isreg():
+                            # externally-produced WebDataset tars often
+                            # carry directory/link members; skip, don't
+                            # crash (extractfile returns None for them)
+                            continue
                         stem, dot, suffix = ti.name.rpartition(".")
                         data = tf.extractfile(ti).read()
                         if suffix == "json":

@@ -777,15 +777,9 @@ def _register_search() -> None:
         query time) — then scored against the FULL-corpus scan oracle.
         Any append-path drift (stale stats, missed postings, bucket
         mismatch) hash-fails here."""
-        import hashlib
         import os
 
-        src = os.path.join(sf_dir, "documents.parquet")
-        st = os.stat(src)
-        tag = hashlib.md5(
-            f"{sf_dir}|{st.st_mtime_ns}|{st.st_size}".encode()
-        ).hexdigest()[:16]
-        path = f"/tmp/spark_graft_stores/text_index_incr_{tag}"
+        path = fixture_store_path(sf_dir, "text_index_incr")
         if not os.path.exists(f"{path}/_ADDED"):
             docs = read_table(spark, sf_dir, "documents").select(
                 "doc_id", "text"
@@ -850,17 +844,11 @@ def text_index_for(spark: SparkSession, sf_dir: str):
     """The per-fixture persisted inverted index (same tag-and-cache
     pattern as ``signature_store_for``); bench.py builds it outside the
     timed region to account build cost separately from query cost."""
-    import hashlib
     import os
 
     from window_aggregation_spark.operators import search as se
 
-    src = os.path.join(sf_dir, "documents.parquet")
-    st = os.stat(src)
-    tag = hashlib.md5(
-        f"{sf_dir}|{st.st_mtime_ns}|{st.st_size}".encode()
-    ).hexdigest()[:16]
-    path = f"/tmp/spark_graft_stores/text_index_{tag}"
+    path = fixture_store_path(sf_dir, "text_index")
     if not os.path.exists(f"{path}/params"):
         docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
         return se.build_text_index(docs, path)
@@ -1008,6 +996,23 @@ def _duck_simhash_sql() -> str:
         """
 
 
+def fixture_store_path(sf_dir: str, prefix: str) -> str:
+    """/tmp path for a write-once per-fixture artifact, keyed by the
+    source parquet's identity (mtime+size) so a regenerated fixture
+    invalidates the cache. md5, NOT hash(): Python's str hash is
+    per-process randomized — a hash() tag would never hit across runs
+    and /tmp would accumulate one store per process."""
+    import hashlib
+    import os
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    st = os.stat(src)
+    tag = hashlib.md5(
+        f"{sf_dir}|{st.st_mtime_ns}|{st.st_size}".encode()
+    ).hexdigest()[:16]
+    return f"/tmp/spark_graft_stores/{prefix}_{tag}"
+
+
 def signature_store_for(spark: SparkSession, sf_dir: str):
     """The per-fixture persisted minhash-signature store the *_stored
     dedup twins consume: built once under /tmp (path keyed by the source
@@ -1015,20 +1020,11 @@ def signature_store_for(spark: SparkSession, sf_dir: str):
     loaded on every later call. bench.py calls this outside its timed
     region to record the build cost separately from the steady-state
     query cost — the write-once-artifact accounting."""
-    import hashlib
     import os
 
     from window_aggregation_spark.operators import dedup as dd
 
-    src = os.path.join(sf_dir, "documents.parquet")
-    st = os.stat(src)
-    # md5, NOT hash(): Python's str hash is per-process randomized, which
-    # would give every run a fresh tag — the cache would never hit across
-    # processes and /tmp would accumulate one full store per run
-    tag = hashlib.md5(
-        f"{sf_dir}|{st.st_mtime_ns}|{st.st_size}".encode()
-    ).hexdigest()[:16]
-    path = f"/tmp/spark_graft_stores/minhash_{tag}"
+    path = fixture_store_path(sf_dir, "minhash")
     if not os.path.exists(f"{path}/params"):
         docs = read_table(spark, sf_dir, "documents")
         return dd.build_signature_store(docs, "doc_id", path)
@@ -3217,15 +3213,9 @@ def _register_physical() -> None:
         the minhash signature store); steady-state calls only exercise
         the shard-parallel read.
         """
-        import hashlib
         import os
 
-        src = os.path.join(sf_dir, "documents.parquet")
-        st = os.stat(src)
-        tag = hashlib.md5(
-            f"{sf_dir}|{st.st_mtime_ns}|{st.st_size}".encode()
-        ).hexdigest()[:16]
-        path = f"/tmp/spark_graft_stores/tar_shards_{tag}"
+        path = fixture_store_path(sf_dir, "tar_shards")
         if not os.path.exists(f"{path}/_SUCCESS"):
             docs = read_table(spark, sf_dir, "documents").select(
                 "doc_id",
