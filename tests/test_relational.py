@@ -1,0 +1,160 @@
+"""Unit tests for operators/relational.py: rollup/cube grouping-id
+semantics, explicit-list pivot, and the single-pass expectation audit
+(including the approx-unique scale mode the suite row doesn't cover)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from window_aggregation_spark.operators.relational import (
+    Expectation,
+    pivot_aggregate,
+    rollup_aggregate,
+    run_expectations,
+)
+
+
+@pytest.fixture(scope="module")
+def sales(spark):
+    return spark.createDataFrame(
+        [
+            ("east", "a", 10.0),
+            ("east", "b", 20.0),
+            ("west", "a", 5.0),
+            ("west", None, 7.0),
+        ],
+        "region string, product string, amount double",
+    )
+
+
+class TestRollup:
+    def test_levels_and_grouping_id(self, spark, sales):
+        out = rollup_aggregate(
+            sales, ["region", "product"],
+            [F.sum("amount").alias("total")],
+        ).collect()
+        rows = {(r.region, r.product, r.grouping_id): r.total for r in out}
+        # leaf level (gid 0) keeps genuine NULL key values distinct...
+        assert rows[("west", None, 0)] == 7.0
+        # ...from the aggregated-away level (gid 1)
+        assert rows[("west", None, 1)] == 12.0
+        assert rows[("east", None, 1)] == 30.0
+        assert rows[(None, None, 3)] == 42.0
+        assert len(out) == 4 + 2 + 1
+
+    def test_cube_adds_product_only_level(self, spark, sales):
+        out = rollup_aggregate(
+            sales, ["region", "product"],
+            [F.sum("amount").alias("total")], cube=True,
+        ).collect()
+        rows = {(r.region, r.product, r.grouping_id): r.total for r in out}
+        # gid 2 = region aggregated away, product kept
+        assert rows[(None, "a", 2)] == 15.0
+
+    def test_one_shuffle(self, spark, sales):
+        out = rollup_aggregate(
+            sales, ["region", "product"], [F.count(F.lit(1)).alias("n")]
+        )
+        plan = out._sc._jvm.PythonSQLUtils.explainString(
+            out._jdf.queryExecution(), "simple"
+        )
+        assert plan.count("Exchange") - plan.count("ReusedExchange") <= 1
+        assert "Expand" in plan
+
+
+class TestPivot:
+    def test_values_and_missing_combo_null(self, spark, sales):
+        out = pivot_aggregate(
+            sales, ["region"], "product", ["a", "b"],
+            [F.sum("amount").alias("total"), F.count(F.lit(1)).alias("n")],
+        ).collect()
+        rows = {r.region: r for r in out}
+        assert rows["east"].a_total == 10.0 and rows["east"].b_total == 20.0
+        assert rows["west"].a_total == 5.0 and rows["west"].b_total is None
+        # Spark pivot semantics: EVERY aggregate over an empty cell is
+        # NULL — including count (unlike a plain COUNT FILTER, which is
+        # 0). Callers wanting SQL count semantics coalesce afterwards,
+        # as the agg_pivot_orders suite query does.
+        assert rows["west"].b_n is None
+
+    def test_unlisted_value_dropped(self, spark, sales):
+        out = pivot_aggregate(
+            sales, ["region"], "product", ["a"],
+            [F.sum("amount").alias("total")],
+        )
+        assert set(out.columns) == {"region", "a"} or set(out.columns) == {
+            "region", "a_total"
+        }
+
+    def test_empty_values_raise(self, spark, sales):
+        with pytest.raises(ValueError, match="pivot_values"):
+            pivot_aggregate(sales, ["region"], "product", [],
+                            [F.sum("amount").alias("total")])
+
+
+class TestExpectations:
+    @pytest.fixture(scope="class")
+    def df(self, spark):
+        return spark.createDataFrame(
+            [
+                (1, "x", 10.0),
+                (2, "y", -1.0),
+                (2, None, 3.0),
+                (4, "z", 5.0),
+            ],
+            "id bigint, tag string, v double",
+        )
+
+    def test_metrics_and_pass_flags(self, spark, df):
+        out = run_expectations(df, [
+            Expectation("id_unique", "id", "unique"),
+            Expectation("tag_not_null", "tag", "not_null"),
+            Expectation("v_positive", "v", "min", bound=0.0),
+            Expectation("v_cap", "v", "max", bound=100.0),
+            Expectation("tag_in_set", "tag", "in_set",
+                        allowed=("x", "y")),
+        ]).collect()
+        rows = {r.check: r for r in out}
+        assert rows["id_unique"].metric == 0.75 and not rows["id_unique"].passed
+        assert rows["tag_not_null"].metric == 0.25
+        assert not rows["tag_not_null"].passed
+        assert rows["v_positive"].metric == -1.0
+        assert not rows["v_positive"].passed
+        assert rows["v_cap"].passed
+        # null tag not counted against in_set; 1 of 3 non-null outside
+        assert rows["tag_in_set"].metric == round(1 / 3, 6)
+
+    def test_threshold_tolerates_fraction(self, spark, df):
+        out = run_expectations(df, [
+            Expectation("tag_mostly", "tag", "not_null", threshold=0.5),
+        ]).collect()
+        assert out[0].passed
+
+    def test_approx_unique_mode(self, spark, df):
+        out = run_expectations(
+            df, [Expectation("id_unique", "id", "unique")],
+            approx_unique=True,
+        ).collect()
+        # 3 distinct of 4 — even the sketch's tolerance must not call
+        # a 25%-duplicated column unique
+        assert not out[0].passed
+
+    def test_single_aggregate_pass(self, spark, df):
+        out = run_expectations(df, [
+            Expectation("tag_not_null", "tag", "not_null"),
+            Expectation("v_positive", "v", "min", bound=0.0),
+        ])
+        plan = out._sc._jvm.PythonSQLUtils.explainString(
+            out._jdf.queryExecution(), "simple"
+        )
+        # no distinct aggregate -> one scan, one aggregate exchange
+        assert plan.count("Scan") == 1 or "LocalTableScan" in plan
+
+    def test_unknown_kind_raises(self, spark, df):
+        with pytest.raises(ValueError, match="unknown expectation"):
+            run_expectations(df, [Expectation("bad", "id", "median")])
+
+    def test_in_set_without_allowed_raises(self, spark, df):
+        with pytest.raises(ValueError, match="allowed"):
+            run_expectations(df, [Expectation("bad", "tag", "in_set")])

@@ -1,0 +1,183 @@
+"""Unit tests for operators/timeseries.py: fixed-grid resample with
+forward fill / linear interpolation, gap sessionization, and SCD2
+history compaction — edge semantics the suite's sf-fixture oracle rows
+can't isolate (exact gap boundaries, all-NULL states, tie picking)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from window_aggregation_spark.operators.timeseries import (
+    resample_ffill,
+    scd2_history,
+    sessionize,
+)
+
+T0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+
+def _ev(spark, rows):
+    return spark.createDataFrame(
+        rows, "user_id bigint, ts timestamp, value double, event_id bigint"
+    )
+
+
+class TestResampleFfill:
+    def test_grid_ffill_and_lerp(self, spark):
+        df = _ev(spark, [
+            (1, dt.datetime(2024, 1, 1, 5), 10.0, 1),
+            (1, dt.datetime(2024, 1, 5, 7), 30.0, 2),
+        ])
+        out = resample_ffill(
+            df, ["user_id"], "ts", "value",
+            step="day", tiebreak=["event_id"], lerp=True,
+        ).orderBy("bucket").collect()
+        assert [r.bucket for r in out] == [
+            dt.date(2024, 1, d) for d in (1, 2, 3, 4, 5)
+        ]
+        assert [r.value_ffill for r in out] == [10.0, 10.0, 10.0, 10.0, 30.0]
+        assert [r.is_observed for r in out] == [True, False, False, False, True]
+        assert [r.value_lerp for r in out] == [10.0, 15.0, 20.0, 25.0, 30.0]
+
+    def test_last_in_bucket_wins_by_tiebreak(self, spark):
+        # same timestamp twice in one bucket: the higher event_id wins
+        df = _ev(spark, [
+            (1, dt.datetime(2024, 1, 1, 5), 1.0, 7),
+            (1, dt.datetime(2024, 1, 1, 5), 2.0, 9),
+            (1, dt.datetime(2024, 1, 1, 3), 99.0, 1),
+        ])
+        out = resample_ffill(
+            df, ["user_id"], "ts", "value", step="day", tiebreak=["event_id"]
+        ).collect()
+        assert len(out) == 1 and out[0].value_ffill == 2.0
+
+    def test_single_observation_user(self, spark):
+        df = _ev(spark, [(1, dt.datetime(2024, 1, 3, 1), 5.0, 1)])
+        out = resample_ffill(
+            df, ["user_id"], "ts", "value",
+            step="day", tiebreak=["event_id"], lerp=True,
+        ).collect()
+        assert len(out) == 1
+        r = out[0]
+        assert r.bucket == dt.date(2024, 1, 3)
+        assert r.value_ffill == 5.0 and r.value_lerp == 5.0 and r.is_observed
+
+    def test_hour_step_keeps_timestamp_bucket(self, spark):
+        df = _ev(spark, [
+            (1, dt.datetime(2024, 1, 1, 5, 10), 1.0, 1),
+            (1, dt.datetime(2024, 1, 1, 8, 40), 4.0, 2),
+        ])
+        out = resample_ffill(
+            df, ["user_id"], "ts", "value", step="hour", tiebreak=["event_id"]
+        ).orderBy("bucket").collect()
+        assert [r.bucket.hour for r in out] == [5, 6, 7, 8]
+        assert [r.value_ffill for r in out] == [1.0, 1.0, 1.0, 4.0]
+
+    def test_bad_step_raises(self, spark):
+        df = _ev(spark, [(1, T0, 1.0, 1)])
+        with pytest.raises(ValueError, match="step"):
+            resample_ffill(df, ["user_id"], "ts", "value", step="week")
+
+
+class TestSessionize:
+    def test_gap_boundary_is_inclusive(self, spark):
+        # events exactly `gap` apart stay in ONE session; one microsecond
+        # beyond splits — pinned at microsecond precision
+        gap = dt.timedelta(minutes=30)
+        us = dt.timedelta(microseconds=1)
+        df = _ev(spark, [
+            (1, T0, 1.0, 1),
+            (1, T0 + gap, 2.0, 2),            # == gap -> same session
+            (1, T0 + gap * 2 + us, 4.0, 3),   # > gap -> new session
+        ])
+        out = sessionize(
+            df, ["user_id"], "ts",
+            gap="30 minutes", tiebreak=["event_id"], value_col="value",
+        ).orderBy("session_id").collect()
+        assert [(r.session_id, r.n_events) for r in out] == [(1, 2), (2, 1)]
+        assert out[0].value_sum == 3.0
+        assert out[0].session_start == T0 and out[0].session_end == T0 + gap
+
+    def test_sessions_isolated_per_key(self, spark):
+        df = _ev(spark, [
+            (1, T0, 1.0, 1),
+            (2, T0 + dt.timedelta(minutes=5), 2.0, 2),
+        ])
+        out = sessionize(df, ["user_id"], "ts", gap="30 minutes").collect()
+        assert sorted((r.user_id, r.session_id) for r in out) == [(1, 1), (2, 1)]
+
+    def test_no_value_col_omits_sum(self, spark):
+        df = _ev(spark, [(1, T0, 1.0, 1)])
+        out = sessionize(df, ["user_id"], "ts")
+        assert "value_sum" not in out.columns
+
+    def test_exchange_reuse_one_shuffle(self, spark):
+        # the session-level groupBy must reuse the window's exchange
+        df = _ev(spark, [(1, T0, 1.0, 1)])
+        out = sessionize(df, ["user_id"], "ts", tiebreak=["event_id"])
+        plan = out._sc._jvm.PythonSQLUtils.explainString(
+            out._jdf.queryExecution(), "simple"
+        )
+        assert plan.count("Exchange") - plan.count("ReusedExchange") <= 1
+
+
+class TestScd2History:
+    def _log(self, spark, rows):
+        return spark.createDataFrame(
+            rows, "user_id bigint, ts timestamp, state string, event_id bigint"
+        )
+
+    def test_compaction_and_validity(self, spark):
+        h = dt.timedelta(hours=1)
+        df = self._log(spark, [
+            (1, T0, "a", 1),
+            (1, T0 + h, "a", 2),      # duplicate -> collapsed
+            (1, T0 + 2 * h, "b", 3),
+            (1, T0 + 3 * h, "a", 4),  # back to a -> NEW version
+        ])
+        out = scd2_history(
+            df, ["user_id"], "ts", ["state"], tiebreak=["event_id"]
+        ).orderBy("version").collect()
+        assert [(r.state, r.version) for r in out] == [
+            ("a", 1), ("b", 2), ("a", 3)
+        ]
+        assert out[0].valid_from == T0 and out[0].valid_to == T0 + 2 * h
+        assert out[2].valid_to is None and out[2].is_current
+        assert not out[0].is_current
+
+    def test_all_null_first_state_kept(self, spark):
+        h = dt.timedelta(hours=1)
+        df = self._log(spark, [
+            (1, T0, None, 1),
+            (1, T0 + h, None, 2),   # NULL run collapses into one version
+            (1, T0 + 2 * h, "x", 3),
+        ])
+        out = scd2_history(
+            df, ["user_id"], "ts", ["state"], tiebreak=["event_id"]
+        ).orderBy("version").collect()
+        assert [(r.state, r.version) for r in out] == [(None, 1), ("x", 2)]
+
+    def test_multi_column_state(self, spark):
+        h = dt.timedelta(hours=1)
+        df = spark.createDataFrame(
+            [
+                (1, T0, "a", 1.0, 1),
+                (1, T0 + h, "a", 2.0, 2),  # second col changes -> version
+            ],
+            "user_id bigint, ts timestamp, s1 string, s2 double, event_id bigint",
+        )
+        out = scd2_history(
+            df, ["user_id"], "ts", ["s1", "s2"], tiebreak=["event_id"]
+        )
+        assert out.count() == 2
+
+    def test_one_shuffle(self, spark):
+        df = self._log(spark, [(1, T0, "a", 1)])
+        out = scd2_history(df, ["user_id"], "ts", ["state"], tiebreak=["event_id"])
+        plan = out._sc._jvm.PythonSQLUtils.explainString(
+            out._jdf.queryExecution(), "simple"
+        )
+        assert plan.count("Exchange") - plan.count("ReusedExchange") <= 1

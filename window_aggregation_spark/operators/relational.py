@@ -1,0 +1,178 @@
+"""Relational aggregation surface beyond plain GROUP BY: hierarchical
+rollups (grouping sets), pivot tables, and single-pass data-quality
+expectation checks.
+
+Extension scope (SURVEY §2.5). The reference engine aggregates only
+through window specs; these are the companion *reporting* shapes an
+analytics engine is expected to serve, expressed so Catalyst keeps them
+one-shuffle:
+
+- ``rollup_aggregate`` / ``cube_aggregate`` lower to Spark's native
+  ``Expand`` + single hash aggregate: each input row is replicated once
+  per grouping set BEFORE the exchange, partial aggregation still
+  applies, so the whole rollup is ONE shuffle regardless of how many
+  levels it emits.
+- ``pivot_aggregate`` uses an EXPLICIT pivot-value list (required, not
+  optional): without it Spark runs a separate distinct-scan job to
+  discover values — a hidden extra pass over 100 TB — and the output
+  schema becomes data-dependent, which breaks downstream schema
+  contracts. With the list, the plan is one conditional-aggregate pass
+  (no second scan, no shuffle beyond the groupBy's own).
+- ``run_expectations`` evaluates EVERY check in one aggregate pass over
+  one scan (null fractions, bounds, set membership, uniqueness) and
+  unpivots the single result row into one row per check. Uniqueness is
+  the one check that genuinely needs distinct counting; it uses exact
+  ``count_distinct`` by default (a second shuffle) — switch
+  ``approx_unique=True`` at the 100 TB scale point to keep the whole
+  audit one-pass (HLL partial aggregates merge map-side).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def rollup_aggregate(
+    df: DataFrame,
+    keys: list[str],
+    aggs: list[Column],
+    *,
+    cube: bool = False,
+) -> DataFrame:
+    """Aggregate over the hierarchy of grouping sets ``(), (k1),
+    (k1,k2), ...`` (or every subset with ``cube=True``), appending
+    ``grouping_id`` (bit i set = key i aggregated away, Spark and
+    standard SQL semantics) so total rows are distinguishable from
+    genuine NULL key values.
+
+    One shuffle: Spark's Expand replicates rows per grouping set before
+    the exchange and partial aggregation still runs map-side.
+    """
+    grouped = df.cube(*keys) if cube else df.rollup(*keys)
+    gid = F.grouping_id(*[F.col(k) for k in keys]).alias("grouping_id")
+    return grouped.agg(gid, *aggs)
+
+
+def pivot_aggregate(
+    df: DataFrame,
+    keys: list[str],
+    pivot_col: str,
+    pivot_values: list,
+    aggs: list[Column],
+) -> DataFrame:
+    """Pivot ``pivot_col`` into one output column per (value, aggregate)
+    pair, grouped by ``keys``.
+
+    ``pivot_values`` is REQUIRED: an explicit value list keeps the output
+    schema static and avoids Spark's implicit distinct-discovery job — an
+    extra full scan at scale. Unlisted values are dropped (standard pivot
+    semantics); plan is a single conditional-aggregate pass.
+    """
+    if not pivot_values:
+        raise ValueError(
+            "pivot_values must be a non-empty explicit list; implicit "
+            "discovery would run a hidden distinct scan and make the "
+            "output schema data-dependent"
+        )
+    return df.groupBy(*keys).pivot(pivot_col, pivot_values).agg(*aggs)
+
+
+@dataclass(frozen=True)
+class Expectation:
+    """One data-quality check. ``kind`` selects the metric:
+
+    - ``not_null``: metric = fraction of NULL values; pass when == 0
+      (or <= ``threshold`` if given).
+    - ``min`` / ``max``: metric = observed min/max (numeric); pass when
+      within ``bound`` (min >= bound / max <= bound).
+    - ``in_set``: metric = fraction of non-null values OUTSIDE
+      ``allowed``; pass when == 0 (or <= ``threshold``).
+    - ``unique``: metric = distinct count minus row count (0 when the
+      column is a key); pass when == 0.
+    """
+
+    name: str
+    column: str
+    kind: str
+    bound: float | None = None
+    allowed: tuple | None = None
+    threshold: float = 0.0
+
+
+def run_expectations(
+    df: DataFrame,
+    checks: list[Expectation],
+    *,
+    approx_unique: bool = False,
+) -> DataFrame:
+    """Evaluate all ``checks`` in ONE aggregate pass and return one row
+    per check: ``(check, column, metric, passed)``.
+
+    Every metric compiles to an aggregate expression over the same scan
+    — adding checks does not add passes. ``unique`` checks use exact
+    ``count_distinct`` by default; ``approx_unique=True`` swaps in HLL
+    ``approx_count_distinct`` (then ``metric`` carries the sketch's
+    distinct ratio and ``passed`` tolerates its default ~5% rsd) for the
+    one-shuffle plan at scale.
+    """
+    metric_cols: list[Column] = []
+    for i, c in enumerate(checks):
+        col = F.col(c.column)
+        if c.kind == "not_null":
+            m = F.avg(col.isNull().cast("double"))
+        elif c.kind == "min":
+            m = F.min(col).cast("double")
+        elif c.kind == "max":
+            m = F.max(col).cast("double")
+        elif c.kind == "in_set":
+            if not c.allowed:
+                raise ValueError(f"in_set check {c.name!r} needs `allowed`")
+            bad = (~col.isin(list(c.allowed))).cast("double")
+            # fraction of NON-NULL values outside the set (nulls are
+            # not_null's job)
+            m = F.coalesce(
+                F.sum(F.when(col.isNotNull(), bad)) / F.count(col),
+                F.lit(0.0),
+            )
+        elif c.kind == "unique":
+            distinct = (
+                F.approx_count_distinct(col) if approx_unique
+                else F.count_distinct(col)
+            )
+            # distinct/non-null ratio: exactly 1.0 iff the column is a
+            # key (exact mode); scale-free, so the approx pass rule is a
+            # plain constant tolerance
+            m = distinct / F.count(col)
+        else:
+            raise ValueError(f"unknown expectation kind {c.kind!r}")
+        metric_cols.append(m.alias(f"__m{i}"))
+
+    row = df.agg(*metric_cols)
+
+    # unpivot the single metrics row into (check, column, metric, passed)
+    out_structs = []
+    for i, c in enumerate(checks):
+        m = F.col(f"__m{i}")
+        if c.kind in ("not_null", "in_set"):
+            passed = m <= F.lit(c.threshold)
+        elif c.kind == "min":
+            passed = F.lit(True) if c.bound is None else m >= F.lit(float(c.bound))
+        elif c.kind == "max":
+            passed = F.lit(True) if c.bound is None else m <= F.lit(float(c.bound))
+        else:  # unique: ratio == 1.0 exact; HLL may under-estimate, so
+            # tolerate its ~5% default rsd in approx mode
+            passed = m >= F.lit(0.95 if approx_unique else 1.0)
+        out_structs.append(
+            F.struct(
+                F.lit(c.name).alias("check"),
+                F.lit(c.column).alias("column"),
+                F.round(m, 6).alias("metric"),
+                passed.alias("passed"),
+            )
+        )
+    return row.select(
+        F.explode(F.array(*out_structs)).alias("r")
+    ).select("r.check", "r.column", "r.metric", "r.passed")

@@ -3246,6 +3246,289 @@ def _register_physical() -> None:
 _register_physical()
 
 
+def _register_timeseries() -> None:
+    from window_aggregation_spark.operators.timeseries import (
+        resample_ffill,
+        scd2_history,
+        sessionize,
+    )
+
+    @_register(
+        "ts_resample_ffill",
+        """
+        WITH obs AS (
+          SELECT user_id, day, value FROM (
+            SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+                   value,
+                   row_number() OVER (
+                     PARTITION BY user_id, date_trunc('day', ts)
+                     ORDER BY ts DESC, event_id DESC) AS rn
+            FROM events WHERE event_type = 'purchase')
+          WHERE rn = 1
+        ), w AS (
+          SELECT user_id, day, value,
+                 lead(day) OVER pw AS nb,
+                 lead(value) OVER pw AS nv
+          FROM obs WINDOW pw AS (PARTITION BY user_id ORDER BY day)
+        )
+        -- value_lerp deliberately UNROUNDED: with v/nv and the integer-
+        -- derived num/span bit-identical across engines and the same
+        -- ((nv-v)*num)/span association, IEEE arithmetic is reproducible
+        -- bit-for-bit, while ROUND(x, 4) is NOT (k/n-rational lerps land
+        -- exactly on .00005 boundaries where Spark's BigDecimal half-up
+        -- and DuckDB's scaled-multiply round disagree on the same double)
+        SELECT user_id, CAST(g AS DATE) AS bucket, value AS value_ffill,
+               CASE WHEN nb IS NULL THEN value
+                    ELSE value + (nv - value)
+                         * (epoch(CAST(g AS TIMESTAMP))
+                            - epoch(CAST(day AS TIMESTAMP)))
+                         / (epoch(CAST(nb AS TIMESTAMP))
+                            - epoch(CAST(day AS TIMESTAMP)))
+                    END AS value_lerp,
+               (CAST(g AS DATE) = day) AS is_observed
+        FROM w, unnest(generate_series(
+                 CAST(day AS TIMESTAMP),
+                 CAST(COALESCE(nb, day) AS TIMESTAMP) - CASE
+                   WHEN nb IS NULL THEN INTERVAL 0 DAY
+                   ELSE INTERVAL 1 DAY END,
+                 INTERVAL 1 DAY)) AS t(g)
+        """,
+        headline=True,
+    )
+    def ts_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Fixed daily grid per user over the purchase series, forward
+        fill + linear interpolation across gap days. Zero-join plan: each
+        observation emits its own gap run (see timeseries.resample_ffill)
+        — one hash exchange, one WindowExec, one generator."""
+        events = read_table(spark, sf_dir, "events").where(
+            F.col("event_type") == "purchase"
+        )
+        out = resample_ffill(
+            events, ["user_id"], "ts", "value",
+            step="day", tiebreak=["event_id"], lerp=True,
+        )
+        # value_lerp stays unrounded — bit-reproducible by construction
+        # (see the oracle's comment); rounding would break ties
+        return out.select(
+            "user_id", "bucket", "value_ffill", "value_lerp", "is_observed",
+        )
+
+    @_register(
+        "ts_sessionize",
+        """
+        WITH t AS (
+          SELECT user_id, ts, value, event_id,
+                 CASE WHEN lag(ts) OVER w IS NULL
+                        OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                           > 21600000000 THEN 1 ELSE 0 END AS new_s
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ), s AS (
+          SELECT *, SUM(new_s) OVER (
+                      PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS UNBOUNDED PRECEDING) AS session_id
+          FROM t
+        )
+        SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+               min(ts) AS session_start, max(ts) AS session_end,
+               count(*) AS n_events, ROUND(SUM(value), 4) AS value_sum
+        FROM s GROUP BY user_id, session_id
+        """,
+        headline=True,
+    )
+    def ts_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Gap-based batch sessionization (6 h inactivity splits), one row
+        per session with start/end/count/value sum. ONE shuffle: the
+        session-level groupBy keys are a superset of the window's hash
+        keys, so the aggregate reuses the window's exchange."""
+        events = read_table(spark, sf_dir, "events")
+        out = sessionize(
+            events, ["user_id"], "ts",
+            gap="6 hours", tiebreak=["event_id"], value_col="value",
+        )
+        return out.select(
+            "user_id", "session_id", "session_start", "session_end",
+            "n_events", F.round("value_sum", 4).alias("value_sum"),
+        )
+
+    @_register(
+        "cdc_scd2_state",
+        """
+        WITH t AS (
+          SELECT user_id, event_type, ts, event_id,
+                 CASE WHEN row_number() OVER w = 1
+                        OR event_type IS DISTINCT FROM
+                           lag(event_type) OVER w
+                      THEN 1 ELSE 0 END AS chg
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ), v AS (SELECT * FROM t WHERE chg = 1)
+        SELECT user_id, event_type, ts AS valid_from,
+               lead(ts) OVER vw AS valid_to,
+               lead(ts) OVER vw IS NULL AS is_current,
+               CAST(row_number() OVER vw AS INT) AS version
+        FROM v WINDOW vw AS (PARTITION BY user_id ORDER BY ts, event_id)
+        """,
+    )
+    def cdc_scd2_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """SCD2 history compaction of the event log: per user,
+        consecutive same-type events collapse into one version carrying
+        valid_from / valid_to / is_current / version. Both windows share
+        one partitioning — one shuffle."""
+        events = read_table(spark, sf_dir, "events")
+        return scd2_history(
+            events, ["user_id"], "ts", ["event_type"],
+            tiebreak=["event_id"],
+        )
+
+
+_register_timeseries()
+
+
+def _register_relational() -> None:
+    from window_aggregation_spark.operators.relational import (
+        Expectation,
+        pivot_aggregate,
+        rollup_aggregate,
+        run_expectations,
+    )
+
+    @_register(
+        "agg_rollup_lineitem",
+        """
+        SELECT l_returnflag, l_linestatus,
+               CAST(grouping_id(l_returnflag, l_linestatus) AS INT)
+                 AS grouping_id,
+               ROUND(SUM(l_quantity), 4) AS sum_qty,
+               ROUND(SUM(l_extendedprice), 4) AS sum_price,
+               COUNT(*) AS n_rows
+        FROM lineitem
+        GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        """,
+    )
+    def agg_rollup_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Hierarchical rollup (flag -> flag+status -> grand total) with
+        grouping_id disambiguation — ONE shuffle via Expand + partial
+        aggregation (no per-level re-scan)."""
+        li = read_table(spark, sf_dir, "lineitem")
+        out = rollup_aggregate(
+            li,
+            ["l_returnflag", "l_linestatus"],
+            [
+                F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+                F.round(F.sum("l_extendedprice"), 4).alias("sum_price"),
+                F.count(F.lit(1)).alias("n_rows"),
+            ],
+        )
+        return out.select(
+            "l_returnflag", "l_linestatus",
+            F.col("grouping_id").cast("int").alias("grouping_id"),
+            "sum_qty", "sum_price", "n_rows",
+        )
+
+    @_register(
+        "agg_pivot_orders",
+        """
+        SELECT o_orderpriority,
+               ROUND(SUM(o_totalprice) FILTER (o_orderstatus = 'O'), 4)
+                 AS O_total,
+               COUNT(*) FILTER (o_orderstatus = 'O') AS O_n,
+               ROUND(SUM(o_totalprice) FILTER (o_orderstatus = 'F'), 4)
+                 AS F_total,
+               COUNT(*) FILTER (o_orderstatus = 'F') AS F_n,
+               ROUND(SUM(o_totalprice) FILTER (o_orderstatus = 'P'), 4)
+                 AS P_total,
+               COUNT(*) FILTER (o_orderstatus = 'P') AS P_n
+        FROM orders GROUP BY o_orderpriority
+        """,
+    )
+    def agg_pivot_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Pivot order status into columns per priority row. The value
+        list is explicit — static schema, no hidden distinct-discovery
+        scan — so the plan is one conditional-aggregate pass. Count
+        columns are coalesced to 0: Spark pivot yields NULL for every
+        aggregate over an empty cell, while SQL COUNT FILTER yields 0 —
+        invisible on this data (no empty combos at sf0.01) but a real
+        divergence on sparser pivots."""
+        orders = read_table(spark, sf_dir, "orders")
+        out = pivot_aggregate(
+            orders,
+            ["o_orderpriority"],
+            "o_orderstatus",
+            ["O", "F", "P"],
+            [
+                F.round(F.sum("o_totalprice"), 4).alias("total"),
+                F.count(F.lit(1)).alias("n"),
+            ],
+        )
+        return out.select(
+            "o_orderpriority",
+            *[
+                c
+                for s in ("O", "F", "P")
+                for c in (
+                    F.col(f"{s}_total"),
+                    F.coalesce(F.col(f"{s}_n"), F.lit(0)).alias(f"{s}_n"),
+                )
+            ],
+        )
+
+    @_register(
+        "dq_expectations_orders",
+        """
+        WITH m AS (
+          -- every DuckDB numeric literal below is cast to DOUBLE:
+          -- bare 1.0 is DECIMAL and would poison the metric type/values
+          SELECT
+            AVG(CASE WHEN o_custkey IS NULL THEN CAST(1.0 AS DOUBLE)
+                     ELSE CAST(0.0 AS DOUBLE) END) AS m_nn,
+            CAST(MIN(o_totalprice) AS DOUBLE) AS m_min,
+            CAST(MAX(o_totalprice) AS DOUBLE) AS m_max,
+            COALESCE(SUM(CASE WHEN o_orderstatus IS NOT NULL
+                               AND o_orderstatus NOT IN ('O','F','P')
+                              THEN CAST(1.0 AS DOUBLE) END)
+                     / COUNT(o_orderstatus), CAST(0.0 AS DOUBLE))
+              AS m_set,
+            COUNT(DISTINCT o_orderkey) / CAST(COUNT(o_orderkey) AS DOUBLE)
+              AS m_uni
+          FROM orders
+        )
+        SELECT * FROM (
+          SELECT 'custkey_not_null' AS check, 'o_custkey' AS "column",
+                 ROUND(m_nn, 6) AS metric, m_nn <= 0.0 AS passed FROM m
+          UNION ALL
+          SELECT 'price_positive', 'o_totalprice', ROUND(m_min, 6),
+                 m_min >= 0.0 FROM m
+          UNION ALL
+          SELECT 'price_below_cap', 'o_totalprice', ROUND(m_max, 6),
+                 m_max <= 600000.0 FROM m
+          UNION ALL
+          SELECT 'status_in_set', 'o_orderstatus', ROUND(m_set, 6),
+                 m_set <= 0.0 FROM m
+          UNION ALL
+          SELECT 'orderkey_unique', 'o_orderkey', ROUND(m_uni, 6),
+                 m_uni >= 1.0 FROM m)
+        """,
+    )
+    def dq_expectations_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Deequ-style data-quality audit of orders — five checks, ONE
+        aggregate pass over one scan (uniqueness adds the only extra
+        shuffle; approx_unique=True removes it at scale)."""
+        orders = read_table(spark, sf_dir, "orders")
+        return run_expectations(orders, [
+            Expectation("custkey_not_null", "o_custkey", "not_null"),
+            Expectation("price_positive", "o_totalprice", "min", bound=0.0),
+            Expectation("price_below_cap", "o_totalprice", "max",
+                        bound=600000.0),
+            Expectation("status_in_set", "o_orderstatus", "in_set",
+                        allowed=("O", "F", "P")),
+            Expectation("orderkey_unique", "o_orderkey", "unique"),
+        ])
+
+
+_register_relational()
+
+
 # ---------------------------------------------------------------------------
 # Driver-slot curation: the driver's CORRECTNESS snapshot records only the
 # FIRST 50 queries() entries (observed r1-r4; r4 silently rotated six green
