@@ -20,6 +20,12 @@ FAMILIES = {
     "corpus_": "corpus prep",
     "pipeline_": "composed pipeline",
     "search_": "lexical retrieval",
+    # round-6 families
+    "join_": "join acceleration",
+    "ts_": "time series",
+    "cdc_": "change data capture",
+    "agg_": "relational reporting",
+    "dq_": "data quality",
 }
 
 

@@ -264,6 +264,20 @@ def _covar_pop(agg: AggregateDef, w: WindowSpec, _: WindowSpecDef) -> Column:
     return F.when(n >= 1, (n * sxy - sx * sy) / (n * n)).otherwise(_null_d())
 
 
+def _count_distinct(agg: AggregateDef, w: WindowSpec, _: WindowSpecDef) -> Column:
+    """Running exact distinct count. Neither Spark nor BigQuery allows
+    DISTINCT inside an analytic aggregate, so the registry composition is
+    collect_list -> array_distinct -> size (collect_list skips NULLs, so
+    NULL values are ignored exactly like COUNT(DISTINCT col)).
+
+    This composition holds O(frame) per row — fine for small frames; for
+    running frames :func:`..operators.window_aggregation.window_aggregate`
+    rewrites it by default into the flat-memory first-occurrence-flag +
+    running-sum plan (same pattern as the percentile rank-lookup; results
+    bit-identical, pinned by tests/test_count_distinct.py)."""
+    return F.size(F.array_distinct(F.collect_list(F.col(agg.field)).over(w)))
+
+
 def _stddev(agg: AggregateDef, w: WindowSpec, _: WindowSpecDef) -> Column:
     return F.stddev_samp(F.col(agg.field)).over(w).cast(T.DoubleType())
 
@@ -284,6 +298,13 @@ def _sql_simple(template: str) -> Callable[[AggregateDef, str, str], str]:
         return template.format(field=field, args=args, a0=args[0] if args else "") + " " + over
 
     return render
+
+
+def _sql_count_distinct(agg: AggregateDef, over: str, dialect: str) -> str:
+    # OVER binds to the inner collect_list — size/array_distinct are
+    # plain scalar calls on the windowed array
+    field = quote_ident(agg.field, dialect)
+    return f"size(array_distinct(collect_list({field}) {over}))"
 
 
 def _sql_percent_rank(agg: AggregateDef, over: str, dialect: str) -> str:
@@ -448,6 +469,13 @@ FUNCTIONS: dict[str, FunctionDef] = {
                     _R, _O, _O, False, "long", True, 0,
                     _approx_count_distinct,
                     _sql_simple("approx_count_distinct({field})")),
+        # exact distinct count; ordering REQUIRED / frame NOT_SUPPORTED =
+        # the running shape only (the partition-wide exact count is a
+        # plain groupBy, and windowed DISTINCT frames beyond running
+        # prefixes have no flat-memory plan)
+        FunctionDef("count_distinct", "COUNT_DISTINCT",
+                    _R, _R, _N, False, "long", True, 0,
+                    _count_distinct, _sql_count_distinct),
         FunctionDef("nth_value", "NTH_VALUE", _R, _R, _O, False, None, True, 1,
                     _nth_value, _sql_nth_value),
         FunctionDef("stddev", "STDDEV", _R, _O, _O, True, "double", True, 0,
@@ -500,6 +528,14 @@ def bigquery_expression(agg: AggregateDef, over: str) -> str:
         kw = "FIRST_VALUE" if name == "first" else "LAST_VALUE"
         nulls = "IGNORE" if _effective_ignore_nulls(agg) else "RESPECT"
         return f"{kw}({col} {nulls} NULLS) {over}"
+    if name == "count_distinct":
+        # BigQuery also rejects DISTINCT in analytic aggregates; count
+        # distinct over the frame's ARRAY_AGG (OVER binds to ARRAY_AGG;
+        # the UNNEST alias deliberately avoids shadowing column names)
+        return (
+            f"(SELECT COUNT(DISTINCT __u) FROM "
+            f"UNNEST(ARRAY_AGG({col}) {over}) __u)"
+        )
     if name == "nth_value":
         nulls = " IGNORE NULLS" if _effective_ignore_nulls(agg) else ""
         return f"NTH_VALUE({col}, {a0}{nulls}) {over}"

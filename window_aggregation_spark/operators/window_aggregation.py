@@ -40,7 +40,7 @@ from pyspark.sql import types as T
 
 from window_aggregation_spark.errors import FailureCollector
 from window_aggregation_spark.functions.registry import lookup
-from window_aggregation_spark.spec import AggregateDef, WindowPlan
+from window_aggregation_spark.spec import AggregateDef, FrameType, WindowPlan
 from window_aggregation_spark.validation import validate_plan
 
 _DECLARED = {
@@ -297,6 +297,13 @@ def window_aggregate(
                 _rank_join_direction(plan.spec, agg),
             )
             continue
+        if (
+            percentile_strategy == "rank_lookup"
+            and fdef.name == "count_distinct"
+            and plan.spec.frame_type is FrameType.NONE
+        ):
+            out = _count_distinct_flag_sum(out, plan.spec, agg)
+            continue
         col = fdef.build(agg, w, plan.spec)
         if declared is not None:
             col = col.cast(declared)
@@ -387,6 +394,50 @@ def _group_plans_by_partition_keys(plans: "list[WindowPlan]") -> "list[WindowPla
 # partition-only in the reference surface — ordering NOT_SUPPORTED — so its
 # running shape cannot occur through a validated plan.)
 _RANK_JOIN_FUNCTIONS = ("discrete_percentile", "median")
+
+
+def _count_distinct_flag_sum(
+    df: DataFrame, spec, agg: AggregateDef
+) -> DataFrame:
+    """Running exact distinct count with O(1) memory per row.
+
+    The registry composition (collect_list -> array_distinct -> size)
+    buffers the whole frame per row — O(frame) memory, fatal on hot
+    partitions. This rewrite is flat: a value's FIRST occurrence in
+    frame order gets flag 1 (row_number over the partition keys PLUS the
+    counted field), then the running distinct count is simply the running
+    SUM of flags over the original window — the frame up to any row
+    contains exactly one flagged row per distinct value in it. NULLs
+    carry flag 0 (COUNT DISTINCT ignores them), and the RANGE running
+    frame's peer inclusion works unchanged (a new value first occurring
+    inside the current peer group is flagged at order position <= the
+    peer bound, so every peer counts it).
+
+    Cost: two WindowExecs — the flag window shuffles on
+    (partition keys, field), the sum reuses the plan's own window. Same
+    ``percentile_strategy`` knob as the rank-lookup percentiles:
+    ``"one_pass"`` keeps the single-WindowExec composition as an explicit
+    small-frame assertion. Results are bit-identical either way
+    (tests/test_count_distinct.py pins it)."""
+    flag_col = f"__cdf_{agg.alias}"
+    if flag_col in df.columns:
+        raise ValueError(
+            f"temporary column {flag_col!r} collides with an input column"
+        )
+    from pyspark.sql import Window
+
+    first_w = Window.partitionBy(
+        *[F.col(k) for k in spec.partition_by], F.col(agg.field)
+    ).orderBy(*[k.to_column() for k in spec.order_by])
+    flag = F.when(
+        F.col(agg.field).isNotNull() & (F.row_number().over(first_w) == 1),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    out = df.withColumn(flag_col, flag)
+    run = spec.to_spark()
+    return out.withColumn(
+        agg.alias, F.sum(flag_col).over(run).cast(T.LongType())
+    ).drop(flag_col)
 
 
 def _rank_join_direction(spec, agg: AggregateDef):
