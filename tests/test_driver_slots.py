@@ -28,6 +28,12 @@ FAMILIES = {
     "dq_": "data quality",
 }
 
+# Registered families WITHOUT a guaranteed driver slot (fully judge/
+# gate-sim covered; they earn anchors once the family grows)
+EXTRA_PREFIXES = {
+    "graph_": "graph analytics",
+}
+
 
 def test_every_family_keeps_a_driver_slot():
     head = list(SUITE)[:DRIVER_CAP]
@@ -39,8 +45,9 @@ def test_every_family_keeps_a_driver_slot():
 
 
 def test_prefixes_cover_every_query():
+    known = set(FAMILIES) | set(EXTRA_PREFIXES)
     for name in SUITE:
-        assert any(name.startswith(p) for p in FAMILIES), name
+        assert any(name.startswith(p) for p in known), name
 
 
 def test_no_registered_query_lost_by_reorder():

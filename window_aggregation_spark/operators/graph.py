@@ -1,5 +1,7 @@
-"""Distributed connected components over an edge list — the grouping step
-that turns near-duplicate PAIRS into duplicate CLUSTERS.
+"""Distributed graph operators over edge lists: connected components (the
+grouping step that turns near-duplicate PAIRS into duplicate CLUSTERS)
+and fixed-iteration PageRank (node importance for link/citation-style
+corpora).
 
 Greedy pairwise dedup (drop the higher id of every pair) is not transitive:
 a~b and b~c with a!~c can keep both a and c. Components fix that: every
@@ -134,3 +136,84 @@ def connected_components(
         F.col("component").alias("node"), F.col("component")
     ).distinct()
     return children.union(roots).distinct()
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    *,
+    iterations: int = 3,
+    damping: float = 0.85,
+    reliable: bool = False,
+) -> DataFrame:
+    """Fixed-iteration PageRank over a directed edge list: ``(node, rank)``
+    for every node appearing as a source or destination.
+
+    Semantics (the original power-iteration formula, no dangling-mass
+    redistribution — dangling nodes keep only the teleport term, which is
+    the common MapReduce convention and keeps the result a pure function
+    of the edge set):
+
+        rank_0(v)   = 1 / N
+        rank_i+1(v) = (1 - d)/N + d * sum over in-neighbors u of
+                      rank_i(u) / outdeg(u)
+
+    Fixed ``iterations`` (not convergence-tested) keeps the result
+    deterministic and SQL-mirrorable; pass more iterations for better
+    convergence (each costs two shuffles).
+
+    Scale shape: edge weights ``1/outdeg`` are computed ONCE and
+    checkpointed — per iteration the plan is one join of the rank table
+    (N rows) onto the weighted edges (shuffle on src) and one groupBy dst
+    (second shuffle); the rank table is checkpointed per iteration so the
+    plan never grows. The single driver action is the bounded node
+    count N (a scalar, needed for the teleport constant).
+    """
+    def _truncate(df: DataFrame) -> DataFrame:
+        return df.checkpoint(eager=True) if reliable else df.localCheckpoint(
+            eager=True
+        )
+
+    e = (
+        edges.select(
+            F.col(src).cast("long").alias("src"),
+            F.col(dst).cast("long").alias("dst"),
+        )
+        .distinct()
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    nodes = _truncate(nodes)
+    n = nodes.count()
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("__outdeg"))
+    # reciprocal precomputed once (multiply beats divide in the per-
+    # iteration hot path, and the 1/outdeg form is what the DuckDB
+    # oracle mirrors op-for-op for bit-level comparability)
+    w = _truncate(
+        e.join(deg, "src").select(
+            "src", "dst", (F.lit(1.0) / F.col("__outdeg")).alias("w")
+        )
+    )
+    base = (1.0 - damping) / n
+    ranks = nodes.select("node", F.lit(1.0 / n).alias("rank"))
+    for _ in range(iterations):
+        contribs = (
+            w.join(ranks, w["src"] == ranks["node"])
+            .groupBy("dst")
+            .agg(F.sum(F.col("rank") * F.col("w")).alias("__c"))
+        )
+        ranks = _truncate(
+            nodes.join(contribs, nodes["node"] == contribs["dst"], "left")
+            .select(
+                "node",
+                (
+                    F.lit(base)
+                    + F.lit(damping) * F.coalesce(F.col("__c"), F.lit(0.0))
+                ).alias("rank"),
+            )
+        )
+    return ranks

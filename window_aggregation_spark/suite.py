@@ -3529,6 +3529,62 @@ def _register_relational() -> None:
 _register_relational()
 
 
+def _pagerank_oracle(iters: int = 3) -> str:
+    """Unrolled fixed-iteration PageRank in DuckDB SQL, mirroring
+    operators.graph.pagerank op-for-op (same 1/outdeg reciprocal
+    weights, same teleport expression, every literal cast to DOUBLE so
+    DuckDB's DECIMAL literals can't shift the arithmetic)."""
+    ctes = ["""
+        sp AS (SELECT DISTINCT CAST(l_suppkey AS BIGINT) AS src,
+                               CAST(l_partkey + 1000000 AS BIGINT) AS dst
+               FROM lineitem),
+        e AS (SELECT src, dst FROM sp
+              UNION ALL SELECT dst AS src, src AS dst FROM sp),
+        nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+        n AS (SELECT COUNT(*) AS cnt FROM nodes),
+        deg AS (SELECT src, COUNT(*) AS outdeg FROM e GROUP BY src),
+        w AS (SELECT e.src, e.dst, CAST(1.0 AS DOUBLE) / deg.outdeg AS w
+              FROM e JOIN deg ON e.src = deg.src),
+        r0 AS (SELECT node, CAST(1.0 AS DOUBLE) / cnt AS rank
+               FROM nodes, n)"""]
+    for i in range(1, iters + 1):
+        ctes.append(f"""
+        c{i} AS (SELECT w.dst AS node, SUM(r{i - 1}.rank * w.w) AS c
+                 FROM w JOIN r{i - 1} ON w.src = r{i - 1}.node
+                 GROUP BY w.dst),
+        r{i} AS (SELECT nodes.node,
+                        (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / cnt
+                        + CAST(0.85 AS DOUBLE)
+                          * COALESCE(c{i}.c, CAST(0.0 AS DOUBLE)) AS rank
+                 FROM nodes CROSS JOIN n
+                 LEFT JOIN c{i} ON nodes.node = c{i}.node)""")
+    return (
+        "WITH " + ",".join(ctes)
+        + f" SELECT node, ROUND(rank, 8) AS rank FROM r{iters}"
+    )
+
+
+@_register("graph_pagerank", _pagerank_oracle(3))
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the bipartite supplier<->part co-occurrence graph
+    from lineitem (both directions, so no dangling nodes), 3 power
+    iterations, damping 0.85. Exercises the iterative checkpointed-join
+    plan in operators.graph.pagerank; the oracle unrolls the same three
+    iterations in SQL. Ranks rounded to 8 decimals (values are O(1/N);
+    the cross-engine drift from distributed-sum ordering is ~1e-16)."""
+    from window_aggregation_spark.operators.graph import pagerank
+
+    sp = read_table(spark, sf_dir, "lineitem").select(
+        F.col("l_suppkey").cast("long").alias("src"),
+        (F.col("l_partkey") + F.lit(1000000)).cast("long").alias("dst"),
+    )
+    edges = sp.union(
+        sp.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    out = pagerank(edges, iterations=3, damping=0.85)
+    return out.select("node", F.round("rank", 8).alias("rank"))
+
+
 @_register(
     "w_count_distinct_running",
     """
