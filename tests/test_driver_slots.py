@@ -32,6 +32,7 @@ FAMILIES = {
 # gate-sim covered; they earn anchors once the family grows)
 EXTRA_PREFIXES = {
     "graph_": "graph analytics",
+    "src_": "source formats",
 }
 
 

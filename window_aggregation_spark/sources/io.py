@@ -26,6 +26,30 @@ def read_parquet(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+def read_parquet_evolved(
+    spark: SparkSession, *paths: str, schema: "T.StructType | str | None" = None
+) -> DataFrame:
+    """Read parquet batches written under EVOLVING schemas as one
+    DataFrame: the result schema is the union-by-name of every file's
+    schema, with NULLs where a batch lacks a column (the standard
+    append-only data-lake evolution contract: columns may be added or
+    dropped between batches; same-name type changes still conflict and
+    raise).
+
+    Scale note: ``mergeSchema`` makes the DRIVER read every file's
+    footer at planning time — fine for thousands of files, a planning
+    stall for millions. Past that point pass the known target ``schema``
+    explicitly: per-file reconciliation then happens task-side with no
+    footer sweep, which is the 100 TB path.
+    """
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    else:
+        reader = reader.option("mergeSchema", "true")
+    return reader.parquet(*paths)
+
+
 def read_csv(
     spark: SparkSession,
     path: str,

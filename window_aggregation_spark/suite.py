@@ -3529,6 +3529,45 @@ def _register_relational() -> None:
 _register_relational()
 
 
+@_register(
+    "src_schema_evolution",
+    """
+    SELECT o_orderkey, o_custkey, o_totalprice,
+           CAST(NULL AS VARCHAR) AS o_orderpriority
+    FROM orders WHERE o_orderkey % 2 = 0
+    UNION ALL
+    SELECT o_orderkey, CAST(NULL AS BIGINT) AS o_custkey, o_totalprice,
+           o_orderpriority
+    FROM orders WHERE o_orderkey % 2 = 1
+    """,
+)
+def src_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution roundtrip: two parquet batches written under
+    DIFFERENT schemas (v1 has o_custkey, v2 dropped it and added
+    o_orderpriority) read back as ONE union-by-name DataFrame via
+    sources.io.read_parquet_evolved. The oracle reconstructs the expected
+    union from the logical orders table, so a read that dropped a batch,
+    misaligned a column, or failed to NULL-fill hash-mismatches. Batches
+    are written once per fixture (write-once /tmp artifact pattern)."""
+    import os
+
+    path = fixture_store_path(sf_dir, "schema_evo")
+    if not os.path.exists(f"{path}/_SUCCESS"):
+        orders = read_table(spark, sf_dir, "orders")
+        orders.where(F.col("o_orderkey") % 2 == 0).select(
+            "o_orderkey", "o_custkey", "o_totalprice"
+        ).write.mode("overwrite").parquet(f"{path}/v1")
+        orders.where(F.col("o_orderkey") % 2 == 1).select(
+            "o_orderkey", "o_totalprice", "o_orderpriority"
+        ).write.mode("overwrite").parquet(f"{path}/v2")
+        open(f"{path}/_SUCCESS", "w").close()
+    from window_aggregation_spark.sources.io import read_parquet_evolved
+
+    return read_parquet_evolved(
+        spark, f"{path}/v1", f"{path}/v2"
+    ).select("o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority")
+
+
 def _pagerank_oracle(iters: int = 3) -> str:
     """Unrolled fixed-iteration PageRank in DuckDB SQL, mirroring
     operators.graph.pagerank op-for-op (same 1/outdeg reciprocal
