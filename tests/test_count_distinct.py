@@ -131,3 +131,12 @@ class TestCountDistinctRunning:
             "(SELECT COUNT(DISTINCT __u) FROM UNNEST(ARRAY_AGG(v) "
             "OVER (w)) __u)"
         )
+
+
+def test_ansi_dialect_renders_native_distinct():
+    from window_aggregation_spark.functions.registry import lookup
+
+    agg = AggregateDef("ndv", "count_distinct", field="v")
+    fdef = lookup("count_distinct")
+    assert fdef.sql(agg, "OVER (w)", "ansi") == 'COUNT(DISTINCT "v") OVER (w)'
+    assert "collect_list" in fdef.sql(agg, "OVER (w)", "spark")

@@ -54,3 +54,10 @@ class TestPagerank:
             )
         )
         assert sum(out.values()) <= 1.0 + 1e-9
+
+
+def test_empty_edges_return_empty_ranks(spark):
+    out = pagerank(
+        _edges(spark, []).where("src > 0"), iterations=2
+    )
+    assert out.columns == ["node", "rank"] and out.count() == 0

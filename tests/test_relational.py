@@ -158,3 +158,25 @@ class TestExpectations:
     def test_in_set_without_allowed_raises(self, spark, df):
         with pytest.raises(ValueError, match="allowed"):
             run_expectations(df, [Expectation("bad", "tag", "in_set")])
+
+
+class TestExpectationsReviewRegressions:
+    def test_empty_input_fails_every_check(self, spark):
+        # review finding: NULL comparisons must not vanish from boolean
+        # filters — an empty table fails its audit, never sails through
+        empty = spark.createDataFrame([], "id bigint, v double")
+        out = run_expectations(empty, [
+            Expectation("id_unique", "id", "unique"),
+            Expectation("v_positive", "v", "min", bound=0.0),
+            Expectation("v_not_null", "v", "not_null"),
+        ]).collect()
+        assert [r.passed for r in out] == [False, False, False]
+
+    def test_all_null_column_fails_bounds(self, spark):
+        df = spark.createDataFrame(
+            [(1, None), (2, None)], "id bigint, v double"
+        )
+        out = run_expectations(
+            df, [Expectation("v_cap", "v", "max", bound=10.0)]
+        ).collect()
+        assert out[0].passed is False and out[0].metric is None

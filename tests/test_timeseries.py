@@ -181,3 +181,24 @@ class TestScd2History:
             out._jdf.queryExecution(), "simple"
         )
         assert plan.count("Exchange") - plan.count("ReusedExchange") <= 1
+
+
+class TestGapParser:
+    def test_shared_with_streaming_and_day_units(self, spark):
+        # review finding: two diverged copies — now one helper
+        from window_aggregation_spark.operators.timeseries import (
+            _parse_gap_seconds,
+        )
+        from window_aggregation_spark.streaming import window_stream
+
+        assert window_stream._parse_gap_seconds is _parse_gap_seconds
+        assert _parse_gap_seconds("2 days") == 172800
+
+    def test_unsupported_units_raise_value_error(self, spark):
+        from window_aggregation_spark.operators.timeseries import (
+            _parse_gap_seconds,
+        )
+
+        for bad in ("1 week", "30min", "soon"):
+            with pytest.raises(ValueError, match="unsupported duration"):
+                _parse_gap_seconds(bad)

@@ -301,9 +301,14 @@ def _sql_simple(template: str) -> Callable[[AggregateDef, str, str], str]:
 
 
 def _sql_count_distinct(agg: AggregateDef, over: str, dialect: str) -> str:
+    field = quote_ident(agg.field, dialect)
+    if dialect == "ansi":
+        # ANSI engines (DuckDB among them) allow DISTINCT in analytic
+        # aggregates directly — Spark is the one that needs the
+        # composition
+        return f"COUNT(DISTINCT {field}) {over}"
     # OVER binds to the inner collect_list — size/array_distinct are
     # plain scalar calls on the windowed array
-    field = quote_ident(agg.field, dialect)
     return f"size(array_distinct(collect_list({field}) {over}))"
 
 

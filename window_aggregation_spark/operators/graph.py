@@ -189,6 +189,10 @@ def pagerank(
     )
     nodes = _truncate(nodes)
     n = nodes.count()
+    if n == 0:
+        # empty edge set -> empty result, not a ZeroDivisionError from
+        # the teleport constant
+        return nodes.select("node", F.lit(0.0).alias("rank"))
     deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("__outdeg"))
     # reciprocal precomputed once (multiply beats divide in the per-
     # iteration hot path, and the 1/outdeg form is what the DuckDB

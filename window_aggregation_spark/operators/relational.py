@@ -90,8 +90,13 @@ class Expectation:
       within ``bound`` (min >= bound / max <= bound).
     - ``in_set``: metric = fraction of non-null values OUTSIDE
       ``allowed``; pass when == 0 (or <= ``threshold``).
-    - ``unique``: metric = distinct count minus row count (0 when the
-      column is a key); pass when == 0.
+    - ``unique``: metric = distinct/non-null ratio (exactly 1.0 when the
+      column is a key); pass when >= 1.0 — or >= 0.95 under
+      ``approx_unique`` (HLL's default ~5% rsd can under-estimate).
+
+    A check whose metric is undefined (empty input, or an all-NULL
+    column for ``min``/``max``/``in_set``/``unique``) FAILS: NULL never
+    silently passes an audit.
     """
 
     name: str
@@ -132,10 +137,13 @@ def run_expectations(
                 raise ValueError(f"in_set check {c.name!r} needs `allowed`")
             bad = (~col.isin(list(c.allowed))).cast("double")
             # fraction of NON-NULL values outside the set (nulls are
-            # not_null's job)
-            m = F.coalesce(
-                F.sum(F.when(col.isNotNull(), bad)) / F.count(col),
-                F.lit(0.0),
+            # not_null's job); the SUM is coalesced (all-clean column ->
+            # 0, not NULL) but the division is try_divide so an all-NULL
+            # column or empty input yields an undefined metric that
+            # FAILS under ANSI mode instead of erroring
+            m = F.try_divide(
+                F.coalesce(F.sum(F.when(col.isNotNull(), bad)), F.lit(0.0)),
+                F.count(col),
             )
         elif c.kind == "unique":
             distinct = (
@@ -144,8 +152,9 @@ def run_expectations(
             )
             # distinct/non-null ratio: exactly 1.0 iff the column is a
             # key (exact mode); scale-free, so the approx pass rule is a
-            # plain constant tolerance
-            m = distinct / F.count(col)
+            # plain constant tolerance. try_divide: empty/all-NULL input
+            # gives an undefined (failing) metric, not an ANSI error
+            m = F.try_divide(distinct, F.count(col))
         else:
             raise ValueError(f"unknown expectation kind {c.kind!r}")
         metric_cols.append(m.alias(f"__m{i}"))
@@ -170,7 +179,10 @@ def run_expectations(
                 F.lit(c.name).alias("check"),
                 F.lit(c.column).alias("column"),
                 F.round(m, 6).alias("metric"),
-                passed.alias("passed"),
+                # undefined metric (empty input / all-NULL column) makes
+                # the comparison NULL — an audit must FAIL there, not
+                # vanish from boolean filters
+                F.coalesce(passed, F.lit(False)).alias("passed"),
             )
         )
     return row.select(

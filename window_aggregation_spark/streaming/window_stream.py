@@ -24,6 +24,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+# one duration grammar for batch and streaming sessionization — the
+# local copy this replaced lacked day units and had already drifted
+from window_aggregation_spark.operators.timeseries import _parse_gap_seconds
+
 
 def tumbling_counts(
     events: DataFrame,
@@ -131,11 +135,3 @@ def sessionize(
     ).drop("__new")
 
 
-def _parse_gap_seconds(gap: str) -> int:
-    amount, unit = gap.split()
-    mult = {
-        "second": 1, "seconds": 1,
-        "minute": 60, "minutes": 60,
-        "hour": 3600, "hours": 3600,
-    }[unit]
-    return int(amount) * mult
