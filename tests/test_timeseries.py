@@ -202,3 +202,42 @@ class TestGapParser:
         for bad in ("1 week", "30min", "soon"):
             with pytest.raises(ValueError, match="unsupported duration"):
                 _parse_gap_seconds(bad)
+
+
+class TestResampleOhlc:
+    def test_ohlc_hand_values(self, spark):
+        df = _ev(spark, [
+            (1, dt.datetime(2024, 1, 1, 2), 5.0, 1),
+            (1, dt.datetime(2024, 1, 1, 9), 9.0, 2),
+            (1, dt.datetime(2024, 1, 1, 5), 1.0, 3),
+            (1, dt.datetime(2024, 1, 2, 1), 7.0, 4),
+        ])
+        from window_aggregation_spark.operators.timeseries import (
+            resample_ohlc,
+        )
+
+        out = {r.bucket: r for r in resample_ohlc(
+            df, ["user_id"], "ts", "value",
+            step="day", tiebreak=["event_id"],
+        ).collect()}
+        d1 = out[dt.date(2024, 1, 1)]
+        assert (d1.open, d1.high, d1.low, d1.close, d1.n_obs) == (
+            5.0, 9.0, 1.0, 9.0, 3
+        )
+        d2 = out[dt.date(2024, 1, 2)]
+        assert (d2.open, d2.close, d2.n_obs) == (7.0, 7.0, 1)
+
+    def test_tie_on_ts_resolved_by_tiebreak(self, spark):
+        df = _ev(spark, [
+            (1, T0, 2.0, 9),
+            (1, T0, 1.0, 3),  # same ts: lower event_id is the open
+        ])
+        from window_aggregation_spark.operators.timeseries import (
+            resample_ohlc,
+        )
+
+        r = resample_ohlc(
+            df, ["user_id"], "ts", "value",
+            step="day", tiebreak=["event_id"],
+        ).collect()[0]
+        assert r.open == 1.0 and r.close == 2.0

@@ -3249,6 +3249,7 @@ _register_physical()
 def _register_timeseries() -> None:
     from window_aggregation_spark.operators.timeseries import (
         resample_ffill,
+        resample_ohlc,
         scd2_history,
         sessionize,
     )
@@ -3311,6 +3312,40 @@ def _register_timeseries() -> None:
         # (see the oracle's comment); rounding would break ties
         return out.select(
             "user_id", "bucket", "value_ffill", "value_lerp", "is_observed",
+        )
+
+    @_register(
+        "ts_ohlc_daily",
+        """
+        WITH b AS (
+          SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS bucket,
+                 value,
+                 row_number() OVER (
+                   PARTITION BY user_id, date_trunc('day', ts)
+                   ORDER BY ts ASC, event_id ASC) AS rn_a,
+                 row_number() OVER (
+                   PARTITION BY user_id, date_trunc('day', ts)
+                   ORDER BY ts DESC, event_id DESC) AS rn_d
+          FROM events WHERE event_type = 'purchase'
+        )
+        SELECT user_id, bucket,
+               max(CASE WHEN rn_a = 1 THEN value END) AS open,
+               max(value) AS high, min(value) AS low,
+               max(CASE WHEN rn_d = 1 THEN value END) AS close,
+               count(value) AS n_obs
+        FROM b GROUP BY user_id, bucket
+        """,
+    )
+    def ts_ohlc_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Daily OHLC downsampling of the purchase series per user — one
+        map-side-combined aggregate, open/close via min_by/max_by over
+        the (ts, event_id) struct (no window, no second pass)."""
+        events = read_table(spark, sf_dir, "events").where(
+            F.col("event_type") == "purchase"
+        )
+        return resample_ohlc(
+            events, ["user_id"], "ts", "value",
+            step="day", tiebreak=["event_id"],
         )
 
     @_register(
