@@ -63,6 +63,14 @@ def assert_frames_match(spark_df, duck_rel, sort_cols: list[str] | None = None):
     right = right.sort_values(sort_by, ignore_index=True)
     for c in cols:
         lv, rv = left[c], right[c]
+        # Spark DATE arrives as object-dtype datetime.date while DuckDB
+        # DATE arrives as datetime64 — same values, different carriers;
+        # normalize both to datetime64 before comparing
+        if pd.api.types.is_datetime64_any_dtype(
+            lv
+        ) or pd.api.types.is_datetime64_any_dtype(rv):
+            lv = pd.to_datetime(lv)
+            rv = pd.to_datetime(rv)
         if pd.api.types.is_float_dtype(lv) or pd.api.types.is_float_dtype(rv):
             for i, (a, b) in enumerate(zip(lv, rv)):
                 a_nan = a is None or (isinstance(a, float) and math.isnan(a))

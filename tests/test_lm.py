@@ -206,6 +206,9 @@ def test_bigram_pretrained_counts_with_oov(spark):
 def test_materialized_plan_scans_corpus_twice_only(spark, sf_dir):
     from window_aggregation_spark.sources.io import read_table
 
+    # suite-order robustness: an earlier test's cached/persisted corpus
+    # frame turns the FileScans this test pins into InMemory scans
+    spark.catalog.clearCache()
     docs = read_table(spark, sf_dir, "documents").select(
         "doc_id", "lang", "source", "text"
     )

@@ -3233,7 +3233,9 @@ def _register_physical() -> None:
             open(f"{path}/_SUCCESS", "w").close()
         return ts.read_tar_shards(spark, path, with_meta=True).select(
             "shard",
-            "doc_id",
+            # member names are strings by nature; restore the logical
+            # table's BIGINT so the comparison is typed, not stringly
+            F.col("doc_id").cast("long").alias("doc_id"),
             F.md5(F.col("payload")).alias("payload_md5"),
             "meta",
         )
