@@ -117,7 +117,12 @@ def connected_components(
     e = _truncate(e)
     prev = _fingerprint(e)
     for _ in range(max_iter):
+        last_e = e
         e = _truncate(_small_star(_large_star(e)))
+        # free the superseded checkpoint's blocks — an iterative loop
+        # that pins every round's RDD leaks storage memory linearly in
+        # iterations (and starves long test sessions / real clusters)
+        last_e.unpersist()
         cur = _fingerprint(e)
         if cur == prev:
             break
@@ -204,12 +209,13 @@ def pagerank(
     )
     base = (1.0 - damping) / n
     ranks = nodes.select("node", F.lit(1.0 / n).alias("rank"))
-    for _ in range(iterations):
+    for i in range(iterations):
         contribs = (
             w.join(ranks, w["src"] == ranks["node"])
             .groupBy("dst")
             .agg(F.sum(F.col("rank") * F.col("w")).alias("__c"))
         )
+        last_ranks = ranks
         ranks = _truncate(
             nodes.join(contribs, nodes["node"] == contribs["dst"], "left")
             .select(
@@ -220,4 +226,8 @@ def pagerank(
                 ).alias("rank"),
             )
         )
+        if i > 0:
+            # superseded iteration checkpoints leak storage linearly —
+            # free them (i == 0 is the un-checkpointed init projection)
+            last_ranks.unpersist()
     return ranks
