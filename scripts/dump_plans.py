@@ -43,6 +43,16 @@ def audit(plan: str) -> dict:
 # anomalies in the table; rendered as their own section so they survive
 # regeneration.
 NOTES = {
+    "graph_pagerank": (
+        "shuffles/scans show 0 because every iteration's rank frame is "
+        "localCheckpoint-ed (required: the per-iteration plan would "
+        "otherwise grow without bound) and the dump sees only the final "
+        "checkpointed RDD scan. Real per-iteration cost: one join of the "
+        "rank table onto the checkpointed 1/outdeg edge weights (shuffle "
+        "on src) + one groupBy dst — 2 exchanges per iteration, 3 "
+        "iterations; superseded checkpoints are unpersisted as the loop "
+        "advances (operators/graph.py::pagerank)."
+    ),
     "sim_embedding_covariance": (
         "scans/python show 0 because the BLAS X'X partials frame is "
         "localCheckpoint-ed (computed once, consumed by four reduce "
