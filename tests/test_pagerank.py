@@ -61,3 +61,53 @@ def test_empty_edges_return_empty_ranks(spark):
         _edges(spark, []).where("src > 0"), iterations=2
     )
     assert out.columns == ["node", "rank"] and out.count() == 0
+
+
+class TestTriangleCount:
+    def _tris(self, spark, pairs, **kw):
+        from window_aggregation_spark.operators.graph import triangle_count
+
+        e = spark.createDataFrame(pairs, "u bigint, v bigint")
+        return triangle_count(e, **kw)
+
+    def test_k4_every_node_in_three_triangles(self, spark):
+        k4 = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+        out = {r.node: r.triangles for r in self._tris(spark, k4).collect()}
+        assert out == {0: 3, 1: 3, 2: 3, 3: 3}
+
+    def test_global_count(self, spark):
+        k4 = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+        row = self._tris(spark, k4, per_node=False).collect()
+        assert len(row) == 1 and row[0].triangles == 4
+
+    def test_duplicates_reversals_and_self_loops_ignored(self, spark):
+        messy = [(1, 2), (2, 1), (2, 3), (3, 1), (1, 1), (2, 3)]
+        out = {r.node: r.triangles for r in self._tris(spark, messy).collect()}
+        assert out == {1: 1, 2: 1, 3: 1}
+
+    def test_triangle_free_graph_is_empty(self, spark):
+        # 4-cycle: no triangles; per-node output has no rows, global is 0
+        square = [(1, 2), (2, 3), (3, 4), (4, 1)]
+        assert self._tris(spark, square).count() == 0
+        assert self._tris(spark, square, per_node=False).collect()[0].triangles == 0
+
+    def test_matches_bruteforce_on_random_graph(self, spark):
+        import itertools
+        import random
+
+        rng = random.Random(6)
+        n = 12
+        edges = [
+            (a, b)
+            for a in range(n)
+            for b in range(a + 1, n)
+            if rng.random() < 0.45
+        ]
+        adj = set(edges)
+        expect: dict[int, int] = {}
+        for a, b, c in itertools.combinations(range(n), 3):
+            if (a, b) in adj and (b, c) in adj and (a, c) in adj:
+                for x in (a, b, c):
+                    expect[x] = expect.get(x, 0) + 1
+        out = {r.node: r.triangles for r in self._tris(spark, edges).collect()}
+        assert out == expect

@@ -180,3 +180,88 @@ class TestExpectationsReviewRegressions:
             df, [Expectation("v_cap", "v", "max", bound=10.0)]
         ).collect()
         assert out[0].passed is False and out[0].metric is None
+
+
+class TestHistogramDrift:
+    def _drift(self, spark, rows, **kw):
+        from window_aggregation_spark.operators.relational import (
+            histogram_drift,
+        )
+
+        df = spark.createDataFrame(rows, "v double, cur boolean")
+        out = histogram_drift(df, "v", F.col("cur"), **kw)
+        return out.orderBy("bin").collect()
+
+    def test_bins_densified_and_psi_matches_formula(self, spark):
+        import math
+
+        rows = [(5.0, False)] * 3 + [(15.0, False)] + [(15.0, True)] * 4
+        out = self._drift(spark, rows, lo=0.0, hi=40.0, bins=4, smoothing=0.5)
+        assert [r.bin for r in out] == [0, 1, 2, 3]
+        assert [r.base_n for r in out] == [3, 1, 0, 0]
+        assert [r.cur_n for r in out] == [0, 4, 0, 0]
+        total = 0.0
+        for r in out:
+            p = (r.base_n + 0.5) / (4 + 2.0)
+            q = (r.cur_n + 0.5) / (4 + 2.0)
+            term = (p - q) * math.log(p / q)
+            assert r.psi_term == pytest.approx(term, abs=1e-6)
+            total += term
+        assert out[0].psi_total == pytest.approx(total, abs=1e-6)
+        assert all(r.psi_total == out[0].psi_total for r in out)
+
+    def test_out_of_range_clamps_and_nulls_dropped(self, spark):
+        rows = [(-100.0, False), (999.0, False), (None, False), (2.0, True)]
+        out = self._drift(spark, rows, lo=0.0, hi=10.0, bins=2)
+        assert [r.base_n for r in out] == [1, 1]
+        assert [r.cur_n for r in out] == [1, 0]
+
+    def test_identical_slices_zero_drift(self, spark):
+        rows = [(float(v), cur) for v in (1, 2, 3, 8) for cur in (False, True)]
+        out = self._drift(spark, rows, lo=0.0, hi=10.0, bins=2)
+        assert out[0].psi_total == 0.0
+
+    def test_validation(self, spark):
+        df = spark.createDataFrame([(1.0, True)], "v double, cur boolean")
+        from window_aggregation_spark.operators.relational import (
+            histogram_drift,
+        )
+
+        with pytest.raises(ValueError, match="bins"):
+            histogram_drift(df, "v", F.col("cur"), lo=0.0, hi=1.0, bins=1)
+        with pytest.raises(ValueError, match="hi > lo"):
+            histogram_drift(df, "v", F.col("cur"), lo=1.0, hi=1.0)
+
+
+class TestSnapshotDiff:
+    def _diff(self, spark, old_rows, new_rows):
+        from window_aggregation_spark.operators.relational import snapshot_diff
+
+        schema = "k bigint, price double, status string"
+        return snapshot_diff(
+            spark.createDataFrame(old_rows, schema),
+            spark.createDataFrame(new_rows, schema),
+            ["k"],
+            ["price", "status"],
+        )
+
+    def test_insert_delete_update_unchanged(self, spark):
+        old = [(1, 10.0, "O"), (2, 20.0, "O"), (3, 30.0, "F")]
+        new = [(1, 10.0, "O"), (2, 25.0, "O"), (4, 40.0, "P")]
+        out = {r.k: r for r in self._diff(spark, old, new).collect()}
+        assert set(out) == {2, 3, 4}
+        assert out[2].change_type == "update"
+        assert (out[2].old_price, out[2].new_price) == (20.0, 25.0)
+        assert out[3].change_type == "delete" and out[3].new_price is None
+        assert out[4].change_type == "insert" and out[4].old_price is None
+
+    def test_null_transitions(self, spark):
+        # NULL -> NULL unchanged; NULL -> value and value -> NULL update
+        old = [(1, None, "O"), (2, None, "O"), (3, 3.0, "O")]
+        new = [(1, None, "O"), (2, 2.0, "O"), (3, None, "O")]
+        out = {r.k: r.change_type for r in self._diff(spark, old, new).collect()}
+        assert out == {2: "update", 3: "update"}
+
+    def test_identical_snapshots_empty_diff(self, spark):
+        rows = [(1, 1.0, "O"), (2, None, None)]
+        assert self._diff(spark, rows, rows).count() == 0

@@ -241,3 +241,47 @@ class TestResampleOhlc:
             step="day", tiebreak=["event_id"],
         ).collect()[0]
         assert r.open == 1.0 and r.close == 2.0
+
+
+class TestRollingZscore:
+    def _score(self, spark, values, **kw):
+        from window_aggregation_spark.operators.timeseries import rolling_zscore
+
+        rows = [
+            (1, T0 + dt.timedelta(minutes=i), float(v), i)
+            for i, v in enumerate(values)
+        ]
+        out = rolling_zscore(
+            _ev(spark, rows), ["user_id"], "ts", "value",
+            tiebreak=["event_id"], **kw,
+        )
+        return out.orderBy("event_id").collect()
+
+    def test_spike_flagged_against_clean_history(self, spark):
+        # alternating 9/11 history (mean 10, sd ~1), then a 30 spike:
+        # the spike's own value must NOT contaminate its baseline
+        vals = [9.0, 11.0] * 5 + [30.0]
+        out = self._score(spark, vals, min_obs=10)
+        spike = out[-1]
+        assert spike.n_hist == 10
+        import statistics
+
+        hist = vals[:-1]
+        expect = (30.0 - statistics.mean(hist)) / statistics.stdev(hist)
+        assert spike.zscore == pytest.approx(expect, abs=1e-3)
+        assert spike.is_anomaly
+
+    def test_min_obs_gates_score(self, spark):
+        out = self._score(spark, [1.0, 2.0, 3.0, 4.0], min_obs=3)
+        assert [r.zscore is None for r in out] == [True, True, True, False]
+        assert [r.is_anomaly for r in out[:3]] == [False, False, False]
+
+    def test_constant_history_scores_null_not_anomalous(self, spark):
+        out = self._score(spark, [5.0] * 12 + [50.0], min_obs=5)
+        last = out[-1]
+        assert last.zscore is None and last.is_anomaly is False
+
+    def test_inlier_not_flagged(self, spark):
+        vals = [9.0, 11.0] * 6 + [10.5]
+        last = self._score(spark, vals, min_obs=10)[-1]
+        assert last.zscore is not None and not last.is_anomaly

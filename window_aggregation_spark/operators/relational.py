@@ -25,13 +25,21 @@ one-shuffle:
   ``count_distinct`` by default (a second shuffle) — switch
   ``approx_unique=True`` at the 100 TB scale point to keep the whole
   audit one-pass (HLL partial aggregates merge map-side).
+- ``histogram_drift`` (PSI between two slices of one table) is one scan
+  + one groupBy on <= ``bins`` keys; everything after the aggregate
+  (bin densify, totals, PSI terms) runs over a driver-sized <=
+  ``bins``-row frame.
+- ``snapshot_diff`` (CDC reconciliation of two table versions) is a
+  single full-outer sort-merge join on the key — one shuffle per side,
+  and the unchanged majority of rows is filtered before any downstream
+  consumer sees it.
 """
 
 from __future__ import annotations
 
 from dataclasses import dataclass
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -188,3 +196,120 @@ def run_expectations(
     return row.select(
         F.explode(F.array(*out_structs)).alias("r")
     ).select("r.check", "r.column", "r.metric", "r.passed")
+
+
+def histogram_drift(
+    df: DataFrame,
+    value_col: str,
+    side_col: Column,
+    *,
+    lo: float,
+    hi: float,
+    bins: int = 10,
+    smoothing: float = 0.5,
+) -> DataFrame:
+    """Population-stability-index (PSI) drift report between two slices
+    of ONE table: rows where ``side_col`` is false form the baseline
+    population, true rows the current one. Values bucket into ``bins``
+    equal-width bins over [lo, hi) — out-of-range values CLAMP into the
+    edge bins (drifted mass must be counted, not dropped) — and each
+    bin's PSI term is ``(p - q) * ln(p / q)`` over Laplace-smoothed
+    proportions ``(n + smoothing) / (N + smoothing * bins)``, so empty
+    bins never divide by zero.
+
+    Output: one row per bin (ALL ``bins`` bins, empty ones densified to
+    zero counts): ``(bin, lo_edge, base_n, cur_n, psi_term)`` plus the
+    same ``psi_total`` on every row (rule of thumb: > 0.2 = major
+    drift). NULL values are excluded — they are a ``not_null``
+    expectation's job, not a histogram's.
+
+    Scale shape: one scan, one map-side-combined groupBy on <= ``bins``
+    keys; the densify join, slice totals, and psi_total are window/join
+    work over the <= ``bins``-row aggregate — driver-sized, never the
+    data.
+    """
+    if bins < 2:
+        raise ValueError("bins must be >= 2")
+    if not hi > lo:
+        raise ValueError("need hi > lo")
+    width = (hi - lo) / bins
+    v = F.col(value_col).cast("double")
+    raw = F.floor((v - F.lit(lo)) / F.lit(width)).cast("int")
+    b = F.greatest(F.lit(0), F.least(F.lit(bins - 1), raw))
+    hist = (
+        df.where(v.isNotNull())
+        .select(b.alias("bin"), side_col.cast("boolean").alias("__cur"))
+        .groupBy("bin")
+        .agg(
+            F.sum(F.when(~F.col("__cur"), 1).otherwise(0)).alias("base_n"),
+            F.sum(F.when(F.col("__cur"), 1).otherwise(0)).alias("cur_n"),
+        )
+    )
+    spine = df.sparkSession.range(bins).select(F.col("id").cast("int").alias("bin"))
+    dense = spine.join(hist, "bin", "left").select(
+        "bin",
+        F.coalesce(F.col("base_n"), F.lit(0)).cast("long").alias("base_n"),
+        F.coalesce(F.col("cur_n"), F.lit(0)).cast("long").alias("cur_n"),
+    )
+    w = Window.partitionBy()  # <= bins rows: single tiny partition is fine
+    sm = F.lit(float(smoothing))
+    extra = F.lit(float(smoothing * bins))
+    p = (F.col("base_n") + sm) / (F.sum("base_n").over(w) + extra)
+    q = (F.col("cur_n") + sm) / (F.sum("cur_n").over(w) + extra)
+    out = dense.withColumn("psi_term", (p - q) * F.log(p / q))
+    return out.select(
+        "bin",
+        (F.lit(lo) + F.col("bin") * F.lit(width)).alias("lo_edge"),
+        "base_n",
+        "cur_n",
+        F.round("psi_term", 6).alias("psi_term"),
+        F.round(F.sum("psi_term").over(w), 6).alias("psi_total"),
+    )
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    keys: list[str],
+    compare_cols: list[str],
+) -> DataFrame:
+    """CDC-style reconciliation of two snapshots of one logical table:
+    one row per key whose state CHANGED, tagged ``change_type`` in
+    ('insert', 'delete', 'update'), carrying both sides of every
+    compared column as ``old_<col>`` / ``new_<col>`` (NULL on the
+    absent side of inserts/deletes). Keys present on both sides with
+    every compared column NULL-safe-equal are omitted — the diff is
+    empty when the snapshots agree.
+
+    NULL state compares via IS NOT DISTINCT FROM: NULL -> NULL is
+    unchanged, NULL -> value is an update. One shuffle per side (full
+    outer sort-merge join on ``keys``).
+    """
+    o = old.select(
+        *[F.col(k) for k in keys],
+        *[F.col(c).alias(f"old_{c}") for c in compare_cols],
+        F.lit(True).alias("__in_old"),
+    )
+    n = new.select(
+        *[F.col(k) for k in keys],
+        *[F.col(c).alias(f"new_{c}") for c in compare_cols],
+        F.lit(True).alias("__in_new"),
+    )
+    changed = F.lit(False)
+    for c in compare_cols:
+        changed = changed | ~F.col(f"old_{c}").eqNullSafe(F.col(f"new_{c}"))
+    change = (
+        F.when(F.col("__in_old").isNull(), F.lit("insert"))
+        .when(F.col("__in_new").isNull(), F.lit("delete"))
+        .when(changed, F.lit("update"))
+    )
+    return (
+        o.join(n, keys, "full_outer")
+        .withColumn("change_type", change)
+        .where(F.col("change_type").isNotNull())
+        .select(
+            *keys,
+            "change_type",
+            *[a for c in compare_cols for a in (f"old_{c}", f"new_{c}")],
+        )
+    )

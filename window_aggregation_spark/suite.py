@@ -3692,6 +3692,260 @@ def w_count_distinct_running(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Round-6 fourth-session additions: graph structure, drift auditing,
+# snapshot reconciliation, anomaly scoring, cube reporting
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "graph_triangle_count",
+    """
+    WITH li AS (SELECT l_orderkey, l_partkey FROM lineitem
+                WHERE l_linenumber <= 4),
+    e AS (SELECT DISTINCT CAST(x.l_partkey AS BIGINT) AS a,
+                          CAST(y.l_partkey AS BIGINT) AS b
+          FROM li x JOIN li y ON x.l_orderkey = y.l_orderkey
+                               AND x.l_partkey < y.l_partkey),
+    -- triangles a<b<c: the oracle needs no degree orientation (that is
+    -- the Spark side's scale device; the RESULT is orientation-free)
+    t AS (SELECT e1.a, e1.b, e2.b AS c
+          FROM e e1 JOIN e e2 ON e1.b = e2.a
+                    JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+    corners AS (SELECT a AS node FROM t
+                UNION ALL SELECT b FROM t
+                UNION ALL SELECT c FROM t)
+    SELECT node, COUNT(*) AS triangles FROM corners GROUP BY node
+    """,
+    headline=True,
+)
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node exact triangle counts over the part co-purchase graph
+    (parts sharing an order, first 4 line numbers). The operator runs
+    the degree-ORIENTED wedge join — out-degrees capped at O(sqrt(m)),
+    so hub parts can't quadratically explode the wedge set — while the
+    oracle counts the same triangles with the naive a<b<c 3-cycle join:
+    the orientation must be invisible in the result."""
+    from window_aggregation_spark.operators.graph import triangle_count
+
+    li = (
+        read_table(spark, sf_dir, "lineitem")
+        .where(F.col("l_linenumber") <= 4)
+        .select("l_orderkey", "l_partkey")
+    )
+    pairs = (
+        li.alias("x")
+        .join(li.alias("y"), "l_orderkey")
+        .where(F.col("x.l_partkey") < F.col("y.l_partkey"))
+        .select(
+            F.col("x.l_partkey").alias("u"), F.col("y.l_partkey").alias("v")
+        )
+    )
+    return triangle_count(pairs, "u", "v", per_node=True)
+
+
+@_register(
+    "dq_drift_psi",
+    """
+    WITH h AS (
+      SELECT GREATEST(0, LEAST(9, CAST(FLOOR(
+               (CAST(o_totalprice AS DOUBLE) - CAST(0.0 AS DOUBLE))
+               / CAST(50000.0 AS DOUBLE)) AS INT))) AS bin,
+             o_orderdate >= TIMESTAMP '1998-01-01' AS cur
+      FROM orders WHERE o_totalprice IS NOT NULL
+    ), hist AS (
+      SELECT bin,
+             CAST(SUM(CASE WHEN NOT cur THEN 1 ELSE 0 END) AS BIGINT)
+               AS base_n,
+             CAST(SUM(CASE WHEN cur THEN 1 ELSE 0 END) AS BIGINT) AS cur_n
+      FROM h GROUP BY bin
+    ), dense AS (
+      SELECT CAST(s.range AS INT) AS bin,
+             COALESCE(base_n, CAST(0 AS BIGINT)) AS base_n,
+             COALESCE(cur_n, CAST(0 AS BIGINT)) AS cur_n
+      FROM range(10) s LEFT JOIN hist ON CAST(s.range AS INT) = hist.bin
+    ), terms AS (
+      -- same association as the operator: p, q smoothed, (p-q)*ln(p/q)
+      SELECT bin, base_n, cur_n,
+             ((base_n + CAST(0.5 AS DOUBLE))
+              / (SUM(base_n) OVER () + CAST(5.0 AS DOUBLE))
+              - (cur_n + CAST(0.5 AS DOUBLE))
+                / (SUM(cur_n) OVER () + CAST(5.0 AS DOUBLE)))
+             * LN(((base_n + CAST(0.5 AS DOUBLE))
+                   / (SUM(base_n) OVER () + CAST(5.0 AS DOUBLE)))
+                  / ((cur_n + CAST(0.5 AS DOUBLE))
+                     / (SUM(cur_n) OVER () + CAST(5.0 AS DOUBLE))))
+               AS psi_term
+      FROM dense
+    )
+    SELECT bin,
+           CAST(0.0 AS DOUBLE) + bin * CAST(50000.0 AS DOUBLE) AS lo_edge,
+           base_n, cur_n,
+           ROUND(psi_term, 6) AS psi_term,
+           ROUND(SUM(psi_term) OVER (), 6) AS psi_total
+    FROM terms
+    """,
+)
+def dq_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population-stability-index drift between pre- and post-1998
+    order-price distributions: 10 fixed bins over [0, 500k), Laplace
+    smoothing 0.5, per-bin PSI terms plus the total on every row. One
+    scan + one <=10-key groupBy; the densify/total stages run on the
+    10-row aggregate."""
+    from window_aggregation_spark.operators.relational import histogram_drift
+
+    orders = read_table(spark, sf_dir, "orders")
+    return histogram_drift(
+        orders,
+        "o_totalprice",
+        F.col("o_orderdate") >= F.lit("1998-01-01").cast("timestamp"),
+        lo=0.0,
+        hi=500000.0,
+        bins=10,
+        smoothing=0.5,
+    )
+
+
+@_register(
+    "cdc_snapshot_diff",
+    """
+    WITH old AS (
+      SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders
+      WHERE o_orderkey % 3 <> 0
+    ), new AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 7 = 0
+                  THEN o_totalprice + CAST(1000.0 AS DOUBLE)
+                  ELSE o_totalprice END AS o_totalprice,
+             o_orderstatus
+      FROM orders WHERE o_orderkey % 5 <> 0
+    )
+    SELECT * FROM (
+      SELECT COALESCE(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+             CASE WHEN o.o_orderkey IS NULL THEN 'insert'
+                  WHEN n.o_orderkey IS NULL THEN 'delete'
+                  WHEN (o.o_totalprice IS DISTINCT FROM n.o_totalprice)
+                    OR (o.o_orderstatus IS DISTINCT FROM n.o_orderstatus)
+                  THEN 'update' END AS change_type,
+             o.o_totalprice AS old_o_totalprice,
+             n.o_totalprice AS new_o_totalprice,
+             o.o_orderstatus AS old_o_orderstatus,
+             n.o_orderstatus AS new_o_orderstatus
+      FROM old o FULL OUTER JOIN new n ON o.o_orderkey = n.o_orderkey
+    ) WHERE change_type IS NOT NULL
+    """,
+    headline=True,
+)
+def cdc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot reconciliation: two simulated versions of orders (mod-3
+    keys absent from the old snapshot, mod-5 from the new, mod-7 prices
+    bumped by +1000 — exact double addition, no cross-engine rounding
+    surface) diffed into insert/delete/update rows with both sides of
+    every compared column. One full-outer sort-merge join."""
+    from window_aggregation_spark.operators.relational import snapshot_diff
+
+    orders = read_table(spark, sf_dir, "orders")
+    old = orders.where(F.col("o_orderkey") % 3 != 0).select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    new = orders.where(F.col("o_orderkey") % 5 != 0).select(
+        "o_orderkey",
+        F.when(
+            F.col("o_orderkey") % 7 == 0, F.col("o_totalprice") + F.lit(1000.0)
+        )
+        .otherwise(F.col("o_totalprice"))
+        .alias("o_totalprice"),
+        "o_orderstatus",
+    )
+    return snapshot_diff(
+        old, new, ["o_orderkey"], ["o_totalprice", "o_orderstatus"]
+    )
+
+
+@_register(
+    "ts_anomaly_zscore",
+    """
+    WITH t AS (
+      SELECT event_id, user_id, ts, value,
+             COUNT(value) OVER wp AS n_hist,
+             SUM(value) OVER wp AS s,
+             SUM(value * value) OVER wp AS s2
+      FROM events
+      WINDOW wp AS (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    ), v AS (
+      -- identical association to the operator: (s2 - (s*s)/n) / (n-1),
+      -- clamped at 0; the n<2 guard is a CASE so no divide-by-zero
+      -- path is ever evaluated
+      SELECT *, CASE WHEN n_hist >= 2 THEN GREATEST(
+                  (s2 - (s * s) / n_hist) / (n_hist - 1),
+                  CAST(0.0 AS DOUBLE)) END AS var
+      FROM t
+    ), z AS (
+      SELECT event_id, user_id, ts, value, n_hist,
+             CASE WHEN n_hist >= 10 AND SQRT(var) > CAST(0.0 AS DOUBLE)
+                  THEN ROUND((value - s / n_hist) / SQRT(var), 4)
+             END AS zscore
+      FROM v
+    )
+    SELECT event_id, user_id, ts, value, n_hist, zscore,
+           COALESCE(ABS(zscore) > CAST(3.0 AS DOUBLE), FALSE) AS is_anomaly
+    FROM z
+    """,
+    headline=True,
+)
+def ts_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expanding-history z-score anomaly flags over the event stream
+    (baseline = all strictly-earlier events per user; min 10 prior
+    observations). Single WindowExec carrying all three cumulative
+    power sums — the variance association is mirrored op-for-op by the
+    oracle, so the doubles agree bit-for-bit before rounding."""
+    from window_aggregation_spark.operators.timeseries import rolling_zscore
+
+    events = read_table(spark, sf_dir, "events")
+    out = rolling_zscore(
+        events, ["user_id"], "ts", "value",
+        min_obs=10, threshold=3.0, tiebreak=["event_id"],
+    )
+    return out.select(
+        "event_id", "user_id", "ts", "value", "n_hist", "zscore", "is_anomaly"
+    )
+
+
+@_register(
+    "agg_cube_orders",
+    """
+    SELECT o_orderpriority, o_orderstatus,
+           CAST(grouping_id(o_orderpriority, o_orderstatus) AS INT)
+             AS grouping_id,
+           ROUND(SUM(o_totalprice), 4) AS sum_price,
+           COUNT(*) AS n_rows
+    FROM orders GROUP BY CUBE (o_orderpriority, o_orderstatus)
+    """,
+)
+def agg_cube_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full cube over (priority, status) — every grouping-set subset in
+    ONE shuffle via Expand + partial aggregation, grouping_id
+    disambiguating total rows from genuine NULL keys."""
+    from window_aggregation_spark.operators.relational import rollup_aggregate
+
+    orders = read_table(spark, sf_dir, "orders")
+    out = rollup_aggregate(
+        orders,
+        ["o_orderpriority", "o_orderstatus"],
+        [
+            F.round(F.sum("o_totalprice"), 4).alias("sum_price"),
+            F.count(F.lit(1)).alias("n_rows"),
+        ],
+        cube=True,
+    )
+    return out.select(
+        "o_orderpriority", "o_orderstatus",
+        F.col("grouping_id").cast("int").alias("grouping_id"),
+        "sum_price", "n_rows",
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver-slot curation: the driver's CORRECTNESS snapshot records only the
 # FIRST 50 queries() entries (observed r1-r4; r4 silently rotated six green
 # rows out and the corpus family never held a slot). The first 50 names
