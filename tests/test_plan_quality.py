@@ -241,3 +241,40 @@ def test_ivf_expr_assignment_is_per_row_no_crossjoin(spark, sf_dir):
     assert "CartesianProduct" not in plan, plan[:800]
     # one window remains: the final per-query top-k
     assert plan.count("Window ") == 1, plan[:800]
+
+
+def test_zscore_is_single_window_single_shuffle(spark, sf_dir):
+    """All three cumulative power sums share ONE WindowExec / exchange."""
+    plan = _plan(SUITE["ts_anomaly_zscore"].build(spark, sf_dir))
+    assert plan.count("Window ") == 1, plan[:600]
+    assert plan.count("Exchange hashpartitioning") == 1, plan[:600]
+
+
+def test_triangle_count_never_materializes_wedges(spark, sf_dir):
+    """Edge-iterator closing: the plan intersects adjacency arrays, and
+    no cartesian/NLJ shape sneaks in."""
+    plan = _plan(SUITE["graph_triangle_count"].build(spark, sf_dir))
+    assert "array_intersect" in plan, plan[:800]
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_snapshot_diff_single_full_outer_join(spark, sf_dir):
+    """One full-outer join, and both snapshot scans prune to the key +
+    compared columns (3 of orders' 6)."""
+    plan = _plan(SUITE["cdc_snapshot_diff"].build(spark, sf_dir))
+    assert plan.count("FullOuter") == 1, plan[:800]
+    for m in re.finditer(r"ReadSchema: struct<([^>]*)>", plan):
+        cols = {c.split(":")[0] for c in m.group(1).split(",")}
+        assert cols == {"o_orderkey", "o_totalprice", "o_orderstatus"}
+
+
+def test_drift_scan_prunes_to_value_and_side_columns(spark, sf_dir):
+    """The only full-table work in the PSI audit is one scan reading
+    exactly (value, side) — everything after the <=bins-key aggregate
+    is driver-sized."""
+    plan = _plan(SUITE["dq_drift_psi"].build(spark, sf_dir))
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m, plan[:600]
+    cols = {c.split(":")[0] for c in m.group(1).split(",")}
+    assert cols == {"o_totalprice", "o_orderdate"}
