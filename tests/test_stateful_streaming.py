@@ -144,3 +144,93 @@ def test_null_value_poisons_rest_of_key_batch_and_stream(spark, tmp_path):
                 assert ewma is not None and not math.isnan(ewma), (
                     label, eid, ewma,
                 )
+
+
+class TestStreamingZscore:
+    def test_zscore_state_spans_batches(self, spark, staged_stream):
+        from window_aggregation_spark.streaming.stateful import (
+            batch_zscore,
+            streaming_zscore,
+        )
+
+        src_dir, pdf = staged_stream
+        full = spark.createDataFrame(pdf)
+        expected = {
+            r["event_id"]: (r["n_hist"], r["zscore"], r["is_anomaly"])
+            for r in batch_zscore(full, min_obs=5).collect()
+        }
+
+        stream = (
+            spark.readStream.schema(SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src_dir)
+        )
+        q = (
+            streaming_zscore(stream, min_obs=5)
+            .writeStream.outputMode("append")
+            .format("memory")
+            .queryName("zscore_out")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            batches = q.recentProgress
+        finally:
+            q.stop()
+
+        got = {
+            r["event_id"]: (r["n_hist"], r["zscore"], r["is_anomaly"])
+            for r in spark.table("zscore_out").collect()
+        }
+        assert len(got) == 60
+        for eid, (n, z, a) in expected.items():
+            gn, gz, ga = got[eid]
+            assert gn == n and ga == a
+            if z is None:
+                assert gz is None
+            else:
+                assert gz == pytest.approx(z, abs=1e-9)
+        assert len([b for b in batches if b["numInputRows"] > 0]) >= 3
+
+    def test_matches_window_operator_exactly(self, spark, staged_stream):
+        """The Arrow/pandas kernel and the WindowExec plan are two
+        implementations of the same math — results must agree."""
+        from window_aggregation_spark.operators.timeseries import (
+            rolling_zscore,
+        )
+        from window_aggregation_spark.streaming.stateful import batch_zscore
+
+        _, pdf = staged_stream
+        full = spark.createDataFrame(pdf)
+        via_window = {
+            (r["user_id"], r["event_id"]): (r["n_hist"], r["zscore"], r["is_anomaly"])
+            for r in rolling_zscore(
+                full, ["user_id"], "ts", "value",
+                min_obs=5, tiebreak=["event_id"],
+            ).collect()
+        }
+        via_pandas = {
+            (r["user_id"], r["event_id"]): (r["n_hist"], r["zscore"], r["is_anomaly"])
+            for r in batch_zscore(full, min_obs=5).collect()
+        }
+        assert via_pandas == via_window
+
+    def test_null_value_scores_null_but_does_not_poison(self, spark):
+        """Unlike the EWMA recurrence, power sums SKIP nulls: the null
+        row itself scores NULL, later rows keep scoring off the
+        non-null history."""
+        from window_aggregation_spark.streaming.stateful import batch_zscore
+
+        import datetime as dt
+
+        rows = [
+            (i, 1, dt.datetime(2024, 1, 1) + dt.timedelta(minutes=i),
+             None if i == 6 else float(v))
+            for i, v in enumerate([9, 11, 9, 11, 9, 11, 0, 9, 30])
+        ]
+        df = spark.createDataFrame(rows, SCHEMA)
+        out = {r["event_id"]: r for r in batch_zscore(df, min_obs=5).collect()}
+        assert out[6]["zscore"] is None and not out[6]["is_anomaly"]
+        # rows after the null still count only the 7 non-null priors
+        assert out[8]["n_hist"] == 7
+        assert out[8]["zscore"] is not None and out[8]["is_anomaly"]

@@ -3912,6 +3912,49 @@ def ts_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "stream_anomaly_zscore",
+    """
+    WITH t AS (
+      SELECT event_id, user_id, value,
+             COUNT(value) OVER wp AS n_hist,
+             SUM(value) OVER wp AS s,
+             SUM(value * value) OVER wp AS s2
+      FROM events
+      WINDOW wp AS (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    ), v AS (
+      SELECT *, CASE WHEN n_hist >= 2 THEN GREATEST(
+                  (s2 - (s * s) / n_hist) / (n_hist - 1),
+                  CAST(0.0 AS DOUBLE)) END AS var
+      FROM t
+    ), z AS (
+      SELECT event_id, user_id, value, n_hist,
+             CASE WHEN n_hist >= 10 AND SQRT(var) > CAST(0.0 AS DOUBLE)
+                  THEN ROUND((value - s / n_hist) / SQRT(var), 4)
+             END AS zscore
+      FROM v
+    )
+    SELECT user_id, event_id, value, n_hist, zscore,
+           COALESCE(ABS(zscore) > CAST(3.0 AS DOUBLE), FALSE) AS is_anomaly
+    FROM z
+    """,
+)
+def stream_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the stateful streaming z-score
+    (streaming.stateful.streaming_zscore, applyInPandasWithState with
+    O(keys) power-sum state). The Arrow/pandas kernel prepends carried
+    state to the cumsum so every prefix is the exact sequential fold —
+    the same addition order as ts_anomaly_zscore's WindowExec and this
+    pure-SQL oracle, making all three bit-equal before the shared
+    round. Stream==batch across micro-batches is pinned by
+    tests/test_stateful_streaming.py."""
+    from window_aggregation_spark.streaming.stateful import batch_zscore
+
+    events = read_table(spark, sf_dir, "events")
+    return batch_zscore(events, min_obs=10, threshold=3.0)
+
+
+@_register(
     "agg_cube_orders",
     """
     SELECT o_orderpriority, o_orderstatus,
