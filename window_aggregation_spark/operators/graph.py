@@ -219,10 +219,11 @@ def triangle_count(
     )
     if not per_node:
         return tris.agg(F.count(F.lit(1)).alias("triangles"))
-    corners = (
-        tris.select(F.col("u").alias("node"))
-        .union(tris.select(F.col("v").alias("node")))
-        .union(tris.select(F.col("w").alias("node")))
+    # one generator pass, NOT a 3-way union: unioning three selects of
+    # `tris` replays the whole adjacency-join subtree per branch (the
+    # plan audit showed 20 exchanges / 8 SMJs for what is one join tree)
+    corners = tris.select(
+        F.explode(F.array("u", "v", "w")).alias("node")
     )
     return corners.groupBy("node").agg(F.count(F.lit(1)).alias("triangles"))
 
