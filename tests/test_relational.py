@@ -265,3 +265,22 @@ class TestSnapshotDiff:
     def test_identical_snapshots_empty_diff(self, spark):
         rows = [(1, 1.0, "O"), (2, None, None)]
         assert self._diff(spark, rows, rows).count() == 0
+
+
+class TestDriftReviewRegressions:
+    def test_far_out_of_range_value_clamps_instead_of_overflowing(self, spark):
+        """floor() of a corrupt huge value saturates to Long.MaxValue;
+        casting that to int was a CAST_OVERFLOW crash under ANSI mode.
+        The audit must FLAG garbage, not die on it."""
+        from window_aggregation_spark.operators.relational import (
+            histogram_drift,
+        )
+
+        rows = [(2.0**31 * 50000.0, False), (1e300, False), (5.0, True),
+                (float("nan"), True)]
+        df = spark.createDataFrame(rows, "v double, cur boolean")
+        out = {r.bin: r for r in histogram_drift(
+            df, "v", F.col("cur"), lo=0.0, hi=500000.0, bins=10
+        ).collect()}
+        assert out[9].base_n == 2          # both monsters clamp to the top bin
+        assert sum(r.cur_n for r in out.values()) == 1  # NaN excluded

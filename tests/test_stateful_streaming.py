@@ -234,3 +234,93 @@ class TestStreamingZscore:
         # rows after the null still count only the 7 non-null priors
         assert out[8]["n_hist"] == 7
         assert out[8]["zscore"] is not None and out[8]["is_anomaly"]
+
+
+class TestStatefulReviewRegressions:
+    def test_multi_chunk_group_sorted_globally(self, spark, tmp_path):
+        """A key whose micro-batch exceeds arrow.maxRecordsPerBatch
+        arrives as several UNORDERED chunks; per-chunk sorting scored
+        rows against wrong history. Reproduce with a tiny chunk size and
+        reverse-ordered input: stream must equal batch exactly."""
+        import datetime as dt
+
+        from window_aggregation_spark.streaming.stateful import (
+            batch_zscore,
+            streaming_ewma,
+            batch_ewma,
+            streaming_zscore,
+        )
+
+        old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "4")
+        try:
+            rows = [
+                (i, 1, dt.datetime(2024, 1, 1) + dt.timedelta(minutes=i),
+                 float((i * 37) % 100) / 10.0)
+                for i in range(12)
+            ]
+            rows.reverse()  # arrival order is the WRONG time order
+            pdf_dir = tmp_path / "stream"
+            pdf_dir.mkdir()
+            import pandas as pd2
+
+            pd2.DataFrame(
+                rows, columns=["event_id", "user_id", "ts", "value"]
+            ).to_parquet(pdf_dir / "part-0.parquet", index=False,
+                         coerce_timestamps="us",
+                         allow_truncated_timestamps=True)
+            full = spark.createDataFrame(rows, SCHEMA.replace(
+                "event_id long, user_id long", "event_id long, user_id long"))
+
+            for batch_fn, stream_fn, col in [
+                (batch_zscore, streaming_zscore, "zscore"),
+                (batch_ewma, streaming_ewma, "ewma"),
+            ]:
+                kw = {"min_obs": 3} if col == "zscore" else {}
+                expected = {
+                    r["event_id"]: r[col] for r in batch_fn(full, **kw).collect()
+                }
+                stream = spark.readStream.schema(SCHEMA).parquet(str(pdf_dir))
+                q = (
+                    stream_fn(stream, **kw)
+                    .writeStream.outputMode("append").format("memory")
+                    .queryName(f"chunk_{col}").start()
+                )
+                try:
+                    q.processAllAvailable()
+                finally:
+                    q.stop()
+                got = {
+                    r["event_id"]: r[col]
+                    for r in spark.table(f"chunk_{col}").collect()
+                }
+                assert got == expected, col
+        finally:
+            spark.conf.set(
+                "spark.sql.execution.arrow.maxRecordsPerBatch", old
+            )
+
+    def test_key_col_names_and_types_follow_parameter(self, spark):
+        """Output schema must follow key_col (a string key previously
+        died in Arrow conversion against the hardcoded 'user_id long')."""
+        import datetime as dt
+
+        from window_aggregation_spark.streaming.stateful import (
+            batch_ewma,
+            batch_zscore,
+        )
+
+        rows = [
+            (i, f"dev-{i % 2}", dt.datetime(2024, 1, 1) + dt.timedelta(minutes=i),
+             float(i))
+            for i in range(8)
+        ]
+        df = spark.createDataFrame(
+            rows, "event_id long, device_id string, ts timestamp, value double"
+        )
+        out = batch_ewma(df, key_col="device_id")
+        assert dict(out.dtypes)["device_id"] == "string"
+        assert out.count() == 8
+        out2 = batch_zscore(df, key_col="device_id", min_obs=2)
+        assert dict(out2.dtypes)["device_id"] == "string"
+        assert out2.count() == 8

@@ -220,7 +220,7 @@ def histogram_drift(
     Output: one row per bin (ALL ``bins`` bins, empty ones densified to
     zero counts): ``(bin, lo_edge, base_n, cur_n, psi_term)`` plus the
     same ``psi_total`` on every row (rule of thumb: > 0.2 = major
-    drift). NULL values are excluded — they are a ``not_null``
+    drift). NULL and NaN values are excluded — they are a ``not_null``
     expectation's job, not a histogram's.
 
     Scale shape: one scan, one map-side-combined groupBy on <= ``bins``
@@ -234,10 +234,16 @@ def histogram_drift(
         raise ValueError("need hi > lo")
     width = (hi - lo) / bins
     v = F.col(value_col).cast("double")
-    raw = F.floor((v - F.lit(lo)) / F.lit(width)).cast("int")
-    b = F.greatest(F.lit(0), F.least(F.lit(bins - 1), raw))
+    # clamp BEFORE the int cast: floor() of a far-out-of-range value
+    # saturates to Long.MaxValue, and casting that to int is a
+    # CAST_OVERFLOW error under ANSI mode — exactly the corrupt row a
+    # drift audit exists to flag, not die on
+    raw = F.floor((v - F.lit(lo)) / F.lit(width))
+    b = F.greatest(
+        F.lit(0).cast("long"), F.least(F.lit(bins - 1).cast("long"), raw)
+    ).cast("int")
     hist = (
-        df.where(v.isNotNull())
+        df.where(v.isNotNull() & ~F.isnan(v))
         .select(b.alias("bin"), side_col.cast("boolean").alias("__cur"))
         .groupBy("bin")
         .agg(

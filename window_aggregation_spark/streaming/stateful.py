@@ -24,8 +24,25 @@ import pandas as pd
 
 from pyspark.sql import DataFrame
 
-OUTPUT_SCHEMA = "user_id long, event_id long, value double, ewma double"
 STATE_SCHEMA = "count long, ewma double"
+
+
+def _key_type(events: DataFrame, key_col: str) -> str:
+    """DDL type of the grouping key, so output schemas follow key_col
+    instead of silently labeling every key column 'user_id long' (a
+    string device_id key previously died in Arrow conversion; a non-user
+    long key was silently mis-named)."""
+    types = dict(events.dtypes)
+    if key_col not in types:
+        raise ValueError(f"key_col {key_col!r} not in {sorted(types)}")
+    return types[key_col]
+
+
+def _ewma_output_schema(events: DataFrame, key_col: str) -> str:
+    return (
+        f"{key_col} {_key_type(events, key_col)}, "
+        "event_id long, value double, ewma double"
+    )
 
 
 def _ewma_update(
@@ -81,29 +98,31 @@ def streaming_ewma(
             count, prev = state.get
         else:
             count, prev = 0, None
-        outs = []
-        for pdf in batches:
-            pdf = pdf.sort_values(["ts", "event_id"])
-            ewma, prev = _ewma_update(pdf, alpha, prev, presorted=True)
-            count += len(pdf)
-            outs.append(
-                pd.DataFrame(
-                    {
-                        "user_id": pdf[key_col],
-                        "event_id": pdf["event_id"],
-                        "value": pdf["value"],
-                        "ewma": ewma.round(6),
-                    }
-                )
-            )
+        # a key's micro-batch data arrives as MULTIPLE Arrow chunks once
+        # it exceeds arrow.maxRecordsPerBatch; chunks are key-grouped but
+        # NOT (ts, event_id)-ordered across chunk boundaries, so sorting
+        # per chunk scored rows against wrongly-ordered history —
+        # concatenate the whole group, sort once, fold once
+        pdf = pd.concat(batches, ignore_index=True)
+        pdf = pdf.sort_values(["ts", "event_id"])
+        ewma, prev = _ewma_update(pdf, alpha, prev, presorted=True)
+        count += len(pdf)
         state.update((count, float(prev) if prev is not None else None))
-        yield from outs
+        yield pd.DataFrame(
+            {
+                key_col: pdf[key_col],
+                "event_id": pdf["event_id"],
+                "value": pdf["value"],
+                "ewma": ewma.round(6),
+            }
+        )
 
     return (
         events.select(key_col, "event_id", "ts", "value")
         .groupBy(key_col)
         .applyInPandasWithState(
-            update, OUTPUT_SCHEMA, STATE_SCHEMA, "append", "NoTimeout"
+            update, _ewma_output_schema(events, key_col), STATE_SCHEMA,
+            "append", "NoTimeout",
         )
     )
 
@@ -118,7 +137,7 @@ def batch_ewma(
         ewma, _ = _ewma_update(pdf, alpha, None, presorted=True)
         return pd.DataFrame(
             {
-                "user_id": pdf[key_col],
+                key_col: pdf[key_col],
                 "event_id": pdf["event_id"],
                 "value": pdf["value"],
                 "ewma": ewma.round(6),
@@ -128,14 +147,18 @@ def batch_ewma(
     return (
         events.select(key_col, "event_id", "ts", "value")
         .groupBy(key_col)
-        .applyInPandas(per_group, OUTPUT_SCHEMA)
+        .applyInPandas(per_group, _ewma_output_schema(events, key_col))
     )
 
 
-ZSCORE_OUTPUT_SCHEMA = (
-    "user_id long, event_id long, value double, n_hist long, zscore double"
-)
 ZSCORE_STATE_SCHEMA = "count long, s double, s2 double"
+
+
+def _zscore_output_schema(events: DataFrame, key_col: str) -> str:
+    return (
+        f"{key_col} {_key_type(events, key_col)}, "
+        "event_id long, value double, n_hist long, zscore double"
+    )
 
 
 def _zscore_update(
@@ -217,32 +240,32 @@ def streaming_zscore(
 
     def update(key, batches: Iterator[pd.DataFrame], state) -> Iterator[pd.DataFrame]:
         n0, s0, s20 = state.get if state.exists else (0, 0.0, 0.0)
-        outs = []
-        for pdf in batches:
-            pdf = pdf.sort_values(["ts", "event_id"])
-            pdf, n_hist, z, (n0, s0, s20) = _zscore_update(
-                pdf, min_obs, n0, s0, s20, presorted=True
-            )
-            outs.append(
-                pd.DataFrame(
-                    {
-                        "user_id": pdf[key_col],
-                        "event_id": pdf["event_id"],
-                        "value": pdf["value"],
-                        "n_hist": n_hist,
-                        "zscore": z,
-                    }
-                )
-            )
+        # concatenate the key's chunks and sort ONCE: Arrow chunking
+        # (maxRecordsPerBatch) splits large groups, and chunks are not
+        # ordered across boundaries — a per-chunk sort scores rows
+        # against wrongly-ordered history (same flaw fixed in the EWMA)
+        pdf = pd.concat(batches, ignore_index=True)
+        pdf = pdf.sort_values(["ts", "event_id"])
+        pdf, n_hist, z, (n0, s0, s20) = _zscore_update(
+            pdf, min_obs, n0, s0, s20, presorted=True
+        )
         state.update((n0, s0, s20))
-        yield from outs
+        yield pd.DataFrame(
+            {
+                key_col: pdf[key_col],
+                "event_id": pdf["event_id"],
+                "value": pdf["value"],
+                "n_hist": n_hist,
+                "zscore": z,
+            }
+        )
 
     raw = (
         events.select(key_col, "event_id", "ts", "value")
         .groupBy(key_col)
         .applyInPandasWithState(
-            update, ZSCORE_OUTPUT_SCHEMA, ZSCORE_STATE_SCHEMA,
-            "append", "NoTimeout",
+            update, _zscore_output_schema(events, key_col),
+            ZSCORE_STATE_SCHEMA, "append", "NoTimeout",
         )
     )
     return _zscore_finalize(raw, threshold)
@@ -264,7 +287,7 @@ def batch_zscore(
         pdf, n_hist, z, _ = _zscore_update(pdf, min_obs, 0, 0.0, 0.0)
         return pd.DataFrame(
             {
-                "user_id": pdf[key_col],
+                key_col: pdf[key_col],
                 "event_id": pdf["event_id"],
                 "value": pdf["value"],
                 "n_hist": n_hist,
@@ -275,6 +298,6 @@ def batch_zscore(
     raw = (
         events.select(key_col, "event_id", "ts", "value")
         .groupBy(key_col)
-        .applyInPandas(per_group, ZSCORE_OUTPUT_SCHEMA)
+        .applyInPandas(per_group, _zscore_output_schema(events, key_col))
     )
     return _zscore_finalize(raw, threshold)

@@ -3747,9 +3747,12 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dq_drift_psi",
     """
     WITH h AS (
-      SELECT GREATEST(0, LEAST(9, CAST(FLOOR(
-               (CAST(o_totalprice AS DOUBLE) - CAST(0.0 AS DOUBLE))
-               / CAST(50000.0 AS DOUBLE)) AS INT))) AS bin,
+      -- clamp BEFORE the INT cast, mirroring the operator (a corrupt
+      -- far-out-of-range value must land in an edge bin, not overflow)
+      SELECT CAST(GREATEST(CAST(0 AS BIGINT), LEAST(CAST(9 AS BIGINT),
+               CAST(FLOOR(
+                 (CAST(o_totalprice AS DOUBLE) - CAST(0.0 AS DOUBLE))
+                 / CAST(50000.0 AS DOUBLE)) AS BIGINT))) AS INT) AS bin,
              o_orderdate >= TIMESTAMP '1998-01-01' AS cur
       FROM orders WHERE o_totalprice IS NOT NULL
     ), hist AS (
