@@ -587,3 +587,65 @@ def test_pack_sequences_empty_doc_pins_to_offset_sequence(spark):
     # doc 1 crosses the 64-boundary: spans sequences 0..1
     assert (got[1]["seq_first"], got[1]["seq_last"]) == (0, 1)
     assert got[3]["off_in_seq"] == 100 % 64
+
+
+class TestWeightedSample:
+    def _df(self, spark, rows):
+        return spark.createDataFrame(rows, "doc_id bigint, w bigint")
+
+    def test_exact_n_and_partitioning_invariant(self, spark):
+        rows = [(i, 10 + i % 7) for i in range(200)]
+        from window_aggregation_spark.operators.corpus import weighted_sample_n
+
+        df = self._df(spark, rows)
+        a = {r.doc_id for r in weighted_sample_n(df, "doc_id", "w", 20).collect()}
+        b = {
+            r.doc_id
+            for r in weighted_sample_n(
+                df.repartition(13), "doc_id", "w", 20
+            ).collect()
+        }
+        assert len(a) == 20 and a == b
+
+    def test_heavy_rows_favored(self, spark):
+        """One row with 500x the weight of nine others must be sampled
+        (n=3 of 10) in the vast majority of salts."""
+        from window_aggregation_spark.operators.corpus import weighted_sample_n
+
+        rows = [(0, 5000)] + [(i, 10) for i in range(1, 10)]
+        df = self._df(spark, rows)
+        hits = sum(
+            0 in {
+                r.doc_id
+                for r in weighted_sample_n(
+                    df, "doc_id", "w", 3, salt=f"s{k}"
+                ).collect()
+            }
+            for k in range(20)
+        )
+        assert hits >= 18
+
+    def test_nonpositive_and_null_weights_excluded(self, spark):
+        from window_aggregation_spark.operators.corpus import weighted_sample_n
+
+        df = spark.createDataFrame(
+            [(1, 5), (2, 0), (3, -1), (4, None), (5, 5)],
+            "doc_id bigint, w bigint",
+        )
+        out = {r.doc_id for r in weighted_sample_n(df, "doc_id", "w", 10).collect()}
+        assert out == {1, 5}
+
+    def test_topn_plan_no_global_sort(self, spark):
+        from window_aggregation_spark.operators.corpus import weighted_sample_n
+
+        df = self._df(spark, [(i, 1 + i) for i in range(50)])
+        plan = weighted_sample_n(df, "doc_id", "w", 5)._jdf.queryExecution(
+        ).executedPlan().toString()
+        assert "TakeOrderedAndProject" in plan
+        assert "Exchange rangepartitioning" not in plan
+
+    def test_n_validation(self, spark):
+        from window_aggregation_spark.operators.corpus import weighted_sample_n
+
+        with pytest.raises(ValueError, match="positive"):
+            weighted_sample_n(self._df(spark, [(1, 1)]), "doc_id", "w", 0)

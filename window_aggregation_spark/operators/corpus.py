@@ -1050,3 +1050,82 @@ def chunk_documents_oracle_sql(
                  AS n_tokens
         FROM chunks
     """
+
+
+# ---------------------------------------------------------------------------
+# weighted sampling without replacement
+# ---------------------------------------------------------------------------
+
+_U_DENOM = float(1 << 60)  # portable_hash64 is 60-bit -> (h+1)/2^60 in (0,1]
+
+
+def weighted_sample_n(
+    df: DataFrame,
+    id_col: str,
+    weight_col: str,
+    n: int,
+    *,
+    salt: str = "ws",
+) -> DataFrame:
+    """Exactly-n weighted sampling WITHOUT replacement (Efraimidis-
+    Spirakis exponential-sort): each row draws the deterministic
+    pseudo-uniform ``u = (portable_hash64(salt:id) + 1) / 2^60`` and the
+    ``n`` rows with the largest ``ln(u) / weight`` survive — equivalent
+    to ranking by ``u^(1/w)``, so a row's survival probability is
+    proportional to its weight, with no replacement and no RNG state.
+
+    Deterministic on any engine / cluster size / partitioning (unlike
+    ``df.sample``): ``u`` is exact on both sides (bigint + 1, cast to
+    double, divided by a power of two), and the single transcendental
+    ``ln`` would need two sort keys within ~1 ulp of each other at the
+    cutoff to flip a row — with n distinct md5-derived uniforms the
+    nearest-pair gap is ~1/n^2, orders of magnitude above 1e-16.
+
+    Rows with NULL or non-positive weight are excluded (a zero-weight
+    row must never be sampled; the ln/w key would be undefined).
+
+    Scale shape: a pure codegen projection followed by a global top-n —
+    Spark's TakeOrderedAndProject computes per-partition partial top-n
+    and merges ONLY n rows per partition on the driver-side reduce: no
+    global sort, no shuffle of the corpus.
+    """
+    if n <= 0:
+        raise ValueError("n must be positive")
+    w = F.col(weight_col).cast("double")
+    h = portable_hash64(
+        F.concat(F.lit(salt), F.lit(":"), F.col(id_col).cast("string"))
+    )
+    u = (h + F.lit(1)).cast("double") / F.lit(_U_DENOM)
+    key = F.log(u) / w
+    return (
+        df.where(w.isNotNull() & (w > 0))
+        .withColumn("__wkey", key)
+        .orderBy(F.col("__wkey").desc(), F.col(id_col).asc())
+        .limit(n)
+        .drop("__wkey")
+    )
+
+
+def weighted_sample_n_oracle_sql(
+    table: str,
+    id_col: str,
+    weight_col: str,
+    n: int,
+    *,
+    select_cols: str,
+    salt: str = "ws",
+) -> str:
+    """DuckDB SQL mirroring :func:`weighted_sample_n` op-for-op (same
+    hash, same (h+1)/2^60 uniform, same ln-then-divide association)."""
+    h = portable_hash64_duck(
+        f"concat('{salt}', ':', CAST({id_col} AS VARCHAR))"
+    )
+    return f"""
+    SELECT {select_cols} FROM (
+      SELECT *,
+             LN(CAST(({h}) + 1 AS DOUBLE) / CAST({_U_DENOM!r} AS DOUBLE))
+               / CAST({weight_col} AS DOUBLE) AS __wkey
+      FROM {table}
+      WHERE {weight_col} IS NOT NULL AND CAST({weight_col} AS DOUBLE) > 0
+      ORDER BY __wkey DESC, {id_col} ASC LIMIT {n})
+    """

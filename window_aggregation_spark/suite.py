@@ -3991,6 +3991,36 @@ def agg_cube_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _register_weighted_sample() -> None:
+    from window_aggregation_spark.operators.corpus import (
+        weighted_sample_n,
+        weighted_sample_n_oracle_sql,
+    )
+
+    @_register(
+        "corpus_sample_weighted",
+        weighted_sample_n_oracle_sql(
+            "documents", "doc_id", "n_chars", 100,
+            select_cols="doc_id, source, n_chars",
+        ),
+    )
+    def corpus_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Exactly-100 length-weighted sample without replacement
+        (Efraimidis-Spirakis exp-sort over the portable-hash uniform) —
+        importance sampling for training mixes, reproducible on any
+        engine/cluster size. Global top-n via TakeOrderedAndProject:
+        per-partition partial top-100, no corpus shuffle. The oracle
+        recomputes the same hash -> uniform -> ln/weight key in DuckDB
+        and must pick the identical 100 documents."""
+        docs = read_table(spark, sf_dir, "documents").select(
+            "doc_id", "source", "n_chars"
+        )
+        return weighted_sample_n(docs, "doc_id", "n_chars", 100)
+
+
+_register_weighted_sample()
+
+
 # ---------------------------------------------------------------------------
 # Driver-slot curation: the driver's CORRECTNESS snapshot records only the
 # FIRST 50 queries() entries (observed r1-r4; r4 silently rotated six green
