@@ -649,3 +649,30 @@ class TestWeightedSample:
 
         with pytest.raises(ValueError, match="positive"):
             weighted_sample_n(self._df(spark, [(1, 1)]), "doc_id", "w", 0)
+
+    def test_nan_weight_excluded_and_null_id_cross_engine(self, spark, duck):
+        """Review regressions: NaN passes `> 0` under double total
+        ordering and would sort FIRST under desc; NULL ids must hash the
+        sentinel identically on both engines (Spark concat propagates
+        NULL, DuckDB concat swallows it)."""
+        import math
+
+        from window_aggregation_spark.operators.corpus import (
+            weighted_sample_n,
+            weighted_sample_n_oracle_sql,
+        )
+
+        df = spark.createDataFrame(
+            [(1, 5.0), (2, math.nan), (None, 50.0), (4, 5.0), (5, 1.0)],
+            "doc_id bigint, w double",
+        )
+        out = weighted_sample_n(df, "doc_id", "w", 2)
+        picked = {r.doc_id for r in out.collect()}
+        assert 2 not in picked and len(picked) == 2
+        values = ("(VALUES (1, CAST(5.0 AS DOUBLE)), (2, CAST('nan' AS DOUBLE)), "
+                  "(NULL, CAST(50.0 AS DOUBLE)), (4, CAST(5.0 AS DOUBLE)), "
+                  "(5, CAST(1.0 AS DOUBLE))) AS t(doc_id, w)")
+        oracle = duck.sql(weighted_sample_n_oracle_sql(
+            values, "doc_id", "w", 2, select_cols="doc_id, w"
+        )).fetchall()
+        assert {r[0] for r in oracle} == picked

@@ -262,15 +262,12 @@ class TestStatefulReviewRegressions:
             rows.reverse()  # arrival order is the WRONG time order
             pdf_dir = tmp_path / "stream"
             pdf_dir.mkdir()
-            import pandas as pd2
-
-            pd2.DataFrame(
+            pd.DataFrame(
                 rows, columns=["event_id", "user_id", "ts", "value"]
             ).to_parquet(pdf_dir / "part-0.parquet", index=False,
                          coerce_timestamps="us",
                          allow_truncated_timestamps=True)
-            full = spark.createDataFrame(rows, SCHEMA.replace(
-                "event_id long, user_id long", "event_id long, user_id long"))
+            full = spark.createDataFrame(rows, SCHEMA)
 
             for batch_fn, stream_fn, col in [
                 (batch_zscore, streaming_zscore, "zscore"),

@@ -1081,8 +1081,11 @@ def weighted_sample_n(
     cutoff to flip a row — with n distinct md5-derived uniforms the
     nearest-pair gap is ~1/n^2, orders of magnitude above 1e-16.
 
-    Rows with NULL or non-positive weight are excluded (a zero-weight
-    row must never be sampled; the ln/w key would be undefined).
+    Rows with NULL, NaN, or non-positive weight are excluded (a
+    zero-weight row must never be sampled and the ln/w key would be
+    undefined — and NaN compares > 0 under both engines' total ordering
+    and would sort FIRST, hijacking sample slots). NULL ids coalesce to
+    ``_NULL_SENTINEL`` so both engines hash identical bytes.
 
     Scale shape: a pure codegen projection followed by a global top-n —
     Spark's TakeOrderedAndProject computes per-partition partial top-n
@@ -1093,12 +1096,15 @@ def weighted_sample_n(
         raise ValueError("n must be positive")
     w = F.col(weight_col).cast("double")
     h = portable_hash64(
-        F.concat(F.lit(salt), F.lit(":"), F.col(id_col).cast("string"))
+        F.concat(
+            F.lit(salt), F.lit(":"),
+            F.coalesce(F.col(id_col).cast("string"), F.lit(_NULL_SENTINEL)),
+        )
     )
     u = (h + F.lit(1)).cast("double") / F.lit(_U_DENOM)
     key = F.log(u) / w
     return (
-        df.where(w.isNotNull() & (w > 0))
+        df.where(w.isNotNull() & ~F.isnan(w) & (w > 0))
         .withColumn("__wkey", key)
         .orderBy(F.col("__wkey").desc(), F.col(id_col).asc())
         .limit(n)
@@ -1118,7 +1124,8 @@ def weighted_sample_n_oracle_sql(
     """DuckDB SQL mirroring :func:`weighted_sample_n` op-for-op (same
     hash, same (h+1)/2^60 uniform, same ln-then-divide association)."""
     h = portable_hash64_duck(
-        f"concat('{salt}', ':', CAST({id_col} AS VARCHAR))"
+        f"concat('{salt}', ':', "
+        f"coalesce(CAST({id_col} AS VARCHAR), '{_NULL_SENTINEL}'))"
     )
     return f"""
     SELECT {select_cols} FROM (
@@ -1126,6 +1133,8 @@ def weighted_sample_n_oracle_sql(
              LN(CAST(({h}) + 1 AS DOUBLE) / CAST({_U_DENOM!r} AS DOUBLE))
                / CAST({weight_col} AS DOUBLE) AS __wkey
       FROM {table}
-      WHERE {weight_col} IS NOT NULL AND CAST({weight_col} AS DOUBLE) > 0
+      WHERE {weight_col} IS NOT NULL
+        AND NOT isnan(CAST({weight_col} AS DOUBLE))
+        AND CAST({weight_col} AS DOUBLE) > 0
       ORDER BY __wkey DESC, {id_col} ASC LIMIT {n})
     """

@@ -3747,14 +3747,16 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dq_drift_psi",
     """
     WITH h AS (
-      -- clamp BEFORE the INT cast, mirroring the operator (a corrupt
-      -- far-out-of-range value must land in an edge bin, not overflow)
-      SELECT CAST(GREATEST(CAST(0 AS BIGINT), LEAST(CAST(9 AS BIGINT),
-               CAST(FLOOR(
-                 (CAST(o_totalprice AS DOUBLE) - CAST(0.0 AS DOUBLE))
-                 / CAST(50000.0 AS DOUBLE)) AS BIGINT))) AS INT) AS bin,
+      -- clamp on the DOUBLE before ANY integer cast, mirroring the
+      -- operator: DuckDB FLOOR returns DOUBLE and casting a huge double
+      -- to BIGINT is a conversion error, not Spark's saturation — the
+      -- corrupt value must land in an edge bin, never kill the audit
+      SELECT CAST(GREATEST(CAST(0.0 AS DOUBLE), LEAST(CAST(9.0 AS DOUBLE),
+               FLOOR((CAST(o_totalprice AS DOUBLE) - CAST(0.0 AS DOUBLE))
+                     / CAST(50000.0 AS DOUBLE)))) AS INT) AS bin,
              o_orderdate >= TIMESTAMP '1998-01-01' AS cur
       FROM orders WHERE o_totalprice IS NOT NULL
+        AND NOT isnan(CAST(o_totalprice AS DOUBLE))
     ), hist AS (
       SELECT bin,
              CAST(SUM(CASE WHEN NOT cur THEN 1 ELSE 0 END) AS BIGINT)
