@@ -284,3 +284,42 @@ class TestDriftReviewRegressions:
         ).collect()}
         assert out[9].base_n == 2          # both monsters clamp to the top bin
         assert sum(r.cur_n for r in out.values()) == 1  # NaN excluded
+
+
+class TestProfileColumns:
+    def test_values_and_null_accounting(self, spark):
+        from window_aggregation_spark.operators.relational import (
+            profile_columns,
+        )
+
+        df = spark.createDataFrame(
+            [(1, 10.0), (2, None), (2, 30.0), (4, 10.0)],
+            "id bigint, v double",
+        )
+        out = {r.column: r for r in profile_columns(df, ["id", "v"]).collect()}
+        assert out["id"].n_rows == 4 and out["id"].n_null == 0
+        assert out["id"].n_distinct == 3
+        assert (out["id"].min, out["id"].max) == (1.0, 4.0)
+        assert out["v"].n_null == 1 and out["v"].n_distinct == 2
+        assert out["v"].avg == pytest.approx(50.0 / 3, abs=1e-4)
+
+    def test_single_scan(self, spark):
+        from window_aggregation_spark.operators.relational import (
+            profile_columns,
+        )
+
+        df = spark.createDataFrame([(1, 2.0)], "id bigint, v double")
+        plan = profile_columns(df, ["id", "v"])._jdf.queryExecution(
+        ).executedPlan().toString()
+        assert plan.count("LocalTableScan") <= 1
+
+    def test_approx_mode_and_empty_columns_raise(self, spark):
+        from window_aggregation_spark.operators.relational import (
+            profile_columns,
+        )
+
+        df = spark.createDataFrame([(i,) for i in range(100)], "id bigint")
+        out = profile_columns(df, ["id"], approx_distinct=True).collect()[0]
+        assert abs(out.n_distinct - 100) <= 10
+        with pytest.raises(ValueError, match="non-empty"):
+            profile_columns(df, [])

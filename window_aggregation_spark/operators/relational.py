@@ -319,3 +319,61 @@ def snapshot_diff(
             *[a for c in compare_cols for a in (f"old_{c}", f"new_{c}")],
         )
     )
+
+
+def profile_columns(
+    df: DataFrame,
+    columns: list[str],
+    *,
+    approx_distinct: bool = False,
+) -> DataFrame:
+    """Single-pass numeric column profile: one output row per column —
+    ``(column, n_rows, n_null, n_distinct, min, max, avg)`` — with every
+    metric compiled into ONE aggregate over one scan (the standard
+    pre-training "profile the table" audit; pair with
+    :func:`run_expectations` to turn observations into checks).
+
+    Distinct counts are exact by default: Spark plans the multi-column
+    DISTINCT aggregate via Expand, which replicates each row once per
+    profiled column before the exchange — correct but |columns|x shuffle
+    volume. ``approx_distinct=True`` swaps in HLL sketches and keeps the
+    shuffle at one partial-aggregate row per partition at 100 TB.
+
+    ``min``/``max``/``avg`` are cast to double (profile rows are
+    homogeneous across columns); ``avg`` is rounded to 4 decimals since
+    distributed partial-sum order is not associative-stable in the last
+    ulps.
+    """
+    if not columns:
+        raise ValueError("columns must be non-empty")
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for i, c in enumerate(columns):
+        col = F.col(c)
+        distinct = (
+            F.approx_count_distinct(col) if approx_distinct
+            else F.count_distinct(col)
+        )
+        aggs += [
+            F.sum(col.isNull().cast("long")).alias(f"__null{i}"),
+            distinct.alias(f"__ndv{i}"),
+            F.min(col).cast("double").alias(f"__min{i}"),
+            F.max(col).cast("double").alias(f"__max{i}"),
+            F.round(F.avg(col), 4).alias(f"__avg{i}"),
+        ]
+    row = df.agg(*aggs)
+    structs = [
+        F.struct(
+            F.lit(c).alias("column"),
+            F.col("__n").alias("n_rows"),
+            F.col(f"__null{i}").alias("n_null"),
+            F.col(f"__ndv{i}").alias("n_distinct"),
+            F.col(f"__min{i}").alias("min"),
+            F.col(f"__max{i}").alias("max"),
+            F.col(f"__avg{i}").alias("avg"),
+        )
+        for i, c in enumerate(columns)
+    ]
+    return row.select(F.explode(F.array(*structs)).alias("r")).select(
+        "r.column", "r.n_rows", "r.n_null", "r.n_distinct",
+        "r.min", "r.max", "r.avg",
+    )

@@ -3993,6 +3993,52 @@ def agg_cube_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "dq_profile_orders",
+    """
+    WITH n AS (SELECT COUNT(*) AS n_rows FROM orders)
+    SELECT 'o_orderkey' AS "column", n_rows,
+           (SELECT CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END)
+                   AS BIGINT) FROM orders) AS n_null,
+           (SELECT COUNT(DISTINCT o_orderkey) FROM orders) AS n_distinct,
+           (SELECT CAST(MIN(o_orderkey) AS DOUBLE) FROM orders) AS min,
+           (SELECT CAST(MAX(o_orderkey) AS DOUBLE) FROM orders) AS max,
+           (SELECT ROUND(AVG(CAST(o_orderkey AS DOUBLE)), 4) FROM orders)
+             AS avg
+    FROM n
+    UNION ALL
+    SELECT 'o_custkey', n_rows,
+           (SELECT CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)
+                   AS BIGINT) FROM orders),
+           (SELECT COUNT(DISTINCT o_custkey) FROM orders),
+           (SELECT CAST(MIN(o_custkey) AS DOUBLE) FROM orders),
+           (SELECT CAST(MAX(o_custkey) AS DOUBLE) FROM orders),
+           (SELECT ROUND(AVG(CAST(o_custkey AS DOUBLE)), 4) FROM orders)
+    FROM n
+    UNION ALL
+    SELECT 'o_totalprice', n_rows,
+           (SELECT CAST(SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END)
+                   AS BIGINT) FROM orders),
+           (SELECT COUNT(DISTINCT o_totalprice) FROM orders),
+           (SELECT CAST(MIN(o_totalprice) AS DOUBLE) FROM orders),
+           (SELECT CAST(MAX(o_totalprice) AS DOUBLE) FROM orders),
+           (SELECT ROUND(AVG(o_totalprice), 4) FROM orders)
+    FROM n
+    """,
+)
+def dq_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-pass numeric profile of three orders columns — counts,
+    nulls, exact distinct cardinality, min/max/avg — one aggregate over
+    one scan (multi-column DISTINCT via Spark's Expand; the
+    approx_distinct=True switch keeps it one-shuffle at 100 TB)."""
+    from window_aggregation_spark.operators.relational import profile_columns
+
+    orders = read_table(spark, sf_dir, "orders")
+    return profile_columns(
+        orders, ["o_orderkey", "o_custkey", "o_totalprice"]
+    )
+
+
 def _register_weighted_sample() -> None:
     from window_aggregation_spark.operators.corpus import (
         weighted_sample_n,
