@@ -323,3 +323,60 @@ class TestProfileColumns:
         assert abs(out.n_distinct - 100) <= 10
         with pytest.raises(ValueError, match="non-empty"):
             profile_columns(df, [])
+
+
+class TestGroupedDiscretePercentiles:
+    def test_hand_values_and_p_edges(self, spark):
+        from window_aggregation_spark.operators.relational import (
+            grouped_discrete_percentiles,
+        )
+
+        df = spark.createDataFrame(
+            [("a", float(v)) for v in (10, 20, 30, 40)]
+            + [("b", 7.0)],
+            "g string, v double",
+        )
+        out = {r.g: r for r in grouped_discrete_percentiles(
+            df, ["g"], "v", [0.0, 0.25, 0.5, 0.75, 1.0]
+        ).collect()}
+        a = out["a"]
+        # ceil(p*4): 0->rank 1 (via the greatest(1,..) floor), .25->1,
+        # .5->2, .75->3, 1->4
+        assert (a.p00, a.p25, a.p50, a.p75, a.p100) == (
+            10.0, 10.0, 20.0, 30.0, 40.0
+        )
+        b = out["b"]
+        assert (b.p00, b.p50, b.p100) == (7.0, 7.0, 7.0)
+
+    def test_tie_invariance(self, spark):
+        from window_aggregation_spark.operators.relational import (
+            grouped_discrete_percentiles,
+        )
+
+        # the median rank lands inside a tie run: value must be the
+        # tied value no matter which tied row got the rank
+        df = spark.createDataFrame(
+            [("a", v) for v in (1.0, 5.0, 5.0, 5.0, 9.0)],
+            "g string, v double",
+        )
+        out = grouped_discrete_percentiles(df, ["g"], "v", [0.5]).collect()
+        assert out[0].p50 == 5.0
+
+    def test_one_shuffle_exchange_reuse(self, spark, sf_dir):
+        from window_aggregation_spark.suite import SUITE
+
+        plan = SUITE["agg_discrete_percentile"].build(
+            spark, sf_dir
+        )._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("Exchange hashpartitioning") == 1, plan[:600]
+
+    def test_validation(self, spark):
+        from window_aggregation_spark.operators.relational import (
+            grouped_discrete_percentiles,
+        )
+
+        df = spark.createDataFrame([("a", 1.0)], "g string, v double")
+        with pytest.raises(ValueError, match="non-empty"):
+            grouped_discrete_percentiles(df, ["g"], "v", [])
+        with pytest.raises(ValueError, match="outside"):
+            grouped_discrete_percentiles(df, ["g"], "v", [1.5])

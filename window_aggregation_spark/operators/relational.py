@@ -377,3 +377,55 @@ def profile_columns(
         "r.column", "r.n_rows", "r.n_null", "r.n_distinct",
         "r.min", "r.max", "r.avg",
     )
+
+
+def grouped_discrete_percentiles(
+    df: DataFrame,
+    keys: list[str],
+    value_col: str,
+    ps: list[float],
+) -> DataFrame:
+    """Exact discrete percentiles per group — the reference's
+    DiscretePercentile walk (smallest value whose cumulative share
+    >= p, i.e. the value at rank ceil(p*n); reference
+    DiscretePercentile.java:142-168) lifted from the window surface to
+    a GROUPED aggregate: one output row per key with a ``p<pct>``
+    column per requested percentile.
+
+    Plan: one WindowExec pass tags each row with its in-group rank and
+    group size, and the follow-up groupBy — on the SAME keys — reuses
+    the window's exchange, so the whole multi-percentile aggregate is
+    ONE shuffle regardless of how many percentiles are requested (an
+    exact-percentile UDAF would buffer per-group value maps instead;
+    this shape is flat-memory, the same trade the window-side
+    rank-lookup rewrite makes).
+
+    Ranks among tied values are arbitrary, but the SELECTED value is
+    tie-invariant (any rank inside a tie run carries the same value),
+    so no tiebreak columns are needed for determinism.
+    """
+    if not ps:
+        raise ValueError("ps must be non-empty")
+    for p in ps:
+        if not 0.0 <= p <= 1.0:
+            raise ValueError(f"percentile {p!r} outside [0, 1]")
+    v = F.col(value_col)
+    w = Window.partitionBy(*keys).orderBy(v.asc())
+    full = Window.partitionBy(*keys)
+    tagged = df.select(
+        *keys,
+        v.alias("__v"),
+        F.row_number().over(w).alias("__rn"),
+        F.count(F.lit(1)).over(full).alias("__n"),
+    )
+    aggs = []
+    for p in ps:
+        k = F.greatest(
+            F.lit(1).cast("long"),
+            F.ceil(F.lit(float(p)) * F.col("__n")).cast("long"),
+        )
+        name = f"p{round(p * 100):02d}"
+        aggs.append(
+            F.max(F.when(F.col("__rn") == k, F.col("__v"))).alias(name)
+        )
+    return tagged.groupBy(*keys).agg(*aggs)

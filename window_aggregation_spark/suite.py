@@ -3994,6 +3994,45 @@ def agg_cube_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "agg_discrete_percentile",
+    """
+    WITH t AS (
+      SELECT l_returnflag, l_quantity,
+             row_number() OVER (PARTITION BY l_returnflag
+                                ORDER BY l_quantity ASC) AS rn,
+             count(*) OVER (PARTITION BY l_returnflag) AS n
+      FROM lineitem)
+    SELECT l_returnflag,
+           MAX(CASE WHEN rn = GREATEST(1, CAST(CEIL(
+                 CAST(0.25 AS DOUBLE) * n) AS BIGINT))
+               THEN l_quantity END) AS p25,
+           MAX(CASE WHEN rn = GREATEST(1, CAST(CEIL(
+                 CAST(0.5 AS DOUBLE) * n) AS BIGINT))
+               THEN l_quantity END) AS p50,
+           MAX(CASE WHEN rn = GREATEST(1, CAST(CEIL(
+                 CAST(0.95 AS DOUBLE) * n) AS BIGINT))
+               THEN l_quantity END) AS p95
+    FROM t GROUP BY l_returnflag
+    """,
+)
+def agg_discrete_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's DiscretePercentile walk (value at rank
+    ceil(p*n); DiscretePercentile.java:142-168) as a GROUPED aggregate:
+    three exact percentiles per return flag in ONE shuffle — the
+    groupBy keys equal the window's partition keys, so the aggregate
+    reuses the WindowExec's exchange. Tie ranks are arbitrary but the
+    selected value is tie-invariant, so no tiebreak is needed."""
+    from window_aggregation_spark.operators.relational import (
+        grouped_discrete_percentiles,
+    )
+
+    li = read_table(spark, sf_dir, "lineitem")
+    return grouped_discrete_percentiles(
+        li, ["l_returnflag"], "l_quantity", [0.25, 0.5, 0.95]
+    )
+
+
+@_register(
     "dq_profile_orders",
     """
     WITH n AS (SELECT COUNT(*) AS n_rows FROM orders)
