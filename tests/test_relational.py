@@ -342,11 +342,44 @@ class TestGroupedDiscretePercentiles:
         a = out["a"]
         # ceil(p*4): 0->rank 1 (via the greatest(1,..) floor), .25->1,
         # .5->2, .75->3, 1->4
-        assert (a.p00, a.p25, a.p50, a.p75, a.p100) == (
+        assert (a.p0, a.p25, a.p50, a.p75, a.p100) == (
             10.0, 10.0, 20.0, 30.0, 40.0
         )
         b = out["b"]
-        assert (b.p00, b.p50, b.p100) == (7.0, 7.0, 7.0)
+        assert (b.p0, b.p50, b.p100) == (7.0, 7.0, 7.0)
+
+    def test_nulls_ignored_and_all_null_group_kept(self, spark):
+        from window_aggregation_spark.operators.relational import (
+            grouped_discrete_percentiles,
+        )
+
+        df = spark.createDataFrame(
+            [("a", None), ("a", 10.0), ("a", 20.0), ("a", 30.0),
+             ("z", None), ("z", None)],
+            "g string, v double",
+        )
+        out = {r.g: r for r in grouped_discrete_percentiles(
+            df, ["g"], "v", [0.25, 0.5]
+        ).collect()}
+        # null-ignoring: n=3, k25=1 -> 10, k50=2 -> 20 (NOT the NULL row)
+        assert (out["a"].p25, out["a"].p50) == (10.0, 20.0)
+        # all-NULL group still emits a row, with NULL percentiles
+        assert out["z"].p25 is None and out["z"].p50 is None
+
+    def test_fractional_labels_and_duplicate_raise(self, spark):
+        from window_aggregation_spark.operators.relational import (
+            grouped_discrete_percentiles,
+        )
+
+        df = spark.createDataFrame([("a", 1.0)], "g string, v double")
+        out = grouped_discrete_percentiles(df, ["g"], "v", [0.125])
+        assert "p12_5" in out.columns
+        # :g labels keep 0.995 (p99_5) and 1.0 (p100) distinct; a
+        # genuinely repeated percentile is rejected
+        out2 = grouped_discrete_percentiles(df, ["g"], "v", [0.995, 1.0])
+        assert {"p99_5", "p100"} <= set(out2.columns)
+        with pytest.raises(ValueError, match="duplicate"):
+            grouped_discrete_percentiles(df, ["g"], "v", [0.5, 0.5])
 
     def test_tie_invariance(self, spark):
         from window_aggregation_spark.operators.relational import (

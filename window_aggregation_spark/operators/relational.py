@@ -33,6 +33,12 @@ one-shuffle:
   single full-outer sort-merge join on the key — one shuffle per side,
   and the unchanged majority of rows is filtered before any downstream
   consumer sees it.
+- ``profile_columns`` (per-column counts/nulls/distinct/min/max/avg)
+  compiles the whole profile into the same one-aggregate-pass shape as
+  ``run_expectations``.
+- ``grouped_discrete_percentiles`` lifts the reference's
+  DiscretePercentile walk to a grouped aggregate: rank-tag window +
+  groupBy on the same keys = ONE shuffle via exchange reuse.
 """
 
 from __future__ import annotations
@@ -354,11 +360,19 @@ def profile_columns(
             else F.count_distinct(col)
         )
         aggs += [
-            F.sum(col.isNull().cast("long")).alias(f"__null{i}"),
+            # coalesced: SUM over zero rows is NULL, and a null-count
+            # audit must read 0 on empty input (run_expectations makes
+            # the same guard for the same reason)
+            F.coalesce(
+                F.sum(col.isNull().cast("long")), F.lit(0)
+            ).alias(f"__null{i}"),
             distinct.alias(f"__ndv{i}"),
             F.min(col).cast("double").alias(f"__min{i}"),
             F.max(col).cast("double").alias(f"__max{i}"),
-            F.round(F.avg(col), 4).alias(f"__avg{i}"),
+            # cast like min/max: avg of a DecimalType column yields a
+            # decimal, and heterogeneous struct fields break the
+            # explode(array(...)) unpivot
+            F.round(F.avg(col), 4).cast("double").alias(f"__avg{i}"),
         ]
     row = df.agg(*aggs)
     structs = [
@@ -403,28 +417,40 @@ def grouped_discrete_percentiles(
     Ranks among tied values are arbitrary, but the SELECTED value is
     tie-invariant (any rank inside a tie run carries the same value),
     so no tiebreak columns are needed for determinism.
+
+    NULL values are ignored, matching aggregate-percentile semantics
+    (and the window-side rank-lookup rewrite): nulls sort LAST so they
+    never occupy ranks 1..n, and n counts only non-null values. A group
+    whose values are ALL NULL still emits a row, with NULL percentiles.
+
+    Output columns are ``p<100p:g>`` with '.' -> '_' (0.5 -> p50,
+    0.125 -> p12_5); duplicate labels raise.
     """
     if not ps:
         raise ValueError("ps must be non-empty")
+    names = []
     for p in ps:
         if not 0.0 <= p <= 1.0:
             raise ValueError(f"percentile {p!r} outside [0, 1]")
+        names.append("p" + f"{p * 100:g}".replace(".", "_"))
+    if len(set(names)) != len(names):
+        raise ValueError(f"duplicate percentile labels: {names}")
     v = F.col(value_col)
-    w = Window.partitionBy(*keys).orderBy(v.asc())
+    w = Window.partitionBy(*keys).orderBy(v.asc_nulls_last())
     full = Window.partitionBy(*keys)
     tagged = df.select(
         *keys,
         v.alias("__v"),
         F.row_number().over(w).alias("__rn"),
-        F.count(F.lit(1)).over(full).alias("__n"),
+        F.count(v).over(full).alias("__n"),
     )
     aggs = []
-    for p in ps:
+    for p, name in zip(ps, names):
+        # all-NULL group: n=0 -> k=1 points at a NULL row -> NULL output
         k = F.greatest(
             F.lit(1).cast("long"),
             F.ceil(F.lit(float(p)) * F.col("__n")).cast("long"),
         )
-        name = f"p{round(p * 100):02d}"
         aggs.append(
             F.max(F.when(F.col("__rn") == k, F.col("__v"))).alias(name)
         )

@@ -3999,8 +3999,8 @@ def agg_cube_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH t AS (
       SELECT l_returnflag, l_quantity,
              row_number() OVER (PARTITION BY l_returnflag
-                                ORDER BY l_quantity ASC) AS rn,
-             count(*) OVER (PARTITION BY l_returnflag) AS n
+                                ORDER BY l_quantity ASC NULLS LAST) AS rn,
+             count(l_quantity) OVER (PARTITION BY l_returnflag) AS n
       FROM lineitem)
     SELECT l_returnflag,
            MAX(CASE WHEN rn = GREATEST(1, CAST(CEIL(
