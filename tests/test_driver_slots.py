@@ -26,12 +26,12 @@ FAMILIES = {
     "cdc_": "change data capture",
     "agg_": "relational reporting",
     "dq_": "data quality",
+    "graph_": "graph analytics",  # slotted once the family grew to 2
 }
 
 # Registered families WITHOUT a guaranteed driver slot (fully judge/
 # gate-sim covered; they earn anchors once the family grows)
 EXTRA_PREFIXES = {
-    "graph_": "graph analytics",
     "src_": "source formats",
 }
 

@@ -4131,7 +4131,11 @@ _register_weighted_sample()
 # (CORRECTNESS_r05.json) and stays judge/gate-sim covered.
 _DRIVER_PRIORITY = [
     # --- rotated in: never driver-recorded as of r5 (21 of 26) ---------
-    "text_language_id", "text_token_counts", "text_fingerprint",
+    "text_language_id", "text_token_counts",
+    # text_fingerprint ceded its rotation slot to the new graph family
+    # (still 20 of the 26 never-recorded queries recorded this round,
+    # meeting the r5 verdict criterion; fingerprint stays gate/judge
+    # covered and was hash-green in every gate run)
     "dedup_content_md5", "dedup_ngram_jaccard", "dedup_incremental",
     "dedup_keep_best", "dedup_simhash",
     "stream_sliding_counts", "stream_dedup_events",
@@ -4145,6 +4149,8 @@ _DRIVER_PRIORITY = [
     # --- new round-6 families: one driver-recorded row each ------------
     # (slots ceded by corpus_shuffle/chunk/stats/top_terms/
     # length_quantiles — all judge/gate-sim covered)
+    "graph_triangle_count",     # graph analytics (2-query family as of
+                                # this session: pagerank + triangles)
     "ts_resample_ffill",        # time-series resample + gap fill
     "cdc_scd2_state",           # SCD2 change-data-capture history
     "agg_rollup_lineitem",      # grouping-sets reporting
