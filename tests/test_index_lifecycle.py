@@ -1,0 +1,238 @@
+"""Index lifecycle: deletion + compaction for the persisted text and IVF
+stores, and the atomic generation-manifest protocol behind them.
+
+The done-criterion pattern is the suite's cheapest strong oracle — "same
+result as a from-scratch rebuild on the filtered corpus": tombstoned and
+compacted indexes must be INVISIBLE in query results."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from window_aggregation_spark.operators import similarity as sim
+from window_aggregation_spark.operators.search import (
+    bm25_topk,
+    bm25_topk_indexed,
+    build_text_index,
+    load_text_index,
+    text_index_add,
+    text_index_compact,
+    text_index_delete,
+)
+from window_aggregation_spark.sources import store_manifest as sm
+
+
+def _corpus(spark):
+    rows = [
+        ("d1", "spark shuffles data between stages during a hash join"),
+        ("d2", "the window function sorts within each partition"),
+        ("d3", "hash partitioning routes rows; a join may broadcast"),
+        ("d4", "sort merge join versus broadcast hash join in spark"),
+        ("d5", "windows aggregate running sums over ordered frames"),
+        ("d6", "completely unrelated text about cooking pasta"),
+        ("d7", ""),  # zero tokens: no postings, but counts in N
+    ]
+    return spark.createDataFrame(rows, "doc_id string, text string")
+
+
+def _ids(spark, *vals):
+    return spark.createDataFrame([(v,) for v in vals], "doc_id string")
+
+
+QUERIES = ["hash join", "window partition sort", "spark", "pasta"]
+
+
+def _scores(idx, q):
+    return [(r.doc_id, r.score) for r in bm25_topk_indexed(idx, q, k=10).collect()]
+
+
+def test_delete_serves_like_filtered_rebuild(spark, tmp_path):
+    """Tombstoned-but-not-compacted index == rebuild on surviving docs,
+    bit-for-bit, for every query — including N/avgdl effects (d1 and d4
+    carry 'join'/'spark' mass, so idf and avgdl both move)."""
+    docs = _corpus(spark)
+    path = str(tmp_path / "ix")
+    build_text_index(docs, path, n_buckets=4)
+    idx = text_index_delete(spark, path, _ids(spark, "d1", "d4"))
+    kept = docs.where(~F.col("doc_id").isin("d1", "d4"))
+    want = build_text_index(kept, str(tmp_path / "rebuilt"), n_buckets=4)
+    assert (idx.n_docs, idx.sum_dl) == (want.n_docs, want.sum_dl)
+    for q in QUERIES:
+        assert _scores(idx, q) == _scores(want, q)
+        # and == the plain full-scan operator on the filtered corpus
+        assert _scores(idx, q) == [
+            (r.doc_id, r.score) for r in bm25_topk(kept, q, k=10).collect()
+        ]
+
+
+def test_delete_zero_token_doc_adjusts_n(spark, tmp_path):
+    """d7 has no posting rows; only the doclens sidecar knows it exists.
+    Deleting it must still decrement N (idf shifts for every term)."""
+    docs = _corpus(spark)
+    path = str(tmp_path / "ix")
+    built = build_text_index(docs, path, n_buckets=4)
+    idx = text_index_delete(spark, path, _ids(spark, "d7"))
+    assert idx.n_docs == built.n_docs - 1
+    assert idx.sum_dl == built.sum_dl
+    want = build_text_index(
+        docs.where("doc_id <> 'd7'"), str(tmp_path / "rb"), n_buckets=4
+    )
+    for q in QUERIES:
+        assert _scores(idx, q) == _scores(want, q)
+
+
+def test_delete_is_idempotent(spark, tmp_path):
+    """Replayed delete batches (and ids absent from the index) must not
+    double-subtract stats."""
+    docs = _corpus(spark)
+    path = str(tmp_path / "ix")
+    build_text_index(docs, path, n_buckets=4)
+    a = text_index_delete(spark, path, _ids(spark, "d2", "nope"))
+    b = text_index_delete(spark, path, _ids(spark, "d2"))
+    assert (a.n_docs, a.sum_dl) == (b.n_docs, b.sum_dl)
+    assert b.n_docs == 6
+
+
+def test_compact_clears_tombstones_same_scores(spark, tmp_path):
+    docs = _corpus(spark)
+    path = str(tmp_path / "ix")
+    build_text_index(docs, path, n_buckets=4)
+    idx = text_index_delete(spark, path, _ids(spark, "d1", "d7"))
+    before = {q: _scores(idx, q) for q in QUERIES}
+    compacted = text_index_compact(spark, path)
+    assert compacted.tombstones is None
+    assert (compacted.n_docs, compacted.sum_dl) == (idx.n_docs, idx.sum_dl)
+    for q in QUERIES:
+        assert _scores(compacted, q) == before[q]
+    # physically gone: no d1 postings in the compacted layout
+    assert compacted.postings.where("doc_id = 'd1'").count() == 0
+    # stale generation dirs swept, manifest points at the new ones
+    m = sm.read_manifest(path, {})
+    assert m["postings"].startswith("postings_v")
+    assert not os.path.exists(f"{path}/postings")
+    # compacting again is a no-op
+    again = text_index_compact(spark, path)
+    assert (again.n_docs, again.sum_dl) == (compacted.n_docs, compacted.sum_dl)
+
+
+def test_add_after_compact_and_versioned_stats(spark, tmp_path):
+    """The full lifecycle: build -> delete -> compact -> add. The add's
+    stats rewrite is a fresh versioned dir + manifest flip (never an
+    in-place overwrite), and scoring equals a rebuild on the final
+    corpus."""
+    docs = _corpus(spark)
+    path = str(tmp_path / "ix")
+    build_text_index(docs.where("doc_id <= 'd5'"), path, n_buckets=4)
+    text_index_delete(spark, path, _ids(spark, "d2"))
+    text_index_compact(spark, path)
+    idx = text_index_add(spark, path, docs.where("doc_id > 'd5'"))
+    final = docs.where("doc_id <> 'd2'")
+    want = build_text_index(final, str(tmp_path / "rb"), n_buckets=4)
+    assert (idx.n_docs, idx.sum_dl) == (want.n_docs, want.sum_dl)
+    for q in QUERIES:
+        assert _scores(idx, q) == _scores(want, q)
+    # the stats component advanced past the compact's generation
+    m = sm.read_manifest(path, {})
+    assert m["stats"].startswith("stats_v")
+
+
+def test_delete_rejects_pre_doclens_store(spark, tmp_path):
+    import shutil
+
+    path = str(tmp_path / "ix")
+    build_text_index(_corpus(spark), path, n_buckets=4)
+    shutil.rmtree(f"{path}/doclens")
+    with pytest.raises(ValueError, match="doclens"):
+        text_index_delete(spark, path, _ids(spark, "d1"))
+
+
+def test_manifest_roundtrip_and_scheme_guard(tmp_path):
+    path = str(tmp_path / "store")
+    os.makedirs(path)
+    assert sm.read_manifest(path, {"a": "a"}) == {"a": "a"}  # legacy default
+    sm.write_manifest(path, {"a": "a_v3"})
+    assert sm.read_manifest(path, {"a": "a", "b": "b"}) == {
+        "a": "a_v3", "b": "b",
+    }
+    os.makedirs(f"{path}/a_v4")  # crashed, never-published generation
+    assert sm.next_version(path, "a", "a_v3") == "a_v5"
+    with pytest.raises(ValueError, match="POSIX"):
+        sm.write_manifest("s3://bucket/ix", {})
+
+
+# ---------------------------------------------------------------------------
+# IVF store
+# ---------------------------------------------------------------------------
+
+
+def _vectors(spark, n=40, dim=8, exclude=()):
+    import math
+
+    rows = [
+        (i, [math.sin((i + 1) * (j + 1) * 0.7) for j in range(dim)])
+        for i in range(n)
+        if i not in exclude
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def _topk_rows(idx, queries, k=5, nprobe=4):
+    return sorted(
+        (r.query_id, r.neighbor_id, r.cos_sim, r.nn_rank)
+        for r in sim.ivf_topk_index(queries, idx, k=k, nprobe=nprobe).collect()
+    )
+
+
+def test_ivf_delete_equals_filtered_rebuild(spark, tmp_path):
+    corpus = _vectors(spark).where("vec_id >= 8")
+    queries = _vectors(spark).where("vec_id < 8")
+    path = str(tmp_path / "ivf")
+    sim.build_ivf_index(corpus, path, n_centroids=4)
+    gone = [9, 17, 25]
+    idx = sim.ivf_index_delete(
+        spark, path, spark.createDataFrame([(i,) for i in gone], "vec_id long")
+    )
+    # same frozen centroids, lists filtered -> same assignment for the
+    # survivors; a rebuild would re-pick centroids, so the honest twin is
+    # the same index with the rows physically absent (compact) — and both
+    # must simply never return the deleted ids
+    got = _topk_rows(idx, queries)
+    assert all(nid not in gone for (_, nid, _, _) in got)
+    compacted = sim.ivf_index_compact(spark, path)
+    assert _topk_rows(compacted, queries) == got
+    assert compacted.lists.where(F.col("id").isin(gone)).count() == 0
+    # compacted store has no tombstone anti-join in the lists plan
+    assert "Join" not in compacted.lists._jdf.queryExecution().executedPlan().toString()
+
+
+def test_ivf_delete_then_add_roundtrip(spark, tmp_path):
+    corpus = _vectors(spark).where("vec_id >= 8 and vec_id < 30")
+    path = str(tmp_path / "ivf")
+    sim.build_ivf_index(corpus, path, n_centroids=4)
+    sim.ivf_index_delete(
+        spark, path, spark.createDataFrame([(10,)], "vec_id long")
+    )
+    sim.ivf_index_compact(spark, path)
+    idx = sim.ivf_index_add(
+        spark, path, _vectors(spark).where("vec_id >= 30")
+    )
+    ids = {r.id for r in idx.lists.select("id").collect()}
+    assert 10 not in ids and 30 in ids and 39 in ids
+
+
+def test_ivf_id_type_validated_at_boundary(spark, tmp_path):
+    strs = spark.createDataFrame(
+        [("a", [0.1] * 8)], "vec_id string, embedding array<float>"
+    )
+    with pytest.raises(ValueError, match="integral id"):
+        sim.build_ivf_index(strs, str(tmp_path / "x"), n_centroids=2)
+    corpus = _vectors(spark).where("vec_id >= 8")
+    path = str(tmp_path / "ivf")
+    sim.build_ivf_index(corpus, path, n_centroids=4)
+    with pytest.raises(ValueError, match="integral id"):
+        sim.ivf_index_add(spark, path, strs)
+    with pytest.raises(ValueError, match="integral id"):
+        sim.ivf_index_delete(
+            spark, path, spark.createDataFrame([("a",)], "vec_id string")
+        )

@@ -36,6 +36,16 @@ from pyspark.sql import functions as F
 
 from window_aggregation_spark.operators.lm import sorted_fold_sum
 from window_aggregation_spark.operators.text import TOKEN_RE, tokens
+from window_aggregation_spark.sources import store_manifest as sm
+
+# Component -> directory names of a freshly built index (a pre-manifest
+# store reads as exactly this, so old stores load unchanged).
+_IDX_COMPONENTS = {
+    "postings": "postings",
+    "stats": "stats",
+    "doclens": "doclens",
+    "tombstones": "tombstones",
+}
 
 _IDF_SCALE = 9
 _SCORE_SCALE = 6
@@ -374,8 +384,15 @@ def hybrid_topk_rrf(
 @dataclass(frozen=True)
 class TextIndex:
     """A persisted inverted index: lazy ``postings`` scan plus the two
-    corpus scalars every BM25 score needs. Only the one params row and
-    the one stats row ever reach the driver."""
+    corpus scalars every BM25 score needs. Only the one params row, the
+    one stats row, and (when deletions are pending) the one tombstone
+    delta row ever reach the driver.
+
+    ``n_docs`` / ``sum_dl`` are EFFECTIVE values: raw build/add stats
+    minus the pending tombstones' exact (count, Σdl) — so a deleted-but-
+    not-yet-compacted index scores queries exactly like a rebuild over
+    the surviving corpus. ``tombstones`` (ids only) is anti-joined by
+    the serving path; ``None`` when no deletions are pending."""
 
     path: str
     n_buckets: int
@@ -383,6 +400,7 @@ class TextIndex:
     n_docs: int
     sum_dl: int
     postings: DataFrame  # token, <id_col>, tf, dl, term_bucket
+    tombstones: DataFrame | None = None  # <id_col> of deleted docs
 
 
 def term_bucket(token: str, n_buckets: int) -> int:
@@ -462,6 +480,12 @@ def build_text_index(
         F.coalesce(F.sum(F.size("toks")), F.lit(0)).alias("sum_dl"),
     )
     stats.coalesce(1).write.mode(mode).parquet(f"{path}/stats")
+    # doclens sidecar: (id, dl) for EVERY doc, including zero-token ones
+    # (which have no posting rows) — the exact-stats source for
+    # text_index_delete / text_index_compact.
+    base.select(id_col, F.size("toks").alias("dl")).write.mode(mode).parquet(
+        f"{path}/doclens"
+    )
     _postings_frame(base, id_col, n_buckets).write.mode(mode).partitionBy(
         "term_bucket"
     ).parquet(f"{path}/postings")
@@ -492,12 +516,18 @@ def text_index_add(
 
     Ids are NOT deduplicated against existing postings (upstream
     ingestion filter's job); re-adding a document double-counts its tf
-    AND its stats row. Stats rewrite happens after the postings append —
-    a job dying between the two leaves postings visible with slightly
+    AND its stats row. The updated stats are written as a NEW versioned
+    directory and published with one atomic manifest flip (never an
+    in-place overwrite), so a concurrent loader always reads a complete
+    stats file — old or new, never missing. A job dying between the
+    postings append and the flip leaves postings visible with slightly
     stale N/Σdl (scores shift marginally, no crash); re-run the stats
-    step or rebuild to heal.
+    step or rebuild to heal. The manifest flip needs a POSIX path
+    (local/shared FS) — see ``sources/store_manifest.py``.
     """
+    sm.require_posix_path(path, "text index")
     idx = load_text_index(spark, path)
+    m = sm.read_manifest(path, _IDX_COMPONENTS)
     idc = id_col or idx.id_col
     base = new_docs.select(
         F.col(idc).alias(idx.id_col), tokens(F.col(text_col)).alias("toks")
@@ -508,25 +538,144 @@ def text_index_add(
     ).first()
     _postings_frame(base, idx.id_col, idx.n_buckets).write.mode(
         "append"
-    ).partitionBy("term_bucket").parquet(f"{path}/postings")
+    ).partitionBy("term_bucket").parquet(f"{path}/{m['postings']}")
+    base.select(idx.id_col, F.size("toks").alias("dl")).write.mode(
+        "append"
+    ).parquet(f"{path}/{m['doclens']}")
+    # idx.n_docs/sum_dl are tombstone-adjusted; raw stats must stay raw
+    # (the tombstone delta is re-subtracted at every load).
+    s = spark.read.parquet(f"{path}/{m['stats']}").first()
+    new_stats = sm.next_version(path, "stats", m["stats"])
     spark.createDataFrame(
-        [(idx.n_docs + int(batch["n_docs"]),
-          idx.sum_dl + int(batch["sum_dl"]))],
+        [(int(s["n_docs"]) + int(batch["n_docs"]),
+          int(s["sum_dl"]) + int(batch["sum_dl"]))],
         "n_docs bigint, sum_dl bigint",
-    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/stats")
+    ).coalesce(1).write.parquet(f"{path}/{new_stats}")
+    sm.write_manifest(path, {**m, "stats": new_stats})
+    sm.sweep_stale(path, "stats", new_stats)
+    return load_text_index(spark, path)
+
+
+def text_index_delete(spark, path: str, ids: DataFrame) -> TextIndex:
+    """Tombstone a batch of documents in a persisted :class:`TextIndex`
+    WITHOUT rewriting postings — the delete half of the index lifecycle
+    (build → add → delete → :func:`text_index_compact`).
+
+    ``ids`` is a one-column DataFrame of document ids (any column name;
+    it is renamed to the index's id column). The matching ``(id, dl)``
+    rows from the doclens sidecar are appended under ``tombstones/``:
+    carrying ``dl`` lets every later load derive the EXACT effective
+    (N, Σdl) by subtraction, so a tombstoned index scores queries
+    bit-identically to a rebuild over the surviving corpus — including
+    zero-token documents, which have no posting rows but do count in N.
+
+    Idempotent: ids already tombstoned (or absent from the index) are
+    skipped via anti-join, so a retried delete batch cannot
+    double-subtract stats. Query-time cost until compaction: one small
+    broadcast anti-join against the tombstone ids.
+
+    Raises on stores built before the doclens sidecar existed (detected
+    by doclens count ≠ raw N): deletion needs the exact per-doc lengths;
+    rebuild the index once with this version first."""
+    sm.require_posix_path(path, "text index")
+    idx = load_text_index(spark, path)
+    m = sm.read_manifest(path, _IDX_COMPONENTS)
+    raw = spark.read.parquet(f"{path}/{m['stats']}").first()
+    try:
+        doclens = spark.read.parquet(f"{path}/{m['doclens']}")
+        n_lens = doclens.count()
+    except Exception:
+        n_lens = -1
+    if n_lens != int(raw["n_docs"]):
+        raise ValueError(
+            f"text index at {path!r} has no complete doclens sidecar "
+            f"({n_lens} rows vs {int(raw['n_docs'])} docs) — it predates "
+            "deletion support; rebuild it with build_text_index first"
+        )
+    batch = ids.toDF(idx.id_col).dropDuplicates()
+    if idx.tombstones is not None:
+        batch = batch.join(idx.tombstones, idx.id_col, "left_anti")
+    matched = doclens.join(F.broadcast(batch), idx.id_col)
+    matched.select(idx.id_col, "dl").write.mode("append").parquet(
+        f"{path}/{m['tombstones']}"
+    )
+    return load_text_index(spark, path)
+
+
+def text_index_compact(spark, path: str) -> TextIndex:
+    """Fold pending tombstones into the physical layout: rewrite
+    postings/doclens without the deleted docs, publish subtracted stats,
+    and reset the tombstone set — all as ONE new store generation flipped
+    in with a single atomic manifest replace.
+
+    A loader running concurrently (or a crash at any point before the
+    flip) sees the previous generation fully intact; a crash after the
+    flip only leaves unreferenced stale directories, which the next
+    compact sweeps. Scores are unchanged by compaction — the tombstone
+    anti-join already excluded these docs — it reclaims space and makes
+    query plans cheaper (no anti-join, fewer posting rows). No-op when
+    nothing is tombstoned."""
+    sm.require_posix_path(path, "text index")
+    idx = load_text_index(spark, path)
+    if idx.tombstones is None:
+        return idx
+    m = sm.read_manifest(path, _IDX_COMPONENTS)
+    tomb = spark.read.parquet(f"{path}/{m['tombstones']}")
+    new = {
+        c: sm.next_version(path, c, m[c])
+        for c in ("postings", "doclens", "stats", "tombstones")
+    }
+    tomb_ids = F.broadcast(tomb.select(idx.id_col))
+    (
+        spark.read.parquet(f"{path}/{m['postings']}")
+        .join(tomb_ids, idx.id_col, "left_anti")
+        .repartition("term_bucket")
+        .sortWithinPartitions("token", idx.id_col)
+        .write.partitionBy("term_bucket")
+        .parquet(f"{path}/{new['postings']}")
+    )
+    (
+        spark.read.parquet(f"{path}/{m['doclens']}")
+        .join(tomb_ids, idx.id_col, "left_anti")
+        .write.parquet(f"{path}/{new['doclens']}")
+    )
+    # effective stats were already tombstone-adjusted at load: publish them
+    spark.createDataFrame(
+        [(idx.n_docs, idx.sum_dl)], "n_docs bigint, sum_dl bigint"
+    ).coalesce(1).write.parquet(f"{path}/{new['stats']}")
+    # tombstones reset by pointing at a not-yet-existing dir (reads as none)
+    sm.write_manifest(path, {**m, **new})
+    for c in ("postings", "doclens", "stats", "tombstones"):
+        sm.sweep_stale(path, c, new[c])
     return load_text_index(spark, path)
 
 
 def load_text_index(spark, path: str) -> TextIndex:
+    import os
+
+    m = sm.read_manifest(path, _IDX_COMPONENTS)
     p = spark.read.parquet(f"{path}/params").first()
-    s = spark.read.parquet(f"{path}/stats").first()
+    s = spark.read.parquet(f"{path}/{m['stats']}").first()
+    n_docs, sum_dl = int(s["n_docs"]), int(s["sum_dl"])
+    tombstones = None
+    if os.path.exists(f"{path}/{m['tombstones']}"):
+        tomb = spark.read.parquet(f"{path}/{m['tombstones']}")
+        d = tomb.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(F.sum("dl"), F.lit(0)).alias("s"),
+        ).first()
+        if int(d["n"]):
+            n_docs -= int(d["n"])
+            sum_dl -= int(d["s"])
+            tombstones = tomb.select(p["id_col"])
     return TextIndex(
         path=path,
         n_buckets=int(p["n_buckets"]),
         id_col=p["id_col"],
-        n_docs=int(s["n_docs"]),
-        sum_dl=int(s["sum_dl"]),
-        postings=spark.read.parquet(f"{path}/postings"),
+        n_docs=n_docs,
+        sum_dl=sum_dl,
+        postings=spark.read.parquet(f"{path}/{m['postings']}"),
+        tombstones=tombstones,
     )
 
 
@@ -558,6 +707,11 @@ def bm25_topk_indexed(
     p = index.postings.where(
         F.col("term_bucket").isin(buckets) & F.col("token").isin(terms)
     )
+    if index.tombstones is not None:
+        # pending deletes: drop their postings AFTER the bucket/term
+        # pruning (tiny broadcast anti-join); the index's effective
+        # N/Σdl already exclude them, so scores equal a filtered rebuild
+        p = p.join(F.broadcast(index.tombstones), index.id_col, "left_anti")
     df_t = p.groupBy("token").agg(F.count(F.lit(1)).alias("df_t"))
     idf = _idf(F.lit(index.n_docs), F.col("df_t"))
     avgdl = F.lit(index.sum_dl) / F.lit(index.n_docs)

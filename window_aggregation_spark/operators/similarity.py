@@ -24,6 +24,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from window_aggregation_spark.operators.dedup import cosine
+from window_aggregation_spark.sources import store_manifest as sm
 
 _PLANES_SEED = 42
 
@@ -523,11 +524,39 @@ def _ivf_topk_expr(
 
 class IVFIndex:
     """A persisted-or-loaded IVF index: the normalized centroid codebook
-    (tiny, driver-side) plus the inverted lists as a DataFrame."""
+    (tiny, driver-side) plus the inverted lists as a DataFrame. When the
+    store has pending tombstones, ``lists`` is already the anti-joined
+    survivor view — serving code never sees deleted vectors."""
 
     def __init__(self, centroids: np.ndarray, lists: DataFrame):
         self.centroids = centroids
         self.lists = lists  # id long, v array<float>, list_id int
+
+
+# Component -> directory names of a freshly built IVF store (pre-manifest
+# stores read as exactly this, so they load unchanged).
+_IVF_COMPONENTS = {
+    "lists": "lists",
+    "centroids": "centroids",
+    "tombstones": "tombstones",
+}
+
+_LONG_ID_TYPES = ("byte", "short", "int", "integer", "bigint", "long")
+
+
+def _require_long_id(df: DataFrame, col: str, where: str) -> None:
+    """The IVF store's physical layout pins ids to ``long`` (the
+    mapInPandas assignment schema); a string/decimal id would otherwise
+    fail — or worse, silently coerce — deep inside Arrow conversion.
+    Mirror of bloom_join's explicit key-type check: fail at the API
+    boundary with the actual type in the message."""
+    t = df.schema[col].dataType.simpleString()
+    if t not in _LONG_ID_TYPES:
+        raise ValueError(
+            f"{where}: id column {col!r} has type {t}, but the IVF "
+            "store's layout requires an integral id (stored as long) — "
+            "map your ids to integers upstream"
+        )
 
 
 def build_ivf_index(
@@ -566,6 +595,7 @@ def build_ivf_index(
     plans run against exactly what was persisted.
     """
     spark = corpus.sparkSession
+    _require_long_id(corpus, corpus_id, "build_ivf_index")
     c_base = corpus.select(
         F.col(corpus_id).alias("id"), F.col(vec_col).alias("v")
     )
@@ -615,7 +645,9 @@ def ivf_index_add(
     Ids are NOT deduplicated against the existing lists (that's the
     ingestion filter's job, upstream); appending an id twice yields
     duplicate candidates. Returns the reloaded index."""
+    _require_long_id(new_vectors, corpus_id, "ivf_index_add")
     idx = load_ivf_index(spark, path)
+    m = sm.read_manifest(path, _IVF_COMPONENTS)
     n_base = new_vectors.select(
         F.col(corpus_id).alias("id"), F.col(vec_col).alias("v")
     )
@@ -627,17 +659,77 @@ def ivf_index_add(
     if "qvec" in idx.lists.columns:
         assigned = quantize_embeddings(assigned, "v")
     assigned.write.mode("append").partitionBy("list_id").parquet(
-        f"{path}/lists"
+        f"{path}/{m['lists']}"
     )
+    return load_ivf_index(spark, path)
+
+
+def ivf_index_delete(spark, path: str, ids: DataFrame) -> IVFIndex:
+    """Tombstone vectors in a persisted IVF index without touching the
+    list layout — the ANN twin of :func:`..search.text_index_delete`.
+
+    ``ids`` is a one-column DataFrame of vector ids. They are appended
+    under ``tombstones/``; every load anti-joins the lists against the
+    pending set, so deleted vectors stop appearing as candidates
+    immediately (both coarse paths read ``index.lists``). The IVF store
+    keeps no global statistics, so — unlike the text index — a replayed
+    delete batch is harmless beyond duplicate tombstone rows; ids are
+    still de-duplicated per batch to keep the set tidy. Reclaim space
+    and drop the anti-join with :func:`ivf_index_compact`."""
+    sm.require_posix_path(path, "IVF index")
+    _require_long_id(ids, ids.columns[0], "ivf_index_delete")
+    m = sm.read_manifest(path, _IVF_COMPONENTS)
+    ids.toDF("id").dropDuplicates().select(
+        F.col("id").cast("long")
+    ).write.mode("append").parquet(f"{path}/{m['tombstones']}")
+    return load_ivf_index(spark, path)
+
+
+def ivf_index_compact(spark, path: str) -> IVFIndex:
+    """Rewrite the inverted lists without tombstoned vectors and reset
+    the tombstone set, published as one new generation behind a single
+    atomic manifest flip (``sources/store_manifest.py``): a concurrent
+    loader — or a crash at any point before the flip — sees the previous
+    generation fully intact. Results are unchanged (the anti-join already
+    hid these vectors); compaction reclaims space and removes the
+    per-query anti-join. No-op when nothing is tombstoned."""
+    import os
+
+    sm.require_posix_path(path, "IVF index")
+    m = sm.read_manifest(path, _IVF_COMPONENTS)
+    if not os.path.exists(f"{path}/{m['tombstones']}"):
+        return load_ivf_index(spark, path)
+    tomb = spark.read.parquet(f"{path}/{m['tombstones']}")
+    new_lists = sm.next_version(path, "lists", m["lists"])
+    new_tomb = sm.next_version(path, "tombstones", m["tombstones"])
+    (
+        spark.read.parquet(f"{path}/{m['lists']}")
+        .join(F.broadcast(tomb), "id", "left_anti")
+        .write.partitionBy("list_id")
+        .parquet(f"{path}/{new_lists}")
+    )
+    sm.write_manifest(path, {**m, "lists": new_lists, "tombstones": new_tomb})
+    sm.sweep_stale(path, "lists", new_lists)
+    sm.sweep_stale(path, "tombstones", new_tomb)
     return load_ivf_index(spark, path)
 
 
 def load_ivf_index(spark, path: str) -> IVFIndex:
     """Load a persisted IVF index. Only ``n_centroids`` rows reach the
-    driver; the inverted lists stay a lazy partition-pruned scan."""
-    rows = spark.read.parquet(f"{path}/centroids").orderBy("list_id").collect()
+    driver; the inverted lists stay a lazy partition-pruned scan (the
+    ``list_id`` pruning filter pushes below the tombstone anti-join when
+    deletions are pending)."""
+    import os
+
+    m = sm.read_manifest(path, _IVF_COMPONENTS)
+    rows = spark.read.parquet(
+        f"{path}/{m['centroids']}"
+    ).orderBy("list_id").collect()
     cents = np.stack([np.asarray(r["centroid"], dtype=np.float64) for r in rows])
-    lists = spark.read.parquet(f"{path}/lists")
+    lists = spark.read.parquet(f"{path}/{m['lists']}")
+    if os.path.exists(f"{path}/{m['tombstones']}"):
+        tomb = spark.read.parquet(f"{path}/{m['tombstones']}")
+        lists = lists.join(F.broadcast(tomb), "id", "left_anti")
     return IVFIndex(cents, lists)
 
 

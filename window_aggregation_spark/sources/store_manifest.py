@@ -1,0 +1,111 @@
+"""Atomic generation manifests for persisted index stores.
+
+The persisted stores (``operators/search.py`` inverted index,
+``operators/similarity.py`` IVF lists) are plain parquet directories. Two
+of their lifecycle steps rewrite shared one-row or whole-directory state:
+
+- incremental add rewrites the one-row stats parquet (previously a
+  ``mode="overwrite"`` that DELETES the old file before the new one is
+  visible — a concurrent loader in that window read a missing directory);
+- compaction rewrites the postings/lists wholesale, which cannot be done
+  in place at all without a window where readers see half a store.
+
+The fix is the classic one: every mutable component of the store is a
+VERSIONED directory (``stats_v3/``, ``postings_v7/``...), and one tiny
+``MANIFEST`` JSON file names the current version of each. Writers build
+the new generation fully, then flip the manifest with the POSIX-atomic
+``os.replace`` (write to a temp name in the same directory, rename over).
+Readers resolve every component through the manifest, so they observe
+either the old complete generation or the new complete generation, never
+a mix and never a missing directory. A crash before the flip leaves the
+old generation fully intact; stale version directories are garbage, not
+corruption, and are swept opportunistically after a successful flip.
+
+Shared-filesystem requirement (same as ``sources/tar_shards.py``): the
+manifest is read and written with driver-side ``os`` calls, so the store
+path must be on a filesystem the driver sees POSIX-style (local disk,
+NFS). Object-store paths (``s3://``, ``hdfs://``...) are rejected up
+front — on those, atomic rename does not exist and this scheme would
+silently not be atomic.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import tempfile
+
+_MANIFEST_NAME = "MANIFEST"
+
+
+def require_posix_path(path: str, what: str = "store") -> None:
+    """Fail fast on URI-scheme paths: the manifest protocol relies on
+    POSIX atomic rename, which object stores do not provide."""
+    if "://" in path.split("/")[0] or "://" in path[: path.find("/") + 3]:
+        raise ValueError(
+            f"{what} path {path!r} uses a URI scheme; the manifest "
+            "protocol needs a POSIX filesystem the driver can rename on "
+            "(local disk or a shared mount)"
+        )
+
+
+def read_manifest(path: str, defaults: dict[str, str]) -> dict[str, str]:
+    """Current component->directory mapping for the store at ``path``.
+    A store written before manifests existed has no MANIFEST file; it
+    reads as ``defaults`` (the legacy fixed directory names)."""
+    mf = os.path.join(path, _MANIFEST_NAME)
+    if not os.path.exists(mf):
+        return dict(defaults)
+    with open(mf) as f:
+        out = dict(defaults)
+        out.update(json.load(f))
+        return out
+
+
+def write_manifest(path: str, mapping: dict[str, str]) -> None:
+    """Atomically publish a new generation: temp file + ``os.replace``."""
+    require_posix_path(path)
+    os.makedirs(path, exist_ok=True)
+    fd, tmp = tempfile.mkstemp(dir=path, prefix=".manifest-")
+    try:
+        with os.fdopen(fd, "w") as f:
+            json.dump(mapping, f, indent=1, sort_keys=True)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, os.path.join(path, _MANIFEST_NAME))
+    except BaseException:
+        if os.path.exists(tmp):
+            os.unlink(tmp)
+        raise
+
+
+def next_version(path: str, component: str, current: str) -> str:
+    """Next unused versioned directory name for ``component`` (e.g.
+    ``stats`` -> ``stats_v1`` when current is the legacy ``stats``,
+    ``stats_v2`` after that). Scans for existing dirs so a crashed,
+    never-published generation is skipped rather than overwritten."""
+    n = 0
+    if "_v" in current:
+        try:
+            n = int(current.rsplit("_v", 1)[1])
+        except ValueError:
+            n = 0
+    while True:
+        n += 1
+        cand = f"{component}_v{n}"
+        if not os.path.exists(os.path.join(path, cand)):
+            return cand
+
+
+def sweep_stale(path: str, component: str, keep: str) -> None:
+    """Best-effort removal of superseded ``{component}*`` generation dirs
+    after a successful manifest flip. Readers already holding the old
+    generation's DataFrames may error if their job runs across the sweep;
+    callers that need long-lived readers should skip sweeping and GC out
+    of band."""
+    for name in os.listdir(path):
+        if name == keep or not name.startswith(component):
+            continue
+        if name == component or name.startswith(f"{component}_v"):
+            shutil.rmtree(os.path.join(path, name), ignore_errors=True)

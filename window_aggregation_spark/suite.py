@@ -791,6 +791,46 @@ def _register_search() -> None:
             se.load_text_index(spark, path), _BM25_QUERY, k=20
         )
 
+    @_register(
+        "search_bm25_deleted",
+        se.bm25_topk_oracle_sql(
+            _BM25_QUERY,
+            k=20,
+            table="(SELECT * FROM documents "
+                  "WHERE doc_id % 7 <> 3 AND doc_id % 11 <> 5) docs_kept",
+        ),
+    )
+    def search_bm25_deleted(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Index-lifecycle evidence: documents DELETED from the persisted
+        index must vanish from results AND from the ranking statistics.
+        The fixture walks the full lifecycle once — build on the whole
+        corpus, tombstone doc_id%7==3, COMPACT (physical rewrite behind
+        one atomic manifest flip), then tombstone doc_id%11==5 and serve
+        WITH pending tombstones — so one gate row covers both serving
+        paths (post-compact layout + live anti-join). The oracle is the
+        from-scratch BM25 over the filtered corpus: any stale posting,
+        unadjusted N/Σdl, or compaction loss hash-fails here
+        (operators/search.py: text_index_delete / text_index_compact)."""
+        import os
+
+        path = fixture_store_path(sf_dir, "text_index_del")
+        if not os.path.exists(f"{path}/_LIFECYCLE"):
+            docs = read_table(spark, sf_dir, "documents").select(
+                "doc_id", "text"
+            )
+            se.build_text_index(docs, path)
+            se.text_index_delete(
+                spark, path, docs.where("doc_id % 7 = 3").select("doc_id")
+            )
+            se.text_index_compact(spark, path)
+            se.text_index_delete(
+                spark, path, docs.where("doc_id % 11 = 5").select("doc_id")
+            )
+            open(f"{path}/_LIFECYCLE", "w").close()
+        return se.bm25_topk_indexed(
+            se.load_text_index(spark, path), _BM25_QUERY, k=20
+        )
+
     _HY_K, _HY_CAND, _HY_KRRF = 20, 50, 60
 
     @_register(
