@@ -47,16 +47,26 @@ class SuiteQuery:
     build: Callable[[SparkSession, str], DataFrame]
     oracle: str | None  # DuckDB SQL over the pre-registered views; None = rows-only
     headline: bool = False  # include in bench.py
+    # What bench.py times, when the GATE plan deliberately carries extra
+    # verification work a user would never run (e.g. the exact yardstick
+    # columns hash-checking a sketch). None = time `build` itself. The
+    # benched plan must be a strict subplan of `build` — its user-facing
+    # columns stay hash-verified through the gate row.
+    bench_build: Callable[[SparkSession, str], DataFrame] | None = None
 
 
 SUITE: dict[str, SuiteQuery] = {}
 
 
 def _register(
-    name: str, oracle: str | None, *, headline: bool = False
+    name: str,
+    oracle: str | None,
+    *,
+    headline: bool = False,
+    bench_build: Callable[[SparkSession, str], DataFrame] | None = None,
 ) -> Callable[[Callable[[SparkSession, str], DataFrame]], Callable]:
     def deco(fn: Callable[[SparkSession, str], DataFrame]) -> Callable:
-        SUITE[name] = SuiteQuery(name, fn, oracle, headline)
+        SUITE[name] = SuiteQuery(name, fn, oracle, headline, bench_build)
         return fn
 
     return deco
@@ -3016,7 +3026,30 @@ def _register_approx() -> None:
         FROM lineitem l JOIN g USING (l_returnflag)
         """
 
-    @_register("w_approx_percentile", _approx_oracle, headline=True)
+    def _sketch_only(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """The user-facing plan bench.py times: sketches only, no exact
+        yardstick (2 shuffles instead of 5). Strict subplan of the gate
+        query below — its sketch columns are the ones the gate hash-checks
+        through the in-bound flags (VERDICT r6 #1: bench what a user pays;
+        keep the oracle's exact recomputation in the gate row only)."""
+        df = read_table(spark, sf_dir, "lineitem")
+        plan = WindowPlan(
+            spec=WindowSpecDef(partition_by=("l_returnflag",)),
+            aggregates=(
+                AggregateDef("apx_p50", "approx_discrete_percentile",
+                             field="l_quantity", args=("0.5",)),
+                AggregateDef("apx_p90", "approx_discrete_percentile",
+                             field="l_quantity", args=("0.9",)),
+                AggregateDef("apx_parts", "approx_count_distinct",
+                             field="l_partkey"),
+            ),
+            declared_schema=("l_orderkey", "l_linenumber", "l_returnflag",
+                             "l_quantity", "apx_p50", "apx_p90", "apx_parts"),
+        )
+        return window_aggregate(df, plan)
+
+    @_register("w_approx_percentile", _approx_oracle, headline=True,
+               bench_build=_sketch_only)
     def w_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
         """The 100 TB fallback path: sketch-based percentile and distinct
         count, partition-only — ONE mergeable sketch per partition and one
@@ -3037,20 +3070,7 @@ def _register_approx() -> None:
         oracle recomputes the exact columns and pins every flag TRUE, so
         a sketch drifting out of bound fails the driver hash-compare."""
         df = read_table(spark, sf_dir, "lineitem")
-        plan = WindowPlan(
-            spec=WindowSpecDef(partition_by=("l_returnflag",)),
-            aggregates=(
-                AggregateDef("apx_p50", "approx_discrete_percentile",
-                             field="l_quantity", args=("0.5",)),
-                AggregateDef("apx_p90", "approx_discrete_percentile",
-                             field="l_quantity", args=("0.9",)),
-                AggregateDef("apx_parts", "approx_count_distinct",
-                             field="l_partkey"),
-            ),
-            declared_schema=("l_orderkey", "l_linenumber", "l_returnflag",
-                             "l_quantity", "apx_p50", "apx_p90", "apx_parts"),
-        )
-        sketched = window_aggregate(df, plan)
+        sketched = _sketch_only(spark, sf_dir)
 
         # Exact yardsticks, all shuffle-bounded: value-at-rank over the
         # per-(flag, quantity) counts (|distinct values| rows per group,
