@@ -224,3 +224,67 @@ def test_exact_verify_with_fold_is_rejected(spark, sf_dir, tmp_path):
         checkpoint_dir=str(tmp_path / "c"),
         verify="exact", fold_signatures=False,
     )
+
+
+def test_replayed_epochs_are_idempotent(spark, tmp_path, staged_ingest):
+    """A micro-batch replayed AFTER its signature fold (retry before the
+    checkpoint commit, or a lost checkpoint) must reproduce its original
+    survivors and store rows exactly: the per-epoch fold partition is
+    overwritten (not re-appended), and the epoch's dedup excludes its OWN
+    folded signatures — otherwise every doc would band-match itself in
+    the store and the replay would overwrite the output partition as
+    empty (silent data loss)."""
+    corpus, parts, stream_dir, store_path, _store, _src = staged_ingest
+
+    schema = spark.read.parquet(stream_dir).schema
+    out_path = str(tmp_path / "clean")
+
+    def run(ckpt: str) -> None:
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(stream_dir)
+        )
+        q = streaming_ingest_dedup(
+            stream, corpus, "doc_id",
+            store_path=store_path,
+            out_path=out_path,
+            checkpoint_dir=ckpt,
+            threshold=THRESHOLD,
+        ).start()
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    run(str(tmp_path / "ckpt1"))
+    first_out = sorted(
+        (int(r["batch_id"]), r["doc_id"])
+        for r in spark.read.parquet(out_path).collect()
+    )
+    first_sigs = dd.load_signature_store(spark, store_path).sigs.count()
+    assert first_out, "first run must accept documents"
+
+    # fresh checkpoint => the SAME files replay as the same epoch ids,
+    # now with every epoch's fold already present in the store
+    run(str(tmp_path / "ckpt2"))
+    replay_out = sorted(
+        (int(r["batch_id"]), r["doc_id"])
+        for r in spark.read.parquet(out_path).collect()
+    )
+    replay_sigs = dd.load_signature_store(spark, store_path).sigs.count()
+    assert replay_out == first_out
+    assert replay_sigs == first_sigs
+
+
+def test_exclude_fold_epoch_reconstructs_prefold_state(spark, sf_dir, tmp_path):
+    docs = read_table(spark, sf_dir, "documents").limit(40)
+    store_path = str(tmp_path / "store")
+    dd.build_signature_store(docs.where("doc_id % 2 = 0"), "doc_id", store_path)
+    batch = docs.where("doc_id % 2 = 1")
+    dd.minhash_signatures(batch, "doc_id").write.mode("overwrite").parquet(
+        f"{store_path}/sigs_folds/batch_id=4"
+    )
+    full = dd.load_signature_store(spark, store_path)
+    without = dd.load_signature_store(spark, store_path, exclude_fold_epoch=4)
+    assert full.sigs.count() == without.sigs.count() + batch.count()

@@ -153,3 +153,18 @@ def test_no_temp_files_left_behind(spark, tmp_path):
     df = assign_shards(_docs(spark), "doc_id", 3)
     write_tar_shards(df, str(tmp_path), "doc_id", "payload").collect()
     assert all(f.endswith(".tar") for f in os.listdir(tmp_path))
+
+
+def test_uri_scheme_rejected(spark):
+    """The writer's executor-side os.* calls need a shared POSIX
+    filesystem; an object-store URI would scatter shards across
+    executor-local disks behind a clean-looking manifest."""
+    import pytest
+
+    from window_aggregation_spark.sources.tar_shards import write_tar_shards
+
+    df = spark.createDataFrame(
+        [(0, "a", bytearray(b"x"))], "shard int, doc_id string, payload binary"
+    )
+    with pytest.raises(ValueError, match="POSIX"):
+        write_tar_shards(df, "s3://bucket/shards", "doc_id", "payload")

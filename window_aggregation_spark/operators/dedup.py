@@ -214,12 +214,39 @@ def build_signature_store(
     return load_signature_store(spark, path)
 
 
-def load_signature_store(spark, path: str) -> SignatureStore:
+def load_signature_store(
+    spark, path: str, *, exclude_fold_epoch: int | None = None
+) -> SignatureStore:
     """Load a persisted signature store; the signatures stay a lazy
-    parquet scan (only the one params row reaches the driver)."""
+    parquet scan (only the one params row reaches the driver).
+
+    Signatures folded back by the streaming ingest loop live under
+    ``sigs_folds/batch_id=N`` (one overwrite-able directory per
+    micro-batch epoch, so a replayed batch REPLACES its rows instead of
+    appending duplicates — same idempotency trick as the data sink) and
+    are unioned in here; the base ``sigs/`` written at build time is
+    never touched after the fact.
+
+    ``exclude_fold_epoch``: the ingest loop passes its CURRENT epoch id
+    so a replayed micro-batch never sees its own previously-folded
+    signatures — without this, every doc of a batch retried after its
+    fold would band-match ITSELF in the store, be dropped as a
+    "duplicate", and overwrite its output partition as empty (silent
+    data loss, far worse than the duplicate rows the overwrite already
+    prevents). Excluding exactly ``batch_id=N`` reconstructs the store
+    state the epoch saw the first time, making replay bit-identical."""
+    import os
+
     p = spark.read.parquet(f"{path}/params").first()
+    sigs = spark.read.parquet(f"{path}/sigs")
+    folds_dir = f"{path}/sigs_folds"
+    if os.path.exists(folds_dir):
+        folds = spark.read.parquet(folds_dir)
+        if exclude_fold_epoch is not None:
+            folds = folds.where(F.col("batch_id") != int(exclude_fold_epoch))
+        sigs = sigs.unionByName(folds.drop("batch_id"))
     return SignatureStore(
-        spark.read.parquet(f"{path}/sigs"),
+        sigs,
         ngram=int(p["ngram"]),
         num_hashes=int(p["num_hashes"]),
     )

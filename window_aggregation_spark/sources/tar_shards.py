@@ -129,11 +129,27 @@ def write_tar_shards(
     routes ``.json`` members to metadata, so JSON payloads would vanish
     from the roundtrip (and collide with ``meta_cols`` member names) —
     use ``ext="jsonl"`` or similar for JSON-document corpora.
+
+    ``out_dir`` must be a POSIX path on a filesystem shared by the
+    driver and every executor (local disk in local mode, NFS/shared
+    mount on a cluster): the tars are written with plain ``os`` calls
+    from executor tasks and the atomic close-rename relies on POSIX
+    rename. Object-store URIs (``s3://``, ``hdfs://``...) are rejected
+    up front — there the tasks would each write to executor-LOCAL disks
+    and the manifest would point at files nobody can read. For object
+    stores, write to a shared staging dir and upload the closed shards.
     """
     if ext == "json":
         raise ValueError(
             'ext="json" collides with the metadata member convention; '
             "payloads would be read back as meta — pick another extension"
+        )
+    if "://" in out_dir:
+        raise ValueError(
+            f"out_dir {out_dir!r} uses a URI scheme; write_tar_shards "
+            "writes with executor-side os.* calls and needs a POSIX "
+            "filesystem shared by driver and executors — stage locally "
+            "and upload the closed shards instead"
         )
     os.makedirs(out_dir, exist_ok=True)
     cols = [shard_col, id_col, payload_col, *meta_cols]

@@ -25,11 +25,13 @@ The reference engine has no streaming surface; this is extension scope
 (SURVEY §2.5), composing the batch dedup family with Structured Streaming's
 ``foreachBatch`` exactly like ``streaming/upsert.py`` composes MERGE.
 
-Known trade, documented: the signature FOLD is an append — if a batch is
-retried after the fold but before the checkpoint commit, its signature rows
-are appended twice. Duplicate signature rows only inflate candidate
-generation (candidates are de-duplicated before verify); emitted results
-and the out_path data (overwrite-per-batch) are unaffected.
+Both sinks are idempotent under micro-batch replay: survivors overwrite
+``out_path/batch_id=N``, and the signature fold overwrites
+``{store_path}/sigs_folds/batch_id=N`` — a batch retried after the fold
+but before the checkpoint commit REPLACES its signature rows instead of
+appending duplicates, so the store never accumulates replay-inflated
+candidate fan-out. ``load_signature_store`` unions the fold partitions
+with the build-time base signatures.
 """
 
 from __future__ import annotations
@@ -111,9 +113,9 @@ def streaming_ingest_dedup(
     and with ``fold_signatures=True`` the survivors' signatures append to
     the store so LATER batches dedup against them too.
 
-    The store is re-loaded per batch on purpose: the fold appends parquet
-    files under ``{store_path}/sigs``, and a fresh lazy scan is what picks
-    them up. ``corpus`` itself is only consulted when ``verify="exact"``
+    The store is re-loaded per batch on purpose: the fold writes parquet
+    under ``{store_path}/sigs_folds/batch_id=N`` (overwrite-per-epoch, so
+    replays are idempotent), and a fresh load is what unions them in. ``corpus`` itself is only consulted when ``verify="exact"``
     (text verification of candidates); the default estimator never reads
     it, so the static side of every batch plan is the store's signatures.
     Caller starts it: ``streaming_ingest_dedup(...).start()``.
@@ -138,7 +140,13 @@ def streaming_ingest_dedup(
         if not batch_df.head(1):
             return
         spark = batch_df.sparkSession
-        store = load_signature_store(spark, store_path)
+        # exclude THIS epoch's own fold partition: a replayed batch must
+        # dedup against the store state it saw the first time, not
+        # against its own folded signatures (which would drop every doc
+        # as a self-duplicate and empty the output partition)
+        store = load_signature_store(
+            spark, store_path, exclude_fold_epoch=int(epoch_id)
+        )
         clean = ingest_dedup_batch(
             batch_df,
             corpus,
@@ -155,13 +163,17 @@ def streaming_ingest_dedup(
             f"{out_path}/batch_id={int(epoch_id)}"
         )
         if fold_signatures:
+            # overwrite THIS epoch's fold dir: replayed batches replace
+            # their own rows (idempotent), never append duplicates
             minhash_signatures(
                 clean,
                 id_col,
                 text_col,
                 ngram=store.ngram,
                 num_hashes=store.num_hashes,
-            ).write.mode("append").parquet(f"{store_path}/sigs")
+            ).write.mode("overwrite").parquet(
+                f"{store_path}/sigs_folds/batch_id={int(epoch_id)}"
+            )
 
     return (
         new_stream.writeStream.foreachBatch(handle)
