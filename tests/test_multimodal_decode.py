@@ -494,3 +494,69 @@ def test_avi_multistream_audio_and_rec_lists_decode(spark):
     for field in ("width", "height", "n_frames", "pmean", "prms",
                   "pmin", "pmax"):
         assert out[2][field] == out[1][field], field
+
+
+def test_mjpeg_avi_decode_roundtrip(spark):
+    """MJPEG AVI end-to-end: encode frames as per-frame baseline JPEGs
+    in '00dc' chunks, decode through the RIFF walker + JPEG decoder.
+    Structural fields exact; pixel stats within JPEG quantization
+    distance of the source frames."""
+    rng = np.random.default_rng(3)
+    y, x = np.mgrid[0:16, 0:16]
+    frames = [
+        np.stack([(x * 2 + y * 3 + 20 * f) % 150 + 50 for _ in range(3)],
+                 axis=2).astype(np.uint8)
+        for f in range(3)
+    ]
+    payload = mm.encode_avi_mjpeg(frames, fps=12, quality=90)
+    assert payload[:4] == b"RIFF" and b"MJPG" in payload[:200]
+    df = spark.createDataFrame([(7, payload)], "doc_id long, payload binary")
+    r = mm.decode_avi_features(df).collect()[0]
+    assert (r["width"], r["height"], r["n_frames"]) == (16, 16, 3)
+    assert r["fps"] == pytest.approx(12.0)
+    src = np.concatenate([f.reshape(-1).astype(float) for f in frames])
+    assert r["pmean"] == pytest.approx(src.mean(), abs=2.0)
+    assert r["prms"] == pytest.approx(np.sqrt((src * src).mean()), abs=2.0)
+
+
+def test_mjpeg_synth_payloads_deterministic_and_formula_bounded(spark):
+    """synth_mjpeg_payloads must emit byte-identical payloads across
+    runs (fixture determinism — PIL presence must never change them) and
+    decode to stats within the suite flags' 3.0 bound of the exact
+    formula moments from mjpeg_formula_moments."""
+    ids = spark.range(0, 12).withColumnRenamed("id", "doc_id")
+    a = {r["doc_id"]: bytes(r["payload"])
+         for r in mm.synth_mjpeg_payloads(ids).collect()}
+    b = {r["doc_id"]: bytes(r["payload"])
+         for r in mm.synth_mjpeg_payloads(ids).collect()}
+    assert a == b
+    feats = {r["doc_id"]: r
+             for r in mm.decode_avi_features(
+                 mm.synth_mjpeg_payloads(ids)).collect()}
+    mom = {r["__res"]: r for r in mm.mjpeg_formula_moments(spark).collect()}
+    assert len(mom) == 480
+    for did, r in feats.items():
+        m = mom[did % 480]
+        assert abs(r["pmean"] - m["__fmean"]) <= 3.0
+        assert abs(r["prms"] - m["__frms"]) <= 3.0
+        assert r["n_frames"] == 2 + did % 3
+
+
+def test_mjpeg_formula_moments_match_numpy_bruteforce(spark):
+    """The 480-residue closed-form lookup equals brute-force numpy over
+    actual doc ids beyond 480 (periodicity claim checked, not assumed)."""
+    mom = {r["__res"]: (r["__fmean"], r["__frms"])
+           for r in mm.mjpeg_formula_moments(spark).collect()}
+    yxc = np.stack(
+        np.meshgrid(np.arange(16), np.arange(16), np.arange(3),
+                    indexing="ij"), axis=-1)
+    base = yxc[..., 0] * 3 + yxc[..., 1] * 2 + yxc[..., 2] * 40
+    for did in (0, 7, 479, 480, 481, 957, 12345):
+        n = 2 + did % 3
+        xv = np.concatenate([
+            ((did * 7 + f * 11 + base) % 160 + 48).reshape(-1).astype(float)
+            for f in range(n)])
+        want = (xv.mean(), np.sqrt((xv * xv).mean()))
+        got = mom[did % 480]
+        assert got[0] == pytest.approx(want[0], abs=1e-9)
+        assert got[1] == pytest.approx(want[1], abs=1e-9)

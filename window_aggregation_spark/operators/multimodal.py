@@ -296,6 +296,33 @@ def get_image_decoder():
         return decode_png
 
 
+def get_jpeg_decoder():
+    """JPEG decode step for MJPEG frames: PIL when importable (libjpeg,
+    the fast path), else the repo's own baseline-sequential decoder
+    (``jpeg_codec.decode_jpeg_baseline`` — numpy+stdlib, real decode,
+    cross-checked against libjpeg output in tests). Returns
+    ``bytes -> HxWx3 uint8``. Progressive inputs without PIL raise
+    ``NotImplementedError`` naming the marker."""
+    try:
+        import io
+
+        from PIL import Image  # optional dependency, never required
+
+        import numpy as np
+
+        def pil_decode(b: bytes) -> "np.ndarray":
+            arr = np.asarray(Image.open(io.BytesIO(b)).convert("RGB"))
+            return arr
+
+        return pil_decode
+    except ImportError:
+        from window_aggregation_spark.operators.jpeg_codec import (
+            decode_jpeg_baseline,
+        )
+
+        return decode_jpeg_baseline
+
+
 def decode_image_features(
     df: DataFrame, *, n_features: int = 8, use_real_decoder: bool = False
 ) -> DataFrame:
@@ -637,6 +664,161 @@ def synth_avi_payloads(
     )
 
 
+def encode_avi_mjpeg(
+    frames: "list", fps: int = 10, quality: int = 90
+) -> bytes:
+    """Encode HxWx3 uint8 RGB frames into a RIFF AVI with MJPEG frames
+    ('00dc' chunks, fccHandler/biCompression 'MJPG') — the most common
+    real-world AVI flavor. Every frame is an independent baseline JPEG
+    from ``jpeg_codec.encode_jpeg_baseline`` DELIBERATELY (not PIL even
+    when importable): fixture payload bytes must be identical on every
+    platform, and PIL-or-not must never change what the suite hashes.
+    :func:`decode_avi_features` decodes these through the same
+    :func:`get_jpeg_decoder` seam that handles camera MJPEG."""
+    import struct
+
+    import numpy as np
+
+    from window_aggregation_spark.operators.jpeg_codec import (
+        encode_jpeg_baseline,
+    )
+
+    if not frames:
+        raise ValueError("encode_avi_mjpeg needs at least one frame")
+    h, w, c = np.asarray(frames[0]).shape
+    if c != 3:
+        raise ValueError("encode_avi_mjpeg encodes 3-channel RGB frames")
+
+    def chunk(fourcc: bytes, payload: bytes) -> bytes:
+        pad = b"\x00" if len(payload) % 2 else b""
+        return fourcc + struct.pack("<I", len(payload)) + payload + pad
+
+    def lst(subtype: bytes, payload: bytes) -> bytes:
+        return chunk(b"LIST", subtype + payload)
+
+    jpegs = []
+    for fr in frames:
+        px = np.asarray(fr, dtype=np.uint8)
+        if px.shape != (h, w, 3):
+            raise ValueError("all frames must share one HxWx3 shape")
+        jpegs.append(encode_jpeg_baseline(px, quality=quality))
+    n = len(jpegs)
+    bufsize = max(len(j) for j in jpegs)
+    avih = struct.pack(
+        "<14I",
+        1_000_000 // fps,
+        bufsize * fps,
+        0, 0x10,
+        n, 0, 1, bufsize,
+        w, h, 0, 0, 0, 0,
+    )
+    strh = struct.pack(
+        "<4s4sIHHIIIIIIII4H",
+        b"vids", b"MJPG", 0, 0, 0, 0,
+        1, fps,
+        0, n, bufsize, 0xFFFFFFFF, bufsize,
+        0, 0, w, h,
+    )
+    # BITMAPINFOHEADER with biCompression = 'MJPG' fourcc (not BI_RGB)
+    strf = struct.pack(
+        "<IiiHH4sIiiII", 40, w, h, 1, 24, b"MJPG", bufsize, 0, 0, 0, 0
+    )
+    hdrl = lst(
+        b"hdrl",
+        chunk(b"avih", avih)
+        + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)),
+    )
+    movi = lst(b"movi", b"".join(chunk(b"00dc", j) for j in jpegs))
+    entries, off = [], 4
+    for j in jpegs:
+        entries.append(struct.pack("<4sIII", b"00dc", 0x10, off, len(j)))
+        off += 8 + len(j) + (len(j) % 2)
+    idx1 = chunk(b"idx1", b"".join(entries))
+    body = b"AVI " + hdrl + movi + idx1
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def synth_mjpeg_payloads(
+    df: DataFrame, id_col: str = "doc_id", *, width: int = 16,
+    height: int = 16, fps: int = 10, quality: int = 90
+) -> DataFrame:
+    """Deterministic MJPEG-AVI corpus builder — the compressed twin of
+    :func:`synth_avi_payloads`, same structural formula (``n = 2 +
+    id % 3`` frames) but a SMOOTH pixel field ``pixel[f,y,x,c] =
+    (id*7 + f*11 + y*3 + x*2 + 40*c) mod 160 + 48`` (no mod-256 wrap
+    edges, values away from clip range) so baseline-JPEG round-trip
+    error stays within a small, testable bound. Structural features
+    (width/height/fps/n_frames) survive compression EXACTLY; pixel
+    statistics survive within the bound the suite's in-bound flags pin
+    (same bounded-error-oracle pattern as ``w_approx_percentile``)."""
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        yxc = np.stack(
+            np.meshgrid(
+                np.arange(height), np.arange(width), np.arange(3),
+                indexing="ij",
+            ),
+            axis=-1,
+        )
+        base = yxc[..., 0] * 3 + yxc[..., 1] * 2 + yxc[..., 2] * 40
+        for pdf in batches:
+            ids = pdf[id_col].astype("int64")
+            payloads = []
+            for did in ids:
+                n = 2 + int(did) % 3
+                frames = [
+                    ((int(did) * 7 + f * 11 + base) % 160 + 48).astype(
+                        "uint8"
+                    )
+                    for f in range(n)
+                ]
+                payloads.append(
+                    encode_avi_mjpeg(frames, fps=fps, quality=quality)
+                )
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    return df.select(F.col(id_col).cast("long").alias(id_col)).mapInPandas(
+        synth, schema="doc_id long, payload binary"
+    )
+
+
+def mjpeg_formula_moments(
+    spark, *, width: int = 16, height: int = 16
+):
+    """Exact mean/rms of :func:`synth_mjpeg_payloads`' pixel formula,
+    as a 480-row lookup DataFrame ``(__res, __fmean, __frms)`` keyed by
+    ``doc_id % 480``: ``(id*7 + f*11 + y*3 + x*2 + 40c) mod 160``
+    depends on ``id`` only through ``id mod 160`` along ``7*id`` (and
+    ``7*480`` is a multiple of 160), while the frame count ``2 + id%3``
+    has period 3 — lcm-compatible at 480. Built driver-side in numpy
+    (tiny, deterministic) and broadcast, so the in-bound yardstick costs
+    O(1) however large the corpus."""
+    import numpy as np
+
+    yxc = np.stack(
+        np.meshgrid(
+            np.arange(height), np.arange(width), np.arange(3),
+            indexing="ij",
+        ),
+        axis=-1,
+    )
+    base = yxc[..., 0] * 3 + yxc[..., 1] * 2 + yxc[..., 2] * 40
+    rows = []
+    for res in range(480):
+        n = 2 + res % 3
+        x = np.concatenate([
+            ((res * 7 + f * 11 + base) % 160 + 48)
+            .reshape(-1).astype(np.float64)
+            for f in range(n)
+        ])
+        rows.append(
+            (res, float(x.mean()), float(np.sqrt(np.dot(x, x) / x.size)))
+        )
+    return spark.createDataFrame(rows, "__res int, __fmean double, __frms double")
+
+
 def _iter_riff_chunks(b: bytes, start: int, end: int):
     """Yield (fourcc, payload_start, payload_size) for the chunks of a
     RIFF region; chunks are word-aligned (odd sizes pad one byte)."""
@@ -673,8 +855,9 @@ def decode_avi_features(
     hdrl/strl for dimensions + fps, then decodes every frame in the
     ``movi`` list — '00db' uncompressed DIB frames directly (bottom-up
     BGR, stride-padded rows, BI_RGB only), '00dc' compressed frames
-    through :func:`get_image_decoder` (PIL handles MJPEG's per-frame
-    JPEGs; without PIL they raise ``NotImplementedError`` honestly).
+    through :func:`get_jpeg_decoder` (MJPEG = per-frame JPEG: PIL when
+    importable, else the repo's baseline JPEG decoder in
+    ``jpeg_codec.py`` — real decode either way).
     Emits per-payload pixel statistics over all frames as typed columns.
 
     Same Arrow-batched ``mapInPandas`` seam as the image/audio decoders:
@@ -764,15 +947,13 @@ def decode_avi_features(
                                 bgr = rows[:, : w * 3].reshape(h, w, 3)
                                 frames_px.append(bgr[::-1, :, ::-1])
                             elif f2.endswith(b"dc"):  # compressed (MJPEG)
-                                decoder = get_image_decoder()
-                                if decoder is decode_png:
-                                    raise NotImplementedError(
-                                        f"doc_id={did}: compressed '..dc' "
-                                        f"frame needs PIL (MJPEG = "
-                                        f"per-frame JPEG); not importable "
-                                        f"here"
-                                    )
-                                frames_px.append(decoder(b[q0:q0 + s2]))
+                                # per-frame JPEGs: PIL/libjpeg when
+                                # importable, else the repo's baseline
+                                # JPEG decoder (jpeg_codec.py) — real
+                                # decode either way
+                                frames_px.append(
+                                    get_jpeg_decoder()(b[q0:q0 + s2])
+                                )
                 if not frames_px:
                     raise ValueError(f"doc_id={did}: AVI has no video frames")
                 x = np.concatenate(
