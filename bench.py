@@ -453,6 +453,150 @@ def sf1_section(
     return out
 
 
+def graph_skew_probe(
+    spark, *, n_nodes: int = 20_000, n_edges: int = 120_000,
+    hot_share: float = 0.10,
+) -> dict:
+    """Measure (not argue) triangle_count's degree-orientation bound on a
+    skewed graph: one hot node carries ``hot_share`` of all edges — the
+    naive wedge enumeration would pivot ~(hot_share*m)^2/2 wedges at that
+    node; orientation must cap every out-degree near sqrt(2m) regardless.
+    Records max raw degree vs max ORIENTED out-degree and total oriented
+    wedges for a uniform and a skewed graph of identical size, plus wall
+    clock for the full count (VERDICT r6 next-round #6)."""
+    from window_aggregation_spark.operators.graph import (
+        oriented_out_degrees,
+        triangle_count,
+    )
+
+    def synth(skewed: bool):
+        e = spark.range(n_edges).select(
+            F.when(
+                F.lit(skewed) & (F.col("id") < int(n_edges * hot_share)),
+                F.lit(0),
+            )
+            .otherwise(F.pmod(F.xxhash64("id", F.lit("u")), F.lit(n_nodes)))
+            .alias("u"),
+            F.pmod(F.xxhash64("id", F.lit("v")), F.lit(n_nodes)).alias("v"),
+        )
+        return e.where(F.col("u") != F.col("v"))
+
+    out: dict = {"n_nodes": n_nodes, "n_edges": n_edges,
+                 "hot_share": hot_share,
+                 "sqrt_2m_bound": round((2 * n_edges) ** 0.5, 1)}
+    for label in ("uniform", "skewed"):
+        edges = synth(label == "skewed").localCheckpoint()
+        deg = (
+            edges.select(F.col("u").alias("n"))
+            .union(edges.select(F.col("v").alias("n")))
+            .groupBy("n").count()
+        )
+        max_deg = deg.agg(F.max("count")).first()[0]
+        od = oriented_out_degrees(edges)
+        row = od.agg(
+            F.max("out_deg").alias("mx"),
+            F.sum(F.expr("out_deg * (out_deg - 1) / 2")).alias("wedges"),
+        ).first()
+        t0 = time.perf_counter()
+        tri = triangle_count(edges, per_node=False).first()[0]
+        sec = round(time.perf_counter() - t0, 3)
+        out[label] = {
+            "max_degree": int(max_deg),
+            "max_oriented_out_degree": int(row["mx"]),
+            "oriented_wedges": int(row["wedges"]),
+            "triangles": int(tri),
+            "sec": sec,
+        }
+        edges.unpersist()
+    sk, un = out["skewed"], out["uniform"]
+    out["hot_degree_vs_out_degree"] = round(
+        sk["max_degree"] / max(sk["max_oriented_out_degree"], 1), 1
+    )
+    out["skew_time_ratio"] = round(sk["sec"] / max(un["sec"], 1e-9), 2)
+    return out
+
+
+def _ensure_scaled_docs(spark, src_dir: str, out_dir: str, copies: int) -> None:
+    """documents-only scaling for the CC probe: same id shift as
+    _ensure_scaled_dir, but the per-copy text remap composes TWO
+    co-prime-period alphabet rotations (9 x 9 = 81 distinct mappings), so
+    past 9 copies the copies still are not near-duplicates of each other
+    (single-rotation remapping repeats every 9 and would hand CC a
+    synthetic duplicate explosion that measures the perturbation, not the
+    scale)."""
+    from pathlib import Path
+
+    out = Path(out_dir)
+    marker = out / "_BUILT"
+    if marker.exists():
+        return
+    out.mkdir(parents=True, exist_ok=True)
+    a1, a2 = "etaoinshr", "ldcumfgpw"
+    df = spark.read.parquet(f"{src_dir}/documents.parquet")
+    parts = []
+    for i in range(copies):
+        r1 = a1[i % 9:] + a1[: i % 9]
+        r2 = a2[(i // 9) % 9:] + a2[: (i // 9) % 9]
+        parts.append(
+            df.select(
+                (F.col("doc_id") + F.lit(i * 10**9)).alias("doc_id"),
+                F.translate(
+                    F.translate(F.col("text"), a1, r1), a2, r2
+                ).alias("text"),
+                *[c for c in df.columns if c not in ("doc_id", "text")],
+            )
+        )
+    big = parts[0]
+    for p in parts[1:]:
+        big = big.unionByName(p)
+    big.write.mode("overwrite").parquet(str(out / "documents.parquet"))
+    marker.touch()
+
+
+def cc_scale_probe(spark, sf_dir: str, *, scales=(1, 10, 30)) -> dict:
+    """Growth curve for the dedup-CC family beyond the sf1 section's 10x
+    (VERDICT r6 next-round #7): connected-components' ROUND COUNT is
+    data-dependent, so a super-linear iteration blowup could hide inside
+    a green <= 0.68 linear ratio measured at one scale. Records, per
+    scale: docs, LSH candidate pairs, verified pairs, CC convergence
+    rounds, and wall clock for the full minhash_components pipeline."""
+    from window_aggregation_spark.operators.dedup import (
+        minhash_candidate_pairs,
+        minhash_components,
+    )
+
+    out: dict = {"base_dir": sf_dir, "scales": {}}
+    for c in scales:
+        if c == 1:
+            ddir = sf_dir
+        else:
+            ddir = f"/tmp/spark_graft_ccprobe_{c}x"
+            _ensure_scaled_docs(spark, sf_dir, ddir, c)
+        docs = spark.read.parquet(f"{ddir}/documents.parquet").select(
+            "doc_id", "text"
+        )
+        n_docs = docs.count()
+        cand = minhash_candidate_pairs(docs, "doc_id").count()
+        stats: dict = {}
+        t0 = time.perf_counter()
+        comp = minhash_components(
+            docs, "doc_id", threshold=0.3, cc_stats=stats
+        )
+        n_comp_rows = comp.count()
+        sec = round(time.perf_counter() - t0, 3)
+        out["scales"][f"{c}x"] = {
+            "documents": n_docs,
+            "candidate_pairs": int(cand),
+            "verified_pairs": int(stats.get("input_pairs", -1)),
+            "cc_rounds": int(stats.get("rounds", -1)),
+            "component_rows": int(n_comp_rows),
+            "sec": sec,
+        }
+        print(f"# cc_scale {c}x: {out['scales'][f'{c}x']}",
+              file=sys.stderr, flush=True)
+    return out
+
+
 def dedup_pair_counts(spark, sf_dir: str) -> dict:
     """Candidate-vs-verified pair volumes for the LSH dedup family at the
     sf1 scale: the metric that exposes a super-linear candidate explosion
@@ -551,6 +695,13 @@ def main() -> None:
         sections["streaming_probe"] = streaming_probe(spark, sf_dir)
     if os.environ.get("SPARK_GRAFT_LAYOUT_PROBE", "1") != "0":
         sections["layout_probe"] = layout_probe(spark, sf_dir)
+    if os.environ.get("SPARK_GRAFT_GRAPH_PROBE", "1") != "0":
+        sections["graph_skew_probe"] = graph_skew_probe(spark)
+    if sf == "0.1" and os.environ.get("SPARK_GRAFT_CC_PROBE", "1") != "0":
+        try:
+            sections["cc_scale_probe"] = cc_scale_probe(spark, sf_dir)
+        except Exception as e:  # evidence, never the headline's problem
+            sections["cc_scale_probe"] = {"err": f"{type(e).__name__}: {e}"[:300]}
     if sf == "0.1" and os.environ.get("SPARK_GRAFT_SF1", "1") != "0":
         try:
             sections["sf1"] = sf1_section(spark, sf_dir, timings)

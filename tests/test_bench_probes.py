@@ -68,3 +68,47 @@ def test_scaled_dir_builder_shifts_keys_and_remaps_text(spark, sf_dir, tmp_path)
     # second build is a no-op (idempotence marker)
     bench._ensure_scaled_dir(spark, sf_dir, out_dir, copies=2)
     assert (tmp_path / "scaled" / "_BUILT").exists()
+
+
+def test_graph_skew_probe_measures_orientation_cap(spark):
+    """The probe must show the hot node's raw degree far above its
+    ORIENTED out-degree, and every out-degree under the sqrt(2m) bound —
+    the measured form of triangle_count's scale claim."""
+    out = bench.graph_skew_probe(spark, n_nodes=2000, n_edges=12000)
+    sk = out["skewed"]
+    assert sk["max_degree"] > 800  # the hot node is really hot
+    assert sk["max_oriented_out_degree"] <= out["sqrt_2m_bound"]
+    assert out["hot_degree_vs_out_degree"] > 10
+    # wedge work on the skewed graph stays within ~2x of uniform: the
+    # blowup the orientation exists to prevent is ~(0.1*m)^2/2
+    assert sk["oriented_wedges"] < 2 * out["uniform"]["oriented_wedges"]
+    for label in ("uniform", "skewed"):
+        assert out[label]["triangles"] >= 0
+
+
+def test_cc_scale_probe_shape(spark, sf_dir):
+    out = bench.cc_scale_probe(spark, sf_dir, scales=(1,))
+    s = out["scales"]["1x"]
+    assert s["documents"] > 0
+    assert s["cc_rounds"] >= 1
+    assert s["verified_pairs"] <= s["candidate_pairs"]
+    assert s["component_rows"] == s["documents"]
+
+
+def test_scaled_docs_copies_are_not_near_duplicates(spark, sf_dir, tmp_path):
+    """Past 9 copies the single-rotation remap would repeat; the composed
+    two-alphabet remap must keep copy 0 and copy 9 texts distinct."""
+    out = str(tmp_path / "docs12x")
+    bench._ensure_scaled_docs(spark, sf_dir, out, 12)
+    from pyspark.sql import functions as F
+
+    df = spark.read.parquet(f"{out}/documents.parquet")
+    base = df.where(F.col("doc_id") < 10**9).select(
+        F.col("doc_id").alias("k"), F.col("text").alias("t0"))
+    copy9 = df.where(
+        (F.col("doc_id") >= 9 * 10**9) & (F.col("doc_id") < 10 * 10**9)
+    ).select((F.col("doc_id") - 9 * 10**9).alias("k"),
+             F.col("text").alias("t9"))
+    j = base.join(copy9, "k")
+    assert j.count() > 0
+    assert j.where(F.col("t0") == F.col("t9")).count() == 0

@@ -426,7 +426,8 @@ def minhash_dedup(
 
 
 def minhash_components(
-    df: DataFrame, id_col: str, text_col: str = "text", **kwargs
+    df: DataFrame, id_col: str, text_col: str = "text",
+    cc_stats: dict | None = None, **kwargs
 ) -> DataFrame:
     """Duplicate-cluster label per row: ``(id_col, component)`` where
     ``component`` is the smallest id transitively reachable through the
@@ -435,11 +436,15 @@ def minhash_components(
     The transitive closure is computed distributed —
     :func:`graph.connected_components` (large-star/small-star DataFrame
     joins) over the LSH pair set, so a chain a~b~c collapses into ONE
-    cluster even when a!~c directly."""
+    cluster even when a!~c directly. ``cc_stats`` (optional dict) receives
+    the CC loop's observability numbers — input pair count, convergence
+    rounds — for bench.py's cc_scale_probe."""
     from window_aggregation_spark.operators.graph import connected_components
 
     pairs = minhash_dedup_pairs(df, id_col, text_col, **kwargs)
-    comp = connected_components(pairs).withColumnRenamed("node", id_col)
+    comp = connected_components(pairs, stats=cc_stats).withColumnRenamed(
+        "node", id_col
+    )
     return df.select(id_col).join(comp, on=id_col, how="left").select(
         F.col(id_col),
         F.coalesce("component", F.col(id_col)).alias("component"),

@@ -92,6 +92,7 @@ def connected_components(
     *,
     max_iter: int = 25,
     reliable: bool = False,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Component label per node: ``(node, component)`` where ``component``
     is the minimum node id reachable from ``node``. Only nodes appearing in
@@ -117,6 +118,12 @@ def connected_components(
 
     e = _truncate(e)
     prev = _fingerprint(e)
+    if stats is not None:
+        # observability for scale probes: input pair count before the
+        # loop, convergence round count after (bench.py cc_scale_probe —
+        # round growth is the CC family's hidden super-linear risk)
+        stats["input_pairs"] = prev[0]
+    rounds = 0
     for _ in range(max_iter):
         last_e = e
         e = _truncate(_small_star(_large_star(e)))
@@ -124,6 +131,7 @@ def connected_components(
         # that pins every round's RDD leaks storage memory linearly in
         # iterations (and starves long test sessions / real clusters)
         last_e.unpersist()
+        rounds += 1
         cur = _fingerprint(e)
         if cur == prev:
             break
@@ -134,6 +142,8 @@ def connected_components(
             "(pathological graph? raise max_iter)"
         )
 
+    if stats is not None:
+        stats["rounds"] = rounds
     # Converged edge set is a star forest oriented child -> root.
     children = e.select(
         F.greatest("u", "v").alias("node"), F.least("u", "v").alias("component")
@@ -142,6 +152,52 @@ def connected_components(
         F.col("component").alias("node"), F.col("component")
     ).distinct()
     return children.union(roots).distinct()
+
+
+def _degree_oriented(edges: DataFrame, src: str = "u", dst: str = "v") -> DataFrame:
+    """Deduplicated undirected edges oriented from the lower-(degree, id)
+    endpoint to the higher — the Schank-Wagner orientation whose
+    out-degrees are bounded by O(sqrt(m)). THE one definition, shared by
+    :func:`triangle_count` and :func:`oriented_out_degrees` so the probe
+    measures exactly what the operator runs."""
+    e = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).cast("long").alias("a"),
+            F.greatest(F.col(src), F.col(dst)).cast("long").alias("b"),
+        )
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("a").alias("n"))
+        .union(e.select(F.col("b").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    ranked = e.join(
+        deg.select(F.col("n").alias("a"), F.col("d").alias("da")), "a"
+    ).join(deg.select(F.col("n").alias("b"), F.col("d").alias("db")), "b")
+    lt = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
+    )
+    return ranked.select(
+        F.when(lt, F.col("a")).otherwise(F.col("b")).alias("u"),
+        F.when(lt, F.col("b")).otherwise(F.col("a")).alias("v"),
+    )
+
+
+def oriented_out_degrees(
+    edges: DataFrame, src: str = "u", dst: str = "v"
+) -> DataFrame:
+    """Per-node out-degree AFTER degree orientation, ``(node, out_deg)``
+    — the quantity triangle_count's wedge cost is quadratic in. Exposed
+    so bench.py's graph_skew_probe can MEASURE the sqrt(m) cap on a
+    hot-node graph instead of arguing it."""
+    return (
+        _degree_oriented(edges, src, dst)
+        .groupBy(F.col("u").alias("node"))
+        .agg(F.count(F.lit(1)).alias("out_deg"))
+    )
 
 
 def triangle_count(
@@ -175,30 +231,7 @@ def triangle_count(
     adjacency groupBy, and the two adjacency joins (broadcast when the
     node list fits, hash otherwise).
     """
-    e = (
-        edges.select(
-            F.least(F.col(src), F.col(dst)).cast("long").alias("a"),
-            F.greatest(F.col(src), F.col(dst)).cast("long").alias("b"),
-        )
-        .where(F.col("a") != F.col("b"))
-        .distinct()
-    )
-    deg = (
-        e.select(F.col("a").alias("n"))
-        .union(e.select(F.col("b").alias("n")))
-        .groupBy("n")
-        .agg(F.count(F.lit(1)).alias("d"))
-    )
-    ranked = e.join(
-        deg.select(F.col("n").alias("a"), F.col("d").alias("da")), "a"
-    ).join(deg.select(F.col("n").alias("b"), F.col("d").alias("db")), "b")
-    lt = (F.col("da") < F.col("db")) | (
-        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
-    )
-    oriented = ranked.select(
-        F.when(lt, F.col("a")).otherwise(F.col("b")).alias("u"),
-        F.when(lt, F.col("b")).otherwise(F.col("a")).alias("v"),
-    )
+    oriented = _degree_oriented(edges, src, dst)
     # edge-iterator closing: a triangle {p, x, y} with p -> x, p -> y,
     # x -> y is found exactly once, at edge (p, x): y is an out-neighbor
     # of both endpoints (of p directly, of x via the closing edge); at

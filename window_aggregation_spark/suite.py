@@ -4242,55 +4242,41 @@ _register_weighted_sample()
 # round; everything rotated out was driver-recorded green in r5
 # (CORRECTNESS_r05.json) and stays judge/gate-sim covered.
 _DRIVER_PRIORITY = [
-    # --- rotated in: never driver-recorded as of r5 (21 of 26) ---------
-    "text_language_id", "text_token_counts",
-    # text_fingerprint ceded its rotation slot to the new graph family
-    # (still 20 of the 26 never-recorded queries recorded this round,
-    # meeting the r5 verdict criterion; fingerprint stays gate/judge
-    # covered and was hash-green in every gate run)
-    "dedup_content_md5", "dedup_ngram_jaccard", "dedup_incremental",
-    "dedup_keep_best", "dedup_simhash",
-    "stream_sliding_counts", "stream_dedup_events",
-    "stream_interval_join_left",
-    "range_join_left",
-    "w_stats_nth_value", "w_two_field_moments", "w_multi_spec_plans",
-    "skew_salted_running_stats",
-    "corpus_pack_shards", "corpus_redact_pii", "corpus_prune_frequent",
-    "corpus_repetition",
-    "corpus_take_n_stratum",
-    # --- new round-6 families: one driver-recorded row each ------------
-    # (slots ceded by corpus_shuffle/chunk/stats/top_terms/
-    # length_quantiles — all judge/gate-sim covered)
-    "graph_triangle_count",     # graph analytics (2-query family as of
-                                # this session: pagerank + triangles)
-    "ts_resample_ffill",        # time-series resample + gap fill
-    "cdc_scd2_state",           # SCD2 change-data-capture history
-    "agg_rollup_lineitem",      # grouping-sets reporting
-    "dq_expectations_orders",   # data-quality audit
-    "join_bloom_prefilter",     # join acceleration (added r6 1st half)
-    # --- r6 verdict-criteria rows (6) ----------------------------------
-    "stream_stateful_ewma",       # vectorized update must stay hash-green
-    "w_approx_percentile",        # first round with a full value oracle
-    "mm_video_features",          # new real AVI decode
-    "dedup_minhash_lsh_stored", "dedup_minhash_cc_stored",
-    "dedup_incremental_estimate",  # new estimator verify (ingest loop)
-    # --- family anchors (18) -------------------------------------------
+    # --- Round-7 rotation (VERDICT r6 next-round #2): ALL 30 queries ---
+    # that had never held a driver-recorded CORRECTNESS row across
+    # r1-r6 take slots this round (the verdict asked for >= 20; the 30
+    # fit because every rotated-out anchor was driver-green in r1-r6
+    # and stays gate/judge covered).
+    "text_perplexity_unigram", "text_perplexity_bigram",
+    "search_bm25_batch", "search_tfidf_keywords",
+    "search_bm25_indexed", "search_bm25_index_add", "search_hybrid_rrf",
+    "sim_embedding_covariance",
+    "corpus_decontaminate_bloom", "corpus_shuffle", "corpus_chunk",
+    "corpus_stats", "corpus_top_terms", "corpus_length_quantiles",
+    "corpus_tar_shards_roundtrip", "corpus_sample_weighted",
+    "join_fuzzy_part_names",
+    "ts_ohlc_daily", "ts_sessionize", "ts_anomaly_zscore",
+    "agg_pivot_orders", "agg_cube_orders", "agg_discrete_percentile",
+    "src_schema_evolution",   # src_ family's first driver row
+    "graph_pagerank",
+    "w_count_distinct_running",
+    "dq_drift_psi", "dq_profile_orders",
+    "cdc_snapshot_diff",
+    "stream_anomaly_zscore",
+    # --- new round-7 queries (2) ----------------------------------------
+    "search_bm25_deleted",    # index delete+compact == filtered rebuild
+    "mm_video_mjpeg",         # compressed video via the built-in codec
+    # --- family anchors (18): every family keeps >= 1 recorded row ------
     "w_rank_family", "w_lead_lag", "w_first_last_ignore_nulls",
     "w_accumulate_running", "w_median_running", "w_discrete_percentile",
-    "w_sql_backend", "w_events_running_salted",
-    # w_events_running ceded its slot to the new lexical-retrieval family
-    # (r6): it was driver-recorded green in r5 and w_events_running_salted
-    # pins the identical result via the same plain-window oracle.
-    "search_bm25_topk",
-    # text family anchor ceded to dedup_incremental_estimate this round:
-    # text_profile was driver-recorded green in r5 and the family keeps
-    # three rows via text_language_id/token_counts/fingerprint above
-    "dedup_minhash_lsh", "dedup_minhash_cc",  # recompute twins: the
-    # driver records them next to the *_stored rows with the SAME oracle
-    # SQL, making the store's hash-equality externally evidenced
-    "sim_topk_ivf",
+    "w_sql_backend",
+    "w_approx_percentile",    # r7 criterion: bench split must keep the
+                              # yardstick-carrying gate row hash-green
+    "stream_stateful_ewma", "stream_tumbling_counts",
+    "dedup_minhash_lsh",      # dedup family anchor
     "mm_decode_features",
-    "stream_tumbling_counts",
+    "sim_topk_ivf",
+    "search_bm25_topk",
     "asof_join_events", "range_join_incidents",
     "skew_salted_running_sum",
     "pipeline_clean_corpus",
