@@ -100,7 +100,7 @@ def test_compact_clears_tombstones_same_scores(spark, tmp_path):
     build_text_index(docs, path, n_buckets=4)
     idx = text_index_delete(spark, path, _ids(spark, "d1", "d7"))
     before = {q: _scores(idx, q) for q in QUERIES}
-    compacted = text_index_compact(spark, path)
+    compacted = text_index_compact(spark, path, sweep=True)
     assert compacted.tombstones is None
     assert (compacted.n_docs, compacted.sum_dl) == (idx.n_docs, idx.sum_dl)
     for q in QUERIES:
@@ -114,6 +114,57 @@ def test_compact_clears_tombstones_same_scores(spark, tmp_path):
     # compacting again is a no-op
     again = text_index_compact(spark, path)
     assert (again.n_docs, again.sum_dl) == (compacted.n_docs, compacted.sum_dl)
+
+
+def test_compact_default_keeps_old_generation_readable(spark, tmp_path):
+    """sweep defaults OFF: a reader that resolved the pre-compact
+    manifest (or holds the old postings DataFrame) must still find its
+    directories after the flip — that is the atomicity contract."""
+    docs = _corpus(spark)
+    path = str(tmp_path / "ix")
+    build_text_index(docs, path, n_buckets=4)
+    old = load_text_index(spark, path)
+    old_postings = old.postings.count()
+    text_index_delete(spark, path, _ids(spark, "d1"))
+    text_index_compact(spark, path)  # no sweep
+    # the OLD generation's directory is still there and still readable
+    assert os.path.exists(f"{path}/postings")
+    assert old.postings.count() == old_postings
+
+
+def test_rebuild_resets_manifest_and_tombstones(spark, tmp_path):
+    """build_text_index(mode='overwrite') over a generation-managed
+    store must clear the old MANIFEST (else loads resolve to generation
+    dirs the rebuild never writes and serve the OLD data) and stale
+    tombstones (else they filter the fresh corpus)."""
+    docs = _corpus(spark)
+    path = str(tmp_path / "ix")
+    build_text_index(docs, path, n_buckets=4)
+    text_index_delete(spark, path, _ids(spark, "d1", "d4"))
+    text_index_compact(spark, path)          # manifest -> *_v1 dirs
+    text_index_delete(spark, path, _ids(spark, "d2"))  # pending tombstone
+    rebuilt = build_text_index(docs, path, n_buckets=4)  # full corpus again
+    assert rebuilt.tombstones is None
+    assert rebuilt.n_docs == 7  # d1/d4/d2 all back
+    fresh = build_text_index(docs, str(tmp_path / "fresh"), n_buckets=4)
+    for q in QUERIES:
+        assert _scores(rebuilt, q) == _scores(fresh, q)
+
+
+def test_ivf_rebuild_resets_tombstones(spark, tmp_path):
+    corpus = _vectors(spark, 30).where("vec_id >= 8")
+    path = str(tmp_path / "ivf")
+    sim.build_ivf_index(corpus, path, n_centroids=4)
+    sim.ivf_index_delete(
+        spark, path, spark.createDataFrame([(9,), (10,)], "vec_id long")
+    )
+    sim.ivf_index_compact(spark, path)
+    sim.ivf_index_delete(
+        spark, path, spark.createDataFrame([(11,)], "vec_id long")
+    )
+    rebuilt = sim.build_ivf_index(corpus, path, n_centroids=4)
+    ids = {r.id for r in rebuilt.lists.select("id").collect()}
+    assert {9, 10, 11} <= ids
 
 
 def test_add_after_compact_and_versioned_stats(spark, tmp_path):

@@ -235,12 +235,15 @@ def load_signature_store(
     data loss, far worse than the duplicate rows the overwrite already
     prevents). Excluding exactly ``batch_id=N`` reconstructs the store
     state the epoch saw the first time, making replay bit-identical."""
-    import os
+    from window_aggregation_spark.sources.store_manifest import dir_exists
 
     p = spark.read.parquet(f"{path}/params").first()
     sigs = spark.read.parquet(f"{path}/sigs")
     folds_dir = f"{path}/sigs_folds"
-    if os.path.exists(folds_dir):
+    # existence via the Hadoop FS layer: folds are written by Spark on
+    # ANY filesystem (hdfs/s3a included) — driver-side os.path.exists
+    # would silently ignore them everywhere but local disk
+    if dir_exists(spark, folds_dir):
         folds = spark.read.parquet(folds_dir)
         if exclude_fold_epoch is not None:
             folds = folds.where(F.col("batch_id") != int(exclude_fold_epoch))

@@ -19,9 +19,12 @@ Scope (honest, checked):
   (the synth-corpus builders rely on this; PIL presence must never
   change fixture payloads).
 - **Decoder**: baseline sequential DCT (SOF0), 8-bit, 1 or 3
-  components, ANY sampling factors (nearest-neighbor chroma upsample),
-  restart markers, byte stuffing. Progressive (SOF2) and arithmetic
-  coding raise ``NotImplementedError`` with the marker name.
+  components, sampling factors where each component's factor divides
+  the maximum (covers 4:4:4, 4:2:2, 4:2:0, 4:1:1 — everything common
+  encoders emit; nearest-neighbor chroma upsample), restart markers,
+  byte stuffing. Progressive (SOF2), arithmetic coding, and exotic
+  non-divisor sampling (e.g. 3:2) raise ``NotImplementedError``
+  naming what was hit.
 
 Entropy coding is bit-serial Python — right for the small synthetic
 frames the suite decodes and for correctness pinning, wrong as the
@@ -194,7 +197,9 @@ class _BitWriter:
 
     def flush(self) -> None:
         if self._n:
-            self.write(0x7F, 7 - ((self._n - 1) % 8) + 1)  # pad with 1s
+            # T.81 F.1.2.3: fill the final byte with 1-bits (0x7F's low
+            # bits are all 1s, so any <=7-bit slice of it is all-ones)
+            self.write(0x7F, 8 - self._n)
         # (write() drained everything to whole bytes)
 
 
@@ -470,6 +475,13 @@ def _decode_scan(data, pos, frame, scan, quant, huff, restart_interval):
     h, w, comps = frame
     hmax = max(c[1] for c in comps)
     vmax = max(c[2] for c in comps)
+    for cid, hs, vs, _tq in comps:
+        if hs < 1 or vs < 1 or hmax % hs or vmax % vs:
+            raise NotImplementedError(
+                f"component {cid}: sampling {hs}x{vs} does not divide "
+                f"the frame maximum {hmax}x{vmax} — only divisor "
+                "sampling (4:4:4/4:2:2/4:2:0/4:1:1) is supported"
+            )
     mcux = -(-w // (8 * hmax))
     mcuy = -(-h // (8 * vmax))
     planes = []

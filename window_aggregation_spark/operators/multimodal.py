@@ -872,6 +872,10 @@ def decode_avi_features(
 
         import numpy as np
 
+        # resolved once per task, on the first compressed frame — a
+        # failed PIL import is NOT cached by Python, so calling
+        # get_jpeg_decoder per frame would re-scan sys.path every frame
+        jpeg_decode = None
         for pdf in batches:
             out = {k: [] for k in (
                 "doc_id", "width", "height", "fps", "n_frames",
@@ -951,9 +955,9 @@ def decode_avi_features(
                                 # importable, else the repo's baseline
                                 # JPEG decoder (jpeg_codec.py) — real
                                 # decode either way
-                                frames_px.append(
-                                    get_jpeg_decoder()(b[q0:q0 + s2])
-                                )
+                                if jpeg_decode is None:
+                                    jpeg_decode = get_jpeg_decoder()
+                                frames_px.append(jpeg_decode(b[q0:q0 + s2]))
                 if not frames_px:
                     raise ValueError(f"doc_id={did}: AVI has no video frames")
                 x = np.concatenate(

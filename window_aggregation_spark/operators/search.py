@@ -474,6 +474,12 @@ def build_text_index(
             f"mode must be overwrite/error, got {mode!r}; to grow an "
             "existing index use text_index_add"
         )
+    if mode == "overwrite":
+        # a rebuild over a generation-managed store must clear the old
+        # MANIFEST (else loads resolve to versioned dirs this build never
+        # writes and the rebuild is invisible) and stale tombstones (else
+        # they keep filtering freshly indexed docs and skewing stats)
+        sm.reset_generations(path, _IDX_COMPONENTS)
     base = df.select(id_col, tokens(F.col(text_col)).alias("toks"))
     stats = base.agg(
         F.count(F.lit(1)).alias("n_docs"),
@@ -503,6 +509,7 @@ def text_index_add(
     *,
     text_col: str = "text",
     id_col: str | None = None,
+    sweep: bool = False,
 ) -> TextIndex:
     """Append a document batch to a persisted :class:`TextIndex` without
     a rebuild — the lexical twin of ``ivf_index_add``.
@@ -521,9 +528,16 @@ def text_index_add(
     in-place overwrite), so a concurrent loader always reads a complete
     stats file — old or new, never missing. A job dying between the
     postings append and the flip leaves postings visible with slightly
-    stale N/Σdl (scores shift marginally, no crash); re-run the stats
-    step or rebuild to heal. The manifest flip needs a POSIX path
-    (local/shared FS) — see ``sources/store_manifest.py``.
+    stale N/Σdl (scores shift marginally, no crash); rebuild to heal.
+    The manifest flip needs a POSIX path (local/shared FS) — see
+    ``sources/store_manifest.py``.
+
+    ``sweep`` (default OFF) removes the superseded stats generation
+    after the flip. Leave it off when readers may hold the index open
+    concurrently — a reader that resolved the old manifest must still
+    find the old directory; sweep superseded generations out of band
+    (or pass ``sweep=True`` from a single-writer, no-concurrent-reader
+    context) and the atomicity guarantee above stays airtight.
     """
     sm.require_posix_path(path, "text index")
     idx = load_text_index(spark, path)
@@ -552,7 +566,8 @@ def text_index_add(
         "n_docs bigint, sum_dl bigint",
     ).coalesce(1).write.parquet(f"{path}/{new_stats}")
     sm.write_manifest(path, {**m, "stats": new_stats})
-    sm.sweep_stale(path, "stats", new_stats)
+    if sweep:
+        sm.sweep_stale(path, "stats", new_stats)
     return load_text_index(spark, path)
 
 
@@ -588,9 +603,12 @@ def text_index_delete(spark, path: str, ids: DataFrame) -> TextIndex:
         n_lens = -1
     if n_lens != int(raw["n_docs"]):
         raise ValueError(
-            f"text index at {path!r} has no complete doclens sidecar "
-            f"({n_lens} rows vs {int(raw['n_docs'])} docs) — it predates "
-            "deletion support; rebuild it with build_text_index first"
+            f"text index at {path!r} has no usable doclens sidecar "
+            f"({n_lens} rows vs {int(raw['n_docs'])} raw docs): either "
+            "the store predates deletion support, or a text_index_add "
+            "died between its doclens append and its stats flip. Exact "
+            "deletion needs the per-doc lengths — rebuild the index with "
+            "build_text_index(mode='overwrite') to heal"
         )
     batch = ids.toDF(idx.id_col).dropDuplicates()
     if idx.tombstones is not None:
@@ -602,7 +620,7 @@ def text_index_delete(spark, path: str, ids: DataFrame) -> TextIndex:
     return load_text_index(spark, path)
 
 
-def text_index_compact(spark, path: str) -> TextIndex:
+def text_index_compact(spark, path: str, *, sweep: bool = False) -> TextIndex:
     """Fold pending tombstones into the physical layout: rewrite
     postings/doclens without the deleted docs, publish subtracted stats,
     and reset the tombstone set — all as ONE new store generation flipped
@@ -610,11 +628,16 @@ def text_index_compact(spark, path: str) -> TextIndex:
 
     A loader running concurrently (or a crash at any point before the
     flip) sees the previous generation fully intact; a crash after the
-    flip only leaves unreferenced stale directories, which the next
-    compact sweeps. Scores are unchanged by compaction — the tombstone
-    anti-join already excluded these docs — it reclaims space and makes
-    query plans cheaper (no anti-join, fewer posting rows). No-op when
-    nothing is tombstoned."""
+    flip only leaves unreferenced stale directories. Scores are
+    unchanged by compaction — the tombstone anti-join already excluded
+    these docs — it reclaims space and makes query plans cheaper (no
+    anti-join, fewer posting rows). No-op when nothing is tombstoned.
+
+    ``sweep`` (default OFF) deletes the superseded generation dirs right
+    after the flip — ONLY safe with no concurrent readers: a reader that
+    resolved the old manifest (or holds the old generation's DataFrames)
+    would find its directories gone mid-job. Default keeps them; GC out
+    of band when no readers are active."""
     sm.require_posix_path(path, "text index")
     idx = load_text_index(spark, path)
     if idx.tombstones is None:
@@ -645,20 +668,19 @@ def text_index_compact(spark, path: str) -> TextIndex:
     ).coalesce(1).write.parquet(f"{path}/{new['stats']}")
     # tombstones reset by pointing at a not-yet-existing dir (reads as none)
     sm.write_manifest(path, {**m, **new})
-    for c in ("postings", "doclens", "stats", "tombstones"):
-        sm.sweep_stale(path, c, new[c])
+    if sweep:
+        for c in ("postings", "doclens", "stats", "tombstones"):
+            sm.sweep_stale(path, c, new[c])
     return load_text_index(spark, path)
 
 
 def load_text_index(spark, path: str) -> TextIndex:
-    import os
-
     m = sm.read_manifest(path, _IDX_COMPONENTS)
     p = spark.read.parquet(f"{path}/params").first()
     s = spark.read.parquet(f"{path}/{m['stats']}").first()
     n_docs, sum_dl = int(s["n_docs"]), int(s["sum_dl"])
     tombstones = None
-    if os.path.exists(f"{path}/{m['tombstones']}"):
+    if sm.dir_exists(spark, f"{path}/{m['tombstones']}"):
         tomb = spark.read.parquet(f"{path}/{m['tombstones']}")
         d = tomb.agg(
             F.count(F.lit(1)).alias("n"),

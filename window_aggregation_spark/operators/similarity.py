@@ -596,6 +596,11 @@ def build_ivf_index(
     """
     spark = corpus.sparkSession
     _require_long_id(corpus, corpus_id, "build_ivf_index")
+    if mode == "overwrite":
+        # clear stale MANIFEST/tombstones/generations: a rebuild must not
+        # be shadowed by a manifest pointing at old lists_vN dirs, nor
+        # filtered by tombstones from the store's previous life
+        sm.reset_generations(path, _IVF_COMPONENTS)
     c_base = corpus.select(
         F.col(corpus_id).alias("id"), F.col(vec_col).alias("v")
     )
@@ -685,19 +690,21 @@ def ivf_index_delete(spark, path: str, ids: DataFrame) -> IVFIndex:
     return load_ivf_index(spark, path)
 
 
-def ivf_index_compact(spark, path: str) -> IVFIndex:
+def ivf_index_compact(spark, path: str, *, sweep: bool = False) -> IVFIndex:
     """Rewrite the inverted lists without tombstoned vectors and reset
     the tombstone set, published as one new generation behind a single
     atomic manifest flip (``sources/store_manifest.py``): a concurrent
     loader — or a crash at any point before the flip — sees the previous
     generation fully intact. Results are unchanged (the anti-join already
     hid these vectors); compaction reclaims space and removes the
-    per-query anti-join. No-op when nothing is tombstoned."""
-    import os
+    per-query anti-join. No-op when nothing is tombstoned.
 
+    ``sweep`` (default OFF) deletes the superseded generation right
+    after the flip — only safe with no concurrent readers; default keeps
+    it for out-of-band GC."""
     sm.require_posix_path(path, "IVF index")
     m = sm.read_manifest(path, _IVF_COMPONENTS)
-    if not os.path.exists(f"{path}/{m['tombstones']}"):
+    if not sm.dir_exists(spark, f"{path}/{m['tombstones']}"):
         return load_ivf_index(spark, path)
     tomb = spark.read.parquet(f"{path}/{m['tombstones']}")
     new_lists = sm.next_version(path, "lists", m["lists"])
@@ -709,8 +716,9 @@ def ivf_index_compact(spark, path: str) -> IVFIndex:
         .parquet(f"{path}/{new_lists}")
     )
     sm.write_manifest(path, {**m, "lists": new_lists, "tombstones": new_tomb})
-    sm.sweep_stale(path, "lists", new_lists)
-    sm.sweep_stale(path, "tombstones", new_tomb)
+    if sweep:
+        sm.sweep_stale(path, "lists", new_lists)
+        sm.sweep_stale(path, "tombstones", new_tomb)
     return load_ivf_index(spark, path)
 
 
@@ -719,15 +727,13 @@ def load_ivf_index(spark, path: str) -> IVFIndex:
     driver; the inverted lists stay a lazy partition-pruned scan (the
     ``list_id`` pruning filter pushes below the tombstone anti-join when
     deletions are pending)."""
-    import os
-
     m = sm.read_manifest(path, _IVF_COMPONENTS)
     rows = spark.read.parquet(
         f"{path}/{m['centroids']}"
     ).orderBy("list_id").collect()
     cents = np.stack([np.asarray(r["centroid"], dtype=np.float64) for r in rows])
     lists = spark.read.parquet(f"{path}/{m['lists']}")
-    if os.path.exists(f"{path}/{m['tombstones']}"):
+    if sm.dir_exists(spark, f"{path}/{m['tombstones']}"):
         tomb = spark.read.parquet(f"{path}/{m['tombstones']}")
         lists = lists.join(F.broadcast(tomb), "id", "left_anti")
     return IVFIndex(cents, lists)

@@ -33,21 +33,55 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import shutil
 import tempfile
 
 _MANIFEST_NAME = "MANIFEST"
+_SCHEME_RE = re.compile(r"^[A-Za-z][A-Za-z0-9+.-]*://")
 
 
 def require_posix_path(path: str, what: str = "store") -> None:
     """Fail fast on URI-scheme paths: the manifest protocol relies on
     POSIX atomic rename, which object stores do not provide."""
-    if "://" in path.split("/")[0] or "://" in path[: path.find("/") + 3]:
+    if _SCHEME_RE.match(path):
         raise ValueError(
             f"{what} path {path!r} uses a URI scheme; the manifest "
             "protocol needs a POSIX filesystem the driver can rename on "
             "(local disk or a shared mount)"
         )
+
+
+def dir_exists(spark, path: str) -> bool:
+    """Existence check THROUGH Spark's Hadoop filesystem layer, so it is
+    correct on every FS Spark can read (local, NFS, HDFS, s3a...) —
+    driver-side ``os.path.exists`` silently answers False for any
+    non-local URI, which would make optional store components (tombstone
+    dirs, streamed fold partitions) invisible exactly where they matter."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return bool(fs.exists(hpath))
+
+
+def reset_generations(path: str, components: dict[str, str]) -> None:
+    """Remove every manifest-protocol artifact under ``path`` — the
+    MANIFEST file, versioned ``{component}_vN`` dirs, and the legacy
+    component dirs themselves — so a from-scratch rebuild over an
+    existing store cannot be shadowed by a stale manifest (pointing at
+    generation dirs the rebuild never writes) or haunted by stale
+    tombstones filtering the fresh data. No-op on a path the driver
+    cannot see (object stores never acquire manifests in the first
+    place: the writers that create them require POSIX paths)."""
+    if not os.path.isdir(path):
+        return
+    mf = os.path.join(path, _MANIFEST_NAME)
+    if os.path.exists(mf):
+        os.unlink(mf)
+    for name in os.listdir(path):
+        for comp in components:
+            if name == comp or name.startswith(f"{comp}_v"):
+                shutil.rmtree(os.path.join(path, name), ignore_errors=True)
 
 
 def read_manifest(path: str, defaults: dict[str, str]) -> dict[str, str]:

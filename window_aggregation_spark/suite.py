@@ -832,7 +832,9 @@ def _register_search() -> None:
             se.text_index_delete(
                 spark, path, docs.where("doc_id % 7 = 3").select("doc_id")
             )
-            se.text_index_compact(spark, path)
+            # sweep=True is safe here: the fixture builder is the only
+            # process touching this /tmp store while it builds
+            se.text_index_compact(spark, path, sweep=True)
             se.text_index_delete(
                 spark, path, docs.where("doc_id % 11 = 5").select("doc_id")
             )
