@@ -287,3 +287,99 @@ def test_ivf_id_type_validated_at_boundary(spark, tmp_path):
         sim.ivf_index_delete(
             spark, path, spark.createDataFrame([("a",)], "vec_id string")
         )
+
+
+# ---------------------------------------------------------------------------
+# Signature store (dedup)
+# ---------------------------------------------------------------------------
+
+
+from window_aggregation_spark.operators import dedup as dd  # noqa: E402
+
+
+def _sig_corpus(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog near the river"),
+        (2, "the quick brown fox jumps over the lazy dog near the creek"),
+        (3, "completely different text about spark shuffle partitions"),
+        (4, "the quick brown fox jumps over the lazy dog near the river bank"),
+        (5, "another unrelated document mentioning window aggregation"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_sig_delete_equals_filtered_rebuild(spark, tmp_path):
+    docs = _sig_corpus(spark)
+    path = str(tmp_path / "store")
+    dd.build_signature_store(docs, "doc_id", path)
+    store = dd.signature_store_delete(
+        spark, path, spark.createDataFrame([(2,)], "doc_id long")
+    )
+    kept = docs.where("doc_id <> 2")
+    rebuilt = dd.build_signature_store(kept, "doc_id", str(tmp_path / "rb"))
+    got = sorted(
+        (r.id_a, r.id_b, r.jaccard)
+        for r in dd.minhash_dedup_pairs(
+            kept, "doc_id", threshold=0.3, signatures=store
+        ).collect()
+    )
+    want = sorted(
+        (r.id_a, r.id_b, r.jaccard)
+        for r in dd.minhash_dedup_pairs(
+            kept, "doc_id", threshold=0.3, signatures=rebuilt
+        ).collect()
+    )
+    assert got == want
+    assert all(2 not in (a, b) for a, b, _ in got)
+    # 1~4 survive as a pair (2 was the third member of the cluster)
+    assert any((a, b) == (1, 4) for a, b, _ in got)
+
+
+def test_sig_compact_merges_folds_and_drops_tombstones(spark, tmp_path):
+    docs = _sig_corpus(spark)
+    path = str(tmp_path / "store")
+    dd.build_signature_store(docs.where("doc_id <= 3"), "doc_id", path)
+    # simulate a streamed fold partition for docs 4-5
+    dd.minhash_signatures(
+        docs.where("doc_id > 3"), "doc_id"
+    ).write.mode("overwrite").parquet(f"{path}/sigs_folds/batch_id=0")
+    dd.signature_store_delete(
+        spark, path, spark.createDataFrame([(2,)], "doc_id long")
+    )
+    before = dd.load_signature_store(spark, path)
+    ids_before = sorted(r.doc_id for r in before.sigs.select("doc_id").collect())
+    assert ids_before == [1, 3, 4, 5]
+    compacted = dd.signature_store_compact(spark, path, sweep=True)
+    ids_after = sorted(
+        r.doc_id for r in compacted.sigs.select("doc_id").collect()
+    )
+    assert ids_after == [1, 3, 4, 5]
+    # physically one base generation: no folds/tombstones dirs remain
+    assert not os.path.exists(f"{path}/sigs_folds")
+    assert not os.path.exists(f"{path}/tombstones")
+    m = sm.read_manifest(path, {})
+    assert m["sigs"].startswith("sigs_v")
+    # compacting again is a no-op
+    again = dd.signature_store_compact(spark, path)
+    assert sorted(
+        r.doc_id for r in again.sigs.select("doc_id").collect()
+    ) == ids_after
+
+
+def test_sig_delete_is_idempotent_and_rebuild_resets(spark, tmp_path):
+    docs = _sig_corpus(spark)
+    path = str(tmp_path / "store")
+    dd.build_signature_store(docs, "doc_id", path)
+    dd.signature_store_delete(
+        spark, path, spark.createDataFrame([(1,), (99,)], "doc_id long")
+    )
+    s2 = dd.signature_store_delete(
+        spark, path, spark.createDataFrame([(1,)], "doc_id long")
+    )
+    assert s2.sigs.where("doc_id = 1").count() == 0
+    assert s2.sigs.count() == 4
+    # rebuild clears manifest + tombstones: doc 1 is back
+    dd.signature_store_compact(spark, path, sweep=True)
+    rebuilt = dd.build_signature_store(docs, "doc_id", path)
+    assert rebuilt.sigs.count() == 5
+    assert rebuilt.sigs.where("doc_id = 1").count() == 1

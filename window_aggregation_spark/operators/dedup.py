@@ -188,6 +188,16 @@ class SignatureStore:
             )
 
 
+# Component -> directory names of a freshly built signature store; the
+# manifest protocol (sources/store_manifest.py) versions them on
+# compaction, and pre-manifest stores read as exactly these names.
+_SIG_COMPONENTS = {
+    "sigs": "sigs",
+    "tombstones": "tombstones",
+    "folds": "sigs_folds",
+}
+
+
 def build_signature_store(
     df: DataFrame,
     id_col: str,
@@ -202,7 +212,14 @@ def build_signature_store(
     (``sigs/`` parquet + a one-row ``params/`` parquet). Returns the
     store re-read from disk, so downstream plans run against exactly
     what was persisted."""
+    from window_aggregation_spark.sources import store_manifest as sm
+
     spark = df.sparkSession
+    if mode == "overwrite":
+        # a rebuild over a lifecycle-managed store must clear the old
+        # MANIFEST/tombstones/fold partitions, or loads keep resolving
+        # the previous generation / filtering the fresh signatures
+        sm.reset_generations(path, _SIG_COMPONENTS)
     sigs = minhash_signatures(
         df, id_col, text_col, ngram=ngram, num_hashes=num_hashes
     )
@@ -235,24 +252,109 @@ def load_signature_store(
     data loss, far worse than the duplicate rows the overwrite already
     prevents). Excluding exactly ``batch_id=N`` reconstructs the store
     state the epoch saw the first time, making replay bit-identical."""
-    from window_aggregation_spark.sources.store_manifest import dir_exists
+    from window_aggregation_spark.sources import store_manifest as sm
 
+    m = sm.read_manifest(path, _SIG_COMPONENTS)
     p = spark.read.parquet(f"{path}/params").first()
-    sigs = spark.read.parquet(f"{path}/sigs")
-    folds_dir = f"{path}/sigs_folds"
+    sigs = spark.read.parquet(f"{path}/{m['sigs']}")
+    folds_dir = f"{path}/{m['folds']}"
     # existence via the Hadoop FS layer: folds are written by Spark on
     # ANY filesystem (hdfs/s3a included) — driver-side os.path.exists
     # would silently ignore them everywhere but local disk
-    if dir_exists(spark, folds_dir):
+    if sm.dir_exists(spark, folds_dir):
         folds = spark.read.parquet(folds_dir)
         if exclude_fold_epoch is not None:
             folds = folds.where(F.col("batch_id") != int(exclude_fold_epoch))
         sigs = sigs.unionByName(folds.drop("batch_id"))
+    # pending deletions (signature_store_delete) anti-join out here, so
+    # deleted docs stop matching ingest batches immediately
+    tomb_dir = f"{path}/{m['tombstones']}"
+    if sm.dir_exists(spark, tomb_dir):
+        tomb = spark.read.parquet(tomb_dir)
+        sigs = sigs.join(F.broadcast(tomb), tomb.columns[0], "left_anti")
     return SignatureStore(
         sigs,
         ngram=int(p["ngram"]),
         num_hashes=int(p["num_hashes"]),
     )
+
+
+def signature_store_delete(spark, path: str, ids: DataFrame) -> SignatureStore:
+    """Tombstone documents in a persisted :class:`SignatureStore` — the
+    dedup twin of ``search.text_index_delete``: when docs leave the
+    corpus (takedowns, quality purges), their signatures must stop
+    matching ingest batches, or every future re-submission of that
+    content is wrongly rejected as a near-duplicate of something no
+    longer served.
+
+    ``ids`` is a one-column DataFrame of document ids (renamed to the
+    store's id column from ``params``). Ids append under ``tombstones/``
+    (idempotent via anti-join against the existing set); every load
+    anti-joins them out, so the effect is immediate and exactly equals a
+    store rebuilt on the filtered corpus — signatures are per-doc, there
+    is no global statistic to adjust. Reclaim space with
+    :func:`signature_store_compact`. Needs a POSIX store path
+    (manifest protocol, ``sources/store_manifest.py``)."""
+    from window_aggregation_spark.sources import store_manifest as sm
+
+    sm.require_posix_path(path, "signature store")
+    m = sm.read_manifest(path, _SIG_COMPONENTS)
+    p = spark.read.parquet(f"{path}/params").first()
+    batch = ids.toDF(p["id_col"]).dropDuplicates()
+    if sm.dir_exists(spark, f"{path}/{m['tombstones']}"):
+        batch = batch.join(
+            spark.read.parquet(f"{path}/{m['tombstones']}"),
+            p["id_col"], "left_anti",
+        )
+    batch.write.mode("append").parquet(f"{path}/{m['tombstones']}")
+    return load_signature_store(spark, path)
+
+
+def signature_store_compact(
+    spark, path: str, *, sweep: bool = False
+) -> SignatureStore:
+    """Fold the streamed fold partitions and pending tombstones into ONE
+    new base generation ((base ∪ folds) − tombstones), published behind
+    a single atomic manifest flip: loads stop paying the per-call union
+    + anti-join, and tombstoned signatures physically disappear. No-op
+    when there is nothing to fold.
+
+    ONLY run this with the ingestion stream STOPPED and its checkpoint
+    committed: a micro-batch retried across the compaction would find
+    its own rows already merged into the base (its fold partition no
+    longer exists to exclude), band-match itself, and emit an empty
+    output partition. Between streaming runs is the safe window —
+    exactly when you'd compact any log-structured store.
+
+    ``sweep`` (default OFF) deletes the superseded generation dirs right
+    after the flip — only safe with no concurrent readers; default
+    keeps them for out-of-band GC."""
+    from window_aggregation_spark.sources import store_manifest as sm
+
+    sm.require_posix_path(path, "signature store")
+    m = sm.read_manifest(path, _SIG_COMPONENTS)
+    have_folds = sm.dir_exists(spark, f"{path}/{m['folds']}")
+    have_tombs = sm.dir_exists(spark, f"{path}/{m['tombstones']}")
+    if not have_folds and not have_tombs:
+        return load_signature_store(spark, path)
+    merged = spark.read.parquet(f"{path}/{m['sigs']}")
+    if have_folds:
+        merged = merged.unionByName(
+            spark.read.parquet(f"{path}/{m['folds']}").drop("batch_id")
+        )
+    if have_tombs:
+        tomb = spark.read.parquet(f"{path}/{m['tombstones']}")
+        merged = merged.join(F.broadcast(tomb), tomb.columns[0], "left_anti")
+    new = {
+        c: sm.next_version(path, _SIG_COMPONENTS[c], m[c])
+        for c in ("sigs", "tombstones", "folds")
+    }
+    merged.write.parquet(f"{path}/{new['sigs']}")
+    sm.write_manifest(path, {**m, **new})
+    if sweep:
+        for c in ("sigs", "tombstones", "folds"):
+            sm.sweep_stale(path, _SIG_COMPONENTS[c], new[c])
+    return load_signature_store(spark, path)
 
 
 def jaccard(a: Column, b: Column) -> Column:

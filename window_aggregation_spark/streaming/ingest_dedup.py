@@ -164,7 +164,18 @@ def streaming_ingest_dedup(
         )
         if fold_signatures:
             # overwrite THIS epoch's fold dir: replayed batches replace
-            # their own rows (idempotent), never append duplicates
+            # their own rows (idempotent), never append duplicates. The
+            # folds dir resolves through the store manifest so the loop
+            # keeps working across signature_store_compact generations
+            # (run compaction only between streaming runs — see its doc)
+            from window_aggregation_spark.operators.dedup import (
+                _SIG_COMPONENTS,
+            )
+            from window_aggregation_spark.sources import store_manifest
+
+            folds = store_manifest.read_manifest(
+                store_path, _SIG_COMPONENTS
+            )["folds"]
             minhash_signatures(
                 clean,
                 id_col,
@@ -172,7 +183,7 @@ def streaming_ingest_dedup(
                 ngram=store.ngram,
                 num_hashes=store.num_hashes,
             ).write.mode("overwrite").parquet(
-                f"{store_path}/sigs_folds/batch_id={int(epoch_id)}"
+                f"{store_path}/{folds}/batch_id={int(epoch_id)}"
             )
 
     return (

@@ -928,6 +928,7 @@ def _duck_minhash_lsh_sql(
     id_a: str = "id_a",
     id_b: str = "id_b",
     verify: str = "exact",
+    corpus_where: str | None = None,
 ) -> str:
     """DuckDB recomputation of minhash+LSH dedup from first principles:
     same shingles, same portable md5-derived hash, same 64 universal-hash
@@ -942,7 +943,11 @@ def _duck_minhash_lsh_sql(
 
     ``verify="estimate"`` swaps the exact-Jaccard confirmation for the
     signature-agreement MinHash estimator (fraction of equal components),
-    mirroring the operator's zero-corpus-bytes serving mode."""
+    mirroring the operator's zero-corpus-bytes serving mode.
+
+    ``corpus_where`` filters the corpus itself before everything — the
+    oracle form for the deletion-lifecycle twin (a store with docs
+    deleted must behave exactly like this filtered recomputation)."""
     from window_aggregation_spark.operators import dedup as dd
 
     h = dd.portable_hash64_duck("s")
@@ -987,8 +992,10 @@ def _duck_minhash_lsh_sql(
           JOIN sh b ON c.{id_b} = b.doc_id)
         WHERE jaccard >= 0.3
         """
+    corpus_filter = f" WHERE {corpus_where}" if corpus_where else ""
     return f"""
-        WITH sh AS (SELECT doc_id, {_DUCK_SHINGLES} AS sh FROM documents),
+        WITH sh AS (SELECT doc_id, {_DUCK_SHINGLES} AS sh
+                    FROM documents{corpus_filter}),
         ex AS (SELECT doc_id, unnest(sh) AS s FROM sh),
         hs AS (SELECT doc_id, {h} % {p} AS h FROM ex),
         sig AS (SELECT doc_id,
@@ -1259,6 +1266,44 @@ def _register_dedup() -> None:
         store = signature_store_for(spark, sf_dir)
         return dd.minhash_components(
             docs, "doc_id", threshold=0.3, signatures=store
+        )
+
+    _DEL_WHERE = "doc_id % 5 <> 2 AND doc_id % 9 <> 4"
+
+    @_register(
+        "dedup_store_deleted",
+        _duck_minhash_lsh_sql(corpus_where=_DEL_WHERE),
+    )
+    def dedup_store_deleted(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Signature-store lifecycle evidence (the dedup twin of
+        search_bm25_deleted): docs DELETED from the corpus must stop
+        producing near-dup pairs. The fixture walks build -> delete
+        (doc_id%5==2) -> COMPACT (new base generation behind one atomic
+        manifest flip) -> delete (doc_id%9==4, served as a pending
+        tombstone anti-join) once per sf_dir; the query then runs the
+        store-backed LSH over the surviving corpus. Oracle = the full
+        minhash+LSH recomputation over the FILTERED corpus, so a stale
+        signature, un-dropped tombstone, or compaction loss hash-fails
+        (operators/dedup.py: signature_store_delete /
+        signature_store_compact)."""
+        import os
+
+        path = fixture_store_path(sf_dir, "sig_store_del")
+        docs = read_table(spark, sf_dir, "documents")
+        if not os.path.exists(f"{path}/_LIFECYCLE"):
+            dd.build_signature_store(docs, "doc_id", path)
+            dd.signature_store_delete(
+                spark, path, docs.where("doc_id % 5 = 2").select("doc_id")
+            )
+            dd.signature_store_compact(spark, path, sweep=True)
+            dd.signature_store_delete(
+                spark, path, docs.where("doc_id % 9 = 4").select("doc_id")
+            )
+            open(f"{path}/_LIFECYCLE", "w").close()
+        store = dd.load_signature_store(spark, path)
+        kept = docs.where(_DEL_WHERE)
+        return dd.minhash_dedup_pairs(
+            kept, "doc_id", threshold=0.3, signatures=store
         )
 
     from window_aggregation_spark.operators.text import (
