@@ -676,3 +676,45 @@ class TestWeightedSample:
             values, "doc_id", "w", 2, select_cols="doc_id, w"
         )).fetchall()
         assert {r[0] for r in oracle} == picked
+
+
+def test_split_leakage_safe_keeps_clusters_together(spark):
+    """Near-dup cluster members must share a split even when their PLAIN
+    per-doc hash splits disagree — the contamination the operator
+    exists to prevent — and singletons must equal the plain split (the
+    component label is their own id)."""
+    from window_aggregation_spark.operators import corpus as cp
+
+    rows = []
+    for i in range(40):
+        # pairs (2i, 2i+1) are near-duplicates of each other ONLY:
+        # per-pair-unique tokens dominate the shingle set, so cross-pair
+        # Jaccard is ~0 while within-pair Jaccard is ~0.9
+        t = " ".join(f"tok{i}x{j}" for j in range(30))
+        rows.append((2 * i, t + " alpha"))
+        rows.append((2 * i + 1, t + " beta"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    splits = {"train": 0.5, "test": 0.5}
+    plain = {
+        r.doc_id: r.split
+        for r in cp.split_by_hash(docs, "doc_id", splits).collect()
+    }
+    # the plain split separates at least one near-dup pair (that's the bug)
+    assert any(plain[2 * i] != plain[2 * i + 1] for i in range(40))
+    safe = cp.split_leakage_safe(docs, "doc_id", splits, threshold=0.3)
+    got = {r.doc_id: (r.component, r.split) for r in safe.collect()}
+    for i in range(40):
+        assert got[2 * i] == got[2 * i + 1], f"pair {i} separated"
+        assert got[2 * i][0] == 2 * i  # component = min id of the pair
+    # a genuinely unique doc keeps its plain assignment
+    solo = spark.createDataFrame(
+        [(999, "completely unrelated singleton text about catalyst")],
+        "doc_id long, text string",
+    )
+    both = docs.unionByName(solo)
+    safe2 = {r.doc_id: r.split
+             for r in cp.split_leakage_safe(
+                 both, "doc_id", splits, threshold=0.3).collect()}
+    plain2 = {r.doc_id: r.split
+              for r in cp.split_by_hash(solo, "doc_id", splits).collect()}
+    assert safe2[999] == plain2[999]

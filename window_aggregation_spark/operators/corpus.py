@@ -89,6 +89,43 @@ def split_by_hash(
     return df.withColumn(alias, expr)
 
 
+def split_leakage_safe(
+    df: DataFrame,
+    id_col: str,
+    splits: dict[str, float],
+    *,
+    text_col: str = "text",
+    alias: str = "split",
+    threshold: float = 0.5,
+    component_col: str = "component",
+    **minhash_kwargs,
+) -> DataFrame:
+    """Train/val/test assignment that cannot leak near-duplicates across
+    splits: the hash that decides the split is taken over the NEAR-DUP
+    CLUSTER id (transitive minhash components), not the document id, so
+    every member of a duplicate cluster lands in the same split. Plain
+    :func:`split_by_hash` puts two 95%-identical documents in train and
+    test with probability ~2·p·(1−p) each — the classic contamination
+    that inflates eval scores; here that probability is exactly zero by
+    construction.
+
+    Appends ``component_col`` (the cluster label — min reachable id;
+    singletons label themselves, so for them the assignment equals the
+    plain hash split) and ``alias`` to ``df``. Cost on top of the plain
+    split: the minhash+LSH+CC pass (bucketed, never all-pairs) plus one
+    id-keyed join back — both already the pinned scale shapes. The split
+    itself stays a pure codegen projection over the component id, and
+    DuckDB reproduces the whole assignment bit-for-bit (recursive-CTE
+    closure + :func:`split_by_hash_oracle_expr` on the component)."""
+    from window_aggregation_spark.operators.dedup import minhash_components
+
+    comp = minhash_components(
+        df, id_col, text_col, threshold=threshold, **minhash_kwargs
+    ).withColumnRenamed("component", component_col)
+    labeled = split_by_hash(comp, component_col, splits, alias=alias)
+    return df.join(labeled, on=id_col)
+
+
 def split_by_hash_oracle_expr(id_expr: str, splits: dict[str, float]) -> str:
     """DuckDB CASE expression mirroring :func:`split_by_hash` bit-for-bit."""
     residue = (

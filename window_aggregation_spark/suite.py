@@ -2699,6 +2699,43 @@ def _register_corpus() -> None:
         return cp.split_by_hash(docs, "doc_id", _SPLITS)
 
     @_register(
+        "corpus_split_leakage_safe",
+        f"""
+        WITH RECURSIVE pairs AS ({_duck_minhash_lsh_sql()}),
+        edges AS (SELECT id_a AS u, id_b AS v FROM pairs
+                  UNION SELECT id_b, id_a FROM pairs),
+        walk(u, v) AS (
+          SELECT u, v FROM edges
+          UNION
+          SELECT w.u, e.v FROM walk w JOIN edges e ON w.v = e.u),
+        comp AS (SELECT u, min(v) AS mn FROM walk GROUP BY u),
+        labeled AS (
+          SELECT d.doc_id,
+                 CAST(COALESCE(least(c.u, c.mn), d.doc_id) AS BIGINT)
+                   AS component
+          FROM documents d LEFT JOIN comp c ON d.doc_id = c.u)
+        SELECT doc_id, component,
+               {cp.split_by_hash_oracle_expr('component', _SPLITS)} AS split
+        FROM labeled
+        """,
+    )
+    def corpus_split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Contamination-safe split: the split hash is taken over the
+        transitive near-dup CLUSTER id, so a test document can never
+        have a train-set near-duplicate (plain hash splitting separates
+        ~2·p·(1−p) of each duplicate pair — the eval-inflation leak).
+        The oracle recomputes the LSH pair graph, its recursive-CTE
+        closure, AND the portable hash split over the component label,
+        so both the clustering and the assignment are hash-checked
+        (operators/corpus.py::split_leakage_safe)."""
+        docs = read_table(spark, sf_dir, "documents").select(
+            "doc_id", "text"
+        )
+        return cp.split_leakage_safe(
+            docs, "doc_id", _SPLITS, threshold=0.3
+        ).select("doc_id", "component", "split")
+
+    @_register(
         "corpus_pack_shards",
         """
         SELECT doc_id, n_chars,
