@@ -285,3 +285,76 @@ class TestRollingZscore:
         vals = [9.0, 11.0] * 6 + [10.5]
         last = self._score(spark, vals, min_obs=10)[-1]
         assert last.zscore is not None and not last.is_anomaly
+
+
+def test_funnel_conversion_semantics(spark):
+    """Step k requires an event STRICTLY after the user's step k-1 time;
+    within_seconds bounds every step from the FIRST-step time."""
+    import datetime as dt
+
+    from window_aggregation_spark.operators.timeseries import (
+        funnel_conversion,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def ev(uid, typ, mins):
+        return (uid, typ, t0 + dt.timedelta(minutes=mins))
+
+    rows = [
+        # u1 completes: view@0 -> click@10 -> purchase@20
+        ev(1, "view", 0), ev(1, "click", 10), ev(1, "purchase", 20),
+        # u2: click BEFORE view -> stops at step 1
+        ev(2, "click", 0), ev(2, "view", 10),
+        # u3: purchase before click -> stops at step 2
+        ev(3, "view", 0), ev(3, "purchase", 5), ev(3, "click", 8),
+        # u4: completes but purchase outside the window
+        ev(4, "view", 0), ev(4, "click", 1), ev(4, "purchase", 120),
+        # u5: never views
+        ev(5, "click", 0), ev(5, "purchase", 1),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_type string, ts timestamp"
+    )
+    out = {
+        r.step: (r.event_type, r.users, r.frac_of_first, r.frac_of_prev)
+        for r in funnel_conversion(
+            df, ["view", "click", "purchase"], within_seconds=3600
+        ).collect()
+    }
+    assert out[1] == ("view", 4, 1.0, None)       # u1-u4 view
+    assert out[2] == ("click", 3, 0.75, 0.75)     # u2 dropped (order)
+    assert out[3][:2] == ("purchase", 1)          # only u1 (u3 order, u4 window)
+    assert out[3][2] == 1 / 4 and out[3][3] == 1 / 3
+
+
+def test_cohort_retention_semantics(spark):
+    import datetime as dt
+
+    from window_aggregation_spark.operators.timeseries import (
+        cohort_retention,
+    )
+
+    day = 86400
+
+    def ev(uid, d):
+        return (uid, dt.datetime(2024, 1, 1) + dt.timedelta(days=d))
+
+    # u1,u2 first on day 0; u1 returns day 1 and 2, u2 only day 2.
+    # u3 first on day 1, returns day 2.
+    rows = [ev(1, 0), ev(2, 0), ev(1, 1), ev(1, 2), ev(2, 2),
+            ev(3, 1), ev(3, 2)]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    got = {
+        (r.cohort_start, r.period_offset): (
+            r.active_users, r.cohort_size, r.retention)
+        for r in cohort_retention(df, period_seconds=day).collect()
+    }
+    d0 = dt.datetime(2024, 1, 1)
+    d1 = dt.datetime(2024, 1, 2)
+    assert got[(d0, 0)] == (2, 2, 1.0)
+    assert got[(d0, 1)] == (1, 2, 0.5)
+    assert got[(d0, 2)] == (2, 2, 1.0)
+    assert got[(d1, 0)] == (1, 1, 1.0)
+    assert got[(d1, 1)] == (1, 1, 1.0)
+    assert (d1, 2) not in got

@@ -3446,6 +3446,8 @@ _register_physical()
 
 def _register_timeseries() -> None:
     from window_aggregation_spark.operators.timeseries import (
+        cohort_retention,
+        funnel_conversion,
         resample_ffill,
         resample_ohlc,
         scd2_history,
@@ -3582,6 +3584,100 @@ def _register_timeseries() -> None:
         return out.select(
             "user_id", "session_id", "session_start", "session_end",
             "n_events", F.round("value_sum", 4).alias("value_sum"),
+        )
+
+    _FUNNEL_WITHIN = 7 * 86400  # purchase within 7 days of first view
+
+    @_register(
+        "ts_funnel_steps",
+        f"""
+        WITH s1 AS (
+          SELECT user_id, min(ts) AS t0 FROM events
+          WHERE event_type = 'view' GROUP BY 1),
+        s2 AS (
+          SELECT e.user_id, any_value(s1.t0) AS t0, min(e.ts) AS t1
+          FROM events e JOIN s1 ON e.user_id = s1.user_id
+          WHERE e.event_type = 'click' AND e.ts > s1.t0
+            AND e.ts <= s1.t0 + INTERVAL {_FUNNEL_WITHIN} SECOND
+          GROUP BY 1),
+        s3 AS (
+          SELECT e.user_id, min(e.ts) AS t2
+          FROM events e JOIN s2 ON e.user_id = s2.user_id
+          WHERE e.event_type = 'purchase' AND e.ts > s2.t1
+            AND e.ts <= s2.t0 + INTERVAL {_FUNNEL_WITHIN} SECOND
+          GROUP BY 1),
+        counts(step, event_type, users) AS (
+          SELECT 1, 'view', (SELECT count(*) FROM s1)
+          UNION ALL SELECT 2, 'click', (SELECT count(*) FROM s2)
+          UNION ALL SELECT 3, 'purchase', (SELECT count(*) FROM s3))
+        SELECT CAST(step AS INT) AS step, event_type,
+               CAST(users AS BIGINT) AS users,
+               CAST(users AS DOUBLE)
+                 / NULLIF(first_value(users) OVER (ORDER BY step), 0)
+                 AS frac_of_first,
+               CAST(users AS DOUBLE)
+                 / NULLIF(lag(users) OVER (ORDER BY step), 0)
+                 AS frac_of_prev
+        FROM counts
+        """,
+    )
+    def ts_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Ordered funnel (view -> click -> purchase, converting within 7
+        days of first view): step k's per-user time is the first step-k
+        event strictly after step k-1, first-touch semantics. Every stage
+        is a user-keyed min() aggregate over a pruned scan; the union of
+        the per-step 1-row counts lives in one plan so stage prefixes
+        collapse via ReusedExchange. Fractions are single IEEE divisions
+        of the same longs — bit-equal to the oracle without rounding
+        (operators/timeseries.py::funnel_conversion)."""
+        events = read_table(spark, sf_dir, "events")
+        out = funnel_conversion(
+            events, ["view", "click", "purchase"],
+            within_seconds=_FUNNEL_WITHIN,
+        )
+        return out.select(
+            F.col("step").cast("int").alias("step"),
+            "event_type", "users", "frac_of_first", "frac_of_prev",
+        )
+
+    _RET_PERIOD = 86400  # daily cohorts: ~30 cohorts x offsets at sf0.01
+
+    @_register(
+        "ts_cohort_retention",
+        f"""
+        WITH e AS (
+          SELECT user_id,
+                 CAST(floor(epoch(ts) / {_RET_PERIOD}) AS BIGINT) AS p
+          FROM events),
+        first AS (SELECT user_id, min(p) AS cohort FROM e GROUP BY 1),
+        sizes AS (SELECT cohort, count(DISTINCT user_id) AS cohort_size
+                  FROM first GROUP BY 1),
+        active AS (
+          SELECT f.cohort, e.p - f.cohort AS period_offset,
+                 count(DISTINCT e.user_id) AS active_users
+          FROM e JOIN first f ON e.user_id = f.user_id
+          GROUP BY 1, 2)
+        SELECT CAST(a.cohort * {_RET_PERIOD} AS BIGINT) AS cohort_start_s,
+               CAST(a.period_offset AS INT) AS period_offset,
+               a.active_users, s.cohort_size,
+               CAST(a.active_users AS DOUBLE) / s.cohort_size AS retention
+        FROM active a JOIN sizes s ON a.cohort = s.cohort
+        """,
+    )
+    def ts_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Daily cohort retention: users cohorted by the epoch-aligned
+        1-day bucket of their first event; each later bucket counts how
+        many stayed active. Epoch-aligned integer bucketing (not
+        calendar date_trunc) is deliberate — identical arithmetic in
+        every engine, no week-start/DST conventions. One first-touch
+        aggregate + one user-keyed join back (exchange reuse) + one
+        distinct-count per (cohort, offset)
+        (operators/timeseries.py::cohort_retention)."""
+        events = read_table(spark, sf_dir, "events")
+        out = cohort_retention(events, period_seconds=_RET_PERIOD)
+        return out.select(
+            F.unix_timestamp("cohort_start").alias("cohort_start_s"),
+            "period_offset", "active_users", "cohort_size", "retention",
         )
 
     @_register(
