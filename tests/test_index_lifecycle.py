@@ -383,3 +383,73 @@ def test_sig_delete_is_idempotent_and_rebuild_resets(spark, tmp_path):
     rebuilt = dd.build_signature_store(docs, "doc_id", path)
     assert rebuilt.sigs.count() == 5
     assert rebuilt.sigs.where("doc_id = 1").count() == 1
+
+
+def test_sig_tombstone_watermark_allows_reingestion(spark, tmp_path):
+    """A tombstone must suppress only signatures that existed at delete
+    time: re-ingesting the same id through a LATER fold makes the doc
+    matchable again (stable ids — url hashes, content ids — get deleted
+    and legitimately resubmitted), and compaction must preserve the
+    fresh signature rather than destroy it."""
+    docs = _sig_corpus(spark)
+    path = str(tmp_path / "store")
+    dd.build_signature_store(docs, "doc_id", path)
+    dd.signature_store_delete(
+        spark, path, spark.createDataFrame([(2,)], "doc_id long")
+    )
+    assert dd.load_signature_store(spark, path).sigs.where(
+        "doc_id = 2").count() == 0
+    # re-ingest doc 2 via a fold epoch AFTER the delete
+    dd.minhash_signatures(
+        docs.where("doc_id = 2"), "doc_id"
+    ).write.mode("overwrite").parquet(f"{path}/sigs_folds/batch_id=0")
+    assert dd.load_signature_store(spark, path).sigs.where(
+        "doc_id = 2").count() == 1
+    compacted = dd.signature_store_compact(spark, path, sweep=True)
+    assert compacted.sigs.where("doc_id = 2").count() == 1
+    # deleting AGAIN removes the re-ingested signature (newer watermark)
+    after = dd.signature_store_delete(
+        spark, path, spark.createDataFrame([(2,)], "doc_id long")
+    )
+    assert after.sigs.where("doc_id = 2").count() == 0
+
+
+def test_sig_delete_rejects_type_mismatch(spark, tmp_path):
+    path = str(tmp_path / "store")
+    dd.build_signature_store(_sig_corpus(spark), "doc_id", path)
+    with pytest.raises(ValueError, match="type"):
+        dd.signature_store_delete(
+            spark, path, spark.createDataFrame([("2",)], "doc_id string")
+        )
+    with pytest.raises(ValueError, match="never by"):
+        dd.build_signature_store(
+            _sig_corpus(spark), "doc_id", path, mode="append"
+        )
+
+
+def test_text_delete_rejects_type_mismatch(spark, tmp_path):
+    path = str(tmp_path / "ix")
+    build_text_index(_corpus(spark), path, n_buckets=4)
+    with pytest.raises(ValueError, match="type"):
+        text_index_delete(
+            spark, path, spark.createDataFrame([(1,)], "doc_id long")
+        )
+
+
+def test_rebuild_clears_stale_folds(spark, tmp_path):
+    """reset_generations must remove the folds dir (whose NAME differs
+    from its manifest key) — a rebuild that left it behind would union
+    the previous corpus's fold signatures into the fresh store."""
+    docs = _sig_corpus(spark)
+    path = str(tmp_path / "store")
+    dd.build_signature_store(docs.where("doc_id <= 3"), "doc_id", path)
+    dd.minhash_signatures(
+        docs.where("doc_id > 3"), "doc_id"
+    ).write.mode("overwrite").parquet(f"{path}/sigs_folds/batch_id=0")
+    rebuilt = dd.build_signature_store(
+        docs.where("doc_id <= 2"), "doc_id", path
+    )
+    assert not os.path.exists(f"{path}/sigs_folds")
+    assert sorted(
+        r.doc_id for r in rebuilt.sigs.select("doc_id").collect()
+    ) == [1, 2]

@@ -214,6 +214,16 @@ def build_signature_store(
     what was persisted."""
     from window_aggregation_spark.sources import store_manifest as sm
 
+    if mode not in ("overwrite", "error", "errorifexists"):
+        # append would stack rows into the one-row params parquet (an
+        # arbitrary row wins at load -> wrong ngram/num_hashes -> wrong
+        # LSH buckets) and would bypass the manifest after a compaction;
+        # growing a store is the streaming fold's job
+        raise ValueError(
+            f"mode must be overwrite/error, got {mode!r}; signatures are "
+            "grown by the ingest loop's fold (sigs_folds/), never by "
+            "re-running the builder"
+        )
     spark = df.sparkSession
     if mode == "overwrite":
         # a rebuild over a lifecycle-managed store must clear the old
@@ -256,7 +266,8 @@ def load_signature_store(
 
     m = sm.read_manifest(path, _SIG_COMPONENTS)
     p = spark.read.parquet(f"{path}/params").first()
-    sigs = spark.read.parquet(f"{path}/{m['sigs']}")
+    base = spark.read.parquet(f"{path}/{m['sigs']}")
+    folds = None
     folds_dir = f"{path}/{m['folds']}"
     # existence via the Hadoop FS layer: folds are written by Spark on
     # ANY filesystem (hdfs/s3a included) — driver-side os.path.exists
@@ -265,13 +276,32 @@ def load_signature_store(
         folds = spark.read.parquet(folds_dir)
         if exclude_fold_epoch is not None:
             folds = folds.where(F.col("batch_id") != int(exclude_fold_epoch))
-        sigs = sigs.unionByName(folds.drop("batch_id"))
     # pending deletions (signature_store_delete) anti-join out here, so
-    # deleted docs stop matching ingest batches immediately
+    # deleted docs stop matching ingest batches immediately. Tombstones
+    # carry the fold WATERMARK captured at delete time (`__upto_batch` =
+    # max fold epoch then on disk): they suppress the base signatures
+    # (always older than any fold) and folds up to that epoch, but NOT a
+    # later fold that re-ingested the same id — without the watermark,
+    # re-submitted content reusing a stable id (url hash, content id)
+    # would stay invisible forever and the next compaction would destroy
+    # its fresh signature.
     tomb_dir = f"{path}/{m['tombstones']}"
     if sm.dir_exists(spark, tomb_dir):
         tomb = spark.read.parquet(tomb_dir)
-        sigs = sigs.join(F.broadcast(tomb), tomb.columns[0], "left_anti")
+        id_c = p["id_col"]
+        if "__upto_batch" not in tomb.columns:  # legacy id-only tombstones
+            tomb = tomb.withColumn("__upto_batch", F.lit(2**62))
+        base = base.join(F.broadcast(tomb.select(id_c)), id_c, "left_anti")
+        if folds is not None:
+            folds = folds.alias("f").join(
+                F.broadcast(tomb).alias("t"),
+                (F.col(f"f.{id_c}") == F.col(f"t.{id_c}"))
+                & (F.col("f.batch_id") <= F.col("t.__upto_batch")),
+                "left_anti",
+            )
+    sigs = base if folds is None else base.unionByName(
+        folds.drop("batch_id")
+    )
     return SignatureStore(
         sigs,
         ngram=int(p["ngram"]),
@@ -288,11 +318,17 @@ def signature_store_delete(spark, path: str, ids: DataFrame) -> SignatureStore:
     longer served.
 
     ``ids`` is a one-column DataFrame of document ids (renamed to the
-    store's id column from ``params``). Ids append under ``tombstones/``
-    (idempotent via anti-join against the existing set); every load
-    anti-joins them out, so the effect is immediate and exactly equals a
-    store rebuilt on the filtered corpus — signatures are per-doc, there
-    is no global statistic to adjust. Reclaim space with
+    store's id column from ``params``; its TYPE must match the store's —
+    a silently coercing join would tombstone nothing). Each tombstone
+    row records the fold WATERMARK at delete time (max fold epoch on
+    disk), so it suppresses the base signatures and folds up to that
+    epoch but not a LATER re-ingestion of the same id — deleting,
+    re-submitting, then deleting again therefore behaves correctly
+    (the second delete appends a newer-watermark row). Replayed
+    identical deletes merely append duplicate rows, which the anti-join
+    semantics make harmless (signatures are per-doc; there is no global
+    statistic to corrupt). The effect is immediate and exactly equals a
+    store rebuilt on the filtered corpus. Reclaim space with
     :func:`signature_store_compact`. Needs a POSIX store path
     (manifest protocol, ``sources/store_manifest.py``)."""
     from window_aggregation_spark.sources import store_manifest as sm
@@ -300,12 +336,24 @@ def signature_store_delete(spark, path: str, ids: DataFrame) -> SignatureStore:
     sm.require_posix_path(path, "signature store")
     m = sm.read_manifest(path, _SIG_COMPONENTS)
     p = spark.read.parquet(f"{path}/params").first()
-    batch = ids.toDF(p["id_col"]).dropDuplicates()
-    if sm.dir_exists(spark, f"{path}/{m['tombstones']}"):
-        batch = batch.join(
-            spark.read.parquet(f"{path}/{m['tombstones']}"),
-            p["id_col"], "left_anti",
+    id_c = p["id_col"]
+    store_t = dict(spark.read.parquet(f"{path}/{m['sigs']}").dtypes)[id_c]
+    given_t = ids.dtypes[0][1]
+    if given_t != store_t:
+        raise ValueError(
+            f"signature_store_delete: ids column has type {given_t}, but "
+            f"the store's {id_c!r} is {store_t} — a coercing join would "
+            "silently tombstone nothing; cast explicitly upstream"
         )
+    upto = -1
+    if sm.dir_exists(spark, f"{path}/{m['folds']}"):
+        row = spark.read.parquet(f"{path}/{m['folds']}").agg(
+            F.max("batch_id")
+        ).first()
+        upto = int(row[0]) if row[0] is not None else -1
+    batch = ids.toDF(id_c).dropDuplicates().withColumn(
+        "__upto_batch", F.lit(upto).cast("long")
+    )
     batch.write.mode("append").parquet(f"{path}/{m['tombstones']}")
     return load_signature_store(spark, path)
 
@@ -337,14 +385,10 @@ def signature_store_compact(
     have_tombs = sm.dir_exists(spark, f"{path}/{m['tombstones']}")
     if not have_folds and not have_tombs:
         return load_signature_store(spark, path)
-    merged = spark.read.parquet(f"{path}/{m['sigs']}")
-    if have_folds:
-        merged = merged.unionByName(
-            spark.read.parquet(f"{path}/{m['folds']}").drop("batch_id")
-        )
-    if have_tombs:
-        tomb = spark.read.parquet(f"{path}/{m['tombstones']}")
-        merged = merged.join(F.broadcast(tomb), tomb.columns[0], "left_anti")
+    # materialize exactly the serving view (folds unioned, watermarked
+    # tombstones applied) — compaction can never drift from what loads
+    # were already serving
+    merged = load_signature_store(spark, path).sigs
     new = {
         c: sm.next_version(path, _SIG_COMPONENTS[c], m[c])
         for c in ("sigs", "tombstones", "folds")

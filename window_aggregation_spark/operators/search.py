@@ -610,6 +610,14 @@ def text_index_delete(spark, path: str, ids: DataFrame) -> TextIndex:
             "deletion needs the per-doc lengths — rebuild the index with "
             "build_text_index(mode='overwrite') to heal"
         )
+    store_t = dict(doclens.dtypes)[idx.id_col]
+    given_t = ids.dtypes[0][1]
+    if given_t != store_t:
+        raise ValueError(
+            f"text_index_delete: ids column has type {given_t}, but the "
+            f"index's {idx.id_col!r} is {store_t} — a coercing join would "
+            "silently delete nothing; cast explicitly upstream"
+        )
     batch = ids.toDF(idx.id_col).dropDuplicates()
     if idx.tombstones is not None:
         batch = batch.join(idx.tombstones, idx.id_col, "left_anti")

@@ -78,9 +78,13 @@ def reset_generations(path: str, components: dict[str, str]) -> None:
     mf = os.path.join(path, _MANIFEST_NAME)
     if os.path.exists(mf):
         os.unlink(mf)
+    # match on the component DIRECTORY base names (dict values), not the
+    # manifest keys: stores where key != dir name (e.g. the signature
+    # store's "folds" -> "sigs_folds") would otherwise leave that
+    # component's data behind for the rebuilt store to union back in
     for name in os.listdir(path):
-        for comp in components:
-            if name == comp or name.startswith(f"{comp}_v"):
+        for base in set(components.values()):
+            if name == base or name.startswith(f"{base}_v"):
                 shutil.rmtree(os.path.join(path, name), ignore_errors=True)
 
 
