@@ -291,10 +291,12 @@ def load_signature_store(
         id_c = p["id_col"]
         if "__upto_batch" not in tomb.columns:  # legacy id-only tombstones
             tomb = tomb.withColumn("__upto_batch", F.lit(2**62))
-        base = base.join(F.broadcast(tomb.select(id_c)), id_c, "left_anti")
+        # no broadcast hints: AQE broadcasts small tombstone sets from
+        # runtime stats; mass deletions stay within the join budget
+        base = base.join(tomb.select(id_c), id_c, "left_anti")
         if folds is not None:
             folds = folds.alias("f").join(
-                F.broadcast(tomb).alias("t"),
+                tomb.alias("t"),
                 (F.col(f"f.{id_c}") == F.col(f"t.{id_c}"))
                 & (F.col("f.batch_id") <= F.col("t.__upto_batch")),
                 "left_anti",

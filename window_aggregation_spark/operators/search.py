@@ -656,7 +656,10 @@ def text_index_compact(spark, path: str, *, sweep: bool = False) -> TextIndex:
         c: sm.next_version(path, c, m[c])
         for c in ("postings", "doclens", "stats", "tombstones")
     }
-    tomb_ids = F.broadcast(tomb.select(idx.id_col))
+    # no broadcast HINT: tombstone sets are usually tiny (AQE will
+    # broadcast them from runtime stats) but a mass deletion before a
+    # compact must not be forced past the broadcast budget
+    tomb_ids = tomb.select(idx.id_col)
     (
         spark.read.parquet(f"{path}/{m['postings']}")
         .join(tomb_ids, idx.id_col, "left_anti")
@@ -741,7 +744,10 @@ def bm25_topk_indexed(
         # pending deletes: drop their postings AFTER the bucket/term
         # pruning (tiny broadcast anti-join); the index's effective
         # N/Σdl already exclude them, so scores equal a filtered rebuild
-        p = p.join(F.broadcast(index.tombstones), index.id_col, "left_anti")
+        # no broadcast hint: AQE broadcasts small tombstone sets from
+        # runtime stats; a mass deletion must not be forced past the
+        # broadcast budget
+        p = p.join(index.tombstones, index.id_col, "left_anti")
     df_t = p.groupBy("token").agg(F.count(F.lit(1)).alias("df_t"))
     idf = _idf(F.lit(index.n_docs), F.col("df_t"))
     avgdl = F.lit(index.sum_dl) / F.lit(index.n_docs)

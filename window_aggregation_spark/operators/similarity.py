@@ -711,7 +711,7 @@ def ivf_index_compact(spark, path: str, *, sweep: bool = False) -> IVFIndex:
     new_tomb = sm.next_version(path, "tombstones", m["tombstones"])
     (
         spark.read.parquet(f"{path}/{m['lists']}")
-        .join(F.broadcast(tomb), "id", "left_anti")
+        .join(tomb, "id", "left_anti")  # AQE-sized, never a forced broadcast
         .write.partitionBy("list_id")
         .parquet(f"{path}/{new_lists}")
     )
@@ -735,7 +735,9 @@ def load_ivf_index(spark, path: str) -> IVFIndex:
     lists = spark.read.parquet(f"{path}/{m['lists']}")
     if sm.dir_exists(spark, f"{path}/{m['tombstones']}"):
         tomb = spark.read.parquet(f"{path}/{m['tombstones']}")
-        lists = lists.join(F.broadcast(tomb), "id", "left_anti")
+        # no broadcast hint: AQE broadcasts small tombstone sets from
+        # runtime stats; mass deletions stay within the join budget
+        lists = lists.join(tomb, "id", "left_anti")
     return IVFIndex(cents, lists)
 
 
