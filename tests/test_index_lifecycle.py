@@ -453,3 +453,52 @@ def test_rebuild_clears_stale_folds(spark, tmp_path):
     assert sorted(
         r.doc_id for r in rebuilt.sigs.select("doc_id").collect()
     ) == [1, 2]
+
+
+def test_store_gc_removes_only_unreferenced_generations(spark, tmp_path):
+    """gc_store deletes superseded generations, keeps the manifest's
+    current ones, and never cross-collects a component whose name shares
+    another's prefix (sigs vs sigs_folds)."""
+    from window_aggregation_spark.operators.search import text_index_gc
+
+    docs = _corpus(spark)
+    path = str(tmp_path / "ix")
+    build_text_index(docs, path, n_buckets=4)
+    text_index_delete(spark, path, _ids(spark, "d1"))
+    text_index_compact(spark, path)  # no sweep: legacy dirs linger
+    assert os.path.exists(f"{path}/postings")
+    removed = text_index_gc(path)
+    assert "postings" in removed and "postings" in removed["postings"]
+    assert not os.path.exists(f"{path}/postings")
+    m = sm.read_manifest(path, {})
+    assert os.path.exists(f"{path}/{m['postings']}")  # current kept
+    # queries still serve identically after gc
+    idx = load_text_index(spark, path)
+    assert idx.n_docs == 6
+    # idempotent
+    assert text_index_gc(path) == {}
+
+
+def test_sig_store_gc_spares_folds(spark, tmp_path):
+    """The signature store's folds dir must survive a gc that collects
+    superseded sigs generations (name-prefix neighbors)."""
+    docs = _sig_corpus(spark)
+    path = str(tmp_path / "store")
+    dd.build_signature_store(docs.where("doc_id <= 3"), "doc_id", path)
+    dd.minhash_signatures(
+        docs.where("doc_id > 3"), "doc_id"
+    ).write.mode("overwrite").parquet(f"{path}/sigs_folds/batch_id=0")
+    dd.signature_store_delete(
+        spark, path, spark.createDataFrame([(2,)], "doc_id long")
+    )
+    dd.signature_store_compact(spark, path)  # no sweep
+    removed = dd.signature_store_gc(path)
+    assert "sigs" in removed
+    m = sm.read_manifest(path, {})
+    # current (compacted) generation intact, old base + folds + tombs gone
+    assert os.path.exists(f"{path}/{m['sigs']}")
+    assert not os.path.exists(f"{path}/sigs")
+    assert not os.path.exists(f"{path}/sigs_folds")
+    ids = sorted(r.doc_id for r in dd.load_signature_store(
+        spark, path).sigs.select("doc_id").collect())
+    assert ids == [1, 3, 4, 5]

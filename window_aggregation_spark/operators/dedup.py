@@ -403,6 +403,15 @@ def signature_store_compact(
     return load_signature_store(spark, path)
 
 
+
+def signature_store_gc(path: str) -> dict:
+    """Out-of-band reclaim of superseded signature-store generations —
+    run from a quiet window (the same slot as compactions); see
+    ``sources/store_manifest.gc_store``."""
+    from window_aggregation_spark.sources import store_manifest as sm
+
+    return sm.gc_store(path, _SIG_COMPONENTS)
+
 def jaccard(a: Column, b: Column) -> Column:
     """Exact Jaccard similarity of two distinct-element arrays."""
     inter = F.size(F.array_intersect(a, b))

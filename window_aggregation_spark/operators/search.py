@@ -685,6 +685,13 @@ def text_index_compact(spark, path: str, *, sweep: bool = False) -> TextIndex:
     return load_text_index(spark, path)
 
 
+
+def text_index_gc(path: str) -> dict:
+    """Out-of-band reclaim of superseded index generations (the
+    ``sweep=False`` default keeps them for concurrent readers) — run
+    from a quiet window; see ``sources/store_manifest.gc_store``."""
+    return sm.gc_store(path, _IDX_COMPONENTS)
+
 def load_text_index(spark, path: str) -> TextIndex:
     m = sm.read_manifest(path, _IDX_COMPONENTS)
     p = spark.read.parquet(f"{path}/params").first()

@@ -722,6 +722,12 @@ def ivf_index_compact(spark, path: str, *, sweep: bool = False) -> IVFIndex:
     return load_ivf_index(spark, path)
 
 
+
+def ivf_index_gc(path: str) -> dict:
+    """Out-of-band reclaim of superseded IVF generations — run from a
+    quiet window; see ``sources/store_manifest.gc_store``."""
+    return sm.gc_store(path, _IVF_COMPONENTS)
+
 def load_ivf_index(spark, path: str) -> IVFIndex:
     """Load a persisted IVF index. Only ``n_centroids`` rows reach the
     driver; the inverted lists stay a lazy partition-pruned scan (the

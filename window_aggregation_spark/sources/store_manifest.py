@@ -136,6 +136,51 @@ def next_version(path: str, component: str, current: str) -> str:
             return cand
 
 
+def gc_store(path: str, components: dict[str, str]) -> dict[str, list[str]]:
+    """Out-of-band garbage collection: delete every generation directory
+    NOT referenced by the current manifest. This is the reclaim step the
+    writers deliberately skip (``sweep=False`` default keeps superseded
+    generations readable for concurrent loaders); run it when no readers
+    are active — after a deploy drain, in a maintenance window, from the
+    same quiet slot that runs compactions with ``sweep=True``.
+
+    Returns ``{component: [removed dirs]}`` for logging. Refuses
+    URI-scheme paths like every other manifest operation. Idempotent and
+    safe to run on a store with no manifest (nothing is unreferenced
+    then: the legacy names ARE the current generation)."""
+    require_posix_path(path, "store")
+    current = read_manifest(path, components)
+    removed: dict[str, list[str]] = {}
+    if not os.path.isdir(path):
+        return removed
+    for key, base in components.items():
+        keep = current[key]
+        gone = []
+        for name in os.listdir(path):
+            if name == keep:
+                continue
+            if name == base or name.startswith(f"{base}_v"):
+                # never collect ANOTHER component that shares this
+                # component's name as a prefix (e.g. 'sigs' vs
+                # 'sigs_folds'): skip names that exactly match, or are a
+                # generation of, some other current/declared component
+                others = [
+                    (components[k], current[k])
+                    for k in components
+                    if k != key
+                ]
+                if any(
+                    name == cur or name == b or name.startswith(f"{b}_v")
+                    for b, cur in others
+                ):
+                    continue
+                shutil.rmtree(os.path.join(path, name), ignore_errors=True)
+                gone.append(name)
+        if gone:
+            removed[key] = sorted(gone)
+    return removed
+
+
 def sweep_stale(path: str, component: str, keep: str) -> None:
     """Best-effort removal of superseded ``{component}*`` generation dirs
     after a successful manifest flip. Readers already holding the old
