@@ -502,3 +502,74 @@ def test_sig_store_gc_spares_folds(spark, tmp_path):
     ids = sorted(r.doc_id for r in dd.load_signature_store(
         spark, path).sigs.select("doc_id").collect())
     assert ids == [1, 3, 4, 5]
+
+
+def test_add_is_atomic_under_crash(spark, tmp_path):
+    """A text_index_add that dies at ANY point before the manifest flip
+    must leave the store serving exactly the pre-add index (its batch
+    dirs are unreferenced garbage, collectable by gc) — simulated by
+    writing the batch generations WITHOUT flipping the manifest."""
+    from window_aggregation_spark.operators.search import (
+        _postings_frame, text_index_gc, tokens as _tokens,
+    )
+    from pyspark.sql import functions as F
+
+    docs = _corpus(spark)
+    path = str(tmp_path / "ix")
+    build_text_index(docs.where("doc_id <= 'd4'"), path, n_buckets=4)
+    before = load_text_index(spark, path)
+    scores_before = {q: _scores(before, q) for q in QUERIES}
+    # simulate the torn add: batch postings+doclens+stats dirs written,
+    # no manifest flip
+    batch = docs.where("doc_id > 'd4'").select(
+        "doc_id", _tokens(F.col("text")).alias("toks")
+    )
+    _postings_frame(batch, "doc_id", 4).write.partitionBy(
+        "term_bucket"
+    ).parquet(f"{path}/postings_v1")
+    batch.select("doc_id", F.size("toks").alias("dl")).write.parquet(
+        f"{path}/doclens_v1"
+    )
+    spark.createDataFrame([(99, 999)], "n_docs bigint, sum_dl bigint")\
+        .write.parquet(f"{path}/stats_v1")
+    after_crash = load_text_index(spark, path)
+    assert (after_crash.n_docs, after_crash.sum_dl) == (
+        before.n_docs, before.sum_dl)
+    for q in QUERIES:
+        assert _scores(after_crash, q) == scores_before[q]
+    # the garbage is collectable, and a real add then succeeds
+    removed = text_index_gc(path)
+    assert removed  # the orphaned _v1 dirs went away
+    idx = text_index_add(spark, path, docs.where("doc_id > 'd4'"))
+    want = build_text_index(docs, str(tmp_path / "rb"), n_buckets=4)
+    assert (idx.n_docs, idx.sum_dl) == (want.n_docs, want.sum_dl)
+    for q in QUERIES:
+        assert _scores(idx, q) == _scores(want, q)
+
+
+def test_multiple_adds_then_delete_and_compact(spark, tmp_path):
+    """Two atomic adds leave a 3-directory postings list; scoring,
+    deletion, and compaction must treat the union as one index and
+    compaction collapses it back to one directory."""
+    docs = _corpus(spark)
+    path = str(tmp_path / "ix")
+    build_text_index(docs.where("doc_id <= 'd2'"), path, n_buckets=4)
+    text_index_add(spark, path, docs.where("doc_id in ('d3','d4')"))
+    idx = text_index_add(spark, path, docs.where("doc_id > 'd4'"))
+    m = sm.read_manifest(path, {})
+    assert len(sm.split_dirs(m["postings"])) == 3
+    want = build_text_index(docs, str(tmp_path / "rb"), n_buckets=4)
+    for q in QUERIES:
+        assert _scores(idx, q) == _scores(want, q)
+    text_index_delete(spark, path, _ids(spark, "d1", "d7"))
+    compacted = text_index_compact(spark, path, sweep=True)
+    m2 = sm.read_manifest(path, {})
+    assert len(sm.split_dirs(m2["postings"])) == 1
+    want2 = build_text_index(
+        docs.where("doc_id not in ('d1','d7')"),
+        str(tmp_path / "rb2"), n_buckets=4,
+    )
+    assert (compacted.n_docs, compacted.sum_dl) == (
+        want2.n_docs, want2.sum_dl)
+    for q in QUERIES:
+        assert _scores(compacted, q) == _scores(want2, q)

@@ -52,6 +52,30 @@ _SCORE_SCALE = 6
 _TOK = re.compile(TOKEN_RE)
 
 
+def _read_dirs(spark, path: str, value: str) -> DataFrame:
+    """Read a manifest component that may reference several directories
+    (";"-joined — the atomic-append encoding): a unionByName of per-dir
+    parquet reads. Per-dir reads keep partition discovery (term_bucket=)
+    and filter pushdown working independently in each branch; the branch
+    count is bounded by adds-since-last-compact."""
+    from functools import reduce as _reduce
+
+    from window_aggregation_spark.sources import store_manifest as _sm
+
+    dirs = _sm.split_dirs(value)
+    if len(dirs) > 32:
+        import warnings
+
+        warnings.warn(
+            f"{path}: {len(dirs)} un-compacted generation dirs — every "
+            "query unions that many scan branches; run "
+            "text_index_compact to collapse them",
+            stacklevel=3,
+        )
+    frames = [spark.read.parquet(f"{path}/{d}") for d in dirs]
+    return _reduce(lambda a, b: a.unionByName(b), frames)
+
+
 def query_terms(query: str) -> list[str]:
     """Sorted distinct alnum tokens of a query string (duplicates in the
     query do not re-weight BM25)."""
@@ -514,30 +538,30 @@ def text_index_add(
     """Append a document batch to a persisted :class:`TextIndex` without
     a rebuild — the lexical twin of ``ivf_index_add``.
 
-    New postings are bucketed with the index's FROZEN ``n_buckets`` and
-    appended under the existing ``term_bucket=*/`` partitions; the
-    one-row stats (N, Σdl) are summed with the batch's and rewritten.
+    New postings are bucketed with the index's FROZEN ``n_buckets``.
     Because document frequency is derived at query time from postings,
     an appended index scores queries EXACTLY like a from-scratch rebuild
     over the union corpus (pinned in tests) — there is no stale-df decay.
 
+    The add is ATOMIC: the batch's postings and doclens are written as
+    FRESH generation directories (never appended into live ones), the
+    summed stats as a new versioned file, and one manifest flip
+    publishes all three. A job dying at ANY point before the flip
+    leaves only unreferenced directories (garbage for
+    :func:`text_index_gc`), never a torn store — concurrent loaders see
+    the pre-add index complete, then the post-add index complete. The
+    postings manifest entry becomes a ";"-joined directory list; loads
+    union the per-directory scans (bucket pruning works per branch) and
+    :func:`text_index_compact` collapses the list back to one directory.
+
     Ids are NOT deduplicated against existing postings (upstream
     ingestion filter's job); re-adding a document double-counts its tf
-    AND its stats row. The updated stats are written as a NEW versioned
-    directory and published with one atomic manifest flip (never an
-    in-place overwrite), so a concurrent loader always reads a complete
-    stats file — old or new, never missing. A job dying between the
-    postings append and the flip leaves postings visible with slightly
-    stale N/Σdl (scores shift marginally, no crash); rebuild to heal.
-    The manifest flip needs a POSIX path (local/shared FS) — see
-    ``sources/store_manifest.py``.
+    AND its stats row. The manifest flip needs a POSIX path
+    (local/shared FS) — see ``sources/store_manifest.py``.
 
     ``sweep`` (default OFF) removes the superseded stats generation
-    after the flip. Leave it off when readers may hold the index open
-    concurrently — a reader that resolved the old manifest must still
-    find the old directory; sweep superseded generations out of band
-    (or pass ``sweep=True`` from a single-writer, no-concurrent-reader
-    context) and the atomicity guarantee above stays airtight.
+    after the flip; leave it off when readers may hold the index open
+    concurrently and GC out of band instead.
     """
     sm.require_posix_path(path, "text index")
     idx = load_text_index(spark, path)
@@ -550,12 +574,14 @@ def text_index_add(
         F.count(F.lit(1)).alias("n_docs"),
         F.coalesce(F.sum(F.size("toks")), F.lit(0)).alias("sum_dl"),
     ).first()
-    _postings_frame(base, idx.id_col, idx.n_buckets).write.mode(
-        "append"
-    ).partitionBy("term_bucket").parquet(f"{path}/{m['postings']}")
-    base.select(idx.id_col, F.size("toks").alias("dl")).write.mode(
-        "append"
-    ).parquet(f"{path}/{m['doclens']}")
+    new_postings = sm.next_version(path, "postings", m["postings"])
+    _postings_frame(base, idx.id_col, idx.n_buckets).write.partitionBy(
+        "term_bucket"
+    ).parquet(f"{path}/{new_postings}")
+    new_doclens = sm.next_version(path, "doclens", m["doclens"])
+    base.select(idx.id_col, F.size("toks").alias("dl")).write.parquet(
+        f"{path}/{new_doclens}"
+    )
     # idx.n_docs/sum_dl are tombstone-adjusted; raw stats must stay raw
     # (the tombstone delta is re-subtracted at every load).
     s = spark.read.parquet(f"{path}/{m['stats']}").first()
@@ -565,7 +591,14 @@ def text_index_add(
           int(s["sum_dl"]) + int(batch["sum_dl"]))],
         "n_docs bigint, sum_dl bigint",
     ).coalesce(1).write.parquet(f"{path}/{new_stats}")
-    sm.write_manifest(path, {**m, "stats": new_stats})
+    sm.write_manifest(path, {
+        **m,
+        "postings": sm.join_dirs(
+            sm.split_dirs(m["postings"]) + [new_postings]
+        ),
+        "doclens": sm.join_dirs(sm.split_dirs(m["doclens"]) + [new_doclens]),
+        "stats": new_stats,
+    })
     if sweep:
         sm.sweep_stale(path, "stats", new_stats)
     return load_text_index(spark, path)
@@ -597,18 +630,18 @@ def text_index_delete(spark, path: str, ids: DataFrame) -> TextIndex:
     m = sm.read_manifest(path, _IDX_COMPONENTS)
     raw = spark.read.parquet(f"{path}/{m['stats']}").first()
     try:
-        doclens = spark.read.parquet(f"{path}/{m['doclens']}")
+        doclens = _read_dirs(spark, path, m['doclens'])
         n_lens = doclens.count()
     except Exception:
         n_lens = -1
     if n_lens != int(raw["n_docs"]):
         raise ValueError(
             f"text index at {path!r} has no usable doclens sidecar "
-            f"({n_lens} rows vs {int(raw['n_docs'])} raw docs): either "
-            "the store predates deletion support, or a text_index_add "
-            "died between its doclens append and its stats flip. Exact "
-            "deletion needs the per-doc lengths — rebuild the index with "
-            "build_text_index(mode='overwrite') to heal"
+            f"({n_lens} rows vs {int(raw['n_docs'])} raw docs): the "
+            "store predates deletion support (adds are published "
+            "atomically, so a torn add cannot cause this). Exact "
+            "deletion needs the per-doc lengths — rebuild the index "
+            "with build_text_index(mode='overwrite') to heal"
         )
     store_t = dict(doclens.dtypes)[idx.id_col]
     given_t = ids.dtypes[0][1]
@@ -661,7 +694,7 @@ def text_index_compact(spark, path: str, *, sweep: bool = False) -> TextIndex:
     # compact must not be forced past the broadcast budget
     tomb_ids = tomb.select(idx.id_col)
     (
-        spark.read.parquet(f"{path}/{m['postings']}")
+        _read_dirs(spark, path, m['postings'])
         .join(tomb_ids, idx.id_col, "left_anti")
         .repartition("term_bucket")
         .sortWithinPartitions("token", idx.id_col)
@@ -669,7 +702,7 @@ def text_index_compact(spark, path: str, *, sweep: bool = False) -> TextIndex:
         .parquet(f"{path}/{new['postings']}")
     )
     (
-        spark.read.parquet(f"{path}/{m['doclens']}")
+        _read_dirs(spark, path, m['doclens'])
         .join(tomb_ids, idx.id_col, "left_anti")
         .write.parquet(f"{path}/{new['doclens']}")
     )
@@ -714,7 +747,7 @@ def load_text_index(spark, path: str) -> TextIndex:
         id_col=p["id_col"],
         n_docs=n_docs,
         sum_dl=sum_dl,
-        postings=spark.read.parquet(f"{path}/{m['postings']}"),
+        postings=_read_dirs(spark, path, m['postings']),
         tombstones=tombstones,
     )
 

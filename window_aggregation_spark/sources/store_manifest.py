@@ -118,12 +118,26 @@ def write_manifest(path: str, mapping: dict[str, str]) -> None:
         raise
 
 
+def split_dirs(value: str) -> list[str]:
+    """A manifest component may reference SEVERAL directories (";"-joined)
+    — the atomic-append encoding: each ``text_index_add`` publishes its
+    batch as a fresh directory appended to the list in one manifest flip,
+    so a crashed add leaves only unreferenced garbage, never a torn
+    store. Compaction collapses the list back to one directory."""
+    return [v for v in value.split(";") if v]
+
+
+def join_dirs(dirs: list[str]) -> str:
+    return ";".join(dirs)
+
+
 def next_version(path: str, component: str, current: str) -> str:
     """Next unused versioned directory name for ``component`` (e.g.
     ``stats`` -> ``stats_v1`` when current is the legacy ``stats``,
     ``stats_v2`` after that). Scans for existing dirs so a crashed,
     never-published generation is skipped rather than overwritten."""
     n = 0
+    current = split_dirs(current)[-1] if current else current
     if "_v" in current:
         try:
             n = int(current.rsplit("_v", 1)[1])
@@ -154,24 +168,26 @@ def gc_store(path: str, components: dict[str, str]) -> dict[str, list[str]]:
     if not os.path.isdir(path):
         return removed
     for key, base in components.items():
-        keep = current[key]
+        keep = set(split_dirs(current[key]))
         gone = []
         for name in os.listdir(path):
-            if name == keep:
+            if name in keep:
                 continue
             if name == base or name.startswith(f"{base}_v"):
                 # never collect ANOTHER component that shares this
                 # component's name as a prefix (e.g. 'sigs' vs
                 # 'sigs_folds'): skip names that exactly match, or are a
                 # generation of, some other current/declared component
-                others = [
-                    (components[k], current[k])
+                other_dirs = {
+                    d
                     for k in components
                     if k != key
-                ]
-                if any(
-                    name == cur or name == b or name.startswith(f"{b}_v")
-                    for b, cur in others
+                    for d in split_dirs(current[k])
+                }
+                other_bases = [components[k] for k in components if k != key]
+                if name in other_dirs or any(
+                    name == b or name.startswith(f"{b}_v")
+                    for b in other_bases
                 ):
                     continue
                 shutil.rmtree(os.path.join(path, name), ignore_errors=True)
@@ -183,12 +199,13 @@ def gc_store(path: str, components: dict[str, str]) -> dict[str, list[str]]:
 
 def sweep_stale(path: str, component: str, keep: str) -> None:
     """Best-effort removal of superseded ``{component}*`` generation dirs
-    after a successful manifest flip. Readers already holding the old
-    generation's DataFrames may error if their job runs across the sweep;
-    callers that need long-lived readers should skip sweeping and GC out
-    of band."""
+    after a successful manifest flip (``keep`` may be a ";"-joined list).
+    Readers already holding the old generation's DataFrames may error if
+    their job runs across the sweep; callers that need long-lived readers
+    should skip sweeping and GC out of band."""
+    kept = set(split_dirs(keep))
     for name in os.listdir(path):
-        if name == keep or not name.startswith(component):
+        if name in kept or not name.startswith(component):
             continue
         if name == component or name.startswith(f"{component}_v"):
             shutil.rmtree(os.path.join(path, name), ignore_errors=True)
