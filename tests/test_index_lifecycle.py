@@ -480,8 +480,11 @@ def test_store_gc_removes_only_unreferenced_generations(spark, tmp_path):
 
 
 def test_sig_store_gc_spares_folds(spark, tmp_path):
-    """The signature store's folds dir must survive a gc that collects
-    superseded sigs generations (name-prefix neighbors)."""
+    """gc must collect the POST-COMPACT sigs_folds dir under its own
+    'folds' component (its rows were merged into the new base — it is
+    superseded garbage) while never cross-collecting it under the
+    prefix-neighbor 'sigs' component; the current compacted generation
+    survives and the store keeps serving the merged view."""
     docs = _sig_corpus(spark)
     path = str(tmp_path / "store")
     dd.build_signature_store(docs.where("doc_id <= 3"), "doc_id", path)
@@ -573,3 +576,41 @@ def test_multiple_adds_then_delete_and_compact(spark, tmp_path):
         want2.n_docs, want2.sum_dl)
     for q in QUERIES:
         assert _scores(compacted, q) == _scores(want2, q)
+
+
+def test_add_tolerates_empty_and_tokenless_batches(spark, tmp_path):
+    """An empty batch is a published no-op; a batch of zero-token docs
+    counts in N (via doclens/stats) but must NOT publish an empty
+    partitioned postings dir (unreadable: _SUCCESS-only, no schema)."""
+    docs = _corpus(spark)
+    path = str(tmp_path / "ix")
+    build_text_index(docs.where("doc_id <= 'd5'"), path, n_buckets=4)
+    empty = docs.where("doc_id = 'zzz'")
+    idx0 = text_index_add(spark, path, empty)
+    assert idx0.n_docs == 5
+    tokenless = spark.createDataFrame(
+        [("d8", ""), ("d9", "!!!")], "doc_id string, text string"
+    )
+    idx1 = text_index_add(spark, path, tokenless)
+    assert (idx1.n_docs, idx1.sum_dl) == (7, idx0.sum_dl)
+    # store still fully functional: queries + another real add
+    idx2 = text_index_add(spark, path, docs.where("doc_id = 'd6'"))
+    want = build_text_index(
+        docs.where("doc_id <= 'd6'").unionByName(tokenless),
+        str(tmp_path / "rb"), n_buckets=4,
+    )
+    for q in QUERIES:
+        assert _scores(idx2, q) == _scores(want, q)
+
+
+def test_concurrent_writer_lost_update_detected(spark, tmp_path):
+    """A writer whose manifest snapshot went stale (another add flipped
+    in between) must raise instead of silently erasing the other
+    writer's published generation."""
+    path = str(tmp_path / "store")
+    os.makedirs(path)
+    sm.write_manifest(path, {"a": "a_v1"})
+    snapshot = sm.read_manifest(path, {"a": "a"})
+    sm.write_manifest(path, {"a": "a_v2"})  # the other writer
+    with pytest.raises(RuntimeError, match="single-writer"):
+        sm.write_manifest(path, {"a": "a_v3"}, expected=snapshot)

@@ -58,11 +58,7 @@ def _read_dirs(spark, path: str, value: str) -> DataFrame:
     parquet reads. Per-dir reads keep partition discovery (term_bucket=)
     and filter pushdown working independently in each branch; the branch
     count is bounded by adds-since-last-compact."""
-    from functools import reduce as _reduce
-
-    from window_aggregation_spark.sources import store_manifest as _sm
-
-    dirs = _sm.split_dirs(value)
+    dirs = sm.split_dirs(value)
     if len(dirs) > 32:
         import warnings
 
@@ -73,7 +69,7 @@ def _read_dirs(spark, path: str, value: str) -> DataFrame:
             stacklevel=3,
         )
     frames = [spark.read.parquet(f"{path}/{d}") for d in dirs]
-    return _reduce(lambda a, b: a.unionByName(b), frames)
+    return reduce(lambda a, b: a.unionByName(b), frames)
 
 
 def query_terms(query: str) -> list[str]:
@@ -574,10 +570,20 @@ def text_index_add(
         F.count(F.lit(1)).alias("n_docs"),
         F.coalesce(F.sum(F.size("toks")), F.lit(0)).alias("sum_dl"),
     ).first()
-    new_postings = sm.next_version(path, "postings", m["postings"])
-    _postings_frame(base, idx.id_col, idx.n_buckets).write.partitionBy(
-        "term_bucket"
-    ).parquet(f"{path}/{new_postings}")
+    if int(batch["n_docs"]) == 0:
+        return idx  # empty batch: nothing to publish
+    postings_dirs = sm.split_dirs(m["postings"])
+    if int(batch["sum_dl"]) > 0:
+        # only when the batch has tokens: a zero-row partitionBy write
+        # produces a _SUCCESS-only directory that parquet cannot infer a
+        # schema from, which would brick every later load. A batch of
+        # zero-token docs has no postings — it still counts in N via
+        # doclens/stats below.
+        new_postings = sm.next_version(path, "postings", m["postings"])
+        _postings_frame(base, idx.id_col, idx.n_buckets).write.partitionBy(
+            "term_bucket"
+        ).parquet(f"{path}/{new_postings}")
+        postings_dirs = postings_dirs + [new_postings]
     new_doclens = sm.next_version(path, "doclens", m["doclens"])
     base.select(idx.id_col, F.size("toks").alias("dl")).write.parquet(
         f"{path}/{new_doclens}"
@@ -593,12 +599,10 @@ def text_index_add(
     ).coalesce(1).write.parquet(f"{path}/{new_stats}")
     sm.write_manifest(path, {
         **m,
-        "postings": sm.join_dirs(
-            sm.split_dirs(m["postings"]) + [new_postings]
-        ),
+        "postings": sm.join_dirs(postings_dirs),
         "doclens": sm.join_dirs(sm.split_dirs(m["doclens"]) + [new_doclens]),
         "stats": new_stats,
-    })
+    }, expected=m)
     if sweep:
         sm.sweep_stale(path, "stats", new_stats)
     return load_text_index(spark, path)

@@ -101,9 +101,34 @@ def read_manifest(path: str, defaults: dict[str, str]) -> dict[str, str]:
         return out
 
 
-def write_manifest(path: str, mapping: dict[str, str]) -> None:
-    """Atomically publish a new generation: temp file + ``os.replace``."""
+def write_manifest(
+    path: str,
+    mapping: dict[str, str],
+    expected: dict[str, str] | None = None,
+) -> None:
+    """Atomically publish a new generation: temp file + ``os.replace``.
+
+    The store writers are SINGLE-WRITER by contract (like every
+    log-structured store here: adds, deletes, compactions run from one
+    maintenance process; readers are unlimited). ``expected`` is the
+    cheap guard for accidental violations: pass the manifest snapshot
+    the new mapping was DERIVED from, and the write re-reads the file
+    just before the flip — if another writer flipped in between, raise
+    instead of silently erasing their published generation (a
+    read-modify-write lost update whose data the next GC would delete
+    permanently). Not a lock — a true race within the final millisecond
+    can still slip through — but it converts the realistic overlap
+    (two humans, two schedulers) from silent data loss into an error."""
     require_posix_path(path)
+    if expected is not None:
+        current = read_manifest(path, expected)
+        if current != expected:
+            raise RuntimeError(
+                f"manifest at {path!r} changed since it was read "
+                f"(expected {expected}, found {current}) — another "
+                "writer is active; these stores are single-writer: "
+                "re-read and retry"
+            )
     os.makedirs(path, exist_ok=True)
     fd, tmp = tempfile.mkstemp(dir=path, prefix=".manifest-")
     try:
@@ -169,22 +194,22 @@ def gc_store(path: str, components: dict[str, str]) -> dict[str, list[str]]:
         return removed
     for key, base in components.items():
         keep = set(split_dirs(current[key]))
+        # never collect ANOTHER component that shares this component's
+        # name as a prefix (e.g. 'sigs' vs 'sigs_folds'): skip names
+        # that exactly match, or are a generation of, some other
+        # current/declared component
+        other_dirs = {
+            d
+            for k in components
+            if k != key
+            for d in split_dirs(current[k])
+        }
+        other_bases = [components[k] for k in components if k != key]
         gone = []
         for name in os.listdir(path):
             if name in keep:
                 continue
             if name == base or name.startswith(f"{base}_v"):
-                # never collect ANOTHER component that shares this
-                # component's name as a prefix (e.g. 'sigs' vs
-                # 'sigs_folds'): skip names that exactly match, or are a
-                # generation of, some other current/declared component
-                other_dirs = {
-                    d
-                    for k in components
-                    if k != key
-                    for d in split_dirs(current[k])
-                }
-                other_bases = [components[k] for k in components if k != key]
                 if name in other_dirs or any(
                     name == b or name.startswith(f"{b}_v")
                     for b in other_bases
