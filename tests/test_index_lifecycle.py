@@ -467,7 +467,7 @@ def test_store_gc_removes_only_unreferenced_generations(spark, tmp_path):
     text_index_delete(spark, path, _ids(spark, "d1"))
     text_index_compact(spark, path)  # no sweep: legacy dirs linger
     assert os.path.exists(f"{path}/postings")
-    removed = text_index_gc(path)
+    removed = text_index_gc(path, grace_seconds=0)
     assert "postings" in removed and "postings" in removed["postings"]
     assert not os.path.exists(f"{path}/postings")
     m = sm.read_manifest(path, {})
@@ -476,7 +476,7 @@ def test_store_gc_removes_only_unreferenced_generations(spark, tmp_path):
     idx = load_text_index(spark, path)
     assert idx.n_docs == 6
     # idempotent
-    assert text_index_gc(path) == {}
+    assert text_index_gc(path, grace_seconds=0) == {}
 
 
 def test_sig_store_gc_spares_folds(spark, tmp_path):
@@ -495,7 +495,7 @@ def test_sig_store_gc_spares_folds(spark, tmp_path):
         spark, path, spark.createDataFrame([(2,)], "doc_id long")
     )
     dd.signature_store_compact(spark, path)  # no sweep
-    removed = dd.signature_store_gc(path)
+    removed = dd.signature_store_gc(path, grace_seconds=0)
     assert "sigs" in removed
     m = sm.read_manifest(path, {})
     # current (compacted) generation intact, old base + folds + tombs gone
@@ -541,7 +541,7 @@ def test_add_is_atomic_under_crash(spark, tmp_path):
     for q in QUERIES:
         assert _scores(after_crash, q) == scores_before[q]
     # the garbage is collectable, and a real add then succeeds
-    removed = text_index_gc(path)
+    removed = text_index_gc(path, grace_seconds=0)
     assert removed  # the orphaned _v1 dirs went away
     idx = text_index_add(spark, path, docs.where("doc_id > 'd4'"))
     want = build_text_index(docs, str(tmp_path / "rb"), n_buckets=4)
@@ -614,3 +614,166 @@ def test_concurrent_writer_lost_update_detected(spark, tmp_path):
     sm.write_manifest(path, {"a": "a_v2"})  # the other writer
     with pytest.raises(RuntimeError, match="single-writer"):
         sm.write_manifest(path, {"a": "a_v3"}, expected=snapshot)
+
+
+# ---------------------------------------------------------------------------
+# Verified-pair cache (round 8): the CC family's steady-state accelerator
+# ---------------------------------------------------------------------------
+
+
+def _pairs_set(df):
+    return sorted((r.id_a, r.id_b, r.jaccard) for r in df.collect())
+
+
+def test_pair_cache_roundtrip_equals_recompute(spark, tmp_path):
+    """Cached verified pairs == the live LSH+verify pipeline, and
+    minhash_components(pairs=cache) == the full recompute."""
+    docs = _sig_corpus(spark)
+    path = str(tmp_path / "store")
+    store = dd.build_signature_store(docs, "doc_id", path)
+    built = dd.signature_store_build_pairs(docs, "doc_id", path, threshold=0.3)
+    live = dd.minhash_dedup_pairs(
+        docs, "doc_id", threshold=0.3, signatures=store
+    )
+    assert _pairs_set(built) == _pairs_set(live)
+    cached = dd.load_pair_cache(spark, path, threshold=0.3)
+    assert cached is not None
+    assert _pairs_set(cached) == _pairs_set(live)
+    via_cache = dd.minhash_components(docs, "doc_id", pairs=cached)
+    full = dd.minhash_components(docs, "doc_id", threshold=0.3)
+    assert sorted(map(tuple, via_cache.collect())) == sorted(
+        map(tuple, full.collect())
+    )
+
+
+def test_pair_cache_param_mismatch_returns_none(spark, tmp_path):
+    docs = _sig_corpus(spark)
+    path = str(tmp_path / "store")
+    dd.build_signature_store(docs, "doc_id", path)
+    dd.signature_store_build_pairs(docs, "doc_id", path, threshold=0.3)
+    assert dd.load_pair_cache(spark, path, threshold=0.5) is None
+    assert dd.load_pair_cache(spark, path, threshold=0.3, bands=8) is None
+    assert dd.load_pair_cache(spark, path, threshold=0.3) is not None
+
+
+def test_pair_cache_stale_after_delete_fold_compact_rebuild(spark, tmp_path):
+    """EVERY store mutation must drop the cache: tombstone appends and
+    streamed folds mutate dirs WITHOUT a manifest flip (only the content
+    fingerprint can see them), compaction rotates generations, and a
+    rebuild resets everything."""
+    docs = _sig_corpus(spark)
+    path = str(tmp_path / "store")
+    dd.build_signature_store(docs, "doc_id", path)
+    dd.signature_store_build_pairs(docs, "doc_id", path, threshold=0.3)
+    assert dd.load_pair_cache(spark, path, threshold=0.3) is not None
+
+    # 1. delete (tombstone append, no manifest flip)
+    dd.signature_store_delete(
+        spark, path, spark.createDataFrame([(2,)], "doc_id long")
+    )
+    assert dd.load_pair_cache(spark, path, threshold=0.3) is None
+
+    # rebuild the cache over the tombstoned view, then 2. fold a batch
+    kept = docs.where("doc_id <> 2")
+    dd.signature_store_build_pairs(kept, "doc_id", path, threshold=0.3)
+    assert dd.load_pair_cache(spark, path, threshold=0.3) is not None
+    dd.minhash_signatures(
+        docs.where("doc_id = 2"), "doc_id"
+    ).write.mode("overwrite").parquet(f"{path}/sigs_folds/batch_id=0")
+    assert dd.load_pair_cache(spark, path, threshold=0.3) is None
+
+    # 3. compaction rotates the manifest's pairs reference away
+    dd.signature_store_build_pairs(docs, "doc_id", path, threshold=0.3)
+    dd.signature_store_compact(spark, path)
+    assert dd.load_pair_cache(spark, path, threshold=0.3) is None
+
+    # 4. rebuild wipes pair generations with everything else
+    dd.signature_store_build_pairs(docs, "doc_id", path, threshold=0.3)
+    dd.build_signature_store(docs, "doc_id", path)
+    assert dd.load_pair_cache(spark, path, threshold=0.3) is None
+    assert not any(
+        n == "pairs" or n.startswith("pairs_v") for n in os.listdir(path)
+    )
+
+
+def test_pair_cache_survives_store_copy(spark, tmp_path):
+    """The fingerprint is content-based (names+sizes, no mtimes): copying
+    a store byte-for-byte must keep its pair cache valid."""
+    import shutil
+
+    docs = _sig_corpus(spark)
+    path = str(tmp_path / "store")
+    dd.build_signature_store(docs, "doc_id", path)
+    dd.signature_store_build_pairs(docs, "doc_id", path, threshold=0.3)
+    copy = str(tmp_path / "copy")
+    shutil.copytree(path, copy)
+    cached = dd.load_pair_cache(spark, copy, threshold=0.3)
+    assert cached is not None and cached.count() > 0
+
+
+# ---------------------------------------------------------------------------
+# gc_store grace period + compact concurrent-writer guard (round 8)
+# ---------------------------------------------------------------------------
+
+
+def test_gc_grace_period_spares_fresh_generations(spark, tmp_path):
+    """A fully-written-but-not-yet-flipped generation (an in-flight add)
+    must survive gc_store under the default grace period, so the
+    subsequent manifest flip never publishes a deleted directory."""
+    from window_aggregation_spark.operators.search import text_index_gc
+
+    docs = _corpus(spark)
+    path = str(tmp_path / "ix")
+    build_text_index(docs, path, n_buckets=4)
+    text_index_delete(spark, path, _ids(spark, "d1"))
+    text_index_compact(spark, path)  # superseded dirs linger (no sweep)
+    # a just-staged, unreferenced generation = mid-publish state
+    os.makedirs(f"{path}/postings_v9")
+    open(f"{path}/postings_v9/part-0", "w").write("x")
+    removed = text_index_gc(path)  # default grace: everything is fresh
+    assert removed == {}
+    assert os.path.exists(f"{path}/postings_v9")
+    # age the staged generation artificially -> now collectable
+    old = 1_000_000_000
+    os.utime(f"{path}/postings_v9", (old, old))
+    os.utime(f"{path}/postings_v9/part-0", (old, old))
+    for name in os.listdir(path):
+        full = os.path.join(path, name)
+        if os.path.isdir(full):
+            for root, _, files in os.walk(full):
+                os.utime(root, (old, old))
+                for fn in files:
+                    os.utime(os.path.join(root, fn), (old, old))
+    removed = text_index_gc(path)
+    assert "postings" in removed and "postings_v9" in removed["postings"]
+
+
+def test_compact_raises_on_concurrent_manifest_flip(spark, tmp_path):
+    """The expected= guard on ALL compact paths: a writer that flips the
+    manifest between a compact's read and its publish must make the
+    compact raise, not silently erase the other writer's generation."""
+    docs = _sig_corpus(spark)
+    path = str(tmp_path / "store")
+    dd.build_signature_store(docs, "doc_id", path)
+    dd.signature_store_delete(
+        spark, path, spark.createDataFrame([(2,)], "doc_id long")
+    )
+    real_write = sm.write_manifest
+    calls = {}
+
+    def hijack(p, mapping, expected=None):
+        # simulate the concurrent writer ONCE, just before the flip
+        if not calls:
+            calls["x"] = 1
+            real_write(p, {**sm.read_manifest(p, {}), "intruder": "g1"})
+        return real_write(p, mapping, expected=expected)
+
+    # dedup re-imports the module object per call, so patching the module
+    # attribute is seen by the compact path
+    sm_patched = pytest.MonkeyPatch()
+    sm_patched.setattr(sm, "write_manifest", hijack)
+    try:
+        with pytest.raises(RuntimeError, match="another.*writer|changed"):
+            dd.signature_store_compact(spark, path)
+    finally:
+        sm_patched.undo()

@@ -195,6 +195,10 @@ _SIG_COMPONENTS = {
     "sigs": "sigs",
     "tombstones": "tombstones",
     "folds": "sigs_folds",
+    # optional derived artifact: the VERIFIED near-dup pair list (see
+    # signature_store_build_pairs) — tiny (8k pairs / 50k docs measured),
+    # lets the CC family skip LSH + exact-verify entirely
+    "pairs": "pairs",
 }
 
 
@@ -393,24 +397,151 @@ def signature_store_compact(
     merged = load_signature_store(spark, path).sigs
     new = {
         c: sm.next_version(path, _SIG_COMPONENTS[c], m[c])
-        for c in ("sigs", "tombstones", "folds")
+        # "pairs" is rotated to a fresh (not-yet-existing, reads as
+        # absent) dir too: the pair cache was derived from the
+        # pre-compaction generation and its fingerprint would fail
+        # anyway — dropping the reference lets GC reclaim it
+        for c in ("sigs", "tombstones", "folds", "pairs")
     }
     merged.write.parquet(f"{path}/{new['sigs']}")
-    sm.write_manifest(path, {**m, **new})
+    # expected=m: a compact racing a concurrent writer must raise, not
+    # silently erase the generation that writer just published (the
+    # read-modify-write lost update gc_store would then collect)
+    mapping = {**m, **new}
+    mapping.pop("pairs_meta", None)
+    sm.write_manifest(path, mapping, expected=m)
     if sweep:
-        for c in ("sigs", "tombstones", "folds"):
+        for c in ("sigs", "tombstones", "folds", "pairs"):
             sm.sweep_stale(path, _SIG_COMPONENTS[c], new[c])
     return load_signature_store(spark, path)
 
 
 
-def signature_store_gc(path: str) -> dict:
+def signature_store_gc(path: str, *, grace_seconds: float = 900.0) -> dict:
     """Out-of-band reclaim of superseded signature-store generations —
     run from a quiet window (the same slot as compactions); see
-    ``sources/store_manifest.gc_store``."""
+    ``sources/store_manifest.gc_store`` (incl. the ``grace_seconds``
+    mid-publish guard)."""
     from window_aggregation_spark.sources import store_manifest as sm
 
-    return sm.gc_store(path, _SIG_COMPONENTS)
+    return sm.gc_store(path, _SIG_COMPONENTS, grace_seconds=grace_seconds)
+
+
+# LSH/verify parameters a pair cache is keyed by: pairs computed at one
+# parameterization are silently wrong for any other, so load re-checks
+# every one of these before serving the cache.
+_PAIR_PARAM_KEYS = ("threshold", "ngram", "num_hashes", "bands", "max_bucket_size")
+
+
+def signature_store_build_pairs(
+    df: DataFrame,
+    id_col: str,
+    path: str,
+    text_col: str = "text",
+    *,
+    threshold: float,
+    ngram: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    max_bucket_size: int | None = 10_000,
+) -> DataFrame:
+    """Persist the VERIFIED near-dup pair list ``(id_a, id_b, jaccard)``
+    as an optional component of the signature store at ``path``.
+
+    The signature store already shares the dominant shingle+hash pass;
+    what the CC family re-pays per run is LSH banding + the exact-Jaccard
+    verify (~2.3 s of dedup_minhash_cc_stored's 3.3 s at sf0.1, per the
+    r7 bench deltas). The verified pair set is TINY — 8,078 pairs for
+    50k docs measured — so persisting it costs almost nothing and lets
+    ``minhash_components(pairs=...)`` run ONLY the connected-components
+    loop.
+
+    Staleness: the pairs are derived state. The manifest entry records a
+    content fingerprint (``store_manifest.state_fingerprint``) of the
+    sigs/tombstones/folds directories it was computed from; ANY change —
+    a tombstone append (no manifest flip!), a streamed fold partition, a
+    compaction, a rebuild — changes that fingerprint and
+    :func:`load_pair_cache` refuses the cache. Compaction additionally
+    rotates the manifest's ``pairs`` reference to a fresh dir so GC
+    reclaims the stale cache. Published like every other generation:
+    fully written, then one atomic manifest flip (expected-guarded)."""
+    from window_aggregation_spark.sources import store_manifest as sm
+
+    spark = df.sparkSession
+    m = sm.read_manifest(path, _SIG_COMPONENTS)
+    store = load_signature_store(spark, path)
+    pairs = minhash_dedup_pairs(
+        df, id_col, text_col,
+        ngram=ngram, num_hashes=num_hashes, bands=bands,
+        threshold=threshold, max_bucket_size=max_bucket_size,
+        signatures=store,
+    )
+    fp = sm.state_fingerprint(
+        path, [m[c] for c in ("sigs", "tombstones", "folds")]
+    )
+    new_dir = sm.next_version(path, _SIG_COMPONENTS["pairs"], m["pairs"])
+    pairs.write.parquet(f"{path}/{new_dir}")
+    meta = {
+        "threshold": float(threshold),
+        "ngram": int(ngram),
+        "num_hashes": int(num_hashes),
+        "bands": int(bands),
+        "max_bucket_size": None if max_bucket_size is None else int(max_bucket_size),
+        "fingerprint": fp,
+    }
+    import json as _json
+
+    sm.write_manifest(
+        path, {**m, "pairs": new_dir, "pairs_meta": _json.dumps(meta)},
+        expected=m,
+    )
+    return spark.read.parquet(f"{path}/{new_dir}")
+
+
+def load_pair_cache(
+    spark,
+    path: str,
+    *,
+    threshold: float,
+    ngram: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    max_bucket_size: int | None = 10_000,
+) -> DataFrame | None:
+    """The persisted verified-pair list for the store at ``path``, or
+    ``None`` when it is absent, was built at different LSH/verify
+    parameters, or is STALE (the sigs/tombstones/folds content
+    fingerprint no longer matches the one recorded at build time — see
+    :func:`signature_store_build_pairs`). ``None`` means "recompute",
+    never "serve something close"."""
+    import json as _json
+
+    from window_aggregation_spark.sources import store_manifest as sm
+
+    m = sm.read_manifest(path, _SIG_COMPONENTS)
+    raw = m.get("pairs_meta")
+    if not raw:
+        return None
+    meta = _json.loads(raw)
+    want = {
+        "threshold": float(threshold),
+        "ngram": int(ngram),
+        "num_hashes": int(num_hashes),
+        "bands": int(bands),
+        "max_bucket_size": None if max_bucket_size is None else int(max_bucket_size),
+    }
+    if {k: meta.get(k) for k in _PAIR_PARAM_KEYS} != want:
+        return None
+    fp = sm.state_fingerprint(
+        path, [m[c] for c in ("sigs", "tombstones", "folds")]
+    )
+    if fp != meta.get("fingerprint"):
+        return None
+    pair_dir = f"{path}/{m['pairs']}"
+    if not sm.dir_exists(spark, pair_dir):
+        return None
+    return spark.read.parquet(pair_dir)
+
 
 def jaccard(a: Column, b: Column) -> Column:
     """Exact Jaccard similarity of two distinct-element arrays."""
@@ -587,7 +718,7 @@ def minhash_dedup(
 
 def minhash_components(
     df: DataFrame, id_col: str, text_col: str = "text",
-    cc_stats: dict | None = None, **kwargs
+    cc_stats: dict | None = None, pairs: DataFrame | None = None, **kwargs
 ) -> DataFrame:
     """Duplicate-cluster label per row: ``(id_col, component)`` where
     ``component`` is the smallest id transitively reachable through the
@@ -598,10 +729,17 @@ def minhash_components(
     joins) over the LSH pair set, so a chain a~b~c collapses into ONE
     cluster even when a!~c directly. ``cc_stats`` (optional dict) receives
     the CC loop's observability numbers — input pair count, convergence
-    rounds — for bench.py's cc_scale_probe."""
+    rounds — for bench.py's cc_scale_probe.
+
+    ``pairs``: a precomputed verified pair DataFrame ``(id_a, id_b, ...)``
+    — typically :func:`load_pair_cache` — skips LSH + exact-verify
+    entirely and runs only the CC loop. The caller owns parameter
+    consistency (``load_pair_cache`` enforces it for persisted caches);
+    the remaining kwargs are ignored when ``pairs`` is given."""
     from window_aggregation_spark.operators.graph import connected_components
 
-    pairs = minhash_dedup_pairs(df, id_col, text_col, **kwargs)
+    if pairs is None:
+        pairs = minhash_dedup_pairs(df, id_col, text_col, **kwargs)
     comp = connected_components(pairs, stats=cc_stats).withColumnRenamed(
         "node", id_col
     )

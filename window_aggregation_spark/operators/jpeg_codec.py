@@ -505,29 +505,34 @@ def _decode_scan(data, pos, frame, scan, quant, huff, restart_interval):
             for v in range(vs):
                 for u in range(hs):
                     zz = np.zeros(64, dtype=np.int64)
+                    # the WHOLE per-block entropy decode converts a
+                    # mid-block restart marker to the documented
+                    # ValueError — an AC-coefficient hit (truncated /
+                    # corrupt scan) must not leak the private
+                    # _RestartMarker to callers
                     try:
                         s = _huff_decode(reader, dct_tbl)
                         diff = _extend(reader.bits(s), s) if s else 0
+                        dc_pred[ci] += diff
+                        zz[0] = dc_pred[ci]
+                        k = 1
+                        while k < 64:
+                            rs = _huff_decode(reader, act_tbl)
+                            r, s = rs >> 4, rs & 0xF
+                            if s == 0:
+                                if r == 15:
+                                    k += 16
+                                    continue
+                                break  # EOB
+                            k += r
+                            if k > 63:
+                                raise ValueError("AC run past block end")
+                            zz[k] = _extend(reader.bits(s), s)
+                            k += 1
                     except _RestartMarker:
                         raise ValueError(
                             "restart marker inside MCU (corrupt scan)"
                         ) from None
-                    dc_pred[ci] += diff
-                    zz[0] = dc_pred[ci]
-                    k = 1
-                    while k < 64:
-                        rs = _huff_decode(reader, act_tbl)
-                        r, s = rs >> 4, rs & 0xF
-                        if s == 0:
-                            if r == 15:
-                                k += 16
-                                continue
-                            break  # EOB
-                        k += r
-                        if k > 63:
-                            raise ValueError("AC run past block end")
-                        zz[k] = _extend(reader.bits(s), s)
-                        k += 1
                     blk = np.zeros(64, dtype=np.float64)
                     blk[ZIGZAG] = zz * quant[tq].reshape(64)[ZIGZAG]
                     spat = idct @ blk.reshape(8, 8) @ _DCT + 128.0

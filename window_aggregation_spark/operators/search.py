@@ -633,10 +633,17 @@ def text_index_delete(spark, path: str, ids: DataFrame) -> TextIndex:
     idx = load_text_index(spark, path)
     m = sm.read_manifest(path, _IDX_COMPONENTS)
     raw = spark.read.parquet(f"{path}/{m['stats']}").first()
+    # only the "sidecar was never written" shapes (missing path /
+    # no-schema empty dir, both AnalysisException) mean a pre-deletion
+    # store; anything else (FS hiccup, permissions, corrupt file) must
+    # propagate — misdiagnosing a transient failure as "rebuild the
+    # index" steers users toward a destructive full rebuild
+    from pyspark.errors import AnalysisException
+
     try:
         doclens = _read_dirs(spark, path, m['doclens'])
         n_lens = doclens.count()
-    except Exception:
+    except AnalysisException:
         n_lens = -1
     if n_lens != int(raw["n_docs"]):
         raise ValueError(
@@ -714,8 +721,11 @@ def text_index_compact(spark, path: str, *, sweep: bool = False) -> TextIndex:
     spark.createDataFrame(
         [(idx.n_docs, idx.sum_dl)], "n_docs bigint, sum_dl bigint"
     ).coalesce(1).write.parquet(f"{path}/{new['stats']}")
-    # tombstones reset by pointing at a not-yet-existing dir (reads as none)
-    sm.write_manifest(path, {**m, **new})
+    # tombstones reset by pointing at a not-yet-existing dir (reads as
+    # none). expected=m: a compact racing a concurrent add must raise,
+    # not silently drop the generation the add just published (the
+    # read-modify-write lost update gc_store would then collect)
+    sm.write_manifest(path, {**m, **new}, expected=m)
     if sweep:
         for c in ("postings", "doclens", "stats", "tombstones"):
             sm.sweep_stale(path, c, new[c])
@@ -723,11 +733,12 @@ def text_index_compact(spark, path: str, *, sweep: bool = False) -> TextIndex:
 
 
 
-def text_index_gc(path: str) -> dict:
+def text_index_gc(path: str, *, grace_seconds: float = 900.0) -> dict:
     """Out-of-band reclaim of superseded index generations (the
     ``sweep=False`` default keeps them for concurrent readers) — run
-    from a quiet window; see ``sources/store_manifest.gc_store``."""
-    return sm.gc_store(path, _IDX_COMPONENTS)
+    from a quiet window; see ``sources/store_manifest.gc_store`` (incl.
+    the ``grace_seconds`` mid-publish guard)."""
+    return sm.gc_store(path, _IDX_COMPONENTS, grace_seconds=grace_seconds)
 
 def load_text_index(spark, path: str) -> TextIndex:
     m = sm.read_manifest(path, _IDX_COMPONENTS)

@@ -715,7 +715,11 @@ def ivf_index_compact(spark, path: str, *, sweep: bool = False) -> IVFIndex:
         .write.partitionBy("list_id")
         .parquet(f"{path}/{new_lists}")
     )
-    sm.write_manifest(path, {**m, "lists": new_lists, "tombstones": new_tomb})
+    # expected=m: a compact racing a concurrent add must raise instead of
+    # silently erasing the add's just-published generation (lost update)
+    sm.write_manifest(
+        path, {**m, "lists": new_lists, "tombstones": new_tomb}, expected=m
+    )
     if sweep:
         sm.sweep_stale(path, "lists", new_lists)
         sm.sweep_stale(path, "tombstones", new_tomb)
@@ -723,10 +727,11 @@ def ivf_index_compact(spark, path: str, *, sweep: bool = False) -> IVFIndex:
 
 
 
-def ivf_index_gc(path: str) -> dict:
+def ivf_index_gc(path: str, *, grace_seconds: float = 900.0) -> dict:
     """Out-of-band reclaim of superseded IVF generations — run from a
-    quiet window; see ``sources/store_manifest.gc_store``."""
-    return sm.gc_store(path, _IVF_COMPONENTS)
+    quiet window; see ``sources/store_manifest.gc_store`` (incl. the
+    ``grace_seconds`` mid-publish guard)."""
+    return sm.gc_store(path, _IVF_COMPONENTS, grace_seconds=grace_seconds)
 
 def load_ivf_index(spark, path: str) -> IVFIndex:
     """Load a persisted IVF index. Only ``n_centroids`` rows reach the

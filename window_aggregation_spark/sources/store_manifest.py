@@ -143,6 +143,37 @@ def write_manifest(
         raise
 
 
+def state_fingerprint(path: str, dirs: list[str]) -> str:
+    """Content fingerprint of the given component directories under
+    ``path`` — md5 over each directory's sorted (relative path, size)
+    file listing, with an explicit marker for absent directories.
+
+    This is how DERIVED artifacts (e.g. the dedup pair cache) detect
+    that the state they were computed from has moved underneath them
+    WITHOUT a manifest flip: tombstone appends and streaming fold
+    partitions mutate their directories in place, so the manifest alone
+    cannot witness them. Every Spark write creates uniquely-named part
+    files (task/attempt ids in the name), so any append, overwrite or
+    compaction changes the listing. Sizes are included so a same-named
+    rewrite is still caught; mtimes are deliberately NOT (copying a
+    store byte-for-byte must keep caches valid)."""
+    import hashlib
+
+    h = hashlib.md5()
+    for d in sorted(dirs):
+        full = os.path.join(path, d)
+        if not os.path.isdir(full):
+            h.update(f"absent:{d}\x00".encode())
+            continue
+        for root, subdirs, files in os.walk(full):
+            subdirs.sort()
+            rel = os.path.relpath(root, full)
+            for name in sorted(files):
+                size = os.path.getsize(os.path.join(root, name))
+                h.update(f"{d}/{rel}/{name}:{size}\x00".encode())
+    return h.hexdigest()
+
+
 def split_dirs(value: str) -> list[str]:
     """A manifest component may reference SEVERAL directories (";"-joined)
     — the atomic-append encoding: each ``text_index_add`` publishes its
@@ -175,7 +206,26 @@ def next_version(path: str, component: str, current: str) -> str:
             return cand
 
 
-def gc_store(path: str, components: dict[str, str]) -> dict[str, list[str]]:
+def _newest_mtime(path: str) -> float:
+    """Most recent modification time anywhere under ``path`` (the dir
+    itself included) — 'how recently was this generation written'."""
+    newest = os.path.getmtime(path)
+    for root, _, files in os.walk(path):
+        newest = max(newest, os.path.getmtime(root))
+        for name in files:
+            try:
+                newest = max(newest, os.path.getmtime(os.path.join(root, name)))
+            except OSError:
+                continue
+    return newest
+
+
+def gc_store(
+    path: str,
+    components: dict[str, str],
+    *,
+    grace_seconds: float = 900.0,
+) -> dict[str, list[str]]:
     """Out-of-band garbage collection: delete every generation directory
     NOT referenced by the current manifest. This is the reclaim step the
     writers deliberately skip (``sweep=False`` default keeps superseded
@@ -186,8 +236,20 @@ def gc_store(path: str, components: dict[str, str]) -> dict[str, list[str]]:
     Returns ``{component: [removed dirs]}`` for logging. Refuses
     URI-scheme paths like every other manifest operation. Idempotent and
     safe to run on a store with no manifest (nothing is unreferenced
-    then: the legacy names ARE the current generation)."""
+    then: the legacy names ARE the current generation).
+
+    ``grace_seconds`` (default 15 min) skips any directory written more
+    recently than that: an in-flight add/compact builds its generation
+    FULLY before the manifest flip, so for that window the directory is
+    unreferenced-but-about-to-be-published — collecting it would make the
+    subsequent flip publish a deleted directory. The grace period turns
+    the documented quiet-window requirement into an enforced bound (no
+    single writer stages a generation for 15 minutes without flipping;
+    raise it if yours does). Pass 0 to restore the unguarded behavior."""
+    import time as _time
+
     require_posix_path(path, "store")
+    cutoff = _time.time() - float(grace_seconds)
     current = read_manifest(path, components)
     removed: dict[str, list[str]] = {}
     if not os.path.isdir(path):
@@ -215,7 +277,10 @@ def gc_store(path: str, components: dict[str, str]) -> dict[str, list[str]]:
                     for b in other_bases
                 ):
                     continue
-                shutil.rmtree(os.path.join(path, name), ignore_errors=True)
+                full = os.path.join(path, name)
+                if grace_seconds > 0 and _newest_mtime(full) > cutoff:
+                    continue  # possibly mid-publish; see grace_seconds
+                shutil.rmtree(full, ignore_errors=True)
                 gone.append(name)
         if gone:
             removed[key] = sorted(gone)
