@@ -208,8 +208,28 @@ def test_manifest_roundtrip_and_scheme_guard(tmp_path):
     }
     os.makedirs(f"{path}/a_v4")  # crashed, never-published generation
     assert sm.next_version(path, "a", "a_v3") == "a_v5"
-    with pytest.raises(ValueError, match="POSIX"):
-        sm.write_manifest("s3://bucket/ix", {})
+    # round 8: scheme:// paths DISPATCH (Hadoop connector / numbered
+    # protocol) instead of being rejected; without an active session to
+    # reach the connector, the guard raises the actionable error
+    mp = pytest.MonkeyPatch()
+    try:
+        from pyspark.sql import SparkSession
+
+        mp.setattr(
+            SparkSession, "getActiveSession", classmethod(lambda cls: None)
+        )
+        with pytest.raises(RuntimeError, match="URI scheme"):
+            sm.check_store_path("s3://bucket/ix")
+    finally:
+        mp.undo()
+    # plain paths resolve to the POSIX fast path; registered prefixes win
+    assert isinstance(sm._fs_for(path), sm.PosixFS)
+    shim = sm.RenamelessLocalFS()
+    sm.register_fs_prefix(path, shim)
+    try:
+        assert sm._fs_for(path) is shim
+    finally:
+        sm.unregister_fs_prefix(path)
 
 
 # ---------------------------------------------------------------------------

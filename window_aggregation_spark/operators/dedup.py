@@ -335,11 +335,11 @@ def signature_store_delete(spark, path: str, ids: DataFrame) -> SignatureStore:
     semantics make harmless (signatures are per-doc; there is no global
     statistic to corrupt). The effect is immediate and exactly equals a
     store rebuilt on the filtered corpus. Reclaim space with
-    :func:`signature_store_compact`. Needs a POSIX store path
-    (manifest protocol, ``sources/store_manifest.py``)."""
+    :func:`signature_store_compact`. Works on POSIX paths and object
+    stores alike (manifest protocol, ``sources/store_manifest.py``)."""
     from window_aggregation_spark.sources import store_manifest as sm
 
-    sm.require_posix_path(path, "signature store")
+    sm.check_store_path(path, "signature store")
     m = sm.read_manifest(path, _SIG_COMPONENTS)
     p = spark.read.parquet(f"{path}/params").first()
     id_c = p["id_col"]
@@ -385,7 +385,7 @@ def signature_store_compact(
     keeps them for out-of-band GC."""
     from window_aggregation_spark.sources import store_manifest as sm
 
-    sm.require_posix_path(path, "signature store")
+    sm.check_store_path(path, "signature store")
     m = sm.read_manifest(path, _SIG_COMPONENTS)
     have_folds = sm.dir_exists(spark, f"{path}/{m['folds']}")
     have_tombs = sm.dir_exists(spark, f"{path}/{m['tombstones']}")

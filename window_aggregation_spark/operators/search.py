@@ -552,14 +552,15 @@ def text_index_add(
 
     Ids are NOT deduplicated against existing postings (upstream
     ingestion filter's job); re-adding a document double-counts its tf
-    AND its stats row. The manifest flip needs a POSIX path
-    (local/shared FS) — see ``sources/store_manifest.py``.
+    AND its stats row. The manifest flip is atomic on POSIX paths
+    (rename) and on object stores (numbered whole-file generations) —
+    see ``sources/store_manifest.py``.
 
     ``sweep`` (default OFF) removes the superseded stats generation
     after the flip; leave it off when readers may hold the index open
     concurrently and GC out of band instead.
     """
-    sm.require_posix_path(path, "text index")
+    sm.check_store_path(path, "text index")
     idx = load_text_index(spark, path)
     m = sm.read_manifest(path, _IDX_COMPONENTS)
     idc = id_col or idx.id_col
@@ -629,7 +630,7 @@ def text_index_delete(spark, path: str, ids: DataFrame) -> TextIndex:
     Raises on stores built before the doclens sidecar existed (detected
     by doclens count ≠ raw N): deletion needs the exact per-doc lengths;
     rebuild the index once with this version first."""
-    sm.require_posix_path(path, "text index")
+    sm.check_store_path(path, "text index")
     idx = load_text_index(spark, path)
     m = sm.read_manifest(path, _IDX_COMPONENTS)
     raw = spark.read.parquet(f"{path}/{m['stats']}").first()
@@ -690,7 +691,7 @@ def text_index_compact(spark, path: str, *, sweep: bool = False) -> TextIndex:
     resolved the old manifest (or holds the old generation's DataFrames)
     would find its directories gone mid-job. Default keeps them; GC out
     of band when no readers are active."""
-    sm.require_posix_path(path, "text index")
+    sm.check_store_path(path, "text index")
     idx = load_text_index(spark, path)
     if idx.tombstones is None:
         return idx

@@ -681,7 +681,7 @@ def ivf_index_delete(spark, path: str, ids: DataFrame) -> IVFIndex:
     delete batch is harmless beyond duplicate tombstone rows; ids are
     still de-duplicated per batch to keep the set tidy. Reclaim space
     and drop the anti-join with :func:`ivf_index_compact`."""
-    sm.require_posix_path(path, "IVF index")
+    sm.check_store_path(path, "IVF index")
     _require_long_id(ids, ids.columns[0], "ivf_index_delete")
     m = sm.read_manifest(path, _IVF_COMPONENTS)
     ids.toDF("id").dropDuplicates().select(
@@ -702,7 +702,7 @@ def ivf_index_compact(spark, path: str, *, sweep: bool = False) -> IVFIndex:
     ``sweep`` (default OFF) deletes the superseded generation right
     after the flip — only safe with no concurrent readers; default keeps
     it for out-of-band GC."""
-    sm.require_posix_path(path, "IVF index")
+    sm.check_store_path(path, "IVF index")
     m = sm.read_manifest(path, _IVF_COMPONENTS)
     if not sm.dir_exists(spark, f"{path}/{m['tombstones']}"):
         return load_ivf_index(spark, path)
