@@ -237,9 +237,13 @@ def unregister_fs_prefix(prefix: str) -> None:
     _FS_PREFIXES[:] = [t for t in _FS_PREFIXES if t[0] != prefix]
 
 
-def _fs_for(path: str):
+def _fs_for(path: str, what: str = "store"):
     for prefix, fs in _FS_PREFIXES:
-        if path.startswith(prefix):
+        # path-separator boundary: a registered '/mnt/nfs' must not
+        # capture the sibling '/mnt/nfs-backup' and silently switch its
+        # manifest protocol
+        p = prefix.rstrip("/")
+        if path == p or path.startswith(f"{p}/"):
             return fs
     if _SCHEME_RE.match(path):
         from pyspark.sql import SparkSession
@@ -247,7 +251,7 @@ def _fs_for(path: str):
         spark = SparkSession.getActiveSession()
         if spark is None:
             raise RuntimeError(
-                f"store path {path!r} uses a URI scheme, which resolves "
+                f"{what} path {path!r} uses a URI scheme, which resolves "
                 "through Spark's Hadoop filesystem layer — no active "
                 "SparkSession found; create one first (the store's data "
                 "needs it anyway)"
@@ -261,7 +265,7 @@ def check_store_path(path: str, what: str = "store") -> None:
     paths always can (POSIX fast path); ``scheme://`` paths need an
     active SparkSession to reach the Hadoop connector (and then use the
     rename-less numbered-manifest protocol)."""
-    _fs_for(path)  # raises with the actionable message when unresolvable
+    _fs_for(path, what)  # raises with the actionable message when unresolvable
 
 
 def require_posix_path(path: str, what: str = "store") -> None:
@@ -308,9 +312,17 @@ def _current_manifest(fs, path: str) -> tuple[int, dict | None]:
     on a rename-less FS) is skipped — the previous complete generation
     keeps serving, which is the protocol's safety property."""
     for gen, name in _numbered_manifests(fs, path):
+        # broad catch, deliberately: besides torn JSON (ValueError) the
+        # read itself can fail — FileNotFound after a concurrent prune of
+        # a stale listing entry, a transient object-store read error —
+        # and those arrive as OSError on PosixFS but Py4JJavaError on
+        # HadoopFS. Skipping to the next-highest parseable generation is
+        # the protocol's safety property on every FS; a store that is
+        # wholly unreadable still fails loudly downstream when its
+        # component directories cannot be scanned.
         try:
             return gen, json.loads(fs.read_text(f"{path}/{name}"))
-        except (ValueError, OSError):
+        except Exception:
             continue
     legacy = f"{path}/{_LEGACY_MANIFEST}"
     if fs.exists(legacy):
@@ -381,6 +393,11 @@ def write_manifest(
     # prune: keep the newest _MANIFEST_KEEP numbered generations for
     # readers that listed a moment ago; best-effort, never the flip's
     # problem
+    # broad catch: the flip above already SUCCEEDED, and a prune failure
+    # (missing DeleteObject permission, transient errors — Py4JJavaError
+    # on HadoopFS, OSError on posix) must never surface as a failed
+    # write: the caller's documented remedy for a failed add is retry,
+    # and retrying a published add double-counts every document
     try:
         for old_gen, name in _numbered_manifests(fs, path)[_MANIFEST_KEEP:]:
             fs.delete(f"{path}/{name}")
@@ -389,7 +406,7 @@ def write_manifest(
         # resurfacing if the numbered history is ever manually wiped
         if fs.exists(f"{path}/{_LEGACY_MANIFEST}"):
             fs.delete(f"{path}/{_LEGACY_MANIFEST}")
-    except OSError:
+    except Exception:
         pass
 
 
@@ -484,13 +501,35 @@ def next_version(path: str, component: str, current: str) -> str:
             return cand
 
 
-def _newest_mtime(fs, path: str) -> float:
-    """Most recent modification time anywhere under ``path`` (the dir
-    itself included) — 'how recently was this generation written'."""
-    newest = fs.mtime(path)
+def _any_newer_than(fs, path: str, cutoff: float) -> bool:
+    """True if ``path`` (the dir itself or any file under it) was
+    modified after ``cutoff`` — early-exits on the first fresh entry, so
+    a fresh generation never pays a full listing."""
+    if fs.mtime(path) > cutoff:
+        return True
     for _, _, mt in fs.walk_files(path):
-        newest = max(newest, mt)
-    return newest
+        if mt > cutoff:
+            return True
+    return False
+
+
+def _fs_now(fs, path: str) -> float:
+    """The FILESYSTEM's notion of 'now', measured by stat-ing a probe
+    file written this instant — the grace-period cutoff must be computed
+    against the clock that stamps the generation mtimes (the NFS/object-
+    store server), not the driver's: with the driver's clock N minutes
+    ahead, ``time.time() - grace`` would classify a just-written
+    generation as old and collect it mid-publish. Falls back to the
+    driver clock if the probe cannot be written (read-only GC user)."""
+    probe = f"{path}/.gc-clock-probe-{os.getpid()}"
+    try:
+        fs.write_file_atomic(probe, "x")
+        try:
+            return fs.mtime(probe)
+        finally:
+            fs.delete(probe)
+    except Exception:
+        return time.time()
 
 
 def gc_store(
@@ -525,7 +564,12 @@ def gc_store(
     removed: dict[str, list[str]] = {}
     if not fs.isdir(path):
         return removed
-    cutoff = time.time() - float(grace_seconds)
+    # cutoff in the FILESYSTEM's clock, not the driver's (clock skew
+    # between driver and NFS/object-store server must not defeat the
+    # mid-publish guard)
+    cutoff = (
+        _fs_now(fs, path) - float(grace_seconds) if grace_seconds > 0 else 0.0
+    )
     for key, base in components.items():
         keep = set(split_dirs(current[key]))
         # never collect ANOTHER component that shares this component's
@@ -550,7 +594,7 @@ def gc_store(
                 ):
                     continue
                 full = f"{path}/{name}"
-                if grace_seconds > 0 and _newest_mtime(fs, full) > cutoff:
+                if grace_seconds > 0 and _any_newer_than(fs, full, cutoff):
                     continue  # possibly mid-publish; see grace_seconds
                 fs.delete(full)
                 gone.append(name)

@@ -1055,16 +1055,19 @@ def _duck_simhash_sql() -> str:
         """
 
 
-def fixture_store_path(sf_dir: str, prefix: str) -> str:
+def fixture_store_path(sf_dir: str, prefix: str, table: str = "documents") -> str:
     """/tmp path for a write-once per-fixture artifact, keyed by the
-    source parquet's identity (mtime+size) so a regenerated fixture
-    invalidates the cache. md5, NOT hash(): Python's str hash is
-    per-process randomized — a hash() tag would never hit across runs
-    and /tmp would accumulate one store per process."""
+    SOURCE parquet's identity (mtime+size) so a regenerated fixture
+    invalidates the cache — pass ``table`` naming the table the artifact
+    is actually derived from (an events-derived stage keyed off
+    documents would serve stale data when only events regenerates).
+    md5, NOT hash(): Python's str hash is per-process randomized — a
+    hash() tag would never hit across runs and /tmp would accumulate one
+    store per process."""
     import hashlib
     import os
 
-    src = os.path.join(sf_dir, "documents.parquet")
+    src = os.path.join(sf_dir, f"{table}.parquet")
     st = os.stat(src)
     tag = hashlib.md5(
         f"{sf_dir}|{st.st_mtime_ns}|{st.st_size}".encode()
@@ -2152,14 +2155,15 @@ def _register_multimodal_streaming() -> None:
         streamed result is hash-checked against the very same batch-join
         oracle SQL object as stream_interval_join."""
         import os
-        import uuid
 
         from window_aggregation_spark.streaming.interval_join import (
             interval_join,
         )
         from pyspark.sql.functions import unix_micros
 
-        stage = fixture_store_path(sf_dir, "ij_stream")
+        # keyed by the EVENTS table's identity (the data this stage is
+        # derived from), not the default documents key
+        stage = fixture_store_path(sf_dir, "ij_stream", table="events")
         if not os.path.exists(f"{stage}/_READY"):
             events = read_table(spark, sf_dir, "events")
             lo, hi = events.agg(
@@ -2180,7 +2184,12 @@ def _register_multimodal_streaming() -> None:
             base = _time.time()
             for i, cond in enumerate(quarters):
                 d = f"{stage}/q{i}"
-                events.where(cond).coalesce(1).write.parquet(d)
+                # overwrite: a staging run killed before _READY must be
+                # repairable by simply re-running, not brick the query
+                # with 'path already exists'
+                events.where(cond).coalesce(1).write.mode(
+                    "overwrite"
+                ).parquet(d)
                 # explicit ascending mtimes: FileStreamSource orders by
                 # modification time, and sub-second write spacing could
                 # otherwise tie — a scrambled quarter order would put
@@ -2223,7 +2232,11 @@ def _register_multimodal_streaming() -> None:
         out = joined.select(
             "p_id", "user_id", "e_id", F.round(delay, 4).alias("delay_s")
         )
-        name = f"ij_ss_{uuid.uuid4().hex[:12]}"
+        # fixed sink name, previous run's table dropped: a uuid-per-call
+        # name would pin one full result table in memory per invocation
+        # for the session's lifetime (gate + bench loops re-run queries)
+        name = "ij_ss_result"
+        spark.catalog.dropTempView(name)
         # The state-store partition count is frozen per checkpoint at
         # query start = spark.sql.shuffle.partitions; at 200 (a plain
         # session's default) each micro-batch loads/commits 2x200 state
