@@ -659,3 +659,39 @@ def test_signature_store_backed_incremental_equals_recompute(
         dd.minhash_dedup_against(
             new, corpus, "doc_id", num_hashes=32, corpus_signatures=store
         )
+
+
+def test_repetition_signals_hand_values(spark):
+    """Gopher repetition metrics against hand-computed values, incl. the
+    short-doc totality edge cases (0/1/2-token docs keep rows; a 2-token
+    doc has a bigram but no trigram -> dup frac NULL)."""
+    from window_aggregation_spark.operators.text import repetition_signals
+
+    rows = [
+        # 6 tokens: bigrams [ab,ba,ab,ba,ab] -> top 'a b' 3/5;
+        # trigrams [aba,bab,aba,bab] -> all duplicated -> 4/4
+        (1, "a b a b a b"),
+        # 4 distinct tokens: no repeated bigram (1/3), no dup trigram (0/2)
+        (2, "w x y z"),
+        (3, "only"),       # 1 token: no grams at all -> NULL, NULL
+        (4, ""),           # 0 tokens
+        (5, "two tokens"),  # bigram family only: top 1/1, dup NULL
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: (
+            r.n_tokens,
+            r.top_ngram_frac and round(r.top_ngram_frac, 6),
+            r.dup_ngram_frac if r.dup_ngram_frac is None
+            else round(r.dup_ngram_frac, 6),
+            r.repetitive,
+        )
+        for r in repetition_signals(df).collect()
+    }
+    assert got == {
+        1: (6, round(3 / 5, 6), 1.0, True),
+        2: (4, round(1 / 3, 6), 0.0, True),  # 1/3 > 0.20 top threshold
+        3: (1, None, None, False),
+        4: (0, None, None, False),
+        5: (2, 1.0, None, True),
+    }

@@ -292,3 +292,182 @@ def quality_model_score_oracle_expr(text_col: str = "text") -> str:
         f"+ {w['stopword_ratio']!r} * {stop_ratio}, 6)"
     )
     return f"round(1.0 / (1.0 + exp(-({logit}))), 6)"
+
+
+def repetition_signals(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    top_n: int = 2,
+    dup_n: int = 3,
+    top_frac_max: float = 0.20,
+    dup_frac_max: float = 0.50,
+) -> DataFrame:
+    """Per-document repetition quality signals — the Gopher-rules family
+    (Rae et al. 2021, "Scaling Language Models", public): heavily
+    repetitive documents (templates, keyword stuffing, decode loops) are
+    the classic pre-training poison that length/stopword heuristics miss.
+
+    Returns ``(id_col, n_tokens, top_ngram_frac, dup_ngram_frac,
+    repetitive)``:
+
+    - ``top_ngram_frac`` — share of all ``top_n``-grams occupied by the
+      single most frequent one (Gopher's "top n-gram character fraction",
+      token-count flavored so the whole metric is integer-exact until one
+      final division);
+    - ``dup_ngram_frac`` — fraction of ``dup_n``-gram occurrences whose
+      gram appears more than once in the document (Gopher's "duplicate
+      n-gram fraction");
+    - ``repetitive`` — the filter verdict at the given thresholds
+      (Gopher uses 0.20 for top-2-grams and a per-n table for
+      duplicates). NULL fractions (too few tokens to form a single
+      n-gram) are not repetitive.
+
+    Fractions are UNROUNDED: each is one IEEE division of two exact
+    longs, bit-equal in every engine — rounding is where engines
+    disagree, not division.
+
+    Scale shape: explode n-grams off a single scan (pure codegen
+    projections), ONE map-side-combined shuffle on ``(id, gram)``, then
+    a per-doc aggregate that reuses the same hash partitioning
+    (``HashPartitioning(id, gram)`` satisfies the ``(id)`` clustering,
+    so the second aggregate is shuffle-free). No data ever leaves the
+    executors except the per-doc result rows.
+    """
+    toks = tokens(F.col(text_col))
+
+    def grams(n: int) -> Column:
+        # windows i = 1 .. size-(n-1), each joined with single spaces —
+        # mirrors the DuckDB list_transform in the oracle exactly.
+        # Guarded: F.sequence(1, 0) yields a DESCENDING [1, 0] (not
+        # empty!), which would fabricate windows for too-short docs
+        windows = F.transform(
+            F.sequence(F.lit(1), F.size(toks) - F.lit(n - 1)),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(toks, i + F.lit(j)) for j in range(n)]
+            ),
+        )
+        return F.when(F.size(toks) >= n, windows).otherwise(
+            F.expr("CAST(array() AS array<string>)")
+        )
+
+    base = df.select(
+        F.col(id_col),
+        F.size(toks).alias("n_tokens"),
+        grams(top_n).alias("__tg"),
+        grams(dup_n).alias("__dg"),
+    )
+    # one exploded stream for both metrics: tag each gram with its family
+    # so a single (id, family, gram) aggregation serves top- and dup-
+    # counts off one shuffle
+    ex = base.select(
+        id_col,
+        "n_tokens",
+        F.explode(
+            F.concat(
+                F.transform(F.col("__tg"), lambda g: F.struct(
+                    F.lit("t").alias("fam"), g.alias("g"))),
+                F.transform(F.col("__dg"), lambda g: F.struct(
+                    F.lit("d").alias("fam"), g.alias("g"))),
+            )
+        ).alias("fg"),
+    ).select(id_col, "n_tokens", F.col("fg.fam").alias("fam"),
+             F.col("fg.g").alias("g"))
+    counts = ex.groupBy(id_col, "fam", "g").agg(
+        F.count(F.lit(1)).alias("c"), F.first("n_tokens").alias("n_tokens")
+    )
+    per_doc = counts.groupBy(id_col).agg(
+        F.first("n_tokens").alias("n_tokens"),
+        F.max(F.when(F.col("fam") == "t", F.col("c"))).alias("__top_c"),
+        F.sum(F.when(F.col("fam") == "t", F.col("c"))).alias("__top_total"),
+        F.sum(
+            F.when((F.col("fam") == "d") & (F.col("c") >= 2), F.col("c"))
+        ).alias("__dup_c"),
+        F.sum(F.when(F.col("fam") == "d", F.col("c"))).alias("__dup_total"),
+    )
+    top_frac = F.try_divide(F.col("__top_c"), F.col("__top_total"))
+    dup_frac = F.try_divide(
+        F.coalesce(F.col("__dup_c"), F.lit(0)), F.col("__dup_total")
+    )
+    out = per_doc.select(
+        id_col,
+        "n_tokens",
+        top_frac.alias("top_ngram_frac"),
+        dup_frac.alias("dup_ngram_frac"),
+        (
+            F.coalesce(top_frac > F.lit(float(top_frac_max)), F.lit(False))
+            | F.coalesce(dup_frac > F.lit(float(dup_frac_max)), F.lit(False))
+        ).alias("repetitive"),
+    )
+    # docs too short to form even one n-gram of EITHER family produce no
+    # exploded rows at all: re-attach them with NULL fractions so the
+    # operator is total over its input
+    min_n = min(top_n, dup_n)
+    empties = df.where(F.size(toks) < min_n).select(
+        F.col(id_col),
+        F.size(toks).cast("int").alias("n_tokens"),
+        F.lit(None).cast("double").alias("top_ngram_frac"),
+        F.lit(None).cast("double").alias("dup_ngram_frac"),
+        F.lit(False).alias("repetitive"),
+    )
+    return out.unionByName(empties)
+
+
+def repetition_signals_oracle_sql(
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    top_n: int = 2,
+    dup_n: int = 3,
+    top_frac_max: float = 0.20,
+    dup_frac_max: float = 0.50,
+) -> str:
+    """DuckDB mirror of :func:`repetition_signals` (same tokenizer, same
+    windowing, same single-division fractions)."""
+    toks = f"regexp_extract_all(lower({text_col}), '{TOKEN_RE}')"
+
+    def grams(n: int) -> str:
+        parts = " || ' ' || ".join(f"toks[i+{j}]" for j in range(n))
+        return (
+            f"list_transform(generate_series(1, greatest(len(toks) - {n - 1},"
+            f" 0)), i -> {parts})"
+        )
+
+    return f"""
+        WITH t AS (
+          SELECT {id_col}, {toks} AS toks FROM {table}),
+        g AS (
+          SELECT {id_col}, len(toks) AS n_tokens,
+                 unnest({grams(top_n)}) AS gram, 't' AS fam FROM t
+          UNION ALL
+          SELECT {id_col}, len(toks), unnest({grams(dup_n)}), 'd' FROM t),
+        c AS (
+          SELECT {id_col}, fam, gram, count(*) AS c,
+                 any_value(n_tokens) AS n_tokens
+          FROM g GROUP BY 1, 2, 3),
+        p AS (
+          SELECT {id_col},
+                 any_value(n_tokens) AS n_tokens,
+                 max(CASE WHEN fam = 't' THEN c END) AS top_c,
+                 sum(CASE WHEN fam = 't' THEN c END) AS top_total,
+                 coalesce(sum(CASE WHEN fam = 'd' AND c >= 2 THEN c END), 0)
+                   AS dup_c,
+                 sum(CASE WHEN fam = 'd' THEN c END) AS dup_total
+          FROM c GROUP BY 1),
+        m AS (
+          SELECT {id_col}, CAST(n_tokens AS INT) AS n_tokens,
+                 CAST(top_c AS DOUBLE) / top_total AS top_ngram_frac,
+                 CAST(dup_c AS DOUBLE) / dup_total AS dup_ngram_frac
+          FROM p
+          UNION ALL
+          SELECT {id_col}, CAST(len({toks}) AS INT), NULL, NULL
+          FROM {table}
+          WHERE len({toks}) < {min(top_n, dup_n)})
+        SELECT {id_col}, n_tokens, top_ngram_frac, dup_ngram_frac,
+               coalesce(top_ngram_frac > {top_frac_max!r}, FALSE)
+                 OR coalesce(dup_ngram_frac > {dup_frac_max!r}, FALSE)
+                 AS repetitive
+        FROM m
+        """

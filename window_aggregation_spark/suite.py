@@ -650,6 +650,22 @@ def _register_text() -> None:
                                                            "source", "text")
         return tx.quality_model_score(df).drop("text")
 
+    @_register(
+        "text_repetition_gopher",
+        tx.repetition_signals_oracle_sql(),
+    )
+    def text_repetition_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Gopher-rules repetition filter signals (top-2-gram share +
+        duplicate-3-gram fraction, Rae et al. 2021): the pre-training
+        quality poison that length/stopword heuristics miss. One
+        exploded gram stream, ONE map-side-combined shuffle on
+        (doc, gram), per-doc aggregate reuses the partitioning;
+        fractions unrounded (single IEEE divisions of exact longs —
+        bit-equal cross-engine). Short docs keep NULL-fraction rows so
+        the operator is total (operators/text.py::repetition_signals)."""
+        docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+        return tx.repetition_signals(docs)
+
 
 _register_text()
 
