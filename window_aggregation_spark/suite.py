@@ -2110,9 +2110,7 @@ def _register_multimodal_streaming() -> None:
             "p_id", "user_id", "e_id", F.round(delay, 4).alias("delay_s")
         )
 
-    @_register(
-        "stream_interval_join_left",
-        """
+    _ij_left_oracle = """
         SELECT p.event_id AS p_id, p.user_id, e.event_id AS e_id,
                round(date_diff('microsecond', e.ts, p.ts) / 1000000.0, 4)
                  AS delay_s
@@ -2120,9 +2118,9 @@ def _register_multimodal_streaming() -> None:
         LEFT JOIN (SELECT * FROM events WHERE event_type = 'error') e
           ON p.user_id = e.user_id
          AND p.ts >= e.ts AND p.ts < e.ts + INTERVAL 30 MINUTE
-        """,
-        headline=True,
-    )
+        """
+
+    @_register("stream_interval_join_left", _ij_left_oracle, headline=True)
     def stream_interval_join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
         """Batch twin of the LEFT-outer stream-stream interval join:
         purchases keep a NULL-error row when no same-user error precedes
@@ -2156,30 +2154,36 @@ def _register_multimodal_streaming() -> None:
             "p_id", "user_id", "e_id", F.round(delay, 4).alias("delay_s")
         )
 
-    @_register("stream_interval_join_ss", _ij_inner_oracle)
-    def stream_interval_join_ss(spark: SparkSession, sf_dir: str) -> DataFrame:
-        """The stream-stream interval join EXECUTED BY THE STREAMING
-        ENGINE (VERDICT r7 #8) — not a batch twin: the events fixture is
-        staged once as four time-ranged files (explicit ascending mtimes,
-        so maxFilesPerTrigger=1 yields four micro-batches in event-time
-        order and the advancing watermark never drops in-order data),
-        both join sides read through ``readStream``, and the
-        watermark-bounded state join (2 h watermark + the 30-minute bound
-        in the join condition, which is what lets Spark EVICT join state
-        — see COVERAGE.md) runs to completion into a memory sink. Inner
-        join in append mode emits exactly the matched pairs, so the
-        streamed result is hash-checked against the very same batch-join
-        oracle SQL object as stream_interval_join."""
+    def _streamed_interval_join(
+        spark: SparkSession, sf_dir: str, *, how: str
+    ) -> DataFrame:
+        """Shared engine-executed runner for the two stream-stream gate
+        rows: stage the events fixture as four time-ranged files with
+        explicit ascending mtimes (maxFilesPerTrigger=1 then yields
+        micro-batches in event-time order, so the advancing watermark
+        never drops in-order data), run the watermark-bounded
+        stream-stream interval join to completion into a memory sink,
+        and return the sink table. ``how='left'`` additionally stages a
+        far-future sentinel event per SIDE as the final file — the
+        global watermark is the min over both sides' nodes, and
+        unmatched left rows are only emitted once the watermark proves
+        no match can still arrive; the sentinels (negative user ids)
+        are filtered from the result."""
         import os
+        import time as _time
 
         from window_aggregation_spark.streaming.interval_join import (
             interval_join,
         )
         from pyspark.sql.functions import unix_micros
 
+        sentinel = how == "left"
         # keyed by the EVENTS table's identity (the data this stage is
         # derived from), not the default documents key
-        stage = fixture_store_path(sf_dir, "ij_stream", table="events")
+        stage = fixture_store_path(
+            sf_dir, "ij_stream_left" if sentinel else "ij_stream",
+            table="events",
+        )
         if not os.path.exists(f"{stage}/_READY"):
             events = read_table(spark, sf_dir, "events")
             lo, hi = events.agg(
@@ -2195,9 +2199,18 @@ def _register_multimodal_streaming() -> None:
                 (us >= cuts[1]) & (us < cuts[2]),
                 us >= cuts[2],
             ]
-            import time as _time
-
             base = _time.time()
+
+            def _stamp(d: str, order: int) -> None:
+                # explicit ascending mtimes: FileStreamSource orders by
+                # modification time, and sub-second write spacing could
+                # otherwise tie — a scrambled quarter order would put
+                # whole quarters behind the watermark and drop them
+                for root, _, files in os.walk(d):
+                    for fn in files:
+                        fp = os.path.join(root, fn)
+                        os.utime(fp, (base + order * 10, base + order * 10))
+
             for i, cond in enumerate(quarters):
                 d = f"{stage}/q{i}"
                 # overwrite: a staging run killed before _READY must be
@@ -2206,14 +2219,38 @@ def _register_multimodal_streaming() -> None:
                 events.where(cond).coalesce(1).write.mode(
                     "overwrite"
                 ).parquet(d)
-                # explicit ascending mtimes: FileStreamSource orders by
-                # modification time, and sub-second write spacing could
-                # otherwise tie — a scrambled quarter order would put
-                # whole quarters behind the watermark and drop them
-                for root, _, files in os.walk(d):
-                    for fn in files:
-                        p = os.path.join(root, fn)
-                        os.utime(p, (base + i * 10, base + i * 10))
+                _stamp(d, i)
+            if sentinel:
+                # one far-future event per side, column types cloned from
+                # the events frame so the staged files stay schema-
+                # homogeneous (mixed TIMESTAMP/TIMESTAMP_NTZ parquet in
+                # one directory would poison the read)
+                rows = []
+                for eid, uid, et in (
+                    (10**12, -1, "purchase"), (10**12 + 1, -2, "error"),
+                ):
+                    cols = []
+                    for c, t in events.dtypes:
+                        if c == "event_id":
+                            cols.append(F.lit(eid).cast(t).alias(c))
+                        elif c == "ts":
+                            cols.append(
+                                F.to_timestamp(
+                                    F.lit("2100-01-01 00:00:00")
+                                ).cast(t).alias(c)
+                            )
+                        elif c == "user_id":
+                            cols.append(F.lit(uid).cast(t).alias(c))
+                        elif c == "event_type":
+                            cols.append(F.lit(et).cast(t).alias(c))
+                        else:
+                            cols.append(F.lit(None).cast(t).alias(c))
+                    rows.append(events.limit(1).select(*cols))
+                d = f"{stage}/q4_sentinel"
+                rows[0].unionByName(rows[1]).coalesce(1).write.mode(
+                    "overwrite"
+                ).parquet(d)
+                _stamp(d, 4)
             open(f"{stage}/_READY", "w").close()
         sch = (
             spark.read.option("recursiveFileLookup", "true")
@@ -2239,7 +2276,8 @@ def _register_multimodal_streaming() -> None:
             F.col("ts").cast("timestamp").alias("ts_r"),
         )
         joined = interval_join(
-            left, right, ["user_id"], "ts", "ts_r", upper="30 minutes"
+            left, right, ["user_id"], "ts", "ts_r",
+            upper="30 minutes", how=how,
         )
         delay = (
             unix_micros(F.col("ts").cast("timestamp"))
@@ -2248,10 +2286,18 @@ def _register_multimodal_streaming() -> None:
         out = joined.select(
             "p_id", "user_id", "e_id", F.round(delay, 4).alias("delay_s")
         )
+        # NOTE: the sentinel rows must NOT be filtered here — a
+        # `user_id >= 0` predicate on the streaming plan gets pushed
+        # down through the outer join into both source scans, so the
+        # sentinels would be dropped BEFORE the watermark nodes and the
+        # watermark would never advance past the fixture tail (exactly
+        # the held-back-rows failure the sentinels exist to prevent;
+        # observed: 8 tail purchases missing). They are filtered from
+        # the SINK TABLE after the stream completes instead.
         # fixed sink name, previous run's table dropped: a uuid-per-call
         # name would pin one full result table in memory per invocation
         # for the session's lifetime (gate + bench loops re-run queries)
-        name = "ij_ss_result"
+        name = f"ij_ss_{how}_result"
         spark.catalog.dropTempView(name)
         # The state-store partition count is frozen per checkpoint at
         # query start = spark.sql.shuffle.partitions; at 200 (a plain
@@ -2274,7 +2320,40 @@ def _register_multimodal_streaming() -> None:
                 q.stop()
         finally:
             spark.conf.set("spark.sql.shuffle.partitions", old_parts)
-        return spark.table(name)
+        res = spark.table(name)
+        if sentinel:
+            res = res.where(F.col("user_id") >= 0)
+        return res
+
+    @_register("stream_interval_join_ss", _ij_inner_oracle)
+    def stream_interval_join_ss(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """The stream-stream interval join EXECUTED BY THE STREAMING
+        ENGINE (VERDICT r7 #8) — not a batch twin: both join sides read
+        through ``readStream``, and the watermark-bounded state join
+        (2 h watermark + the 30-minute bound in the join condition,
+        which is what lets Spark EVICT join state — see COVERAGE.md)
+        runs to completion into a memory sink. Inner join in append mode
+        emits exactly the matched pairs, so the streamed result is
+        hash-checked against the very same batch-join oracle SQL object
+        as stream_interval_join."""
+        return _streamed_interval_join(spark, sf_dir, how="inner")
+
+    @_register("stream_interval_join_ss_left", _ij_left_oracle)
+    def stream_interval_join_ss_left(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        """The LEFT-outer stream-stream interval join executed by the
+        streaming engine: unmatched purchases must be emitted with NULL
+        error columns — but only once the watermark PROVES no error can
+        still arrive, which is the semantics that distinguishes a
+        correct streaming outer join from a batch one. A far-future
+        sentinel event per side (the global watermark is the min over
+        both sides' watermark nodes) flushes the watermark past the
+        fixture tail so every held-back row is emitted before the sink
+        is read; the sentinels never reach the result (negative user
+        ids, filtered). Hash-checked against the same batch LEFT-join
+        oracle SQL object as stream_interval_join_left."""
+        return _streamed_interval_join(spark, sf_dir, how="left")
 
 
 _register_multimodal_streaming()
