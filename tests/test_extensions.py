@@ -676,6 +676,7 @@ def test_repetition_signals_hand_values(spark):
         (3, "only"),       # 1 token: no grams at all -> NULL, NULL
         (4, ""),           # 0 tokens
         (5, "two tokens"),  # bigram family only: top 1/1, dup NULL
+        (6, None),          # NULL text == empty doc (totality guarantee)
     ]
     df = spark.createDataFrame(rows, "doc_id long, text string")
     got = {
@@ -694,4 +695,5 @@ def test_repetition_signals_hand_values(spark):
         3: (1, None, None, False),
         4: (0, None, None, False),
         5: (2, 1.0, None, True),
+        6: (0, None, None, False),
     }

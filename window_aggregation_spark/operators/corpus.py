@@ -397,7 +397,14 @@ def repetition_profile(
     Token counts are pure projections; the top-bigram count builds bigrams
     with slice+arrays_zip (codegen, no window shuffle), then two
     aggregations on (doc, bigram) and (doc). One row per input document
-    (zero-token docs report zeros)."""
+    (zero-token docs report zeros).
+
+    Related: :func:`..text.repetition_signals` is the FILTER-grade
+    variant of the same Gopher family — exact unrounded fractions,
+    duplicate-n-gram coverage, NULL (not 0.0) where the metric is
+    undefined, and a thresholded verdict column. This one feeds the
+    quality-model pipeline (rounded scalar features); keep the two
+    conventions distinct — both are pinned by their own oracles."""
     arr = tokens(F.col(text_col))
     base = df.select(F.col(id_col), arr.alias("__toks"))
     n_tok = F.size("__toks")

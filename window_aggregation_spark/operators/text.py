@@ -329,13 +329,30 @@ def repetition_signals(
     disagree, not division.
 
     Scale shape: explode n-grams off a single scan (pure codegen
-    projections), ONE map-side-combined shuffle on ``(id, gram)``, then
-    a per-doc aggregate that reuses the same hash partitioning
-    (``HashPartitioning(id, gram)`` satisfies the ``(id)`` clustering,
-    so the second aggregate is shuffle-free). No data ever leaves the
-    executors except the per-doc result rows.
+    projections), then TWO map-side-combined shuffles — ``(id, fam,
+    gram)`` counts, then the per-doc rollup on ``(id)``. Two shuffles
+    beat the one-shuffle ``repartition(id)``-first alternative at scale:
+    here every exchange carries partially-aggregated count rows, while
+    pre-partitioning by id would shuffle the RAW exploded gram stream
+    with no combine. (Note Spark's rule: HashPartitioning satisfies a
+    clustering only when its expressions are a SUBSET of the clustering
+    keys — ``(id, fam, gram)`` does not satisfy ``(id)``, so the second,
+    much smaller exchange is unavoidable in this shape.) No data ever
+    leaves the executors except the per-doc result rows.
+
+    Related: :func:`..corpus.repetition_profile` exposes the top-bigram
+    share as a ROUNDED scalar feature for the quality-model pipeline;
+    this operator is the FILTER-grade variant (exact unrounded
+    fractions, duplicate-gram coverage, NULL-not-zero for undefined) —
+    the conventions differ on purpose, both pinned by oracles.
+
+    NULL ``text_col`` values are treated as empty documents (0 tokens,
+    NULL fractions) so the operator stays total over its input on every
+    session config — without the coalesce, ANSI mode silently drops
+    NULL-text rows (``size(NULL)`` fails the short-doc re-attach filter)
+    and legacy mode emits ``n_tokens=-1``.
     """
-    toks = tokens(F.col(text_col))
+    toks = tokens(F.coalesce(F.col(text_col), F.lit("")))
 
     def grams(n: int) -> Column:
         # windows i = 1 .. size-(n-1), each joined with single spaces —
@@ -425,8 +442,9 @@ def repetition_signals_oracle_sql(
     dup_frac_max: float = 0.50,
 ) -> str:
     """DuckDB mirror of :func:`repetition_signals` (same tokenizer, same
-    windowing, same single-division fractions)."""
-    toks = f"regexp_extract_all(lower({text_col}), '{TOKEN_RE}')"
+    windowing, same single-division fractions, same NULL-text-as-empty
+    coalesce)."""
+    toks = f"regexp_extract_all(lower(coalesce({text_col}, '')), '{TOKEN_RE}')"
 
     def grams(n: int) -> str:
         parts = " || ' ' || ".join(f"toks[i+{j}]" for j in range(n))

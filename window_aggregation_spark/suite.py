@@ -658,11 +658,13 @@ def _register_text() -> None:
         """Gopher-rules repetition filter signals (top-2-gram share +
         duplicate-3-gram fraction, Rae et al. 2021): the pre-training
         quality poison that length/stopword heuristics miss. One
-        exploded gram stream, ONE map-side-combined shuffle on
-        (doc, gram), per-doc aggregate reuses the partitioning;
-        fractions unrounded (single IEEE divisions of exact longs —
-        bit-equal cross-engine). Short docs keep NULL-fraction rows so
-        the operator is total (operators/text.py::repetition_signals)."""
+        exploded gram stream, two map-side-combined shuffles (gram
+        counts, then the much smaller per-doc rollup — every exchange
+        carries pre-aggregated rows, never raw grams); fractions
+        unrounded (single IEEE divisions of exact longs — bit-equal
+        cross-engine). Short and NULL-text docs keep NULL-fraction rows
+        so the operator is total
+        (operators/text.py::repetition_signals)."""
         docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
         return tx.repetition_signals(docs)
 
@@ -2163,12 +2165,12 @@ def _register_multimodal_streaming() -> None:
         micro-batches in event-time order, so the advancing watermark
         never drops in-order data), run the watermark-bounded
         stream-stream interval join to completion into a memory sink,
-        and return the sink table. ``how='left'`` additionally stages a
-        far-future sentinel event per SIDE as the final file — the
-        global watermark is the min over both sides' nodes, and
-        unmatched left rows are only emitted once the watermark proves
-        no match can still arrive; the sentinels (negative user ids)
-        are filtered from the result."""
+        and return the sink table. A far-future sentinel event per SIDE
+        is staged as the final file — the global watermark is the min
+        over both sides' nodes, and the left variant's unmatched rows
+        are only emitted once the watermark proves no match can still
+        arrive; the sentinels (negative user ids) are filtered from the
+        sink table and provably never appear in the inner output."""
         import os
         import time as _time
 
@@ -2177,13 +2179,14 @@ def _register_multimodal_streaming() -> None:
         )
         from pyspark.sql.functions import unix_micros
 
-        sentinel = how == "left"
-        # keyed by the EVENTS table's identity (the data this stage is
-        # derived from), not the default documents key
-        stage = fixture_store_path(
-            sf_dir, "ij_stream_left" if sentinel else "ij_stream",
-            table="events",
-        )
+        # ONE sentinel-staged store serves both variants: the sentinels
+        # are provably invisible to the inner join (negative user ids
+        # match nothing; inner append emits only matches) and necessary
+        # for the left one, so staging the quarters twice would only
+        # waste /tmp space and a second multi-write staging job.
+        # Keyed by the EVENTS table's identity (the data this stage is
+        # derived from), not the default documents key.
+        stage = fixture_store_path(sf_dir, "ij_stream_ss", table="events")
         if not os.path.exists(f"{stage}/_READY"):
             events = read_table(spark, sf_dir, "events")
             lo, hi = events.agg(
@@ -2220,37 +2223,37 @@ def _register_multimodal_streaming() -> None:
                     "overwrite"
                 ).parquet(d)
                 _stamp(d, i)
-            if sentinel:
-                # one far-future event per side, column types cloned from
-                # the events frame so the staged files stay schema-
-                # homogeneous (mixed TIMESTAMP/TIMESTAMP_NTZ parquet in
-                # one directory would poison the read)
-                rows = []
-                for eid, uid, et in (
-                    (10**12, -1, "purchase"), (10**12 + 1, -2, "error"),
-                ):
-                    cols = []
-                    for c, t in events.dtypes:
-                        if c == "event_id":
-                            cols.append(F.lit(eid).cast(t).alias(c))
-                        elif c == "ts":
-                            cols.append(
-                                F.to_timestamp(
-                                    F.lit("2100-01-01 00:00:00")
-                                ).cast(t).alias(c)
-                            )
-                        elif c == "user_id":
-                            cols.append(F.lit(uid).cast(t).alias(c))
-                        elif c == "event_type":
-                            cols.append(F.lit(et).cast(t).alias(c))
-                        else:
-                            cols.append(F.lit(None).cast(t).alias(c))
-                    rows.append(events.limit(1).select(*cols))
-                d = f"{stage}/q4_sentinel"
-                rows[0].unionByName(rows[1]).coalesce(1).write.mode(
-                    "overwrite"
-                ).parquet(d)
-                _stamp(d, 4)
+            # one far-future SENTINEL event per side (staged for both
+            # variants; the inner join provably never emits them), column
+            # types cloned from the events frame so the staged files stay
+            # schema-homogeneous (mixed TIMESTAMP/TIMESTAMP_NTZ parquet
+            # in one directory would poison the read)
+            rows = []
+            for eid, uid, et in (
+                (10**12, -1, "purchase"), (10**12 + 1, -2, "error"),
+            ):
+                cols = []
+                for c, t in events.dtypes:
+                    if c == "event_id":
+                        cols.append(F.lit(eid).cast(t).alias(c))
+                    elif c == "ts":
+                        cols.append(
+                            F.to_timestamp(
+                                F.lit("2100-01-01 00:00:00")
+                            ).cast(t).alias(c)
+                        )
+                    elif c == "user_id":
+                        cols.append(F.lit(uid).cast(t).alias(c))
+                    elif c == "event_type":
+                        cols.append(F.lit(et).cast(t).alias(c))
+                    else:
+                        cols.append(F.lit(None).cast(t).alias(c))
+                rows.append(events.limit(1).select(*cols))
+            d = f"{stage}/q4_sentinel"
+            rows[0].unionByName(rows[1]).coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(d)
+            _stamp(d, 4)
             open(f"{stage}/_READY", "w").close()
         sch = (
             spark.read.option("recursiveFileLookup", "true")
@@ -2320,9 +2323,9 @@ def _register_multimodal_streaming() -> None:
                 q.stop()
         finally:
             spark.conf.set("spark.sql.shuffle.partitions", old_parts)
-        res = spark.table(name)
-        if sentinel:
-            res = res.where(F.col("user_id") >= 0)
+        # drop the sentinels from the SINK table (see the pushdown note
+        # above); a no-op for the inner variant, which never emits them
+        res = spark.table(name).where(F.col("user_id") >= 0)
         return res
 
     @_register("stream_interval_join_ss", _ij_inner_oracle)
