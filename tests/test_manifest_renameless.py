@@ -248,3 +248,71 @@ def test_signature_store_lifecycle_on_renameless_fs(spark, shim_dir, tmp_path):
         ).collect()
     )
     assert got == want
+
+
+@pytest.fixture
+def hadoop_dir(spark, tmp_path):
+    """A tmp directory whose manifest I/O runs through the REAL HadoopFS
+    implementation (py4j -> org.apache.hadoop.fs.FileSystem on the local
+    filesystem) — the exact code path scheme:// store paths take, minus
+    the network. Catches py4j signature/marshalling bugs the pure-Python
+    shim cannot."""
+    root = str(tmp_path / "hadoopstore")
+    os.makedirs(root)
+    sm.register_fs_prefix(root, sm.HadoopFS(spark))
+    try:
+        yield root
+    finally:
+        sm.unregister_fs_prefix(root)
+
+
+def test_hadoopfs_manifest_roundtrip_and_fingerprint(spark, hadoop_dir):
+    """write/read/expected-guard/prune + state_fingerprint through the
+    JVM Hadoop filesystem layer (rename-less, so numbered protocol)."""
+    path = f"{hadoop_dir}/s"
+    os.makedirs(path)
+    sm.write_manifest(path, {"a": "a_v1"})
+    assert _numbered(path) == [f"MANIFEST-{1:020d}"]
+    assert sm.read_manifest(path, {"a": "a", "b": "b"}) == {
+        "a": "a_v1", "b": "b",
+    }
+    snap = sm.read_manifest(path, {"a": "a"})
+    sm.write_manifest(path, {"a": "a_v2"}, expected=snap)
+    with pytest.raises(RuntimeError, match="another"):
+        sm.write_manifest(path, {"a": "a_v3"}, expected=snap)
+    for i in range(3, 3 + sm._MANIFEST_KEEP + 2):
+        sm.write_manifest(path, {"a": f"a_v{i}"})
+    assert len(_numbered(path)) == sm._MANIFEST_KEEP
+    # fingerprint through HadoopFS walk_files: content-sensitive,
+    # mtime-insensitive
+    os.makedirs(f"{path}/a_v1")
+    with open(f"{path}/a_v1/part-0", "w") as f:
+        f.write("xx")
+    fp1 = sm.state_fingerprint(path, ["a_v1", "missing"])
+    os.utime(f"{path}/a_v1/part-0", (1_000_000_000, 1_000_000_000))
+    assert sm.state_fingerprint(path, ["a_v1", "missing"]) == fp1
+    with open(f"{path}/a_v1/part-1", "w") as f:
+        f.write("y")
+    assert sm.state_fingerprint(path, ["a_v1", "missing"]) != fp1
+    # next_version skips staged dirs; gc (grace=0) collects unreferenced
+    assert sm.next_version(path, "a", "a_v1") == "a_v2"
+    removed = sm.gc_store(path, {"a": "a"}, grace_seconds=0)
+    assert removed == {"a": ["a_v1"]}
+
+
+def test_hadoopfs_text_index_lifecycle(spark, hadoop_dir, tmp_path):
+    """Full build -> add -> delete -> compact through HadoopFS: every
+    step equals the from-scratch rebuild, numbered manifests only."""
+    docs = _corpus(spark)
+    path = f"{hadoop_dir}/ix"
+    build_text_index(docs.where("doc_id <= 'd4'"), path, n_buckets=4)
+    text_index_add(spark, path, docs.where("doc_id > 'd4'"))
+    text_index_delete(spark, path, _ids(spark, "d1"))
+    idx = text_index_compact(spark, path)
+    assert _numbered(path) and not os.path.exists(f"{path}/MANIFEST")
+    want = build_text_index(
+        docs.where("doc_id <> 'd1'"), str(tmp_path / "rb"), n_buckets=4
+    )
+    assert (idx.n_docs, idx.sum_dl) == (want.n_docs, want.sum_dl)
+    for q in QUERIES:
+        assert _scores(idx, q) == _scores(want, q)
