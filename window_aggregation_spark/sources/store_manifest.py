@@ -36,6 +36,16 @@ same JVM connectors Spark already uses for the parquet data, so s3a/gcs/
 hdfs credentials and semantics come for free). Tests — and deployments
 that want to force the rename-less protocol on a shared mount — can
 register an override for a path prefix with :func:`register_fs_prefix`.
+
+Known limit (single-writer contract, stated honestly): the numbered
+protocol cannot FENCE two writers that race to PUT the same generation
+number — last PUT wins, and the ``expected=`` guard only narrows the
+window (it re-reads just before publishing). Closing it fully needs a
+conditional PUT (S3 ``If-None-Match``, GCS ``ifGenerationMatch``), which
+the Hadoop FileSystem API does not expose; deployments that cannot
+guarantee one maintenance writer should serialize writers externally
+(a scheduler lock, a lease object). Readers are safe either way — they
+only ever see whole generations.
 """
 
 from __future__ import annotations
