@@ -413,3 +413,43 @@ class TestGroupedDiscretePercentiles:
             grouped_discrete_percentiles(df, ["g"], "v", [])
         with pytest.raises(ValueError, match="outside"):
             grouped_discrete_percentiles(df, ["g"], "v", [1.5])
+
+
+def test_grouping_sets_aggregate(spark):
+    from pyspark.sql import functions as F
+
+    from window_aggregation_spark.operators.relational import (
+        grouping_sets_aggregate,
+    )
+
+    df = spark.createDataFrame(
+        [("a", "x", 1.0), ("a", "y", 2.0), ("b", "x", 4.0), (None, "y", 8.0)],
+        "k1 string, k2 string, v double",
+    )
+    out = grouping_sets_aggregate(
+        df, ["k1", "k2"], [["k1"], ["k2"], []],
+        [F.sum("v").alias("s")],
+    )
+    got = {
+        (r.k1, r.k2, r.grouping_id, r.s) for r in out.collect()
+    }
+    assert got == {
+        # per-k1 (k2 aggregated away -> bit 0 set = 1)
+        ("a", None, 1, 3.0), ("b", None, 1, 4.0), (None, None, 1, 8.0),
+        # per-k2 (k1 away -> bit 1 set = 2); genuine NULL k1 folds in
+        (None, "x", 2, 5.0), (None, "y", 2, 10.0),
+        # grand total (both away -> 3)
+        (None, None, 3, 15.0),
+    }
+    # one Expand, ONE exchange: replication factor = number of sets.
+    # (AQE's toString appends the pre-adaptive "Initial Plan" section,
+    # which would double-count the same exchange — strip it.)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    assert "Expand" in final
+    assert final.count("Exchange") - final.count("ReusedExchange") == 1
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="at least one grouping set"):
+        grouping_sets_aggregate(df, ["k1"], [], [F.sum("v").alias("s")])

@@ -70,6 +70,40 @@ def rollup_aggregate(
     return grouped.agg(gid, *aggs)
 
 
+def grouping_sets_aggregate(
+    df: DataFrame,
+    keys: list[str],
+    sets: list[list[str]],
+    aggs: list[Column],
+) -> DataFrame:
+    """Aggregate over an EXPLICIT list of grouping sets — the general
+    form rollup and cube are special cases of, needed whenever the
+    report wants parallel independent dimensions (``[(region), (month)]``)
+    rather than a hierarchy or the full power set: a rollup would force
+    an ordering, a cube would compute 2^k sets the report throws away.
+
+    Same physical shape as :func:`rollup_aggregate`: Spark's Expand
+    replicates each row once per LISTED set before the exchange, partial
+    aggregation runs map-side, the whole report is ONE shuffle — and
+    Expand's replication factor is ``len(sets)``, not ``2^k``, which is
+    the scale argument for listing sets explicitly. ``grouping_id`` uses
+    the standard bitmask over ``keys`` (bit i set = key i aggregated
+    away), identical in Spark and DuckDB/Postgres ``grouping(...)``.
+
+    Every name in ``sets`` must appear in ``keys`` (Spark validates);
+    keys absent from a given set read as NULL in that set's rows, with
+    ``grouping_id`` disambiguating them from genuine NULL key values.
+    """
+    if not sets:
+        raise ValueError(
+            "sets must list at least one grouping set; for the empty "
+            "grand-total set pass [[]]"
+        )
+    grouped = df.groupingSets([list(s) for s in sets], *keys)
+    gid = F.grouping_id(*[F.col(k) for k in keys]).alias("grouping_id")
+    return grouped.agg(gid, *aggs)
+
+
 def pivot_aggregate(
     df: DataFrame,
     keys: list[str],

@@ -4499,6 +4499,45 @@ def stream_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "agg_grouping_sets_orders",
+    """
+    SELECT o_orderpriority, o_orderstatus,
+           CAST(grouping(o_orderpriority, o_orderstatus) AS INT)
+             AS grouping_id,
+           ROUND(SUM(o_totalprice), 4) AS sum_price,
+           COUNT(*) AS n_rows
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus))
+    """,
+)
+def agg_grouping_sets_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS — the parallel-dimensions report neither
+    rollup (forces a hierarchy) nor cube (computes 2^k sets the report
+    discards) expresses: per-priority totals AND per-status totals in
+    ONE Expand + one shuffle, replication factor = number of LISTED
+    sets (operators/relational.py::grouping_sets_aggregate)."""
+    from window_aggregation_spark.operators.relational import (
+        grouping_sets_aggregate,
+    )
+
+    orders = read_table(spark, sf_dir, "orders")
+    out = grouping_sets_aggregate(
+        orders,
+        ["o_orderpriority", "o_orderstatus"],
+        [["o_orderpriority"], ["o_orderstatus"]],
+        [
+            F.round(F.sum("o_totalprice"), 4).alias("sum_price"),
+            F.count(F.lit(1)).alias("n_rows"),
+        ],
+    )
+    return out.select(
+        "o_orderpriority", "o_orderstatus",
+        F.col("grouping_id").cast("int").alias("grouping_id"),
+        "sum_price", "n_rows",
+    )
+
+
+@_register(
     "agg_cube_orders",
     """
     SELECT o_orderpriority, o_orderstatus,
