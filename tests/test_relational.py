@@ -453,3 +453,39 @@ def test_grouping_sets_aggregate(spark):
 
     with _pytest.raises(ValueError, match="at least one grouping set"):
         grouping_sets_aggregate(df, ["k1"], [], [F.sum("v").alias("s")])
+
+
+def test_quarantine_rows(spark):
+    from pyspark.sql import functions as F
+
+    from window_aggregation_spark.operators.relational import quarantine_rows
+
+    df = spark.createDataFrame(
+        [(1, 10.0, "O"), (2, -5.0, "O"), (3, 10.0, "X"), (4, None, "X"),
+         (5, 20.0, "F")],
+        "k long, price double, status string",
+    )
+    out = quarantine_rows(
+        df,
+        {
+            "price_pos": F.col("price") > 0,
+            "status_ok": F.col("status").isin("O", "F"),
+        },
+    )
+    got = {(r.k, r.failed_checks, r.quarantined) for r in out.collect()}
+    assert got == {
+        (1, "", False),
+        (2, "price_pos", True),
+        (3, "status_ok", True),
+        # NULL price -> check NULL -> counts as FAILED (sorted order)
+        (4, "price_pos;status_ok", True),
+        (5, "", False),
+    }
+    # pure projection: no exchange anywhere in the plan
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan.split("== Initial Plan ==")[0]
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="at least one expectation"):
+        quarantine_rows(df, {})

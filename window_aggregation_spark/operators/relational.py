@@ -155,6 +155,42 @@ class Expectation:
     threshold: float = 0.0
 
 
+def quarantine_rows(
+    df: DataFrame,
+    checks: dict[str, Column],
+    *,
+    failed_col: str = "failed_checks",
+    flag_col: str = "quarantined",
+) -> DataFrame:
+    """Row-level validate-and-route — the drop-and-log step of a cleaning
+    pipeline (:func:`run_expectations` answers "is the TABLE healthy";
+    this answers "WHICH rows do I route to the quarantine sink, and
+    why"). Appends ``failed_col`` (";"-joined names of the checks the
+    row failed, in sorted name order — a string, not an array, so the
+    value is byte-identical across engines) and ``flag_col``.
+
+    A check evaluating to NULL counts as FAILED: an expectation that
+    cannot be evaluated (NULL inputs) must not sail a row through —
+    the same coalesce-to-False discipline as ``run_expectations``.
+
+    Pure codegen projection: zero shuffles, zero extra scans — the two
+    output streams (``where(~quarantined)`` to the clean sink,
+    ``where(quarantined)`` to the quarantine sink with its reasons)
+    prune from the same single pass."""
+    if not checks:
+        raise ValueError("checks must name at least one expectation")
+    failed = F.concat_ws(
+        ";",
+        *[
+            F.when(~F.coalesce(chk, F.lit(False)), F.lit(name))
+            for name, chk in sorted(checks.items())
+        ],
+    )
+    return df.withColumn(failed_col, failed).withColumn(
+        flag_col, F.col(failed_col) != F.lit("")
+    )
+
+
 def run_expectations(
     df: DataFrame,
     checks: list[Expectation],

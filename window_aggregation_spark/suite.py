@@ -4499,6 +4499,52 @@ def stream_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "dq_quarantine_orders",
+    """
+    SELECT o_orderkey,
+           concat_ws(';',
+             CASE WHEN NOT coalesce(o_custkey % 97 <> 0, FALSE)
+                  THEN 'custkey_mod' END,
+             CASE WHEN NOT coalesce(o_totalprice <= 400000, FALSE)
+                  THEN 'price_bound' END,
+             CASE WHEN NOT coalesce(o_orderstatus IN ('O', 'F'), FALSE)
+                  THEN 'status_known' END
+           ) AS failed_checks,
+           concat_ws(';',
+             CASE WHEN NOT coalesce(o_custkey % 97 <> 0, FALSE)
+                  THEN 'custkey_mod' END,
+             CASE WHEN NOT coalesce(o_totalprice <= 400000, FALSE)
+                  THEN 'price_bound' END,
+             CASE WHEN NOT coalesce(o_orderstatus IN ('O', 'F'), FALSE)
+                  THEN 'status_known' END
+           ) <> '' AS quarantined
+    FROM orders
+    """,
+)
+def dq_quarantine_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level validate-and-route: every row carries the sorted
+    ';'-joined names of the checks it failed (NULL check results count
+    as failed) plus the routing flag — the drop-and-log step feeding a
+    clean sink and a quarantine sink from ONE codegen pass, zero
+    shuffles (operators/relational.py::quarantine_rows). The fixture
+    checks split the table three ways (price bound, status whitelist, a
+    synthetic custkey rule), so multi-failure rows exercise the join
+    order."""
+    from window_aggregation_spark.operators.relational import quarantine_rows
+
+    orders = read_table(spark, sf_dir, "orders")
+    out = quarantine_rows(
+        orders,
+        {
+            "price_bound": F.col("o_totalprice") <= 400000,
+            "status_known": F.col("o_orderstatus").isin("O", "F"),
+            "custkey_mod": F.col("o_custkey") % 97 != 0,
+        },
+    )
+    return out.select("o_orderkey", "failed_checks", "quarantined")
+
+
+@_register(
     "agg_grouping_sets_orders",
     """
     SELECT o_orderpriority, o_orderstatus,
