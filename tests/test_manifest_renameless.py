@@ -316,3 +316,25 @@ def test_hadoopfs_text_index_lifecycle(spark, hadoop_dir, tmp_path):
     assert (idx.n_docs, idx.sum_dl) == (want.n_docs, want.sum_dl)
     for q in QUERIES:
         assert _scores(idx, q) == _scores(want, q)
+
+
+def test_fingerprint_identical_across_fs_implementations(spark, tmp_path):
+    """state_fingerprint of the SAME directory content must agree across
+    PosixFS, the rename-less shim, and HadoopFS — a store copied between
+    a plain path and an object store keeps its fingerprint-guarded
+    caches valid (posix used to emit './part-0' for top-level files
+    where HadoopFS emits 'part-0')."""
+    root = str(tmp_path / "fp")
+    os.makedirs(f"{root}/comp/sub")
+    with open(f"{root}/comp/part-0", "w") as f:
+        f.write("abc")
+    with open(f"{root}/comp/sub/part-1", "w") as f:
+        f.write("defg")
+    fps = []
+    for fs in (sm.PosixFS(), sm.RenamelessLocalFS(), sm.HadoopFS(spark)):
+        sm.register_fs_prefix(root, fs)
+        try:
+            fps.append(sm.state_fingerprint(root, ["comp", "missing"]))
+        finally:
+            sm.unregister_fs_prefix(root)
+    assert fps[0] == fps[1] == fps[2]

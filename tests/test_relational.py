@@ -416,8 +416,6 @@ class TestGroupedDiscretePercentiles:
 
 
 def test_grouping_sets_aggregate(spark):
-    from pyspark.sql import functions as F
-
     from window_aggregation_spark.operators.relational import (
         grouping_sets_aggregate,
     )
@@ -449,15 +447,11 @@ def test_grouping_sets_aggregate(spark):
     assert "Expand" in final
     assert final.count("Exchange") - final.count("ReusedExchange") == 1
 
-    import pytest as _pytest
-
-    with _pytest.raises(ValueError, match="at least one grouping set"):
+    with pytest.raises(ValueError, match="at least one grouping set"):
         grouping_sets_aggregate(df, ["k1"], [], [F.sum("v").alias("s")])
 
 
 def test_quarantine_rows(spark):
-    from pyspark.sql import functions as F
-
     from window_aggregation_spark.operators.relational import quarantine_rows
 
     df = spark.createDataFrame(
@@ -485,7 +479,11 @@ def test_quarantine_rows(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan.split("== Initial Plan ==")[0]
 
-    import pytest as _pytest
-
-    with _pytest.raises(ValueError, match="at least one expectation"):
+    with pytest.raises(ValueError, match="at least one expectation"):
         quarantine_rows(df, {})
+    # name validation: empty or separator-bearing names would corrupt
+    # (or hide failures from) the string encoding
+    with pytest.raises(ValueError, match="non-empty"):
+        quarantine_rows(df, {"": F.col("price") > 0})
+    with pytest.raises(ValueError, match="non-empty"):
+        quarantine_rows(df, {"a;b": F.col("price") > 0})

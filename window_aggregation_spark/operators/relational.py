@@ -179,6 +179,14 @@ def quarantine_rows(
     prune from the same single pass."""
     if not checks:
         raise ValueError("checks must name at least one expectation")
+    for name in checks:
+        if not name or ";" in name:
+            # an empty name would make its failures invisible in the
+            # string encoding; a ';' would corrupt any downstream split
+            raise ValueError(
+                f"check name {name!r} must be non-empty and contain "
+                "no ';' (it is the list separator in failed_checks)"
+            )
     failed = F.concat_ws(
         ";",
         *[
@@ -186,9 +194,14 @@ def quarantine_rows(
             for name, chk in sorted(checks.items())
         ],
     )
-    return df.withColumn(failed_col, failed).withColumn(
-        flag_col, F.col(failed_col) != F.lit("")
-    )
+    # the flag is derived from the CONDITIONS, not from string emptiness
+    # of the encoding — the encoding is for humans/logs, the routing
+    # decision must not depend on it
+    any_failed = None
+    for _, chk in checks.items():
+        miss = ~F.coalesce(chk, F.lit(False))
+        any_failed = miss if any_failed is None else (any_failed | miss)
+    return df.withColumn(failed_col, failed).withColumn(flag_col, any_failed)
 
 
 def run_expectations(

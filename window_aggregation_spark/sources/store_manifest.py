@@ -120,17 +120,22 @@ class PosixFS:
 
     def walk_files(self, p: str):
         """Yield ``(relative_path, size, mtime)`` for every file under
-        ``p``, in a deterministic order."""
+        ``p``, in a deterministic order. Top-level files yield a bare
+        name (no ``./`` prefix) so the relative paths — and therefore
+        ``state_fingerprint`` — are IDENTICAL to HadoopFS's for the same
+        directory content: a store copied between a plain path and an
+        object store must keep its fingerprint-guarded caches valid."""
         for root, subdirs, files in os.walk(p):
             subdirs.sort()
             rel = os.path.relpath(root, p)
+            prefix = "" if rel == "." else f"{rel}/"
             for name in sorted(files):
                 full = os.path.join(root, name)
                 try:
                     st = os.stat(full)
                 except OSError:
                     continue
-                yield f"{rel}/{name}", st.st_size, st.st_mtime
+                yield f"{prefix}{name}", st.st_size, st.st_mtime
 
 
 class RenamelessLocalFS(PosixFS):
