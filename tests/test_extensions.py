@@ -697,3 +697,74 @@ def test_repetition_signals_hand_values(spark):
         5: (2, 1.0, None, True),
         6: (0, None, None, False),
     }
+
+
+def test_repetition_signals_full_table_hand_values(spark):
+    """The full Gopher n-gram table (top 2..4, dup 5..10) against
+    hand-computed values: per-family NULLs where the doc is too short to
+    form that family's grams, the published per-n thresholds, and the
+    plan invariant that adding families never adds exchanges."""
+    from window_aggregation_spark.operators.text import (
+        GOPHER_DUP_NGRAM_THRESHOLDS,
+        GOPHER_TOP_NGRAM_THRESHOLDS,
+        repetition_signals_table,
+    )
+
+    assert GOPHER_TOP_NGRAM_THRESHOLDS == {2: 0.20, 3: 0.18, 4: 0.16}
+    assert GOPHER_DUP_NGRAM_THRESHOLDS == {
+        5: 0.15, 6: 0.14, 7: 0.13, 8: 0.12, 9: 0.11, 10: 0.10,
+    }
+    rows = [
+        # 12 tokens of a repeated 4-cycle "a b c d": n-gram windows =
+        # 13-n, each gram determined by its phase (start mod 4), so the
+        # phase with the most starts is the top gram and duplicate
+        # occurrences = windows whose phase has >= 2 starts:
+        #   n=2: 11 windows, phases (3,3,3,2) -> top 3/11
+        #   n=3: 10, (3,3,2,2) -> 3/10;  n=4: 9, (3,2,2,2) -> 3/9
+        #   n=5: 8, (2,2,2,2) -> dup 8/8;  n=6: 7, (2,2,2,1) -> 6/7
+        #   n=7: 6, (2,2,1,1) -> 4/6;     n=8: 5, (2,1,1,1) -> 2/5
+        #   n=9: 4 distinct -> 0.0;       n=10: 3 distinct -> 0.0
+        (1, "a b c d a b c d a b c d"),
+        # 10 distinct tokens: every family defined, no repeats anywhere
+        (2, "p q r s t u v w x y"),
+        (3, "one"),  # 1 token: no family forms -> all NULL
+        (4, None),   # NULL text == empty doc
+        # 5 distinct tokens: 2..5-gram families defined, 6..10 NULL;
+        # top-2 frac 1/4 = 0.25 > 0.20 -> repetitive on that rule alone
+        (5, "j k l m n"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = repetition_signals_table(df)
+    cols = out.columns
+    assert cols == [
+        "doc_id", "n_tokens",
+        "top_2gram_frac", "top_3gram_frac", "top_4gram_frac",
+        "dup_5gram_frac", "dup_6gram_frac", "dup_7gram_frac",
+        "dup_8gram_frac", "dup_9gram_frac", "dup_10gram_frac",
+        "repetitive",
+    ]
+    got = {
+        r.doc_id: tuple(
+            v if v is None else round(v, 6) for v in tuple(r)[1:]
+        )
+        for r in out.collect()
+    }
+    assert got == {
+        1: (12, round(3 / 11, 6), round(3 / 10, 6), round(3 / 9, 6),
+            1.0, round(6 / 7, 6), round(4 / 6, 6), round(2 / 5, 6),
+            0.0, 0.0, True),
+        2: (10, round(1 / 9, 6), round(1 / 8, 6), round(1 / 7, 6),
+            0.0, 0.0, 0.0, 0.0, 0.0, 0.0, False),
+        3: (1, None, None, None, None, None, None, None, None, None,
+            False),
+        4: (0, None, None, None, None, None, None, None, None, None,
+            False),
+        5: (5, round(1 / 4, 6), round(1 / 3, 6), round(1 / 2, 6),
+            0.0, None, None, None, None, None, True),
+    }
+    # scale-shape pin: 9 families ride the SAME two exchanges as one
+    # (gram counts + per-doc rollup; the union's short-doc branch adds
+    # scans, not shuffles)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    plan = plan.split("== Initial Plan ==")[0]
+    assert plan.count("Exchange") <= 2, plan

@@ -73,11 +73,16 @@ def test_stream_equals_batch(spark, sf_dir, events_dir):
 
 def test_left_stream_equals_batch(spark, sf_dir, events_dir, tmp_path):
     """how='left': unmatched purchases must be emitted with NULL e_id once
-    the watermark proves no error can still match — streaming result equals
-    the batch left join. A far-future sentinel event flushes the watermark
-    past the fixture's tail (standard pattern: otherwise rows the watermark
-    never passed are held back in state when the stream terminates)."""
+    the watermark proves no error can still match — a FINITE stream drains
+    every held-back tail row using the operator's own flush_sentinel /
+    is_flush_sentinel helpers (no hand-rolled sentinel rows), and the
+    streaming result equals the batch left join."""
     import shutil
+
+    from window_aggregation_spark.streaming.interval_join import (
+        flush_sentinel,
+        is_flush_sentinel,
+    )
 
     batch = read_table(spark, sf_dir, "events")
     bl, br = _sides(batch)
@@ -94,18 +99,24 @@ def test_left_stream_equals_batch(spark, sf_dir, events_dir, tmp_path):
     # one sentinel per SIDE: the global watermark is the min over all
     # watermark nodes, and each side's node only sees its own event_type —
     # a purchase-only sentinel would leave the error-side watermark at the
-    # fixture tail and hold back the last unmatched purchases
-    sentinel = spark.createDataFrame(
-        [
-            (10**12, "2100-01-01 00:00:00", -1, "purchase", 0.0, ""),
-            (10**12 + 1, "2100-01-01 00:00:00", -2, "error", 0.0, ""),
-        ],
-        "event_id long, ts_s string, user_id long, event_type string, "
-        "value double, props string",
-    ).select(
-        "event_id", F.to_timestamp("ts_s").alias("ts"), "user_id",
-        "event_type", "value", "props",
+    # fixture tail and hold back the last unmatched purchases. Join keys
+    # get never-matching NEGATIVE ids: NULL keys would be eaten by the
+    # isnotnull(key) constraint Catalyst pushes into the non-preserved
+    # side's scan (the helper refuses them).
+    sentinel = flush_sentinel(
+        batch, "ts", keys=("user_id",),
+        overrides={"event_id": 10**12, "user_id": -1,
+                   "event_type": "purchase"},
+    ).unionByName(
+        flush_sentinel(
+            batch, "ts", keys=("user_id",),
+            overrides={"event_id": 10**12 + 1, "user_id": -2,
+                       "event_type": "error"},
+        )
     )
+    with pytest.raises(ValueError, match="non-NULL never-matching"):
+        flush_sentinel(batch, "ts", keys=("user_id",),
+                       overrides={"event_type": "purchase"})
     sentinel.coalesce(1).write.parquet(str(d / "zz_sentinel"))
     stream = (
         spark.readStream.schema(SCHEMA)
@@ -127,11 +138,10 @@ def test_left_stream_equals_batch(spark, sf_dir, events_dir, tmp_path):
         q.processAllAvailable()
     finally:
         q.stop()
-    got = {
-        (p, e)
-        for p, e in _pairs(spark.table("ij_left_out"))
-        if p != 10**12  # drop the sentinel itself
-    }
+    # the sentinel filter goes on the SINK TABLE, never the streaming plan
+    # (a plan-side predicate is pushed through the outer join into both
+    # scans and kills the very rows the sentinels exist to flush)
+    got = _pairs(spark.table("ij_left_out").where(~is_flush_sentinel("ts")))
     assert got == want
 
 

@@ -294,57 +294,78 @@ def quality_model_score_oracle_expr(text_col: str = "text") -> str:
     return f"round(1.0 / (1.0 + exp(-({logit}))), 6)"
 
 
-def repetition_signals(
+# The published Gopher repetition-filter thresholds (Rae et al. 2021,
+# "Scaling Language Models: Methods, Analysis & Insights from Training
+# Gopher", Table A1, public): a document is removed when the share of
+# n-gram occurrences taken by the single most frequent n-gram exceeds
+# the top-n bound, or the fraction of n-gram occurrences belonging to
+# grams that appear more than once exceeds the duplicate-n bound.
+GOPHER_TOP_NGRAM_THRESHOLDS: dict = {2: 0.20, 3: 0.18, 4: 0.16}
+GOPHER_DUP_NGRAM_THRESHOLDS: dict = {
+    5: 0.15, 6: 0.14, 7: 0.13, 8: 0.12, 9: 0.11, 10: 0.10,
+}
+
+
+def _repetition_fams(top_thresholds, dup_thresholds):
+    """Normalized (kind, n, threshold) rows — 't' before 'd', ascending n
+    inside each kind; this order IS the output-column order."""
+    fams = [("t", int(n), float(thr))
+            for n, thr in sorted(top_thresholds.items())]
+    fams += [("d", int(n), float(thr))
+             for n, thr in sorted(dup_thresholds.items())]
+    if not fams:
+        raise ValueError("at least one top- or dup-n-gram family required")
+    if any(n < 1 for _, n, _ in fams):
+        raise ValueError("n-gram sizes must be >= 1")
+    return fams
+
+
+def _frac_col_name(kind: str, n: int) -> str:
+    return f"top_{n}gram_frac" if kind == "t" else f"dup_{n}gram_frac"
+
+
+def repetition_signals_table(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     *,
-    top_n: int = 2,
-    dup_n: int = 3,
-    top_frac_max: float = 0.20,
-    dup_frac_max: float = 0.50,
+    top_thresholds=None,
+    dup_thresholds=None,
 ) -> DataFrame:
-    """Per-document repetition quality signals — the Gopher-rules family
-    (Rae et al. 2021, "Scaling Language Models", public): heavily
-    repetitive documents (templates, keyword stuffing, decode loops) are
-    the classic pre-training poison that length/stopword heuristics miss.
+    """Per-document repetition quality signals — the full Gopher-rules
+    n-gram table (Rae et al. 2021, Table A1, public): heavily repetitive
+    documents (templates, keyword stuffing, decode loops) are the classic
+    pre-training poison that length/stopword heuristics miss.
 
-    Returns ``(id_col, n_tokens, top_ngram_frac, dup_ngram_frac,
-    repetitive)``:
+    ``top_thresholds`` maps n → max share of all n-gram occurrences the
+    single most frequent n-gram may take (Gopher: 2→0.20, 3→0.18,
+    4→0.16); ``dup_thresholds`` maps n → max fraction of n-gram
+    occurrences whose gram appears more than once in the document
+    (Gopher: 5→0.15 … 10→0.10). Defaults are the published table.
 
-    - ``top_ngram_frac`` — share of all ``top_n``-grams occupied by the
-      single most frequent one (Gopher's "top n-gram character fraction",
-      token-count flavored so the whole metric is integer-exact until one
-      final division);
-    - ``dup_ngram_frac`` — fraction of ``dup_n``-gram occurrences whose
-      gram appears more than once in the document (Gopher's "duplicate
-      n-gram fraction");
-    - ``repetitive`` — the filter verdict at the given thresholds
-      (Gopher uses 0.20 for top-2-grams and a per-n table for
-      duplicates). NULL fractions (too few tokens to form a single
-      n-gram) are not repetitive.
+    Returns ``(id_col, n_tokens, top_{n}gram_frac …, dup_{n}gram_frac …,
+    repetitive)`` — one fraction column per configured family, ascending
+    n, tops before dups; ``repetitive`` ORs the per-family verdicts.
+    NULL fractions (too few tokens to form a single n-gram of that size)
+    are never repetitive. Fractions are UNROUNDED: each is one IEEE
+    division of two exact longs, bit-equal in every engine — rounding is
+    where engines disagree, not division. The fractions are token-count
+    flavored (occurrence counts, not Gopher's character weights) so the
+    whole metric is integer-exact until one final division.
 
-    Fractions are UNROUNDED: each is one IEEE division of two exact
-    longs, bit-equal in every engine — rounding is where engines
-    disagree, not division.
-
-    Scale shape: explode n-grams off a single scan (pure codegen
-    projections), then TWO map-side-combined shuffles — ``(id, fam,
-    gram)`` counts, then the per-doc rollup on ``(id)``. Two shuffles
-    beat the one-shuffle ``repartition(id)``-first alternative at scale:
-    here every exchange carries partially-aggregated count rows, while
-    pre-partitioning by id would shuffle the RAW exploded gram stream
-    with no combine. (Note Spark's rule: HashPartitioning satisfies a
-    clustering only when its expressions are a SUBSET of the clustering
-    keys — ``(id, fam, gram)`` does not satisfy ``(id)``, so the second,
-    much smaller exchange is unavoidable in this shape.) No data ever
-    leaves the executors except the per-doc result rows.
-
-    Related: :func:`..corpus.repetition_profile` exposes the top-bigram
-    share as a ROUNDED scalar feature for the quality-model pipeline;
-    this operator is the FILTER-grade variant (exact unrounded
-    fractions, duplicate-gram coverage, NULL-not-zero for undefined) —
-    the conventions differ on purpose, both pinned by oracles.
+    Scale shape — independent of how many families are configured:
+    explode ALL families' grams off a single scan as one fam-tagged
+    stream (pure codegen projections), then TWO map-side-combined
+    shuffles — ``(id, fam, gram)`` counts, then the per-doc rollup on
+    ``(id)``. Two shuffles beat the one-shuffle ``repartition(id)``-first
+    alternative at scale: here every exchange carries partially-
+    aggregated count rows, while pre-partitioning by id would shuffle
+    the RAW exploded gram stream with no combine. (Spark's rule:
+    HashPartitioning satisfies a clustering only when its expressions
+    are a SUBSET of the clustering keys — ``(id, fam, gram)`` does not
+    satisfy ``(id)``, so the second, much smaller exchange is
+    unavoidable in this shape.) No data ever leaves the executors except
+    the per-doc result rows.
 
     NULL ``text_col`` values are treated as empty documents (0 tokens,
     NULL fractions) so the operator stays total over its input on every
@@ -352,6 +373,11 @@ def repetition_signals(
     NULL-text rows (``size(NULL)`` fails the short-doc re-attach filter)
     and legacy mode emits ``n_tokens=-1``.
     """
+    if top_thresholds is None:
+        top_thresholds = GOPHER_TOP_NGRAM_THRESHOLDS
+    if dup_thresholds is None:
+        dup_thresholds = GOPHER_DUP_NGRAM_THRESHOLDS
+    fams = _repetition_fams(top_thresholds, dup_thresholds)
     toks = tokens(F.coalesce(F.col(text_col), F.lit("")))
 
     def grams(n: int) -> Column:
@@ -369,66 +395,114 @@ def repetition_signals(
             F.expr("CAST(array() AS array<string>)")
         )
 
+    ns = sorted({n for _, n, _ in fams})
     base = df.select(
         F.col(id_col),
         F.size(toks).alias("n_tokens"),
-        grams(top_n).alias("__tg"),
-        grams(dup_n).alias("__dg"),
+        *[grams(n).alias(f"__g{n}") for n in ns],
     )
-    # one exploded stream for both metrics: tag each gram with its family
-    # so a single (id, family, gram) aggregation serves top- and dup-
-    # counts off one shuffle
+    # one exploded stream for every family: tag each gram with its fam
+    # label so a single (id, fam, gram) aggregation serves all top- and
+    # dup-counts off one shuffle
+    def _tag(arr: Column, fam: str) -> Column:
+        # NB: the fam binding must come from an enclosing scope, not a
+        # second lambda parameter — F.transform interprets a 2-arg
+        # lambda as (element, index) and would silently pass the array
+        # index as `fam`
+        return F.transform(
+            arr,
+            lambda g: F.struct(F.lit(fam).alias("fam"), g.alias("g")),
+        )
+
+    tagged = [_tag(F.col(f"__g{n}"), f"{kind}{n}") for kind, n, _ in fams]
     ex = base.select(
         id_col,
         "n_tokens",
-        F.explode(
-            F.concat(
-                F.transform(F.col("__tg"), lambda g: F.struct(
-                    F.lit("t").alias("fam"), g.alias("g"))),
-                F.transform(F.col("__dg"), lambda g: F.struct(
-                    F.lit("d").alias("fam"), g.alias("g"))),
-            )
-        ).alias("fg"),
+        F.explode(F.concat(*tagged) if len(tagged) > 1 else tagged[0]
+                  ).alias("fg"),
     ).select(id_col, "n_tokens", F.col("fg.fam").alias("fam"),
              F.col("fg.g").alias("g"))
     counts = ex.groupBy(id_col, "fam", "g").agg(
         F.count(F.lit(1)).alias("c"), F.first("n_tokens").alias("n_tokens")
     )
-    per_doc = counts.groupBy(id_col).agg(
-        F.first("n_tokens").alias("n_tokens"),
-        F.max(F.when(F.col("fam") == "t", F.col("c"))).alias("__top_c"),
-        F.sum(F.when(F.col("fam") == "t", F.col("c"))).alias("__top_total"),
-        F.sum(
-            F.when((F.col("fam") == "d") & (F.col("c") >= 2), F.col("c"))
-        ).alias("__dup_c"),
-        F.sum(F.when(F.col("fam") == "d", F.col("c"))).alias("__dup_total"),
-    )
-    top_frac = F.try_divide(F.col("__top_c"), F.col("__top_total"))
-    dup_frac = F.try_divide(
-        F.coalesce(F.col("__dup_c"), F.lit(0)), F.col("__dup_total")
-    )
+    aggs = [F.first("n_tokens").alias("n_tokens")]
+    for kind, n, _ in fams:
+        fam = f"{kind}{n}"
+        if kind == "t":
+            num = F.max(F.when(F.col("fam") == fam, F.col("c")))
+        else:
+            num = F.sum(
+                F.when((F.col("fam") == fam) & (F.col("c") >= 2), F.col("c"))
+            )
+        aggs.append(num.alias(f"__c_{fam}"))
+        aggs.append(
+            F.sum(F.when(F.col("fam") == fam, F.col("c"))).alias(f"__t_{fam}")
+        )
+    per_doc = counts.groupBy(id_col).agg(*aggs)
+
+    frac_cols, verdicts = [], []
+    for kind, n, thr in fams:
+        fam = f"{kind}{n}"
+        num = (F.col(f"__c_{fam}") if kind == "t"
+               else F.coalesce(F.col(f"__c_{fam}"), F.lit(0)))
+        frac = F.try_divide(num, F.col(f"__t_{fam}"))
+        frac_cols.append(frac.alias(_frac_col_name(kind, n)))
+        verdicts.append(F.coalesce(frac > F.lit(thr), F.lit(False)))
+    verdict = verdicts[0]
+    for v in verdicts[1:]:
+        verdict = verdict | v
     out = per_doc.select(
-        id_col,
-        "n_tokens",
-        top_frac.alias("top_ngram_frac"),
-        dup_frac.alias("dup_ngram_frac"),
-        (
-            F.coalesce(top_frac > F.lit(float(top_frac_max)), F.lit(False))
-            | F.coalesce(dup_frac > F.lit(float(dup_frac_max)), F.lit(False))
-        ).alias("repetitive"),
+        id_col, "n_tokens", *frac_cols, verdict.alias("repetitive")
     )
-    # docs too short to form even one n-gram of EITHER family produce no
+    # docs too short to form even one n-gram of ANY family produce no
     # exploded rows at all: re-attach them with NULL fractions so the
     # operator is total over its input
-    min_n = min(top_n, dup_n)
+    min_n = min(ns)
     empties = df.where(F.size(toks) < min_n).select(
         F.col(id_col),
         F.size(toks).cast("int").alias("n_tokens"),
-        F.lit(None).cast("double").alias("top_ngram_frac"),
-        F.lit(None).cast("double").alias("dup_ngram_frac"),
+        *[F.lit(None).cast("double").alias(_frac_col_name(kind, n))
+          for kind, n, _ in fams],
         F.lit(False).alias("repetitive"),
     )
     return out.unionByName(empties)
+
+
+def repetition_signals(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    top_n: int = 2,
+    dup_n: int = 3,
+    top_frac_max: float = 0.20,
+    dup_frac_max: float = 0.50,
+) -> DataFrame:
+    """Single-point flavor of :func:`repetition_signals_table` — one
+    top-n family and one duplicate-n family, with the fraction columns
+    under their historical names ``(top_ngram_frac, dup_ngram_frac)``.
+    Same plan shape (one exploded fam-tagged stream, two map-side-
+    combined shuffles), same NULL/short-doc semantics; see the table
+    variant for the full discussion.
+
+    Related: :func:`..corpus.repetition_profile` exposes the top-bigram
+    share as a ROUNDED scalar feature for the quality-model pipeline;
+    this operator is the FILTER-grade variant (exact unrounded
+    fractions, duplicate-gram coverage, NULL-not-zero for undefined) —
+    the conventions differ on purpose, both pinned by oracles.
+    """
+    out = repetition_signals_table(
+        df, id_col, text_col,
+        top_thresholds={top_n: top_frac_max},
+        dup_thresholds={dup_n: dup_frac_max},
+    )
+    return out.select(
+        id_col,
+        "n_tokens",
+        F.col(_frac_col_name("t", top_n)).alias("top_ngram_frac"),
+        F.col(_frac_col_name("d", dup_n)).alias("dup_ngram_frac"),
+        "repetitive",
+    )
 
 
 def repetition_signals_oracle_sql(
@@ -486,6 +560,94 @@ def repetition_signals_oracle_sql(
         SELECT {id_col}, n_tokens, top_ngram_frac, dup_ngram_frac,
                coalesce(top_ngram_frac > {top_frac_max!r}, FALSE)
                  OR coalesce(dup_ngram_frac > {dup_frac_max!r}, FALSE)
+                 AS repetitive
+        FROM m
+        """
+
+
+def repetition_signals_table_oracle_sql(
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    top_thresholds=None,
+    dup_thresholds=None,
+) -> str:
+    """DuckDB mirror of :func:`repetition_signals_table` (same tokenizer,
+    same windowing, same single-division fractions, same NULL-text-as-
+    empty coalesce, same column order)."""
+    if top_thresholds is None:
+        top_thresholds = GOPHER_TOP_NGRAM_THRESHOLDS
+    if dup_thresholds is None:
+        dup_thresholds = GOPHER_DUP_NGRAM_THRESHOLDS
+    fams = _repetition_fams(top_thresholds, dup_thresholds)
+    toks = f"regexp_extract_all(lower(coalesce({text_col}, '')), '{TOKEN_RE}')"
+
+    def grams(n: int) -> str:
+        parts = " || ' ' || ".join(f"toks[i+{j}]" for j in range(n))
+        return (
+            f"list_transform(generate_series(1, greatest(len(toks) - {n - 1},"
+            f" 0)), i -> {parts})"
+        )
+
+    gram_selects = "\n          UNION ALL\n          ".join(
+        f"SELECT {id_col}, len(toks) AS n_tokens, "
+        f"unnest({grams(n)}) AS gram, '{kind}{n}' AS fam FROM t"
+        for kind, n, _ in fams
+    )
+    pivot_exprs, frac_exprs, null_cols = [], [], []
+    for kind, n, _thr in fams:
+        fam = f"{kind}{n}"
+        if kind == "t":
+            pivot_exprs.append(
+                f"max(CASE WHEN fam = '{fam}' THEN c END) AS c_{fam}"
+            )
+        else:
+            pivot_exprs.append(
+                f"coalesce(sum(CASE WHEN fam = '{fam}' AND c >= 2 THEN c "
+                f"END), 0) AS c_{fam}"
+            )
+        pivot_exprs.append(
+            f"sum(CASE WHEN fam = '{fam}' THEN c END) AS t_{fam}"
+        )
+        name = _frac_col_name(kind, n)
+        frac_exprs.append(f"CAST(c_{fam} AS DOUBLE) / t_{fam} AS {name}")
+        null_cols.append("NULL")
+    verdicts = [
+        f"coalesce({_frac_col_name(kind, n)} > {thr!r}, FALSE)"
+        for kind, n, thr in fams
+    ]
+    min_n = min(n for _, n, _ in fams)
+    frac_names = ", ".join(_frac_col_name(kind, n) for kind, n, _ in fams)
+    sep = ",\n                 "
+    pivot_sql = sep.join(pivot_exprs)
+    frac_sql = sep.join(frac_exprs)
+    nulls_sql = ", ".join(null_cols)
+    verdict_sql = "\n                 OR ".join(verdicts)
+    return f"""
+        WITH t AS (
+          SELECT {id_col}, {toks} AS toks FROM {table}),
+        g AS (
+          {gram_selects}),
+        c AS (
+          SELECT {id_col}, fam, gram, count(*) AS c,
+                 any_value(n_tokens) AS n_tokens
+          FROM g GROUP BY 1, 2, 3),
+        p AS (
+          SELECT {id_col},
+                 any_value(n_tokens) AS n_tokens,
+                 {pivot_sql}
+          FROM c GROUP BY 1),
+        m AS (
+          SELECT {id_col}, CAST(n_tokens AS INT) AS n_tokens,
+                 {frac_sql}
+          FROM p
+          UNION ALL
+          SELECT {id_col}, CAST(len({toks}) AS INT), {nulls_sql}
+          FROM {table}
+          WHERE len({toks}) < {min_n})
+        SELECT {id_col}, n_tokens, {frac_names},
+               {verdict_sql}
                  AS repetitive
         FROM m
         """

@@ -23,14 +23,98 @@ outer join — an unmatched left row is only emitted once the watermark
 passes ``left_ts`` (plus the join bound), i.e. once no future right row
 could still match it; before the round-3 addition those rows were dropped
 silently. A terminating stream therefore holds back rows the watermark
-never passed — tests flush with a far-future sentinel event, the standard
-pattern.
+never passed. For finite backfills, :func:`flush_sentinel` builds the
+far-future event that drains those held-back tail rows and
+:func:`is_flush_sentinel` is the matching sink-side filter — the drain
+recipe lives HERE, not in each caller.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+#: Default event time for drain sentinels — far enough in the future that
+#: the min-over-sides global watermark passes every real row's eviction
+#: bound once one sentinel per side has been consumed.
+SENTINEL_TS = "2100-01-01 00:00:00"
+
+
+def flush_sentinel(
+    template: DataFrame,
+    ts_col: str,
+    *,
+    at: str = SENTINEL_TS,
+    overrides: dict | None = None,
+    keys: tuple = (),
+) -> DataFrame:
+    """One far-future row shaped like ``template`` — the watermark-drain
+    sentinel for finite streams feeding an outer stream-stream join (or
+    any watermark-gated stateful op).
+
+    Spark's global watermark is the minimum over BOTH sides' watermark
+    nodes, and outer-join / late-data state is only flushed when that
+    watermark passes it — so a stream that simply *ends* holds its tail
+    rows back forever. Appending one sentinel per side as the LAST input
+    (for a file source: a separate file with the latest modification
+    time — FileStreamSource orders files by mtime) advances the
+    watermark past every real row and drains the held-back tail.
+
+    ``ts_col`` gets ``at`` (cast to the template's type, so
+    TIMESTAMP_NTZ templates work); columns named in ``overrides`` get
+    that literal; every other column is NULL.
+
+    Pass the join's equi-keys as ``keys``, and give EVERY key a non-NULL
+    value (in ``overrides``) that no real row uses — e.g. a negative id.
+    NULL keys do NOT work, and not for the obvious reason: Catalyst
+    derives an ``isnotnull(key)`` constraint from the equi-join
+    condition for every side the join does not preserve and pushes it
+    into that side's SCAN, so a NULL-keyed sentinel dies before its
+    watermark node ever sees it and the global watermark (the min over
+    sides) never advances — measured: the right-side sentinel of a LEFT
+    join vanishes at the scan and every tail row stays held back. The
+    helper raises on NULL keys rather than let that failure ship.
+
+    Under a LEFT join the left-side sentinel itself IS emitted (as an
+    unmatched row once the watermark passes it) — filter the SINK with
+    :func:`is_flush_sentinel`. DO NOT filter sentinels in the streaming
+    plan: a predicate on an outer-join streaming plan is pushed down
+    through the join into both source scans, so the sentinels die
+    BEFORE the watermark nodes and the tail rows they exist to flush
+    are never emitted (the sink table is the only safe place — see
+    tests/test_interval_join.py).
+    """
+    overrides = dict(overrides or {})
+    null_keys = [k for k in keys if overrides.get(k) is None]
+    if null_keys:
+        raise ValueError(
+            f"flush_sentinel: join keys {sorted(null_keys)} need non-NULL "
+            "never-matching override values — Catalyst pushes an "
+            "isnotnull(key) constraint into the non-preserved side's scan, "
+            "so a NULL-keyed sentinel never reaches its watermark node"
+        )
+    cols = []
+    for c, t in template.dtypes:
+        if c == ts_col:
+            cols.append(F.to_timestamp(F.lit(at)).cast(t).alias(c))
+        elif c in overrides:
+            cols.append(F.lit(overrides.pop(c)).cast(t).alias(c))
+        else:
+            cols.append(F.lit(None).cast(t).alias(c))
+    if overrides:
+        raise ValueError(
+            f"flush_sentinel: override columns not in template: "
+            f"{sorted(overrides)}"
+        )
+    return template.sparkSession.range(1).select(*cols)
+
+
+def is_flush_sentinel(ts_col: str, *, at: str = SENTINEL_TS) -> Column:
+    """Sink-side predicate matching rows :func:`flush_sentinel` produced
+    (by their sentinel event time). Apply ``~is_flush_sentinel(...)`` to
+    the SINK TABLE after the stream completes — never to the streaming
+    plan itself (see the pushdown warning on :func:`flush_sentinel`)."""
+    return F.col(ts_col).cast("timestamp") == F.to_timestamp(F.lit(at))
 
 
 def interval_join(

@@ -668,6 +668,24 @@ def _register_text() -> None:
         docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
         return tx.repetition_signals(docs)
 
+    @_register(
+        "text_repetition_gopher_full",
+        tx.repetition_signals_table_oracle_sql(),
+    )
+    def text_repetition_gopher_full(spark: SparkSession, sf_dir: str
+                                    ) -> DataFrame:
+        """The FULL published Gopher n-gram repetition table (Rae et al.
+        2021, Table A1): top-n-gram share for n=2..4 (0.20/0.18/0.16)
+        plus duplicate-n-gram fraction for n=5..10 (0.15 down to 0.10),
+        all nine families off ONE fam-tagged exploded stream and the
+        same two map-side-combined shuffles as the single-point variant
+        — adding families widens rows, never adds exchanges. Fractions
+        unrounded (single IEEE divisions of exact longs); short / NULL
+        docs keep NULL-fraction rows
+        (operators/text.py::repetition_signals_table)."""
+        docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+        return tx.repetition_signals_table(docs)
+
 
 _register_text()
 
@@ -2223,32 +2241,26 @@ def _register_multimodal_streaming() -> None:
                     "overwrite"
                 ).parquet(d)
                 _stamp(d, i)
-            # one far-future SENTINEL event per side (staged for both
-            # variants; the inner join provably never emits them), column
-            # types cloned from the events frame so the staged files stay
-            # schema-homogeneous (mixed TIMESTAMP/TIMESTAMP_NTZ parquet
-            # in one directory would poison the read)
-            rows = []
-            for eid, uid, et in (
-                (10**12, -1, "purchase"), (10**12 + 1, -2, "error"),
-            ):
-                cols = []
-                for c, t in events.dtypes:
-                    if c == "event_id":
-                        cols.append(F.lit(eid).cast(t).alias(c))
-                    elif c == "ts":
-                        cols.append(
-                            F.to_timestamp(
-                                F.lit("2100-01-01 00:00:00")
-                            ).cast(t).alias(c)
-                        )
-                    elif c == "user_id":
-                        cols.append(F.lit(uid).cast(t).alias(c))
-                    elif c == "event_type":
-                        cols.append(F.lit(et).cast(t).alias(c))
-                    else:
-                        cols.append(F.lit(None).cast(t).alias(c))
-                rows.append(events.limit(1).select(*cols))
+            # one far-future SENTINEL event per side via the operator's
+            # own drain helper (staged for both variants; the inner join
+            # provably never emits them) — column types cloned from the
+            # events frame so the staged files stay schema-homogeneous
+            # (mixed TIMESTAMP/TIMESTAMP_NTZ parquet in one directory
+            # would poison the read)
+            from window_aggregation_spark.streaming.interval_join import (
+                flush_sentinel,
+            )
+
+            rows = [
+                flush_sentinel(
+                    events, "ts", keys=("user_id",),
+                    overrides={"event_id": eid, "user_id": uid,
+                               "event_type": et},
+                )
+                for eid, uid, et in (
+                    (10**12, -1, "purchase"), (10**12 + 1, -2, "error"),
+                )
+            ]
             d = f"{stage}/q4_sentinel"
             rows[0].unionByName(rows[1]).coalesce(1).write.mode(
                 "overwrite"
@@ -4510,14 +4522,10 @@ def stream_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
              CASE WHEN NOT coalesce(o_orderstatus IN ('O', 'F'), FALSE)
                   THEN 'status_known' END
            ) AS failed_checks,
-           concat_ws(';',
-             CASE WHEN NOT coalesce(o_custkey % 97 <> 0, FALSE)
-                  THEN 'custkey_mod' END,
-             CASE WHEN NOT coalesce(o_totalprice <= 400000, FALSE)
-                  THEN 'price_bound' END,
-             CASE WHEN NOT coalesce(o_orderstatus IN ('O', 'F'), FALSE)
-                  THEN 'status_known' END
-           ) <> '' AS quarantined
+           (NOT coalesce(o_custkey % 97 <> 0, FALSE))
+             OR (NOT coalesce(o_totalprice <= 400000, FALSE))
+             OR (NOT coalesce(o_orderstatus IN ('O', 'F'), FALSE))
+             AS quarantined
     FROM orders
     """,
 )
@@ -4754,35 +4762,37 @@ _register_weighted_sample()
 # round; everything rotated out was driver-recorded green in r5
 # (CORRECTNESS_r05.json) and stays judge/gate-sim covered.
 _DRIVER_PRIORITY = [
-    # --- Round-8 rotation (VERDICT r7 next-round #3): the last four ---
-    # queries that never held a driver-recorded CORRECTNESS row take
-    # slots (corpus_split_leakage_safe, dedup_store_deleted,
-    # ts_funnel_steps, ts_cohort_retention), plus the r8-new
-    # stream_interval_join_ss. Ceded (all driver-green in r7, families
-    # keep >=1 anchor): corpus_shuffle, corpus_chunk, ts_ohlc_daily,
-    # agg_cube_orders, stream_anomaly_zscore. After this round every
-    # registered query has a driver row somewhere in its history.
-    "text_perplexity_unigram", "text_perplexity_bigram",
+    # --- Round-9 rotation (VERDICT r8 next-round #1): the four r8-new ---
+    # queries that were judge-gate-sim green but never driver-recorded
+    # take slots (agg_grouping_sets_orders, dq_quarantine_orders,
+    # stream_interval_join_ss_left, text_repetition_gopher), plus the
+    # r9-new text_repetition_gopher_full. Ceded (all driver-green in r8,
+    # families keep >=1 anchor; corpus keeps >=5): the four r8
+    # never-recorded rows that now have their r8 record
+    # (corpus_split_leakage_safe, dedup_store_deleted, ts_funnel_steps,
+    # ts_cohort_retention) plus text_perplexity_bigram.
+    "text_perplexity_unigram",
+    "text_repetition_gopher",       # r8-new, first driver row
+    "text_repetition_gopher_full",  # r9-new
     "search_bm25_batch", "search_tfidf_keywords",
     "search_bm25_indexed", "search_bm25_index_add", "search_hybrid_rrf",
     "sim_embedding_covariance",
     "corpus_decontaminate_bloom",
     "corpus_stats", "corpus_top_terms", "corpus_length_quantiles",
     "corpus_tar_shards_roundtrip", "corpus_sample_weighted",
-    "corpus_split_leakage_safe",  # never-recorded #1
-    "dedup_store_deleted",        # never-recorded #2
-    "ts_funnel_steps",            # never-recorded #3
-    "ts_cohort_retention",        # never-recorded #4
     "join_fuzzy_part_names",
     "ts_sessionize", "ts_anomaly_zscore",
     "agg_pivot_orders", "agg_discrete_percentile",
+    "agg_grouping_sets_orders",     # r8-new, first driver row
     "src_schema_evolution",
     "graph_pagerank",
     "w_count_distinct_running",
     "dq_drift_psi", "dq_profile_orders",
+    "dq_quarantine_orders",         # r8-new, first driver row
     "cdc_snapshot_diff",
-    # --- new round-8 query ----------------------------------------------
-    "stream_interval_join_ss",  # streaming-engine-executed interval join
+    # --- streaming-engine-executed interval joins -------------------------
+    "stream_interval_join_ss",
+    "stream_interval_join_ss_left",  # r8-new, first driver row
     # --- prior-round lifecycle anchors (kept recorded) -------------------
     "search_bm25_deleted",    # index delete+compact == filtered rebuild
     "mm_video_mjpeg",         # compressed video via the built-in codec
