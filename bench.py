@@ -288,6 +288,143 @@ def streaming_probe(spark, sf_dir: str, *, n_files: int = 8) -> dict:
     }
 
 
+def stream_state_probe(spark, sf_dir: str, *, n_files: int = 8) -> dict:
+    """State-store telemetry for the stream-stream interval join
+    (VERDICT r8 #7): the claim that the 2 h watermark + 30 min join
+    bound lets Spark EVICT join state rested on the plan; this records
+    the NUMBER. Events staged as ``n_files`` time-RANGED files with
+    ascending mtimes (one micro-batch each, so the watermark advances
+    ~1/n of the fixture span per batch), the inner and LEFT joins run to
+    a noop sink, and each batch's ``stateOperators`` row counts are
+    captured from ``recentProgress``. Eviction proven when rows are
+    removed across batches and the peak state size stays a small
+    fraction of the total input — state plateaus instead of growing
+    with the stream."""
+    import shutil
+    import tempfile
+    from pathlib import Path
+
+    from window_aggregation_spark.sources.io import read_table
+    from window_aggregation_spark.streaming.interval_join import interval_join
+
+    src = Path(
+        os.environ.get(
+            "SPARK_GRAFT_STREAM_STATE_SRC", "/tmp/spark_graft_stream_state"
+        )
+    )
+    data_dir = src / "events"
+    marker = src / "_BUILT"
+    ev = (
+        read_table(spark, sf_dir, "events")
+        .select(
+            "event_id", "user_id", "event_type",
+            F.col("ts").cast("timestamp").alias("ts"),
+        )
+        .where(F.col("ts").isNotNull())
+    )
+    n_rows = ev.count()
+    stamp = f"{n_rows}:{n_files}"
+    if not (marker.exists() and marker.read_text() == stamp):
+        if src.exists():
+            shutil.rmtree(src)
+        # time-ranged quantile slices with explicit ascending mtimes —
+        # FileStreamSource orders by mtime, and a scrambled order would
+        # put whole slices behind the watermark (suite staging's lesson).
+        # approxQuantile rejects TimestampType: slice on unix_micros
+        us = F.unix_micros(F.col("ts"))
+        evm = ev.withColumn("__us", us)
+        cuts = evm.approxQuantile(
+            "__us", [i / n_files for i in range(1, n_files)], 0.001
+        )
+        base = time.time()
+        bounds = [None, *cuts, None]
+        for i in range(n_files):
+            part = evm
+            if bounds[i] is not None:
+                part = part.where(F.col("__us") >= F.lit(int(bounds[i])))
+            if bounds[i + 1] is not None:
+                part = part.where(F.col("__us") < F.lit(int(bounds[i + 1])))
+            part = part.drop("__us")
+            d = str(data_dir / f"t{i:02d}")
+            part.coalesce(1).write.mode("overwrite").parquet(d)
+            for root, _, files in os.walk(d):
+                for fn in files:
+                    fp = os.path.join(root, fn)
+                    os.utime(fp, (base + i * 10, base + i * 10))
+        marker.write_text(stamp)
+    schema = spark.read.option("recursiveFileLookup", "true").parquet(
+        str(data_dir)
+    ).schema
+
+    def run(how: str) -> dict:
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .option("recursiveFileLookup", "true")
+            .parquet(str(data_dir))
+            .withColumn("ts", F.col("ts").cast("timestamp"))
+        )
+        left = stream.where(F.col("event_type") == "purchase").select(
+            F.col("event_id").alias("p_id"), "user_id", "ts"
+        )
+        right = stream.where(F.col("event_type") == "error").select(
+            F.col("event_id").alias("e_id"), "user_id",
+            F.col("ts").alias("ts_r"),
+        )
+        joined = interval_join(
+            left, right, ["user_id"], "ts", "ts_r",
+            upper="30 minutes", watermark="2 hours", how=how,
+        )
+        ckpt = tempfile.mkdtemp(prefix="spark_graft_ckpt_")
+        prev = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        t0 = time.perf_counter()
+        try:
+            q = (
+                joined.writeStream.outputMode("append")
+                .format("noop")
+                .option("checkpointLocation", ckpt)
+                .start()
+            )
+            try:
+                q.processAllAvailable()
+            finally:
+                q.stop()
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
+        dt = time.perf_counter() - t0
+        batches = []
+        for p in q.recentProgress:
+            j = json.loads(p.json)
+            ops = j.get("stateOperators") or []
+            tot = sum(op.get("numRowsTotal", 0) for op in ops)
+            rem = sum(op.get("numRowsRemoved", 0) for op in ops)
+            batches.append(
+                {
+                    "input": j.get("numInputRows", 0),
+                    "state_rows": tot,
+                    "removed": rem,
+                }
+            )
+        shutil.rmtree(ckpt, ignore_errors=True)
+        peak = max((b["state_rows"] for b in batches), default=0)
+        final = batches[-1]["state_rows"] if batches else 0
+        removed = sum(b["removed"] for b in batches)
+        return {
+            "sec": round(dt, 3),
+            "batches": batches,
+            "peak_state_rows": peak,
+            "final_state_rows": final,
+            "rows_removed_total": removed,
+            "input_rows": n_rows,
+            "peak_state_fraction": round(peak / max(n_rows, 1), 4),
+            "state_evicts": bool(removed > 0 and final <= peak),
+        }
+
+    return {"rows": n_rows, "files": n_files,
+            "inner": run("inner"), "left": run("left")}
+
+
 def layout_probe(spark, sf_dir: str, *, n_files: int = 16) -> dict:
     """File-skipping evidence for the layout writers: events written once
     range-clustered on ts and once z-ordered on (ts, user_id), then a
@@ -687,6 +824,90 @@ def mjpeg_decode_probe() -> dict:
     return out
 
 
+def ann_recall_probe(
+    spark,
+    sf_dir: str,
+    *,
+    k: int = 10,
+    n_queries: int = 64,
+    n_centroids: int = 16,
+    nprobes=(1, 2, 4, 8),
+) -> dict:
+    """recall@k of the APPROXIMATE retrieval settings vs brute-force
+    truth (VERDICT r8 #3): the gate rows prove the IVF/quantized
+    plumbing at exact-by-construction configurations, which says nothing
+    about retrieval QUALITY once a user tunes ``nprobe`` down for the
+    100 TB case. This records the actual recall curve — recall@k = mean
+    over queries of |approx top-k ∩ exact top-k| / k, exact = the
+    deterministic tie-broken :func:`cosine_topk` — for IVF at each
+    ``nprobe`` (both centroid modes) and for the int8 coarse-scan path.
+    The candidate fraction ~ nprobe/n_centroids is the cost lever the
+    recall buys down."""
+    from window_aggregation_spark.operators.similarity import (
+        cosine_topk,
+        ivf_topk,
+        quantized_topk,
+    )
+    from window_aggregation_spark.sources.io import read_table
+
+    emb = read_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    corpus = emb.cache()
+    n_corpus = corpus.count()
+    queries = corpus.orderBy("vec_id").limit(n_queries).cache()
+    queries.count()
+
+    def topk_sets(df) -> dict:
+        out: dict = {}
+        for r in df.select("query_id", "neighbor_id").collect():
+            out.setdefault(r.query_id, set()).add(r.neighbor_id)
+        return out
+
+    truth = topk_sets(cosine_topk(queries, corpus, k=k))
+
+    def recall_of(df) -> float:
+        got = topk_sets(df)
+        per_q = [
+            len(got.get(q, set()) & hits) / len(hits)
+            for q, hits in truth.items()
+        ]
+        return round(sum(per_q) / len(per_q), 4)
+
+    out: dict = {
+        "k": k,
+        "n_queries": len(truth),
+        "n_corpus": n_corpus,
+        "n_centroids": n_centroids,
+    }
+    for mode in ("sample", "kmeans"):
+        curve = {}
+        for np_ in nprobes:
+            t0 = time.perf_counter()
+            r = recall_of(
+                ivf_topk(
+                    queries, corpus, k=k, n_centroids=n_centroids,
+                    nprobe=np_, centroids=mode,
+                )
+            )
+            curve[str(np_)] = {
+                "recall": r,
+                "sec": round(time.perf_counter() - t0, 3),
+                "candidate_fraction": round(np_ / n_centroids, 3),
+            }
+        out[f"ivf_{mode}"] = curve
+    for overfetch in (1, 2, 4):
+        t0 = time.perf_counter()
+        r = recall_of(
+            quantized_topk(queries, corpus, k=k, overfetch=overfetch)
+        )
+        out[f"int8_overfetch_{overfetch}"] = {
+            "recall": r,
+            "sec": round(time.perf_counter() - t0, 3),
+        }
+    queries.unpersist()
+    corpus.unpersist()
+    return out
+
+
 def dedup_pair_counts(spark, sf_dir: str) -> dict:
     """Candidate-vs-verified pair volumes for the LSH dedup family at the
     sf1 scale: the metric that exposes a super-linear candidate explosion
@@ -793,6 +1014,20 @@ def main() -> None:
         sections["skew_probe"] = skew_probe(spark, sf_dir)
     if os.environ.get("SPARK_GRAFT_STREAM_PROBE", "1") != "0":
         sections["streaming_probe"] = streaming_probe(spark, sf_dir)
+    if os.environ.get("SPARK_GRAFT_STREAM_STATE_PROBE", "1") != "0":
+        try:
+            sections["stream_state_probe"] = stream_state_probe(spark, sf_dir)
+        except Exception as e:
+            sections["stream_state_probe"] = {
+                "err": f"{type(e).__name__}: {e}"[:300]
+            }
+    if os.environ.get("SPARK_GRAFT_ANN_RECALL_PROBE", "1") != "0":
+        try:
+            sections["ann_recall_probe"] = ann_recall_probe(spark, sf_dir)
+        except Exception as e:
+            sections["ann_recall_probe"] = {
+                "err": f"{type(e).__name__}: {e}"[:300]
+            }
     if os.environ.get("SPARK_GRAFT_LAYOUT_PROBE", "1") != "0":
         sections["layout_probe"] = layout_probe(spark, sf_dir)
     if os.environ.get("SPARK_GRAFT_GRAPH_PROBE", "1") != "0":

@@ -95,6 +95,43 @@ def test_cc_scale_probe_shape(spark, sf_dir):
     assert s["component_rows"] == s["documents"]
 
 
+def test_ann_recall_probe_shape_and_monotonicity(spark, sf_dir):
+    """recall@k is in [0,1] for every setting, the IVF curve is
+    non-decreasing in nprobe (more lists scanned can only add candidates
+    under the same deterministic tie-break), and the int8 re-rank path
+    sits at/near exact."""
+    out = bench.ann_recall_probe(
+        spark, sf_dir, k=5, n_queries=16, n_centroids=8, nprobes=(1, 4, 8)
+    )
+    assert out["n_queries"] == 16 and out["n_corpus"] > 0
+    for mode in ("ivf_sample", "ivf_kmeans"):
+        curve = out[mode]
+        rs = [curve[str(p)]["recall"] for p in (1, 4, 8)]
+        assert all(0.0 <= r <= 1.0 for r in rs)
+        assert rs == sorted(rs), f"{mode} recall not monotone: {rs}"
+        # nprobe == n_centroids scans every list == brute force
+        assert rs[-1] == 1.0
+    assert out["int8_overfetch_4"]["recall"] >= 0.95
+
+
+def test_stream_state_probe_state_is_bounded(spark, sf_dir, monkeypatch, tmp_path):
+    """The probe's reason to exist: join state must EVICT under the
+    watermark (rows_removed > 0), plateau instead of accumulating the
+    stream (peak << input), and drain at the end (final <= peak)."""
+    monkeypatch.setenv(
+        "SPARK_GRAFT_STREAM_STATE_SRC", str(tmp_path / "state_src")
+    )
+    out = bench.stream_state_probe(spark, sf_dir, n_files=4)
+    assert out["rows"] > 0 and out["files"] == 4
+    for mode in ("inner", "left"):
+        s = out[mode]
+        assert s["state_evicts"] is True
+        assert s["rows_removed_total"] > 0
+        assert 0 < s["peak_state_rows"] < s["input_rows"]
+        assert s["final_state_rows"] <= s["peak_state_rows"]
+        assert len(s["batches"]) >= 4
+
+
 def test_scaled_docs_copies_are_not_near_duplicates(spark, sf_dir, tmp_path):
     """Past 9 copies the single-rotation remap would repeat; the composed
     two-alphabet remap must keep copy 0 and copy 9 texts distinct."""

@@ -338,3 +338,127 @@ def test_fingerprint_identical_across_fs_implementations(spark, tmp_path):
         finally:
             sm.unregister_fs_prefix(root)
     assert fps[0] == fps[1] == fps[2]
+    # hidden entries must not perturb the fingerprint on ANY impl:
+    # Hadoop's local ChecksumFileSystem hides .crc sidecars that os.walk
+    # lists, and _SUCCESS markers say nothing about data — a Spark-
+    # written local dir copied to an object store must keep its caches
+    with open(f"{root}/comp/.part-0.crc", "w") as f:
+        f.write("crc")
+    with open(f"{root}/comp/_SUCCESS", "w") as f:
+        f.write("")
+    for fs in (sm.PosixFS(), sm.RenamelessLocalFS(), sm.HadoopFS(spark)):
+        sm.register_fs_prefix(root, fs)
+        try:
+            assert sm.state_fingerprint(root, ["comp", "missing"]) == fps[0]
+        finally:
+            sm.unregister_fs_prefix(root)
+
+
+# ---------------------------------------------------------------------------
+# Round 9: writer fencing (create-if-absent generation claims)
+# ---------------------------------------------------------------------------
+
+
+class _HideFromListing:
+    """Deterministic replay of the list->claim race window: this writer's
+    LISTING is taken before the other writer's PUT lands (modeled by
+    hiding that manifest from listdir), but the claim itself sees the
+    real filesystem — exactly the interleaving the create-if-absent
+    fence exists for."""
+
+    def __init__(self, hide: str):
+        self._hide = hide
+
+    def listdir(self, p: str) -> list:
+        return [n for n in super().listdir(p) if n != self._hide]
+
+
+class _StaleListingFS(_HideFromListing, sm.RenamelessLocalFS):
+    pass
+
+
+class _StalePosixFS(_HideFromListing, sm.PosixFS):
+    pass
+
+
+def test_create_new_is_exclusive_on_every_fs(spark, tmp_path):
+    """The fencing primitive: create_new claims a fresh path and raises
+    FileExistsError on an existing one — O_EXCL on the POSIX impls,
+    Hadoop create(path, overwrite=false) through the JVM."""
+    for i, fs in enumerate(
+        (sm.PosixFS(), sm.RenamelessLocalFS(), sm.HadoopFS(spark))
+    ):
+        p = str(tmp_path / f"claim-{i}")
+        fs.create_new(p, "first")
+        with pytest.raises(FileExistsError):
+            fs.create_new(p, "second")
+        with open(p) as f:
+            assert f.read() == "first"  # the loser changed nothing
+
+
+@pytest.mark.parametrize("posix", [False, True])
+def test_contended_writers_exactly_one_wins(tmp_path, posix):
+    """Two writers race to publish the same generation number: the one
+    whose PUT lands first wins; the other raises ManifestConflictError
+    and the winner's published mapping survives byte-for-byte — on both
+    the rename-less shim and a plain path that carries numbered history."""
+    root = str(tmp_path / "store")
+    os.makedirs(root)
+    base_cls = sm.PosixFS if posix else sm.RenamelessLocalFS
+    sm.register_fs_prefix(root, base_cls())
+    try:
+        sm.write_manifest(root, {"a": "a_v1"})
+        if posix:
+            # move the plain path onto the numbered protocol the way it
+            # happens in the wild: a store copied back from an object
+            # store already carries numbered manifests
+            os.unlink(f"{root}/MANIFEST")
+            with open(f"{root}/MANIFEST-{1:020d}", "w") as f:
+                json.dump({"a": "a_v1"}, f)
+        sm.write_manifest(root, {"a": "a_winner"})  # writer A publishes
+        top = _numbered(root)[-1]
+    finally:
+        sm.unregister_fs_prefix(root)
+    # writer B listed BEFORE A's publish landed, so it claims A's number
+    stale = _StalePosixFS(top) if posix else _StaleListingFS(top)
+    sm.register_fs_prefix(root, stale)
+    try:
+        with pytest.raises(sm.ManifestConflictError, match="claimed"):
+            sm.write_manifest(root, {"a": "a_loser"})
+    finally:
+        sm.unregister_fs_prefix(root)
+    with open(f"{root}/{top}") as f:
+        assert json.load(f) == {"a": "a_winner"}
+    assert sm.read_manifest(root, {"a": "a"})["a"] == "a_winner"
+
+
+def test_unreadable_top_manifest_is_never_reclaimed(shim_dir):
+    """ADVICE r8: the next generation number comes from the highest
+    LISTED manifest, not the highest READABLE one — a torn PUT (or a
+    transiently unreadable top file) must bump the writer PAST it, never
+    let the writer derive N-1 and overwrite the existing MANIFEST-N."""
+    path = f"{shim_dir}/s"
+    os.makedirs(path)
+    sm.write_manifest(path, {"a": "a_v1"})
+    torn = f"{path}/MANIFEST-{2:020d}"
+    with open(torn, "w") as f:
+        f.write('{"a": "TRUNC')  # torn PUT at the top
+    sm.write_manifest(path, {"a": "a_v3"})
+    # the torn file was not touched, and the new write claimed gen 3
+    with open(torn) as f:
+        assert f.read() == '{"a": "TRUNC'
+    assert _numbered(path)[-1] == f"MANIFEST-{3:020d}"
+    assert sm.read_manifest(path, {"a": "a"})["a"] == "a_v3"
+
+
+def test_corrupt_legacy_manifest_fails_loudly(tmp_path):
+    """ADVICE r8: the single-file protocol has no previous generation to
+    fall back to, and superseded legacy-named dirs usually still exist —
+    a corrupt legacy MANIFEST must raise, not silently serve the
+    pre-manifest default directory names (a stale generation)."""
+    path = str(tmp_path / "s")
+    os.makedirs(path)
+    with open(f"{path}/MANIFEST", "w") as f:
+        f.write('{"a": "TRUNC')
+    with pytest.raises(RuntimeError, match="corrupt"):
+        sm.read_manifest(path, {"a": "a"})
