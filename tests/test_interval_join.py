@@ -117,6 +117,10 @@ def test_left_stream_equals_batch(spark, sf_dir, events_dir, tmp_path):
     with pytest.raises(ValueError, match="non-NULL never-matching"):
         flush_sentinel(batch, "ts", keys=("user_id",),
                        overrides={"event_type": "purchase"})
+    # the sentinel timestamp goes through at=, never overrides (the ts
+    # branch would otherwise silently supersede the caller's value)
+    with pytest.raises(ValueError, match="at="):
+        flush_sentinel(batch, "ts", overrides={"ts": "2099-01-01"})
     sentinel.coalesce(1).write.parquet(str(d / "zz_sentinel"))
     stream = (
         spark.readStream.schema(SCHEMA)

@@ -462,3 +462,7 @@ def test_corrupt_legacy_manifest_fails_loudly(tmp_path):
         f.write('{"a": "TRUNC')
     with pytest.raises(RuntimeError, match="corrupt"):
         sm.read_manifest(path, {"a": "a"})
+    # ...but an UNGUARDED write must repair the store, not brick on the
+    # same read (write_manifest only reads current state for expected=)
+    sm.write_manifest(path, {"a": "a_v9"})
+    assert sm.read_manifest(path, {"a": "a"})["a"] == "a_v9"

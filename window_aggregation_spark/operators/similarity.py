@@ -342,6 +342,34 @@ def _kmeans_centroids(
     return cents
 
 
+def ivf_centroids(
+    corpus: DataFrame,
+    n_centroids: int = 16,
+    *,
+    mode: str = "sample",
+    corpus_id: str = "vec_id",
+    vec_col: str = "embedding",
+    kmeans_iters: int = 3,
+) -> np.ndarray:
+    """Compute an IVF codebook ONCE for reuse across several
+    :func:`ivf_topk` calls (pass it as ``centroids=``). Two reasons to
+    hoist it: (a) cost — k-means mode is ``kmeans_iters`` full corpus
+    passes, which a recall sweep over nprobe values should not repeat
+    per point; (b) comparability — the distributed k-means float sums
+    are deterministic only up to BLAS summation order, so two calls can
+    produce codebooks differing in the last ulps and a boundary vector
+    can flip lists between them; sweeping nprobe against ONE codebook
+    is what makes recall monotone in nprobe by construction."""
+    if mode not in ("sample", "kmeans"):
+        raise ValueError(f"unknown centroids mode: {mode!r}")
+    c_base = corpus.select(
+        F.col(corpus_id).alias("id"), F.col(vec_col).alias("v")
+    )
+    if mode == "kmeans":
+        return _kmeans_centroids(c_base, n_centroids, kmeans_iters)
+    return _sample_centroids(c_base, n_centroids)
+
+
 def ivf_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -366,7 +394,11 @@ def ivf_topk(
     spherical Lloyd iterations (:func:`_kmeans_centroids`) — better
     recall at equal nprobe on clustered corpora, at the cost of
     ``kmeans_iters`` extra passes over the corpus (numpy assignment
-    path only — refined centroids aren't SQL-reproducible).
+    path only — refined centroids aren't SQL-reproducible). A
+    PRECOMPUTED codebook (the array :func:`ivf_centroids` returns) is
+    also accepted — hoist it when sweeping nprobe or serving many query
+    batches, so the corpus passes happen once and every call probes the
+    same lists (numpy assignment path only).
 
     ``assign`` picks the list-assignment implementation:
 
@@ -396,13 +428,15 @@ def ivf_topk(
     candidate fraction alone. When recall must be exact, use
     :func:`cosine_topk` or :func:`quantized_topk` (measured 0.99-1.0).
     """
-    if centroids not in ("sample", "kmeans"):
+    precomputed = not isinstance(centroids, str)
+    if not precomputed and centroids not in ("sample", "kmeans"):
         raise ValueError(f"unknown centroids mode: {centroids!r}")
     if assign == "expr":
-        if centroids != "sample":
+        if precomputed or centroids != "sample":
             raise ValueError(
-                "assign='expr' supports centroids='sample' only — k-means "
-                "centroid values are not reproducible in a SQL oracle"
+                "assign='expr' supports centroids='sample' only — k-means/"
+                "precomputed centroid values are not reproducible in a SQL "
+                "oracle"
             )
         return _ivf_topk_expr(
             queries, corpus, k=k, n_centroids=n_centroids, nprobe=nprobe,
@@ -411,7 +445,12 @@ def ivf_topk(
     c_base = corpus.select(
         F.col(corpus_id).alias("id"), F.col(vec_col).alias("v")
     )
-    if centroids == "kmeans":
+    if precomputed:
+        cents = np.asarray(centroids, dtype=np.float64)
+        if cents.ndim != 2 or cents.shape[0] == 0:
+            raise ValueError("precomputed centroids must be a non-empty "
+                             "2-D array (n_centroids x dim)")
+    elif centroids == "kmeans":
         cents = _kmeans_centroids(c_base, n_centroids, kmeans_iters)
     else:
         cents = _sample_centroids(c_base, n_centroids)

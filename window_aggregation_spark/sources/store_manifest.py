@@ -465,8 +465,12 @@ def write_manifest(
     generation: an unreadable ``MANIFEST-N`` still bumps the next write
     to ``N+1``."""
     fs = _fs_for(path)
-    _, current_raw = _current_manifest(fs, path)
     if expected is not None:
+        # only the expected-guard needs to READ current state; an
+        # unguarded write must not (a corrupt legacy MANIFEST raises on
+        # read, and overwriting it with a fresh mapping is exactly how
+        # such a store is repaired)
+        _, current_raw = _current_manifest(fs, path)
         current = dict(expected)
         if current_raw:
             current.update(current_raw)

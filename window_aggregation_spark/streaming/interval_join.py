@@ -85,6 +85,12 @@ def flush_sentinel(
     tests/test_interval_join.py).
     """
     overrides = dict(overrides or {})
+    if ts_col in overrides:
+        raise ValueError(
+            f"flush_sentinel: pass the sentinel timestamp via at=, not "
+            f"overrides[{ts_col!r}] (the ts column is what the sentinel "
+            "exists to set)"
+        )
     null_keys = [k for k in keys if overrides.get(k) is None]
     if null_keys:
         raise ValueError(
