@@ -699,6 +699,68 @@ def test_repetition_signals_hand_values(spark):
     }
 
 
+def test_gopher_quality_signals_hand_values(spark):
+    """Gopher quality rules against hand-computed values on inputs the
+    fixture corpus can't produce: bullets, ellipsis lines, symbol junk,
+    letterless words, empty/NULL docs — plus the rule-override path."""
+    from window_aggregation_spark.operators.text import (
+        quality_signals_gopher,
+    )
+
+    rows = [
+        # 8 words, all letters, 2 stopwords ('the','of'); mean len
+        # = 30/8 = 3.75. Fails ONLY the 50-word minimum.
+        (1, "the size of a good corpus grows daily"),
+        # bullets: 3 of 4 lines start with a bullet (0.75 <= 0.9 ok),
+        # 2 of 4 end with '...' (0.5 > 0.3 -> fail); '...' also counts
+        # toward symbols: 2 ellipses / 8 words = 0.25 > 0.1 -> fail
+        (2, "- the first...\n* the second\n• the third...\nplain line"),
+        # 4 of 6 words have no letter -> alpha frac 1/3 < 0.8; '#'s:
+        # 3 hashes / 6 words = 0.5 > 0.1
+        (3, "the 123 456 ### 99 with"),
+        (4, ""),     # 0 words: every fraction NULL -> fail
+        (5, None),   # NULL text == empty doc
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r.asDict() for r in quality_signals_gopher(df).collect()}
+    r1 = out[1]
+    assert (r1["n_words"], r1["stopword_hits"]) == (8, 2)
+    assert r1["mean_word_len"] == 30 / 8
+    assert (r1["symbol_ratio"], r1["alpha_word_frac"]) == (0.0, 1.0)
+    assert r1["quality_pass"] is False  # word-count minimum only
+    r2 = out[2]
+    assert r2["bullet_line_frac"] == 3 / 4
+    assert r2["ellipsis_line_frac"] == 2 / 4
+    assert r2["symbol_ratio"] == 2 / 11  # 11 whitespace words
+    assert r2["quality_pass"] is False
+    r3 = out[3]
+    assert r3["alpha_word_frac"] == 2 / 6
+    assert r3["symbol_ratio"] == 3 / 6
+    assert r3["quality_pass"] is False
+    for d in (4, 5):
+        assert out[d]["n_words"] == 0
+        assert out[d]["mean_word_len"] is None
+        assert out[d]["quality_pass"] is False
+    # rule overrides: relax the word minimum and doc 1 passes
+    relaxed = {
+        r.doc_id: r.quality_pass
+        for r in quality_signals_gopher(
+            df, rules={"min_words": 5}
+        ).collect()
+    }
+    assert relaxed[1] is True and relaxed[3] is False
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="unknown quality rules"):
+        quality_signals_gopher(df, rules={"min_wordz": 1})
+    # pure projection: no exchange anywhere in the plan
+    plan = (
+        quality_signals_gopher(df)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan.split("== Initial Plan ==")[0]
+
+
 def test_repetition_signals_full_table_hand_values(spark):
     """The full Gopher n-gram table (top 2..4, dup 5..10) against
     hand-computed values: per-family NULLs where the doc is too short to

@@ -487,3 +487,47 @@ def test_quarantine_rows(spark):
         quarantine_rows(df, {"": F.col("price") > 0})
     with pytest.raises(ValueError, match="non-empty"):
         quarantine_rows(df, {"a;b": F.col("price") > 0})
+
+
+def test_quarantine_write_partitions_input_exactly(spark, tmp_path):
+    """The sink side: ONE partitioned write routes every input row to
+    exactly one of the two sink directories — clean ∪ quarantine == the
+    input key set, disjoint by construction — and the returned counts
+    describe the committed files. Zero-quarantine inputs produce no
+    quarantine directory (and a 0 count) rather than an empty one."""
+    from window_aggregation_spark.operators.relational import (
+        quarantine_write,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 10.0, "O"), (2, -5.0, "O"), (3, 10.0, "X"), (4, None, "X"),
+         (5, 20.0, "F")],
+        "k long, price double, status string",
+    )
+    checks = {
+        "price_pos": F.col("price") > 0,
+        "status_ok": F.col("status").isin("O", "F"),
+    }
+    out = quarantine_write(df, checks, str(tmp_path / "routed"))
+    assert (out["clean_rows"], out["quarantined_rows"]) == (2, 3)
+    clean = spark.read.parquet(out["clean_path"])
+    quar = spark.read.parquet(out["quarantine_path"])
+    assert {r.k for r in clean.collect()} == {1, 5}
+    assert {(r.k, r.failed_checks) for r in quar.collect()} == {
+        (2, "price_pos"), (3, "status_ok"), (4, "price_pos;status_ok"),
+    }
+    # every clean row's reasons string is empty; the flag itself lives
+    # in the directory key, not the data files
+    assert {r.failed_checks for r in clean.collect()} == {""}
+    assert "quarantined" not in clean.columns
+    # all-clean input: no quarantine dir, count reads 0
+    out2 = quarantine_write(
+        df.where("k in (1, 5)"), checks, str(tmp_path / "routed2")
+    )
+    assert (out2["clean_rows"], out2["quarantined_rows"]) == (2, 0)
+    import os
+
+    assert not os.path.exists(out2["quarantine_path"])
+    # default mode='error' refuses to clobber an existing routed dir
+    with pytest.raises(Exception, match="already exists"):
+        quarantine_write(df, checks, str(tmp_path / "routed"))

@@ -204,6 +204,61 @@ def quarantine_rows(
     return df.withColumn(failed_col, failed).withColumn(flag_col, any_failed)
 
 
+def quarantine_write(
+    df: DataFrame,
+    checks: dict[str, Column],
+    path: str,
+    *,
+    failed_col: str = "failed_checks",
+    flag_col: str = "quarantined",
+    mode: str = "error",
+) -> dict:
+    """The sink side of :func:`quarantine_rows`: route every input row
+    to the clean or quarantine sink in ONE job over ONE scan, by writing
+    the routed frame partitioned on the routing flag —
+    ``{path}/{flag_col}=false/`` is the clean sink,
+    ``{path}/{flag_col}=true/`` the quarantine sink (reasons in
+    ``failed_col`` ride along; clean rows carry an empty string).
+
+    Why this shape and not two filtered writes: two writes are two
+    executions of the upstream plan — at 100 TB that is the whole scan
+    twice, and if anything upstream is nondeterministic (sampled input,
+    a changed source between the passes) a row can land in BOTH sinks
+    or NEITHER. One partitioned write commits both sinks from the same
+    physical rows atomically (Spark's committer publishes the job's
+    output as a unit), so clean ∪ quarantine == input exactly, by
+    construction rather than by caching discipline.
+
+    Returns ``{"clean_rows", "quarantined_rows", "clean_path",
+    "quarantine_path"}`` with counts read back from the COMMITTED files
+    (not the pre-write frame — the numbers describe what is actually on
+    disk). A side with zero rows has no directory (dynamic partition
+    writes skip empty partitions): check its count before reading it.
+    """
+    routed = quarantine_rows(
+        df, checks, failed_col=failed_col, flag_col=flag_col
+    )
+    routed.write.partitionBy(flag_col).mode(mode).parquet(path)
+    committed = df.sparkSession.read.parquet(path)
+    # cast IN the plan: partition-column type inference is session-
+    # config-dependent, and Python bool("false") is True — a string
+    # flag must never reach the dict keys
+    counts = {
+        r["f"]: r["n"]
+        for r in committed.groupBy(
+            F.col(flag_col).cast("boolean").alias("f")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    return {
+        "clean_rows": counts.get(False, 0),
+        "quarantined_rows": counts.get(True, 0),
+        "clean_path": f"{path}/{flag_col}=false",
+        "quarantine_path": f"{path}/{flag_col}=true",
+    }
+
+
 def run_expectations(
     df: DataFrame,
     checks: list[Expectation],

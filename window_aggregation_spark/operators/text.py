@@ -294,6 +294,214 @@ def quality_model_score_oracle_expr(text_col: str = "text") -> str:
     return f"round(1.0 / (1.0 + exp(-({logit}))), 6)"
 
 
+# The published Gopher quality-rule thresholds (Rae et al. 2021, §A1.1,
+# public): a document is removed when any rule is violated.
+GOPHER_QUALITY_RULES: dict = {
+    "min_words": 50,
+    "max_words": 100_000,
+    "min_mean_word_len": 3.0,
+    "max_mean_word_len": 10.0,
+    "max_symbol_ratio": 0.10,       # '#' and '...' per word
+    "max_bullet_line_frac": 0.90,   # lines starting with a bullet
+    "max_ellipsis_line_frac": 0.30,  # lines ending with an ellipsis
+    "min_alpha_word_frac": 0.80,    # words containing a letter
+    "min_stopword_hits": 2,         # distinct hits from the 8-word list
+}
+# the paper's required-stopword list
+GOPHER_STOPWORDS: tuple = ("the", "be", "to", "of", "and", "that",
+                           "have", "with")
+_BULLETS = ("-", "*", "•")  # -, *, •
+
+
+def quality_signals_gopher(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    rules: dict | None = None,
+) -> DataFrame:
+    """Per-document Gopher QUALITY-rule signals (Rae et al. 2021, §A1.1,
+    public) — the structural-garbage complement to the repetition rules:
+    word-count bounds, mean word length, symbol-to-word ratio ('#' and
+    '...'), bullet-start / ellipsis-end line fractions, the fraction of
+    words containing a letter, and hits from the paper's 8-stopword
+    list. ``quality_pass`` ANDs the rules at the published thresholds
+    (override any subset via ``rules``).
+
+    Words are whitespace-split non-empty strings (NOT the alnum
+    tokenizer — the symbol/alpha rules exist to SEE the junk the
+    tokenizer strips); lines split on newlines. Every fraction is one
+    IEEE division of two exact longs (bit-equal cross-engine,
+    unrounded); undefined fractions (0 words) are NULL and fail the
+    rule (coalesce-to-False discipline). One pure-codegen projection:
+    zero shuffles, zero UDFs — at 100 TB this runs at scan speed.
+    NULL text reads as the empty document.
+    """
+    r = dict(GOPHER_QUALITY_RULES)
+    if rules:
+        unknown = set(rules) - set(r)
+        if unknown:
+            raise ValueError(f"unknown quality rules: {sorted(unknown)}")
+        r.update(rules)
+    text = F.coalesce(F.col(text_col), F.lit(""))
+    words = F.filter(F.split(text, r"\s+"), lambda w: w != F.lit(""))
+    lines = F.split(text, "\n")
+    n_words = F.size(words)
+    n_lines = F.size(lines)
+    sum_word_len = F.aggregate(
+        words, F.lit(0).cast("long"), lambda acc, w: acc + F.length(w)
+    )
+    mean_wl = F.try_divide(sum_word_len, n_words)
+    # non-overlapping occurrence counts via length deltas — the same
+    # greedy left-to-right replace in every engine
+    n_hash = F.length(text) - F.length(F.replace(text, F.lit("#")))
+    n_ellipsis = (
+        F.length(text) - F.length(F.replace(text, F.lit("...")))
+    ) / F.lit(3)
+    symbol_ratio = F.try_divide(
+        (n_hash + n_ellipsis).cast("double"), n_words
+    )
+    bullet = F.size(
+        F.filter(
+            lines,
+            lambda ln: F.array_contains(
+                F.array(*[F.lit(b) for b in _BULLETS]),
+                F.substring(F.ltrim(ln), 1, 1),
+            ),
+        )
+    )
+    ellipsis_end = F.size(F.filter(lines, lambda ln: ln.endswith("...")))
+    bullet_frac = F.try_divide(bullet, n_lines)
+    ellipsis_frac = F.try_divide(ellipsis_end, n_lines)
+    alpha = F.size(F.filter(words, lambda w: w.rlike("[A-Za-z]")))
+    alpha_frac = F.try_divide(alpha, n_words)
+    toks = tokens(text)
+    stop_hits = F.size(
+        F.filter(
+            F.array(*[F.lit(s) for s in GOPHER_STOPWORDS]),
+            lambda s: F.array_contains(toks, s),
+        )
+    )
+
+    def ok(cond: Column) -> Column:
+        return F.coalesce(cond, F.lit(False))
+
+    quality_pass = (
+        ok(n_words >= F.lit(int(r["min_words"])))
+        & ok(n_words <= F.lit(int(r["max_words"])))
+        & ok(mean_wl >= F.lit(float(r["min_mean_word_len"])))
+        & ok(mean_wl <= F.lit(float(r["max_mean_word_len"])))
+        & ok(symbol_ratio <= F.lit(float(r["max_symbol_ratio"])))
+        & ok(bullet_frac <= F.lit(float(r["max_bullet_line_frac"])))
+        & ok(ellipsis_frac <= F.lit(float(r["max_ellipsis_line_frac"])))
+        & ok(alpha_frac >= F.lit(float(r["min_alpha_word_frac"])))
+        & ok(stop_hits >= F.lit(int(r["min_stopword_hits"])))
+    )
+    return df.select(
+        F.col(id_col),
+        n_words.alias("n_words"),
+        mean_wl.alias("mean_word_len"),
+        symbol_ratio.alias("symbol_ratio"),
+        bullet_frac.alias("bullet_line_frac"),
+        ellipsis_frac.alias("ellipsis_line_frac"),
+        alpha_frac.alias("alpha_word_frac"),
+        stop_hits.alias("stopword_hits"),
+        quality_pass.alias("quality_pass"),
+    )
+
+
+def quality_signals_gopher_oracle_sql(
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    rules: dict | None = None,
+) -> str:
+    """DuckDB mirror of :func:`quality_signals_gopher` — same word/line
+    splits, same length-delta occurrence counts, same single-division
+    fractions, same coalesce-to-False rule folding."""
+    r = dict(GOPHER_QUALITY_RULES)
+    if rules:
+        r.update(rules)
+    text = f"coalesce({text_col}, '')"
+    words = f"list_filter(regexp_split_to_array({text}, '\\s+'), w -> w <> '')"
+    lines = f"string_split({text}, chr(10))"
+    toks = f"regexp_extract_all(lower({text}), '{TOKEN_RE}')"
+    stops = ", ".join(f"'{s}'" for s in GOPHER_STOPWORDS)
+    bullets = ", ".join(f"'{b}'" for b in _BULLETS)
+    return f"""
+        WITH base AS (
+          SELECT {id_col},
+                 {words} AS words,
+                 {lines} AS lines,
+                 {toks} AS toks,
+                 len({text}) - len(replace({text}, '#', '')) AS n_hash,
+                 (len({text}) - len(replace({text}, '...', ''))) / 3
+                   AS n_ellipsis
+          FROM {table}),
+        m AS (
+          SELECT {id_col},
+                 len(words) AS n_words,
+                 len(lines) AS n_lines,
+                 list_sum(list_transform(words, w -> CAST(len(w) AS BIGINT)))
+                   AS sum_wl,
+                 n_hash, n_ellipsis,
+                 len(list_filter(lines, ln ->
+                   list_contains([{bullets}], ltrim(ln)[1:1]))) AS bullet,
+                 len(list_filter(lines, ln -> ends_with(ln, '...')))
+                   AS ell_end,
+                 len(list_filter(words, w -> regexp_matches(w, '[A-Za-z]')))
+                   AS alpha,
+                 len(list_filter([{stops}], s -> list_contains(toks, s)))
+                   AS stopword_hits
+          FROM base),
+        f AS (
+          SELECT {id_col},
+                 CAST(n_words AS INT) AS n_words,
+                 CASE WHEN n_words > 0
+                      THEN CAST(sum_wl AS DOUBLE) / n_words END
+                   AS mean_word_len,
+                 CASE WHEN n_words > 0
+                      THEN CAST(n_hash + n_ellipsis AS DOUBLE) / n_words END
+                   AS symbol_ratio,
+                 CASE WHEN n_lines > 0
+                      THEN CAST(bullet AS DOUBLE) / n_lines END
+                   AS bullet_line_frac,
+                 CASE WHEN n_lines > 0
+                      THEN CAST(ell_end AS DOUBLE) / n_lines END
+                   AS ellipsis_line_frac,
+                 CASE WHEN n_words > 0
+                      THEN CAST(alpha AS DOUBLE) / n_words END
+                   AS alpha_word_frac,
+                 CAST(stopword_hits AS INT) AS stopword_hits
+          FROM m)
+        SELECT {id_col}, n_words, mean_word_len, symbol_ratio,
+               bullet_line_frac, ellipsis_line_frac, alpha_word_frac,
+               stopword_hits,
+               coalesce(n_words >= {int(r["min_words"])}, FALSE)
+               AND coalesce(n_words <= {int(r["max_words"])}, FALSE)
+               AND coalesce(mean_word_len >= {float(r["min_mean_word_len"])!r},
+                            FALSE)
+               AND coalesce(mean_word_len <= {float(r["max_mean_word_len"])!r},
+                            FALSE)
+               AND coalesce(symbol_ratio <= {float(r["max_symbol_ratio"])!r},
+                            FALSE)
+               AND coalesce(
+                 bullet_line_frac <= {float(r["max_bullet_line_frac"])!r},
+                 FALSE)
+               AND coalesce(
+                 ellipsis_line_frac <= {float(r["max_ellipsis_line_frac"])!r},
+                 FALSE)
+               AND coalesce(
+                 alpha_word_frac >= {float(r["min_alpha_word_frac"])!r},
+                 FALSE)
+               AND coalesce(stopword_hits >= {int(r["min_stopword_hits"])},
+                            FALSE)
+               AS quality_pass
+        FROM f
+        """
+
+
 # The published Gopher repetition-filter thresholds (Rae et al. 2021,
 # "Scaling Language Models: Methods, Analysis & Insights from Training
 # Gopher", Table A1, public): a document is removed when the share of

@@ -669,6 +669,23 @@ def _register_text() -> None:
         return tx.repetition_signals(docs)
 
     @_register(
+        "text_gopher_quality",
+        tx.quality_signals_gopher_oracle_sql(),
+    )
+    def text_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """The Gopher QUALITY rules (Rae et al. 2021 §A1.1): word-count
+        and mean-word-length bounds, symbol-to-word ratio, bullet /
+        ellipsis line fractions, letter-bearing word fraction, and the
+        paper's 8-stopword requirement — the structural-garbage filter
+        that complements the repetition rules. Words are whitespace-
+        split (the symbol rules must SEE what the tokenizer strips);
+        every fraction is one IEEE division, unrounded. Pure codegen
+        projection: zero shuffles, scan-speed at 100 TB
+        (operators/text.py::quality_signals_gopher)."""
+        docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+        return tx.quality_signals_gopher(docs)
+
+    @_register(
         "text_repetition_gopher_full",
         tx.repetition_signals_table_oracle_sql(),
     )
@@ -4510,9 +4527,7 @@ def stream_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     return batch_zscore(events, min_obs=10, threshold=3.0)
 
 
-@_register(
-    "dq_quarantine_orders",
-    """
+_DQ_QUARANTINE_ORACLE = """
     SELECT o_orderkey,
            concat_ws(';',
              CASE WHEN NOT coalesce(o_custkey % 97 <> 0, FALSE)
@@ -4527,8 +4542,20 @@ def stream_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
              OR (NOT coalesce(o_orderstatus IN ('O', 'F'), FALSE))
              AS quarantined
     FROM orders
-    """,
-)
+    """
+
+_DQ_QUARANTINE_CHECKS = {
+    "price_bound": lambda: F.col("o_totalprice") <= 400000,
+    "status_known": lambda: F.col("o_orderstatus").isin("O", "F"),
+    "custkey_mod": lambda: F.col("o_custkey") % 97 != 0,
+}
+
+
+def _dq_checks() -> dict:
+    return {k: v() for k, v in _DQ_QUARANTINE_CHECKS.items()}
+
+
+@_register("dq_quarantine_orders", _DQ_QUARANTINE_ORACLE)
 def dq_quarantine_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Row-level validate-and-route: every row carries the sorted
     ';'-joined names of the checks it failed (NULL check results count
@@ -4541,15 +4568,41 @@ def dq_quarantine_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     from window_aggregation_spark.operators.relational import quarantine_rows
 
     orders = read_table(spark, sf_dir, "orders")
-    out = quarantine_rows(
-        orders,
-        {
-            "price_bound": F.col("o_totalprice") <= 400000,
-            "status_known": F.col("o_orderstatus").isin("O", "F"),
-            "custkey_mod": F.col("o_custkey") % 97 != 0,
-        },
-    )
+    out = quarantine_rows(orders, _dq_checks())
     return out.select("o_orderkey", "failed_checks", "quarantined")
+
+
+@_register("dq_quarantine_sink_roundtrip", _DQ_QUARANTINE_ORACLE)
+def dq_quarantine_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SINK side of quarantine routing, verified end-to-end: orders
+    routed through quarantine_write — ONE partitioned write whose two
+    partition directories ARE the clean and quarantine sinks (two
+    filtered writes would scan the input twice and can disagree under
+    nondeterminism; one committed job cannot) — then BOTH sinks read
+    back and hash-checked against the same oracle as the in-plan
+    dq_quarantine_orders row: routing to disk and back must lose or
+    duplicate nothing (operators/relational.py::quarantine_write).
+    Staged write-once per fixture under /tmp; the flag rides in the
+    directory key, reconstructed on read."""
+    import os
+
+    from window_aggregation_spark.operators.relational import (
+        quarantine_write,
+    )
+
+    stage = fixture_store_path(sf_dir, "dq_routed", table="orders")
+    orders = read_table(spark, sf_dir, "orders")
+    if not os.path.exists(f"{stage}/_READY"):
+        quarantine_write(
+            orders, _dq_checks(), f"{stage}/routed", mode="overwrite"
+        )
+        open(f"{stage}/_READY", "w").close()
+    routed = spark.read.parquet(f"{stage}/routed")
+    return routed.select(
+        "o_orderkey",
+        "failed_checks",
+        F.col("quarantined").cast("boolean").alias("quarantined"),
+    )
 
 
 @_register(
