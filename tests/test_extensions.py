@@ -712,31 +712,48 @@ def test_gopher_quality_signals_hand_values(spark):
         # = 30/8 = 3.75. Fails ONLY the 50-word minimum.
         (1, "the size of a good corpus grows daily"),
         # bullets: 3 of 4 lines start with a bullet (0.75 <= 0.9 ok),
-        # 2 of 4 end with '...' (0.5 > 0.3 -> fail); '...' also counts
-        # toward symbols: 2 ellipses / 8 words = 0.25 > 0.1 -> fail
+        # 2 of 4 end with '...' (0.5 > 0.3 -> fail); the 2 ellipses
+        # also count per word: 2 / 11 whitespace words ~= 0.18 > 0.1
         (2, "- the first...\n* the second\n• the third...\nplain line"),
         # 4 of 6 words have no letter -> alpha frac 1/3 < 0.8; '#'s:
         # 3 hashes / 6 words = 0.5 > 0.1
         (3, "the 123 456 ### 99 with"),
         (4, ""),     # 0 words: every fraction NULL -> fail
         (5, None),   # NULL text == empty doc
+        # the paper tests '#' and '...' ratios SEPARATELY ("either
+        # symbol" > 0.1), never their sum: 1 hash + 1 ellipsis over 12
+        # words = 0.083 each (both pass) though the sum would be 0.167
+        # (ellipsis mid-text so the line-END rule stays out of the way)
+        (6, "the pace... of work and that we have kept with # more"),
     ]
     df = spark.createDataFrame(rows, "doc_id long, text string")
     out = {r.doc_id: r.asDict() for r in quality_signals_gopher(df).collect()}
     r1 = out[1]
     assert (r1["n_words"], r1["stopword_hits"]) == (8, 2)
     assert r1["mean_word_len"] == 30 / 8
-    assert (r1["symbol_ratio"], r1["alpha_word_frac"]) == (0.0, 1.0)
+    assert (r1["hash_word_ratio"], r1["alpha_word_frac"]) == (0.0, 1.0)
     assert r1["quality_pass"] is False  # word-count minimum only
     r2 = out[2]
     assert r2["bullet_line_frac"] == 3 / 4
     assert r2["ellipsis_line_frac"] == 2 / 4
-    assert r2["symbol_ratio"] == 2 / 11  # 11 whitespace words
+    assert r2["ellipsis_word_ratio"] == 2 / 11  # 11 whitespace words
     assert r2["quality_pass"] is False
     r3 = out[3]
     assert r3["alpha_word_frac"] == 2 / 6
-    assert r3["symbol_ratio"] == 3 / 6
+    assert r3["hash_word_ratio"] == 3 / 6
     assert r3["quality_pass"] is False
+    r6 = out[6]
+    assert r6["hash_word_ratio"] == 1 / 12
+    assert r6["ellipsis_word_ratio"] == 1 / 12
+    # both symbol rules pass at 1/12 <= 0.1 (a summed ratio of 2/12
+    # would wrongly fail); doc 6 still fails only the 50-word minimum
+    relaxed6 = {
+        r.doc_id: r.quality_pass
+        for r in quality_signals_gopher(
+            df, rules={"min_words": 5}
+        ).collect()
+    }
+    assert relaxed6[6] is True
     for d in (4, 5):
         assert out[d]["n_words"] == 0
         assert out[d]["mean_word_len"] is None
@@ -753,6 +770,15 @@ def test_gopher_quality_signals_hand_values(spark):
 
     with _pytest.raises(ValueError, match="unknown quality rules"):
         quality_signals_gopher(df, rules={"min_wordz": 1})
+    # the ORACLE generator must reject the same typo, or a differential
+    # test with a misspelled override silently compares different
+    # thresholds
+    from window_aggregation_spark.operators.text import (
+        quality_signals_gopher_oracle_sql,
+    )
+
+    with _pytest.raises(ValueError, match="unknown quality rules"):
+        quality_signals_gopher_oracle_sql(rules={"min_wordz": 1})
     # pure projection: no exchange anywhere in the plan
     plan = (
         quality_signals_gopher(df)

@@ -531,3 +531,15 @@ def test_quarantine_write_partitions_input_exactly(spark, tmp_path):
     # default mode='error' refuses to clobber an existing routed dir
     with pytest.raises(Exception, match="already exists"):
         quarantine_write(df, checks, str(tmp_path / "routed"))
+    # ENTIRELY empty input (a legitimate empty batch): no data files
+    # at all — counts read 0/0 instead of crashing on schema inference
+    out3 = quarantine_write(
+        df.where(F.lit(False)), checks, str(tmp_path / "routed3")
+    )
+    assert (out3["clean_rows"], out3["quarantined_rows"]) == (0, 0)
+    # counts=False skips the read-back accounting jobs entirely
+    out4 = quarantine_write(
+        df, checks, str(tmp_path / "routed4"), counts=False
+    )
+    assert out4["clean_rows"] is None
+    assert spark.read.parquet(str(tmp_path / "routed4")).count() == 5

@@ -212,6 +212,7 @@ def quarantine_write(
     failed_col: str = "failed_checks",
     flag_col: str = "quarantined",
     mode: str = "error",
+    counts: bool = True,
 ) -> dict:
     """The sink side of :func:`quarantine_rows`: route every input row
     to the clean or quarantine sink in ONE job over ONE scan, by writing
@@ -232,18 +233,40 @@ def quarantine_write(
     Returns ``{"clean_rows", "quarantined_rows", "clean_path",
     "quarantine_path"}`` with counts read back from the COMMITTED files
     (not the pre-write frame — the numbers describe what is actually on
-    disk). A side with zero rows has no directory (dynamic partition
-    writes skip empty partitions): check its count before reading it.
+    disk); ``counts=False`` skips the read-back pass (two Spark jobs)
+    and returns ``None`` counts, for callers who read the sinks anyway.
+    A side with zero rows has no directory (dynamic partition writes
+    skip empty partitions): check its count before reading it. An
+    ENTIRELY empty input commits no data files at all — both counts
+    read 0 and neither sink directory exists.
     """
     routed = quarantine_rows(
         df, checks, failed_col=failed_col, flag_col=flag_col
     )
     routed.write.partitionBy(flag_col).mode(mode).parquet(path)
-    committed = df.sparkSession.read.parquet(path)
+    out = {
+        "clean_rows": None,
+        "quarantined_rows": None,
+        "clean_path": f"{path}/{flag_col}=false",
+        "quarantine_path": f"{path}/{flag_col}=true",
+    }
+    if not counts:
+        return out
+    from pyspark.errors import AnalysisException
+
+    try:
+        committed = df.sparkSession.read.parquet(path)
+    except AnalysisException:
+        # an empty input writes only _SUCCESS — no partitions, no
+        # schema to infer; that is a legitimate empty batch, not an
+        # error (UNABLE_TO_INFER_SCHEMA)
+        out["clean_rows"] = 0
+        out["quarantined_rows"] = 0
+        return out
     # cast IN the plan: partition-column type inference is session-
     # config-dependent, and Python bool("false") is True — a string
     # flag must never reach the dict keys
-    counts = {
+    got = {
         r["f"]: r["n"]
         for r in committed.groupBy(
             F.col(flag_col).cast("boolean").alias("f")
@@ -251,12 +274,9 @@ def quarantine_write(
         .agg(F.count(F.lit(1)).alias("n"))
         .collect()
     }
-    return {
-        "clean_rows": counts.get(False, 0),
-        "quarantined_rows": counts.get(True, 0),
-        "clean_path": f"{path}/{flag_col}=false",
-        "quarantine_path": f"{path}/{flag_col}=true",
-    }
+    out["clean_rows"] = got.get(False, 0)
+    out["quarantined_rows"] = got.get(True, 0)
+    return out
 
 
 def run_expectations(

@@ -450,10 +450,24 @@ def ivf_topk(
         if cents.ndim != 2 or cents.shape[0] == 0:
             raise ValueError("precomputed centroids must be a non-empty "
                              "2-D array (n_centroids x dim)")
-    elif centroids == "kmeans":
-        cents = _kmeans_centroids(c_base, n_centroids, kmeans_iters)
+        # assignment ranks lists by raw dot against UNIT queries, so a
+        # user codebook of raw cluster means (norms all over the place)
+        # would skew every assignment toward large-norm centroids —
+        # normalize here exactly like the built-in modes do
+        norms = np.linalg.norm(cents, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        cents = cents / norms
     else:
-        cents = _sample_centroids(c_base, n_centroids)
+        cents = ivf_centroids(
+            corpus, n_centroids, mode=centroids, corpus_id=corpus_id,
+            vec_col=vec_col, kmeans_iters=kmeans_iters,
+        )
+    if nprobe > cents.shape[0]:
+        raise ValueError(
+            f"nprobe={nprobe} exceeds the codebook's {cents.shape[0]} "
+            "lists — it would crash in the executors with a shape "
+            "mismatch; clamp it to the list count for an exhaustive scan"
+        )
     spark = corpus.sparkSession
     b_cents = spark.sparkContext.broadcast(cents)
 

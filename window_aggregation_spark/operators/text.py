@@ -301,11 +301,12 @@ GOPHER_QUALITY_RULES: dict = {
     "max_words": 100_000,
     "min_mean_word_len": 3.0,
     "max_mean_word_len": 10.0,
-    "max_symbol_ratio": 0.10,       # '#' and '...' per word
-    "max_bullet_line_frac": 0.90,   # lines starting with a bullet
+    "max_hash_word_ratio": 0.10,     # '#' occurrences per word
+    "max_ellipsis_word_ratio": 0.10,  # '...' occurrences per word
+    "max_bullet_line_frac": 0.90,    # lines starting with a bullet
     "max_ellipsis_line_frac": 0.30,  # lines ending with an ellipsis
-    "min_alpha_word_frac": 0.80,    # words containing a letter
-    "min_stopword_hits": 2,         # distinct hits from the 8-word list
+    "min_alpha_word_frac": 0.80,     # words containing a letter
+    "min_stopword_hits": 2,          # distinct hits from the 8-word list
 }
 # the paper's required-stopword list
 GOPHER_STOPWORDS: tuple = ("the", "be", "to", "of", "and", "that",
@@ -322,10 +323,12 @@ def quality_signals_gopher(
 ) -> DataFrame:
     """Per-document Gopher QUALITY-rule signals (Rae et al. 2021, §A1.1,
     public) — the structural-garbage complement to the repetition rules:
-    word-count bounds, mean word length, symbol-to-word ratio ('#' and
-    '...'), bullet-start / ellipsis-end line fractions, the fraction of
-    words containing a letter, and hits from the paper's 8-stopword
-    list. ``quality_pass`` ANDs the rules at the published thresholds
+    word-count bounds, mean word length, the symbol-to-word ratios
+    (the paper tests '#' and '...' EACH against 0.1 — "either symbol"
+    — so they are separate columns and separate rules, not a sum),
+    bullet-start / ellipsis-end line fractions, the fraction of words
+    containing a letter, and hits from the paper's 8-stopword list.
+    ``quality_pass`` ANDs the rules at the published thresholds
     (override any subset via ``rules``).
 
     Words are whitespace-split non-empty strings (NOT the alnum
@@ -358,9 +361,8 @@ def quality_signals_gopher(
     n_ellipsis = (
         F.length(text) - F.length(F.replace(text, F.lit("...")))
     ) / F.lit(3)
-    symbol_ratio = F.try_divide(
-        (n_hash + n_ellipsis).cast("double"), n_words
-    )
+    hash_ratio = F.try_divide(n_hash.cast("double"), n_words)
+    ellipsis_ratio = F.try_divide(n_ellipsis.cast("double"), n_words)
     bullet = F.size(
         F.filter(
             lines,
@@ -391,7 +393,8 @@ def quality_signals_gopher(
         & ok(n_words <= F.lit(int(r["max_words"])))
         & ok(mean_wl >= F.lit(float(r["min_mean_word_len"])))
         & ok(mean_wl <= F.lit(float(r["max_mean_word_len"])))
-        & ok(symbol_ratio <= F.lit(float(r["max_symbol_ratio"])))
+        & ok(hash_ratio <= F.lit(float(r["max_hash_word_ratio"])))
+        & ok(ellipsis_ratio <= F.lit(float(r["max_ellipsis_word_ratio"])))
         & ok(bullet_frac <= F.lit(float(r["max_bullet_line_frac"])))
         & ok(ellipsis_frac <= F.lit(float(r["max_ellipsis_line_frac"])))
         & ok(alpha_frac >= F.lit(float(r["min_alpha_word_frac"])))
@@ -401,7 +404,8 @@ def quality_signals_gopher(
         F.col(id_col),
         n_words.alias("n_words"),
         mean_wl.alias("mean_word_len"),
-        symbol_ratio.alias("symbol_ratio"),
+        hash_ratio.alias("hash_word_ratio"),
+        ellipsis_ratio.alias("ellipsis_word_ratio"),
         bullet_frac.alias("bullet_line_frac"),
         ellipsis_frac.alias("ellipsis_line_frac"),
         alpha_frac.alias("alpha_word_frac"),
@@ -419,9 +423,14 @@ def quality_signals_gopher_oracle_sql(
 ) -> str:
     """DuckDB mirror of :func:`quality_signals_gopher` — same word/line
     splits, same length-delta occurrence counts, same single-division
-    fractions, same coalesce-to-False rule folding."""
+    fractions, same coalesce-to-False rule folding, same unknown-rule
+    rejection (a typo'd override must fail on BOTH sides, or a
+    differential test silently compares different thresholds)."""
     r = dict(GOPHER_QUALITY_RULES)
     if rules:
+        unknown = set(rules) - set(r)
+        if unknown:
+            raise ValueError(f"unknown quality rules: {sorted(unknown)}")
         r.update(rules)
     text = f"coalesce({text_col}, '')"
     words = f"list_filter(regexp_split_to_array({text}, '\\s+'), w -> w <> '')"
@@ -462,8 +471,11 @@ def quality_signals_gopher_oracle_sql(
                       THEN CAST(sum_wl AS DOUBLE) / n_words END
                    AS mean_word_len,
                  CASE WHEN n_words > 0
-                      THEN CAST(n_hash + n_ellipsis AS DOUBLE) / n_words END
-                   AS symbol_ratio,
+                      THEN CAST(n_hash AS DOUBLE) / n_words END
+                   AS hash_word_ratio,
+                 CASE WHEN n_words > 0
+                      THEN CAST(n_ellipsis AS DOUBLE) / n_words END
+                   AS ellipsis_word_ratio,
                  CASE WHEN n_lines > 0
                       THEN CAST(bullet AS DOUBLE) / n_lines END
                    AS bullet_line_frac,
@@ -475,7 +487,8 @@ def quality_signals_gopher_oracle_sql(
                    AS alpha_word_frac,
                  CAST(stopword_hits AS INT) AS stopword_hits
           FROM m)
-        SELECT {id_col}, n_words, mean_word_len, symbol_ratio,
+        SELECT {id_col}, n_words, mean_word_len, hash_word_ratio,
+               ellipsis_word_ratio,
                bullet_line_frac, ellipsis_line_frac, alpha_word_frac,
                stopword_hits,
                coalesce(n_words >= {int(r["min_words"])}, FALSE)
@@ -484,8 +497,12 @@ def quality_signals_gopher_oracle_sql(
                             FALSE)
                AND coalesce(mean_word_len <= {float(r["max_mean_word_len"])!r},
                             FALSE)
-               AND coalesce(symbol_ratio <= {float(r["max_symbol_ratio"])!r},
-                            FALSE)
+               AND coalesce(
+                 hash_word_ratio <= {float(r["max_hash_word_ratio"])!r},
+                 FALSE)
+               AND coalesce(
+                 ellipsis_word_ratio <= {float(r["max_ellipsis_word_ratio"])!r},
+                 FALSE)
                AND coalesce(
                  bullet_line_frac <= {float(r["max_bullet_line_frac"])!r},
                  FALSE)

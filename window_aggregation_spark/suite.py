@@ -4544,15 +4544,12 @@ _DQ_QUARANTINE_ORACLE = """
     FROM orders
     """
 
-_DQ_QUARANTINE_CHECKS = {
-    "price_bound": lambda: F.col("o_totalprice") <= 400000,
-    "status_known": lambda: F.col("o_orderstatus").isin("O", "F"),
-    "custkey_mod": lambda: F.col("o_custkey") % 97 != 0,
-}
-
-
 def _dq_checks() -> dict:
-    return {k: v() for k, v in _DQ_QUARANTINE_CHECKS.items()}
+    return {
+        "price_bound": F.col("o_totalprice") <= 400000,
+        "status_known": F.col("o_orderstatus").isin("O", "F"),
+        "custkey_mod": F.col("o_custkey") % 97 != 0,
+    }
 
 
 @_register("dq_quarantine_orders", _DQ_QUARANTINE_ORACLE)
@@ -4584,17 +4581,26 @@ def dq_quarantine_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     duplicate nothing (operators/relational.py::quarantine_write).
     Staged write-once per fixture under /tmp; the flag rides in the
     directory key, reconstructed on read."""
+    import hashlib
     import os
 
     from window_aggregation_spark.operators.relational import (
         quarantine_write,
     )
 
-    stage = fixture_store_path(sf_dir, "dq_routed", table="orders")
+    # the stage tag folds in the CHECK SEMANTICS (via the oracle text
+    # that encodes them) on top of fixture_store_path's source-parquet
+    # identity: editing a threshold must invalidate the staged routing,
+    # or the query would serve stale files against a fresh oracle
+    sem = hashlib.md5(_DQ_QUARANTINE_ORACLE.encode()).hexdigest()[:8]
+    stage = fixture_store_path(sf_dir, f"dq_routed_{sem}", table="orders")
     orders = read_table(spark, sf_dir, "orders")
     if not os.path.exists(f"{stage}/_READY"):
+        # counts=False: the read-back accounting jobs are pure waste in
+        # staging — the query itself reads the committed files next
         quarantine_write(
-            orders, _dq_checks(), f"{stage}/routed", mode="overwrite"
+            orders, _dq_checks(), f"{stage}/routed", mode="overwrite",
+            counts=False,
         )
         open(f"{stage}/_READY", "w").close()
     routed = spark.read.parquet(f"{stage}/routed")
