@@ -366,9 +366,13 @@ def quality_signals_gopher(
     bullet = F.size(
         F.filter(
             lines,
+            # trim spaces AND tabs explicitly — ltrim strips spaces
+            # only, and tab-indented bullet lines are routine
             lambda ln: F.array_contains(
                 F.array(*[F.lit(b) for b in _BULLETS]),
-                F.substring(F.ltrim(ln), 1, 1),
+                F.substring(
+                    F.regexp_replace(ln, "^[ \t]+", ""), 1, 1
+                ),
             ),
         )
     )
@@ -456,7 +460,8 @@ def quality_signals_gopher_oracle_sql(
                    AS sum_wl,
                  n_hash, n_ellipsis,
                  len(list_filter(lines, ln ->
-                   list_contains([{bullets}], ltrim(ln)[1:1]))) AS bullet,
+                   list_contains([{bullets}],
+                     regexp_replace(ln, '^[ \t]+', '')[1:1]))) AS bullet,
                  len(list_filter(lines, ln -> ends_with(ln, '...')))
                    AS ell_end,
                  len(list_filter(words, w -> regexp_matches(w, '[A-Za-z]')))
