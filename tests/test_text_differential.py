@@ -88,6 +88,50 @@ def test_quality_rules_match_oracle_on_adversarial_text(adv):
     assert sum(1 for r in rows.values() if r.quality_pass) == 1
 
 
+def test_language_id_detects_char_based_languages(spark, tmp_path):
+    """The zh stopword list is CJK characters the latin tokenizer drops
+    entirely — before char-occurrence scoring, Chinese text was
+    permanently 'und' (and the oracle mirrored the bug, so the gate
+    could never catch it). Both engines must agree AND actually detect
+    each language."""
+    from window_aggregation_spark.operators.text import (
+        language_id,
+        language_id_oracle_expr,
+    )
+
+    docs = [
+        (1, "the cat sat on the mat and it is that for a reason"),
+        (2, "el perro y la casa de que un gato en por con los"),
+        (3, "der hund und die katze ist von mit den ein zu haus"),
+        (4, "le chien et la maison de les est dans que pour"),
+        (5, "我 在 北京 的 家 有 他 和 这 个 人 不 是 我 的"),
+        (6, "zzz qqq xxx www"),  # no stopwords anywhere -> und
+        (7, None),
+        # mixed: 3 zh char occurrences vs 2 en token hits -> zh wins
+        (8, "the cat 的 的 的 sat the"),
+    ]
+    path = str(tmp_path / "langdocs.parquet")
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    df.coalesce(1).write.parquet(path)
+    frame = spark.read.parquet(path)
+    got = language_id(frame).select("doc_id", "lang_pred")
+    con = duckdb.connect()
+    try:
+        con.execute(
+            f"CREATE VIEW langdocs AS SELECT * FROM "
+            f"read_parquet('{path}/*.parquet')"
+        )
+        want = con.sql(
+            f"SELECT doc_id, {language_id_oracle_expr()} FROM langdocs"
+        )
+        assert_frames_match(got, want, sort_cols=["doc_id"])
+    finally:
+        con.close()
+    preds = {r.doc_id: r.lang_pred for r in got.collect()}
+    assert preds == {1: "en", 2: "es", 3: "de", 4: "fr", 5: "zh",
+                     6: "und", 7: "und", 8: "zh"}
+
+
 def test_repetition_table_matches_oracle_on_adversarial_text(adv):
     frame, con = adv
     got = repetition_signals_table(frame)

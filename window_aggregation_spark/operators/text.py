@@ -48,9 +48,29 @@ def tokens(text: Column) -> Column:
     return F.regexp_extract_all(F.lower(text), F.lit(TOKEN_RE), 0)
 
 
+# languages whose "stopwords" are single characters and whose text the
+# [a-z0-9]+ tokenizer cannot segment — scored by raw character
+# occurrences instead of token hits
+CHAR_BASED_LANGS: tuple = ("zh",)
+
+
 def _stopword_hits(toks: Column, lang: str) -> Column:
     words = list(STOPWORDS[lang])
     return F.size(F.filter(toks, lambda t: t.isin(words)))
+
+
+def _char_hits(text: Column, lang: str) -> Column:
+    """Occurrences of each single-character stopword in the raw text —
+    the zh list is CJK characters, which the latin tokenizer drops
+    entirely (so token-hit scoring would leave zh permanently at 0 and
+    undetectable). Each listed char has length 1, so the length delta
+    after removing it IS its occurrence count."""
+    total = F.lit(0)
+    for w in STOPWORDS[lang]:
+        total = total + (
+            F.length(text) - F.length(F.replace(text, F.lit(w)))
+        )
+    return total
 
 
 def text_profile(df: DataFrame, text_col: str = "text") -> DataFrame:
@@ -119,10 +139,21 @@ def text_profile_oracle_exprs(text_col: str = "text") -> str:
 
 
 def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """Append ``lang_pred``: the language whose stopword list scores the most
-    token hits (priority-ordered arg-max; 'und' when nothing matches)."""
-    toks = tokens(F.col(text_col))
-    scores = {lang: _stopword_hits(toks, lang) for lang in LANG_PRIORITY}
+    """Append ``lang_pred``: the language whose stopword list scores the
+    most hits (priority-ordered arg-max; 'und' when nothing matches).
+    Latin-script languages score token hits; char-based languages (zh)
+    score raw character occurrences — the latin tokenizer drops CJK
+    entirely, so token scoring would leave them undetectable."""
+    text = F.coalesce(F.col(text_col), F.lit(""))
+    toks = tokens(text)
+    scores = {
+        lang: (
+            _char_hits(text, lang)
+            if lang in CHAR_BASED_LANGS
+            else _stopword_hits(toks, lang)
+        )
+        for lang in LANG_PRIORITY
+    }
     # build the CASE from the lowest-priority language upward, so the
     # earliest language in LANG_PRIORITY wins score ties
     pred = F.lit("und")
@@ -136,9 +167,15 @@ def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def language_id_oracle_expr(text_col: str = "text") -> str:
-    toks = f"regexp_extract_all(lower({text_col}), '{TOKEN_RE}')"
+    text = f"coalesce({text_col}, '')"
+    toks = f"regexp_extract_all(lower({text}), '{TOKEN_RE}')"
 
     def hits(lang: str) -> str:
+        if lang in CHAR_BASED_LANGS:
+            return "(" + " + ".join(
+                f"(len({text}) - len(replace({text}, '{w}', '')))"
+                for w in STOPWORDS[lang]
+            ) + ")"
         stop_in = ", ".join(f"'{w}'" for w in STOPWORDS[lang])
         return f"len(list_filter({toks}, t -> t IN ({stop_in})))"
 
