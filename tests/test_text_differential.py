@@ -141,3 +141,63 @@ def test_repetition_table_matches_oracle_on_adversarial_text(adv):
     assert rows[15].dup_5gram_frac == 1.0  # the 4-cycle duplicates fully
     assert rows[16].dup_5gram_frac == 0.0
     assert rows[7].top_2gram_frac is None  # empty doc stays NULL
+
+
+def test_fuzzed_text_matches_oracle_across_engines(spark, tmp_path):
+    """Seeded random fuzz over a deliberately nasty alphabet — including
+    the VERTICAL TAB (\\x0B), which Java's \\s counts as whitespace but
+    DuckDB's RE2 does not: any shared '\\s' between an operator and its
+    oracle diverges on it, which is why every regex is now an explicit
+    character class. 200 random docs, exact cross-engine agreement for
+    token counts, the quality rules, and the language id."""
+    import random
+
+    from window_aggregation_spark.operators.text import (
+        language_id,
+        language_id_oracle_expr,
+        token_counts,
+        token_counts_oracle_exprs,
+    )
+
+    rng = random.Random(20260815)
+    pieces = [
+        "the", "of", "and", "cat", "x", "42", "#", "...", "-", "*", "•",
+        "的", "é", "WORD", "a#b", "..", "....", "", " ", "  ", "\t",
+        "\n", "\x0b", "\f", "\r", "\r\n", " \t ", "\n\n",
+    ]
+    docs = []
+    for i in range(200):
+        n = rng.randint(0, 40)
+        docs.append((i, "".join(rng.choice(pieces) for _ in range(n))))
+    docs.append((1000, None))
+    path = str(tmp_path / "fuzzdocs.parquet")
+    frame = spark.createDataFrame(docs, "doc_id long, text string")
+    frame.coalesce(1).write.parquet(path)
+    frame = spark.read.parquet(path)
+    con = duckdb.connect()
+    try:
+        con.execute(
+            f"CREATE VIEW fuzzdocs AS SELECT * FROM "
+            f"read_parquet('{path}/*.parquet')"
+        )
+        assert_frames_match(
+            token_counts(frame).select("doc_id", "ws_tokens", "bpe_tokens"),
+            con.sql(
+                f"SELECT doc_id, {token_counts_oracle_exprs()} FROM fuzzdocs"
+            ),
+            sort_cols=["doc_id"],
+        )
+        assert_frames_match(
+            quality_signals_gopher(frame),
+            con.sql(quality_signals_gopher_oracle_sql(table="fuzzdocs")),
+            sort_cols=["doc_id"],
+        )
+        assert_frames_match(
+            language_id(frame).select("doc_id", "lang_pred"),
+            con.sql(
+                f"SELECT doc_id, {language_id_oracle_expr()} FROM fuzzdocs"
+            ),
+            sort_cols=["doc_id"],
+        )
+    finally:
+        con.close()

@@ -27,8 +27,17 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 TOKEN_RE = "[a-z0-9]+"
+# Explicit whitespace class used wherever BOTH engines run the same
+# regex: Java's \s is [ \t\n\x0B\f\r] while RE2's (DuckDB) is
+# [ \t\n\f\r] — a '\s' shared between the operator and its oracle
+# silently disagrees on vertical-tab input. The explicit class reads
+# identically everywhere (\x0B deliberately excluded on both sides:
+# it counts as a token character, matching RE2's behavior).
+WS_CLASS = " \\t\\n\\f\\r"
+NON_WS_RE = f"[^{WS_CLASS}]+"
+WS_RE = f"[{WS_CLASS}]+"
 # letters / digits / single non-alnum-non-space symbol — a BPE-ish split
-BPE_RE = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"
+BPE_RE = f"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9{WS_CLASS}]"
 PUNCT_RE = "[.,;:!?]"
 _MOD = 2147483647  # 2^31 - 1
 
@@ -195,14 +204,17 @@ def token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
     text = F.col(text_col)
     return df.select(
         "*",
-        F.size(F.regexp_extract_all(text, F.lit("\\S+"), 0)).alias("ws_tokens"),
+        F.size(F.regexp_extract_all(text, F.lit(NON_WS_RE), 0)).alias(
+            "ws_tokens"
+        ),
         F.size(F.regexp_extract_all(text, F.lit(BPE_RE), 0)).alias("bpe_tokens"),
     )
 
 
 def token_counts_oracle_exprs(text_col: str = "text") -> str:
     return (
-        f"CAST(len(regexp_extract_all({text_col}, '\\S+')) AS INT) AS ws_tokens, "
+        f"CAST(len(regexp_extract_all({text_col}, '{NON_WS_RE}')) AS INT) "
+        "AS ws_tokens, "
         f"CAST(len(regexp_extract_all({text_col}, '{BPE_RE}')) AS INT) AS bpe_tokens"
     )
 
@@ -384,7 +396,7 @@ def quality_signals_gopher(
             raise ValueError(f"unknown quality rules: {sorted(unknown)}")
         r.update(rules)
     text = F.coalesce(F.col(text_col), F.lit(""))
-    words = F.filter(F.split(text, r"\s+"), lambda w: w != F.lit(""))
+    words = F.filter(F.split(text, WS_RE), lambda w: w != F.lit(""))
     lines = F.split(text, "\n")
     n_words = F.size(words)
     n_lines = F.size(lines)
@@ -474,7 +486,10 @@ def quality_signals_gopher_oracle_sql(
             raise ValueError(f"unknown quality rules: {sorted(unknown)}")
         r.update(rules)
     text = f"coalesce({text_col}, '')"
-    words = f"list_filter(regexp_split_to_array({text}, '\\s+'), w -> w <> '')"
+    words = (
+        f"list_filter(regexp_split_to_array({text}, '{WS_RE}'), "
+        "w -> w <> '')"
+    )
     lines = f"string_split({text}, chr(10))"
     toks = f"regexp_extract_all(lower({text}), '{TOKEN_RE}')"
     stops = ", ".join(f"'{s}'" for s in GOPHER_STOPWORDS)

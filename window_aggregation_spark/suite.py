@@ -3037,8 +3037,8 @@ def _register_corpus() -> None:
         """
         WITH c AS (
           SELECT doc_id,
-                 CAST(len(regexp_extract_all(text, '\\S+')) AS INT)
-                   AS ws_tokens
+                 CAST(len(regexp_extract_all(text, '[^ \\t\\n\\f\\r]+'))
+                      AS INT) AS ws_tokens
           FROM documents),
         r AS (
           SELECT doc_id, ws_tokens,
