@@ -164,6 +164,9 @@ def test_fuzzed_text_matches_oracle_across_engines(spark, tmp_path):
         "the", "of", "and", "cat", "x", "42", "#", "...", "-", "*", "•",
         "的", "é", "WORD", "a#b", "..", "....", "", " ", "  ", "\t",
         "\n", "\x0b", "\f", "\r", "\r\n", " \t ", "\n\n",
+        # PII-shaped fragments (and near-misses) for the redaction arm
+        "bob@example.com", "x@y.co", "not@an", "10.0.0.1", "1.2.3",
+        "+49 170 555-0100", "v1.2.3.4.5",
     ]
     docs = []
     for i in range(200):
@@ -196,6 +199,34 @@ def test_fuzzed_text_matches_oracle_across_engines(spark, tmp_path):
             language_id(frame).select("doc_id", "lang_pred"),
             con.sql(
                 f"SELECT doc_id, {language_id_oracle_expr()} FROM fuzzdocs"
+            ),
+            sort_cols=["doc_id"],
+        )
+        from pyspark.sql import functions as F
+
+        from window_aggregation_spark.operators.corpus import (
+            redact_pii,
+            redact_pii_oracle_expr,
+        )
+        from window_aggregation_spark.operators.text import (
+            fingerprint,
+            fingerprint_oracle_expr,
+        )
+
+        assert_frames_match(
+            fingerprint(frame).select("doc_id", "fp"),
+            con.sql(
+                f"SELECT doc_id, {fingerprint_oracle_expr()} FROM fuzzdocs"
+            ),
+            sort_cols=["doc_id"],
+        )
+        assert_frames_match(
+            frame.select(
+                "doc_id", redact_pii(F.col("text")).alias("red")
+            ),
+            con.sql(
+                f"SELECT doc_id, {redact_pii_oracle_expr('text')} AS red "
+                "FROM fuzzdocs"
             ),
             sort_cols=["doc_id"],
         )

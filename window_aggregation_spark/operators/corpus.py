@@ -266,41 +266,61 @@ def pack_sequences(
 
 
 # Regex dialect intersection (Java regex AND RE2): character classes,
-# bounded repetition, \b word boundaries — no lookaround, no backrefs.
-PII_PATTERNS: list[tuple[str, str, str]] = [
+# bounded repetition — no lookaround, no backrefs, and NO \b: Java's \b
+# treats non-ASCII letters as word characters (the documented JDK
+# \b-vs-\w inconsistency) while RE2's \b is ASCII, so "10.0.0.1的"
+# redacts under RE2 but silently survives under Java. Boundary-
+# sensitive patterns use explicit CONSUMING guard groups instead —
+# (^|[^0-9A-Za-z_]) reproduces the ASCII word boundary identically in
+# both engines, with the guard re-emitted via a capture reference —
+# and run `passes` times: a consumed trailing guard can hide an
+# immediately following match, and after one pass every survivor's
+# neighbors are replacement text, so two passes reach the fixed point.
+PII_PATTERNS: list[tuple[str, str, str, int]] = [
     # local@domain.tld — conservative on purpose: over-matching text is
     # worse than missing an exotic address when scrubbing a corpus.
-    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
-    # dotted quad. Known over-match: the tail of a 5+-segment version
-    # string ("v1.2.3.4.5" -> "v1.<IP>") — excluding it needs lookbehind,
-    # which RE2 lacks, and cross-engine identical behavior wins here.
-    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+     "<EMAIL>", 1),
+    # dotted quad behind ASCII-word-boundary guards. Known over-match:
+    # the tail of a 5+-segment version string ("v1.2.3.4.5" ->
+    # "v1.<IP>") — '.' is a boundary, exactly like \b treated it.
+    ("ipv4",
+     r"(^|[^0-9A-Za-z_])(\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3})"
+     r"($|[^0-9A-Za-z_])",
+     "{1}<IP>{3}", 2),
     # international-ish phone: leading + optional, 9+ digits with
     # space/hyphen separators, digit terminated (so it never eats a
     # trailing period). Dots are NOT separators — IPv4 stays disjoint.
-    ("phone", r"\+?\d[\d \-]{7,}\d", "<PHONE>"),
+    ("phone", r"\+?\d[\d \-]{7,}\d", "<PHONE>", 1),
 ]
 
 
 def redact_pii(text: Column) -> Column:
     """Mask emails, IPv4 addresses, and phone numbers in ``text``.
 
-    Three nested ``regexp_replace`` calls, applied in :data:`PII_PATTERNS`
+    Nested ``regexp_replace`` calls, applied in :data:`PII_PATTERNS`
     order (email before phone, so a phone-looking local part is already
-    collapsed). Whole-stage codegen; ~one pass per pattern."""
+    collapsed); ``{1}``/``{3}`` in a replacement template are the guard
+    groups, rendered as Java's ``$n``. Whole-stage codegen; ~one pass
+    per pattern application."""
     out = text
-    for _, pattern, repl in PII_PATTERNS:
-        out = F.regexp_replace(out, pattern, repl)
+    for _, pattern, repl, passes in PII_PATTERNS:
+        java_repl = repl.replace("{1}", "$1").replace("{3}", "$3")
+        for _ in range(passes):
+            out = F.regexp_replace(out, pattern, java_repl)
     return out
 
 
 def redact_pii_oracle_expr(text_expr: str) -> str:
-    """DuckDB rendering of :func:`redact_pii` — same patterns, same order;
-    RE2 needs the explicit ``'g'`` flag to replace all occurrences."""
+    """DuckDB rendering of :func:`redact_pii` — same patterns, same
+    order and pass counts; RE2 needs the explicit ``'g'`` flag and
+    spells group references ``\\n`` where Java spells ``$n``."""
     out = text_expr
-    for _, pattern, repl in PII_PATTERNS:
+    for _, pattern, repl, passes in PII_PATTERNS:
         escaped = pattern.replace("'", "''")
-        out = f"regexp_replace({out}, '{escaped}', '{repl}', 'g')"
+        sql_repl = repl.replace("{1}", "\\1").replace("{3}", "\\3")
+        for _ in range(passes):
+            out = f"regexp_replace({out}, '{escaped}', '{sql_repl}', 'g')"
     return out
 
 

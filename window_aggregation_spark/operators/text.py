@@ -222,8 +222,14 @@ def token_counts_oracle_exprs(text_col: str = "text") -> str:
 def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Append ``fp``: polynomial rolling hash (base 31, mod 2^31-1) over the
     alnum-normalized character stream. Engine-portable (same value in any
-    SQL engine with ascii()+fold), suitable as a near-exact dedup key."""
-    norm = F.regexp_replace(F.lower(F.col(text_col)), "[^a-z0-9]", "")
+    SQL engine with ascii()+fold), suitable as a near-exact dedup key.
+    NULL text hashes like the empty document (fp 0) — without the
+    coalesce, the Spark side returned NULL where the oracle's
+    list_prepend seed made DuckDB return 0 (caught by the fuzz
+    differential; the fixture corpus has no NULLs to see it)."""
+    norm = F.regexp_replace(
+        F.lower(F.coalesce(F.col(text_col), F.lit(""))), "[^a-z0-9]", ""
+    )
     chars = F.filter(F.split(norm, ""), lambda c: c != "")
     fp = F.when(F.length(norm) == 0, F.lit(0)).otherwise(
         F.aggregate(
@@ -236,7 +242,10 @@ def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def fingerprint_oracle_expr(text_col: str = "text") -> str:
-    norm = f"regexp_replace(lower({text_col}), '[^a-z0-9]', '', 'g')"
+    norm = (
+        f"regexp_replace(lower(coalesce({text_col}, '')), "
+        "'[^a-z0-9]', '', 'g')"
+    )
     codes = (
         f"list_prepend(CAST(0 AS BIGINT), "
         f"list_transform(string_split({norm}, ''), c -> CAST(ascii(c) AS BIGINT)))"
