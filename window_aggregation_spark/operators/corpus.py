@@ -305,10 +305,20 @@ def redact_pii(text: Column) -> Column:
     per pattern application."""
     out = text
     for _, pattern, repl, passes in PII_PATTERNS:
-        java_repl = repl.replace("{1}", "$1").replace("{3}", "$3")
+        java_repl = _render_pii_template(repl, "$\\1")
         for _ in range(passes):
             out = F.regexp_replace(out, pattern, java_repl)
     return out
+
+
+def _render_pii_template(repl: str, group_fmt: str) -> str:
+    """Rewrite every ``{n}`` group reference in a replacement template
+    to the engine's syntax (``$n`` Java, ``\\n`` RE2) — total over any
+    group number, so a new pattern's template can't silently emit a
+    literal ``{2}``."""
+    import re as _re
+
+    return _re.sub(r"\{(\d)\}", group_fmt, repl)
 
 
 def redact_pii_oracle_expr(text_expr: str) -> str:
@@ -318,7 +328,7 @@ def redact_pii_oracle_expr(text_expr: str) -> str:
     out = text_expr
     for _, pattern, repl, passes in PII_PATTERNS:
         escaped = pattern.replace("'", "''")
-        sql_repl = repl.replace("{1}", "\\1").replace("{3}", "\\3")
+        sql_repl = _render_pii_template(repl, "\\\\\\1")
         for _ in range(passes):
             out = f"regexp_replace({out}, '{escaped}', '{sql_repl}', 'g')"
     return out

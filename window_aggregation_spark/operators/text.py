@@ -176,6 +176,11 @@ def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def language_id_oracle_expr(text_col: str = "text") -> str:
+    """Each language's hit count is computed ONCE, bound to a struct
+    field via a single-element ``list_transform`` lambda, and the
+    priority CASE references the fields — DuckDB does not CSE textual
+    expression copies, and the naive inlining paid ~2·L copies of every
+    hits() expression (each zh copy being 10 full-text replace scans)."""
     text = f"coalesce({text_col}, '')"
     toks = f"regexp_extract_all(lower({text}), '{TOKEN_RE}')"
 
@@ -188,20 +193,27 @@ def language_id_oracle_expr(text_col: str = "text") -> str:
         stop_in = ", ".join(f"'{w}'" for w in STOPWORDS[lang])
         return f"len(list_filter({toks}, t -> t IN ({stop_in})))"
 
+    packed = ", ".join(f"{lang} := {hits(lang)}" for lang in LANG_PRIORITY)
     expr = "'und'"
     for lang in reversed(LANG_PRIORITY):
-        others = ", ".join(hits(o) for o in LANG_PRIORITY if o != lang)
+        others = ", ".join(f"h.{o}" for o in LANG_PRIORITY if o != lang)
         expr = (
-            f"CASE WHEN {hits(lang)} > 0 AND {hits(lang)} >= greatest({others}) "
+            f"CASE WHEN h.{lang} > 0 AND h.{lang} >= greatest({others}) "
             f"THEN '{lang}' ELSE {expr} END"
         )
-    return f"{expr} AS lang_pred"
+    return (
+        f"list_transform([struct_pack({packed})], h -> {expr})[1] "
+        "AS lang_pred"
+    )
 
 
 def token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Append ``ws_tokens`` (whitespace-separated) and ``bpe_tokens``
-    (letters / digit-runs / symbols — a cheap BPE-count proxy)."""
-    text = F.col(text_col)
+    (letters / digit-runs / symbols — a cheap BPE-count proxy). NULL
+    text counts as the empty document (0/0) — without the coalesce,
+    ``size(NULL)`` is session-config-dependent (-1 under legacy
+    sizeOfNull) and diverges from the oracle's NULL."""
+    text = F.coalesce(F.col(text_col), F.lit(""))
     return df.select(
         "*",
         F.size(F.regexp_extract_all(text, F.lit(NON_WS_RE), 0)).alias(
@@ -212,10 +224,12 @@ def token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def token_counts_oracle_exprs(text_col: str = "text") -> str:
+    text = f"coalesce({text_col}, '')"
     return (
-        f"CAST(len(regexp_extract_all({text_col}, '{NON_WS_RE}')) AS INT) "
+        f"CAST(len(regexp_extract_all({text}, '{NON_WS_RE}')) AS INT) "
         "AS ws_tokens, "
-        f"CAST(len(regexp_extract_all({text_col}, '{BPE_RE}')) AS INT) AS bpe_tokens"
+        f"CAST(len(regexp_extract_all({text}, '{BPE_RE}')) AS INT) "
+        "AS bpe_tokens"
     )
 
 
@@ -370,6 +384,10 @@ GOPHER_QUALITY_RULES: dict = {
 GOPHER_STOPWORDS: tuple = ("the", "be", "to", "of", "and", "that",
                            "have", "with")
 _BULLETS = ("-", "*", "•")  # -, *, •
+# leading-indent trim shared VERBATIM by the operator and its oracle —
+# ltrim strips spaces only, and a one-sided widening of this class
+# would silently diverge the engines (the whole \s lesson again)
+BULLET_TRIM_RE = "^[ \\t]+"
 
 
 def quality_signals_gopher(
@@ -429,7 +447,7 @@ def quality_signals_gopher(
             lambda ln: F.array_contains(
                 F.array(*[F.lit(b) for b in _BULLETS]),
                 F.substring(
-                    F.regexp_replace(ln, "^[ \t]+", ""), 1, 1
+                    F.regexp_replace(ln, BULLET_TRIM_RE, ""), 1, 1
                 ),
             ),
         )
@@ -522,7 +540,8 @@ def quality_signals_gopher_oracle_sql(
                  n_hash, n_ellipsis,
                  len(list_filter(lines, ln ->
                    list_contains([{bullets}],
-                     regexp_replace(ln, '^[ \t]+', '')[1:1]))) AS bullet,
+                     regexp_replace(ln, '{BULLET_TRIM_RE}', '')[1:1])))
+                   AS bullet,
                  len(list_filter(lines, ln -> ends_with(ln, '...')))
                    AS ell_end,
                  len(list_filter(words, w -> regexp_matches(w, '[A-Za-z]')))

@@ -2950,6 +2950,7 @@ _register_skew()
 
 def _register_corpus() -> None:
     from window_aggregation_spark.operators import corpus as cp
+    from window_aggregation_spark.operators import text as tx
 
     _SPLITS = {"train": 0.8, "val": 0.1, "test": 0.1}
 
@@ -3034,10 +3035,10 @@ def _register_corpus() -> None:
 
     @_register(
         "corpus_pack_sequences",
-        """
+        f"""
         WITH c AS (
           SELECT doc_id,
-                 CAST(len(regexp_extract_all(text, '[^ \\t\\n\\f\\r]+'))
+                 CAST(len(regexp_extract_all(text, '{tx.NON_WS_RE}'))
                       AS INT) AS ws_tokens
           FROM documents),
         r AS (
