@@ -143,6 +143,62 @@ def test_repetition_table_matches_oracle_on_adversarial_text(adv):
     assert rows[7].top_2gram_frac is None  # empty doc stays NULL
 
 
+def test_minhash_pairs_match_oracle_on_adversarial_text(spark, tmp_path):
+    """MinHash+LSH dedup on degenerate documents — NULL text, empty
+    text, whitespace-only, sub-shingle-length, unicode, and genuine
+    near-dups — must agree with the first-principles DuckDB oracle
+    exactly: the shingle edge cases (whole-text shingle for short docs,
+    NULL propagation) are where the two engines could silently split."""
+    from window_aggregation_spark.operators.dedup import (
+        minhash_dedup_pairs,
+    )
+    from window_aggregation_spark.suite import _duck_minhash_lsh_sql
+
+    base = (
+        "the quick brown fox jumps over the lazy dog near the river "
+        "while the miller watches the water turn the old wheel slowly"
+    )
+    docs = [
+        (1, base),
+        (2, base + " tonight"),          # near-dup of 1
+        (3, base.replace("river", "creek")),  # near-dup of 1
+        (4, "completely different text about spark shuffle partitions"),
+        (5, None),
+        (6, ""),
+        (7, "   \t\n  "),
+        (8, "one"),          # below shingle width -> whole-text shingle
+        (9, "one two"),
+        (10, "one"),         # identical short doc: pairs with 8
+        (11, "café 北京 的 naïve café 北京 的 naïve café 北京 的 naïve"),
+        (12, "café 北京 的 naïve café 北京 的 naïve café 北京 的 naïve!"),
+    ]
+    path = str(tmp_path / "dedupdocs.parquet")
+    spark.createDataFrame(docs, "doc_id long, text string").coalesce(
+        1
+    ).write.parquet(path)
+    frame = spark.read.parquet(path)
+    got = minhash_dedup_pairs(frame, "doc_id", threshold=0.3)
+    con = duckdb.connect()
+    try:
+        con.execute(
+            f"CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('{path}/*.parquet')"
+        )
+        want = con.sql(_duck_minhash_lsh_sql())
+        assert_frames_match(got, want, sort_cols=["id_a", "id_b"])
+    finally:
+        con.close()
+    pairs = {(r.id_a, r.id_b) for r in got.collect()}
+    assert (1, 2) in pairs and (1, 3) in pairs  # real near-dups found
+    assert (8, 10) in pairs  # identical sub-shingle docs pair up
+    # token-less docs (empty, whitespace-only) share the [''] whole-text
+    # shingle and ARE duplicates of each other — the oracle used to
+    # diverge here (DuckDB array_to_string([]) is NULL, crashing the
+    # portable hash, where Spark concat_ws yields '')
+    assert (6, 7) in pairs
+    assert not any(5 in p for p in pairs)  # NULL text stays alone
+
+
 def test_fuzzed_text_matches_oracle_across_engines(spark, tmp_path):
     """Seeded random fuzz over a deliberately nasty alphabet — including
     the VERTICAL TAB (\\x0B), which Java's \\s counts as whitespace but

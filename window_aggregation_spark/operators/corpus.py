@@ -527,7 +527,7 @@ def _duck_shingles(text_expr: str, n: int) -> str:
     parts = " || ' ' || ".join(f"{toks}[i+{j}]" for j in range(n))
     return f"""
         CASE WHEN len({toks}) <= {n - 1}
-             THEN [array_to_string({toks}, ' ')]
+             THEN [coalesce(array_to_string({toks}, ' '), '')]
              ELSE list_distinct(list_transform(
                     generate_series(1, len({toks}) - {n - 1}), i -> {parts}))
         END

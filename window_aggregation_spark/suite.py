@@ -968,7 +968,7 @@ def text_index_for(spark: SparkSession, sf_dir: str):
 _DUCK_TOKENS = "regexp_extract_all(lower(text), '[a-z0-9]+')"
 _DUCK_SHINGLES = f"""
     CASE WHEN len({_DUCK_TOKENS}) <= 3 - 1
-         THEN [array_to_string({_DUCK_TOKENS}, ' ')]
+         THEN [coalesce(array_to_string({_DUCK_TOKENS}, ' '), '')]
          ELSE list_distinct(list_transform(
                 generate_series(1, len({_DUCK_TOKENS}) - 2),
                 i -> {_DUCK_TOKENS}[i] || ' ' || {_DUCK_TOKENS}[i+1]
