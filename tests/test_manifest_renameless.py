@@ -466,3 +466,153 @@ def test_corrupt_legacy_manifest_fails_loudly(tmp_path):
     # same read (write_manifest only reads current state for expected=)
     sm.write_manifest(path, {"a": "a_v9"})
     assert sm.read_manifest(path, {"a": "a"})["a"] == "a_v9"
+
+
+# ---------------------------------------------------------------------------
+# Conditional-write seam (VERDICT r9 next-round #7)
+# ---------------------------------------------------------------------------
+
+
+class _Fake412Store:
+    """A fake conditional-PUT object store: first PUT per key succeeds,
+    any later PUT returns False (the boto3 adapter would catch HTTP 412
+    PreconditionFailed and return False the same way)."""
+
+    def __init__(self):
+        self.objects = {}
+        self.puts = []
+
+    def conditional_put(self, path, data):
+        self.puts.append(path)
+        if os.path.exists(path):
+            return False  # key already claimed by another writer
+        with open(path, "w") as f:
+            f.write(data)
+        return True
+
+
+def test_conditional_put_fs_fences_natively(tmp_path):
+    """ConditionalPutFS routes ONLY the generation claim through the
+    conditional PUT; reads/lists stay on the wrapped FS, and a winning
+    claim publishes a generation readers resolve normally."""
+    root = str(tmp_path / "s3ish")
+    os.makedirs(root)
+    store = _Fake412Store()
+    fs = sm.ConditionalPutFS(sm.RenamelessLocalFS(), store.conditional_put)
+    sm.register_fs_prefix(root, fs)
+    try:
+        sm.write_manifest(root, {"a": "a_v1"})
+        sm.write_manifest(root, {"a": "a_v2"})
+        assert sm.read_manifest(root, {"a": "a"})["a"] == "a_v2"
+        # both generation claims went through the conditional PUT
+        assert [os.path.basename(p) for p in store.puts] == [
+            f"MANIFEST-{1:020d}",
+            f"MANIFEST-{2:020d}",
+        ]
+    finally:
+        sm.unregister_fs_prefix(root)
+
+
+def test_conditional_put_lost_race_raises_conflict(tmp_path):
+    """A lost conditional PUT (store answers 412 → adapter returns
+    False) surfaces as ManifestConflictError through write_manifest —
+    the same contract as the O_EXCL fence, with no external lock. The
+    race window is the list->claim interleaving: this writer LISTED
+    before the other writer's PUT landed (modeled with the same
+    stale-listing shim the O_EXCL contention test uses), so both derive
+    the same generation number and only the first PUT wins."""
+    root = str(tmp_path / "s3ish")
+    os.makedirs(root)
+    store = _Fake412Store()
+    theirs = f"MANIFEST-{2:020d}"
+    fs = sm.ConditionalPutFS(
+        _StaleListingFS(theirs), store.conditional_put
+    )
+    sm.register_fs_prefix(root, fs)
+    try:
+        sm.write_manifest(root, {"a": "a_v1"})
+        # another writer claims generation 2 out-of-band (it listed the
+        # same state and PUT first); our next listing is stale to it
+        with open(f"{root}/{theirs}", "w") as f:
+            json.dump({"a": "a_theirs"}, f)
+        with pytest.raises(sm.ManifestConflictError, match="claimed"):
+            sm.write_manifest(root, {"a": "a_mine"})
+        # the lost PUT changed nothing: the winner's bytes survive
+        with open(f"{root}/{theirs}") as f:
+            assert json.load(f) == {"a": "a_theirs"}
+    finally:
+        sm.unregister_fs_prefix(root)
+    assert sm.read_manifest(root, {"a": "a"})["a"] == "a_theirs"
+
+
+# ---------------------------------------------------------------------------
+# JVM already-exists classification (ADVICE r9)
+# ---------------------------------------------------------------------------
+
+
+class _FakeJavaClass:
+    def __init__(self, name):
+        self._name = name
+
+    def getName(self):
+        return self._name
+
+
+class _FakeJavaException:
+    def __init__(self, cls_name, cause=None):
+        self._cls = _FakeJavaClass(cls_name)
+        self._cause = cause
+
+    def getClass(self):
+        return self._cls
+
+    def getCause(self):
+        return self._cause
+
+
+class _FakePy4JError(Exception):
+    def __init__(self, msg, java_exception=None):
+        super().__init__(msg)
+        self.java_exception = java_exception
+
+
+def test_already_exists_matched_by_java_class_not_message():
+    """ADVICE r9: a connector that throws FileAlreadyExistsException
+    with a localized / reworded message must still classify as a claim
+    conflict — the class name is authoritative, not the message text."""
+    e = _FakePy4JError(
+        "Der Pfad ist bereits vorhanden",  # no 'already exists' in text
+        _FakeJavaException("org.apache.hadoop.fs.FileAlreadyExistsException"),
+    )
+    assert sm._is_already_exists_error(e)
+
+
+def test_already_exists_matched_through_cause_chain():
+    """Some connectors wrap the typed exception in a bare IOException;
+    the classifier walks getCause()."""
+    inner = _FakeJavaException("org.apache.hadoop.fs.PathExistsException")
+    e = _FakePy4JError(
+        "wrapped", _FakeJavaException("java.io.IOException", cause=inner)
+    )
+    assert sm._is_already_exists_error(e)
+
+
+def test_non_exists_jvm_errors_propagate_raw():
+    """A permission or network failure must NOT classify as a claim
+    conflict — mapping it to FileExistsError would turn a real outage
+    into a bogus re-read-and-retry loop."""
+    e = _FakePy4JError(
+        "Access denied on bucket",
+        _FakeJavaException("java.nio.file.AccessDeniedException"),
+    )
+    assert not sm._is_already_exists_error(e)
+
+
+def test_message_fallback_still_works():
+    """Untyped IOException('... already exists') — message text is the
+    fallback when no typed class is present in the chain."""
+    e = _FakePy4JError(
+        "java.io.IOException: /store/MANIFEST-7 already exists",
+        _FakeJavaException("java.io.IOException"),
+    )
+    assert sm._is_already_exists_error(e)
