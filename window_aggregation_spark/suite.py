@@ -3037,9 +3037,12 @@ def _register_corpus() -> None:
         "corpus_pack_sequences",
         f"""
         WITH c AS (
+          -- coalesce matches token_counts_oracle_exprs: a NULL-text doc
+          -- must count 0 ws_tokens, not poison the running cumsum with
+          -- NULL (ADVICE r9 — latent cross-engine divergence)
           SELECT doc_id,
-                 CAST(len(regexp_extract_all(text, '{tx.NON_WS_RE}'))
-                      AS INT) AS ws_tokens
+                 CAST(len(regexp_extract_all(coalesce(text, ''),
+                      '{tx.NON_WS_RE}')) AS INT) AS ws_tokens
           FROM documents),
         r AS (
           SELECT doc_id, ws_tokens,
