@@ -616,3 +616,52 @@ def test_message_fallback_still_works():
         _FakeJavaException("java.io.IOException"),
     )
     assert sm._is_already_exists_error(e)
+
+
+# ---------------------------------------------------------------------------
+# Quarantine sink on the rename-less shim (VERDICT r9 next-round #4)
+# ---------------------------------------------------------------------------
+
+
+def test_quarantine_write_roundtrip_on_renameless_fs(spark, shim_dir):
+    """quarantine_write's committed-counts read-back reconstructs the
+    routing flag from the {flag}=true/false partition-directory KEYS —
+    run the full roundtrip with the store prefix forced onto the
+    rename-less protocol (same shim as the manifest lifecycle tests):
+    counts must describe the committed files, clean ∪ quarantine must
+    equal the input exactly, and the string-bool partition-key pitfall
+    must stay handled."""
+    from window_aggregation_spark.operators.relational import (
+        quarantine_write,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, -5.0), (3, 7.0), (4, None), (5, 0.0)],
+        "k long, price double",
+    )
+    checks = {"price_pos": F.col("price") > 0}
+    path = f"{shim_dir}/routed"
+    out = quarantine_write(df, checks, path)
+    assert (out["clean_rows"], out["quarantined_rows"]) == (2, 3)
+    clean = spark.read.parquet(out["clean_path"])
+    quar = spark.read.parquet(out["quarantine_path"])
+    # clean ∪ quarantine == input, by key set (no loss, no duplication)
+    assert {r.k for r in clean.collect()} == {1, 3}
+    assert {r.k for r in quar.collect()} == {2, 4, 5}
+    # the flag reconstructed from the directory key must be a true
+    # boolean in the counts (Python bool('false') is True — the cast
+    # happens in the plan)
+    committed = spark.read.parquet(path)
+    assert committed.count() == 5
+    flags = {
+        r["quarantined"]
+        for r in committed.select(
+            F.col("quarantined").cast("boolean").alias("quarantined")
+        ).collect()
+    }
+    assert flags == {True, False}
+    # empty input on the shim: no partitions, counts read 0/0
+    out2 = quarantine_write(
+        df.where(F.lit(False)), checks, f"{shim_dir}/routed_empty"
+    )
+    assert (out2["clean_rows"], out2["quarantined_rows"]) == (0, 0)

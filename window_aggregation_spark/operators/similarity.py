@@ -298,7 +298,8 @@ def _sample_centroids(corpus: DataFrame, n_centroids: int) -> np.ndarray:
 
 
 def _kmeans_centroids(
-    corpus: DataFrame, n_centroids: int, iters: int
+    corpus: DataFrame, n_centroids: int, iters: int,
+    max_centroid_cells: int = 2_000_000,
 ) -> np.ndarray:
     """Spherical Lloyd refinement of the deterministic-sample seed, fully
     distributed: each iteration assigns every corpus vector to its nearest
@@ -308,10 +309,30 @@ def _kmeans_centroids(
     combine), with just n_centroids x dim tiny rows reaching the driver.
     Empty clusters keep their previous centroid. Assignment ties break by
     centroid index (argsort is stable), so the refinement is
-    deterministic up to BLAS summation order."""
+    deterministic up to BLAS summation order.
+
+    ``max_centroid_cells`` bounds the per-iteration driver collect
+    (mirroring ``embedding_dup_pairs``'s ``max_broadcast_rows``): the
+    stats come back as ``n_centroids × dim`` Rows at roughly 200 bytes
+    each driver-side, so the default 2M cells is ~0.4 GB per iteration
+    — safe on any driver. A production-scale codebook (65k centroids ×
+    1k dims = 65M cells, ~13 GB of Rows per iteration) fails fast here
+    instead of OOMing the driver mid-refinement; raise the budget on a
+    big-memory driver, or shrink the codebook (IVF recall depends on
+    nprobe/n_centroids RATIO more than on absolute codebook size)."""
     spark = corpus.sparkSession
     cents = _sample_centroids(corpus, n_centroids)
     dim = cents.shape[1]
+    cells = n_centroids * dim
+    if cells > max_centroid_cells:
+        raise ValueError(
+            f"_kmeans_centroids: n_centroids×dim = {n_centroids}×{dim} = "
+            f"{cells} stat cells per iteration, over the "
+            f"max_centroid_cells={max_centroid_cells} budget — the "
+            "per-iteration driver collect would not survive this codebook "
+            "size. Raise the budget on a large-memory driver, or reduce "
+            "n_centroids (recall tracks the nprobe/n_centroids ratio)"
+        )
     for _ in range(iters):
         b = spark.sparkContext.broadcast(cents)
         assigned = corpus.mapInPandas(
@@ -350,6 +371,7 @@ def ivf_centroids(
     corpus_id: str = "vec_id",
     vec_col: str = "embedding",
     kmeans_iters: int = 3,
+    max_centroid_cells: int = 2_000_000,
 ) -> np.ndarray:
     """Compute an IVF codebook ONCE for reuse across several
     :func:`ivf_topk` calls (pass it as ``centroids=``). Two reasons to
@@ -366,7 +388,10 @@ def ivf_centroids(
         F.col(corpus_id).alias("id"), F.col(vec_col).alias("v")
     )
     if mode == "kmeans":
-        return _kmeans_centroids(c_base, n_centroids, kmeans_iters)
+        return _kmeans_centroids(
+            c_base, n_centroids, kmeans_iters,
+            max_centroid_cells=max_centroid_cells,
+        )
     return _sample_centroids(c_base, n_centroids)
 
 
