@@ -278,3 +278,17 @@ def test_drift_scan_prunes_to_value_and_side_columns(spark, sf_dir):
     assert m, plan[:600]
     cols = {c.split(":")[0] for c in m.group(1).split(",")}
     assert cols == {"o_totalprice", "o_orderdate"}
+
+
+def test_pipeline_gopher_filter_adds_no_exchange(spark, sf_dir):
+    """VERDICT r9 #8: composing the Gopher quality rules (pure-codegen
+    predicate) with the repetition filter must keep EXACTLY the
+    repetition-signals plan shape — 2 exchanges (gram counts + per-doc
+    rollup), 2 scans (main + short-doc re-attach), zero Python stages —
+    i.e. the pipeline composition adds no shuffle over the signals
+    query it composes."""
+    plan = _plan(SUITE["pipeline_gopher_filter"].build(spark, sf_dir))
+    rep = _plan(SUITE["text_repetition_gopher"].build(spark, sf_dir))
+    assert plan.count("Exchange") == rep.count("Exchange") == 2, plan[:800]
+    assert len(re.findall(r"Scan parquet", plan)) == 2, plan[:800]
+    assert "Python" not in plan

@@ -429,6 +429,32 @@ def quality_signals_gopher(
     ``rules`` per language) rather than filtering a multilingual
     corpus with the published thresholds.
     """
+    signals, quality_pass = _gopher_quality_cols(text_col, rules)
+    return df.select(
+        F.col(id_col),
+        *[c.alias(name) for name, c in signals.items()],
+        quality_pass.alias("quality_pass"),
+    )
+
+
+def gopher_quality_pass(text_col: str = "text", *, rules: dict | None = None):
+    """The Gopher ``quality_pass`` verdict as a STANDALONE predicate
+    Column — for composing the published quality rules directly into a
+    pipeline filter (``docs.where(gopher_quality_pass())``) without
+    materializing the per-rule signal columns. Same expressions, same
+    coalesce-to-False rule folding, same thresholds (override via
+    ``rules``) as :func:`quality_signals_gopher`; pure codegen, so
+    Catalyst fuses it into the scan it filters."""
+    _, quality_pass = _gopher_quality_cols(text_col, rules)
+    return quality_pass
+
+
+def _gopher_quality_cols(
+    text_col: str, rules: dict | None
+) -> tuple[dict, Column]:
+    """(ordered signal-name → Column, quality_pass Column) — the shared
+    expression builder behind :func:`quality_signals_gopher` and
+    :func:`gopher_quality_pass`."""
     r = dict(GOPHER_QUALITY_RULES)
     if rules:
         unknown = set(rules) - set(r)
@@ -493,18 +519,17 @@ def quality_signals_gopher(
         & ok(alpha_frac >= F.lit(float(r["min_alpha_word_frac"])))
         & ok(stop_hits >= F.lit(int(r["min_stopword_hits"])))
     )
-    return df.select(
-        F.col(id_col),
-        n_words.alias("n_words"),
-        mean_wl.alias("mean_word_len"),
-        hash_ratio.alias("hash_word_ratio"),
-        ellipsis_ratio.alias("ellipsis_word_ratio"),
-        bullet_frac.alias("bullet_line_frac"),
-        ellipsis_frac.alias("ellipsis_line_frac"),
-        alpha_frac.alias("alpha_word_frac"),
-        stop_hits.alias("stopword_hits"),
-        quality_pass.alias("quality_pass"),
-    )
+    signals = {
+        "n_words": n_words,
+        "mean_word_len": mean_wl,
+        "hash_word_ratio": hash_ratio,
+        "ellipsis_word_ratio": ellipsis_ratio,
+        "bullet_line_frac": bullet_frac,
+        "ellipsis_line_frac": ellipsis_frac,
+        "alpha_word_frac": alpha_frac,
+        "stopword_hits": stop_hits,
+    }
+    return signals, quality_pass
 
 
 def quality_signals_gopher_oracle_sql(
