@@ -18,6 +18,8 @@ import pytest
 from window_aggregation_spark.operators.text import (
     quality_signals_gopher,
     quality_signals_gopher_oracle_sql,
+    repetition_signals_lines,
+    repetition_signals_lines_oracle_sql,
     repetition_signals_table,
     repetition_signals_table_oracle_sql,
 )
@@ -141,6 +143,25 @@ def test_repetition_table_matches_oracle_on_adversarial_text(adv):
     assert rows[15].dup_5gram_frac == 1.0  # the 4-cycle duplicates fully
     assert rows[16].dup_5gram_frac == 0.0
     assert rows[7].top_2gram_frac is None  # empty doc stays NULL
+
+
+def test_repetition_lines_match_oracle_on_adversarial_text(adv):
+    """The line/paragraph duplicate signals on the SAME adversarial
+    corpus: newline zoo, CRLF-free unicode lines, whitespace-only docs,
+    NULL text — Spark and DuckDB must agree exactly, and the corpus
+    must exercise duplicate lines, duplicate paragraphs, and the
+    empty-doc NULL path."""
+    frame, con = adv
+    got = repetition_signals_lines(frame)
+    want = con.sql(repetition_signals_lines_oracle_sql(table="adv_docs"))
+    assert_frames_match(got, want, sort_cols=["doc_id"])
+    rows = {r.doc_id: r for r in got.collect()}
+    assert rows[15].dup_line_frac == 1.0  # three identical lines
+    assert rows[15].n_paras == 1
+    assert rows[16].dup_line_frac == 0.0
+    assert rows[10].n_lines == 0  # newline-only doc has no units
+    assert rows[10].dup_line_frac is None
+    assert rows[8].dup_para_frac is None  # NULL text
 
 
 def test_minhash_pairs_match_oracle_on_adversarial_text(spark, tmp_path):

@@ -999,3 +999,229 @@ def repetition_signals_table_oracle_sql(
                  AS repetitive
         FROM m
         """
+
+
+# The published Gopher LINE/PARAGRAPH repetition thresholds (Rae et al.
+# 2021, Table A1, public) — the structural half of the repetition filter
+# the n-gram families above complement: a document is removed when the
+# fraction of line/paragraph occurrences (or of the characters they
+# carry) belonging to units that appear more than once exceeds the bound.
+GOPHER_LINE_DUP_THRESHOLDS: dict = {
+    "dup_line_frac": 0.30,
+    "dup_para_frac": 0.30,
+    "dup_line_char_frac": 0.20,
+    "dup_para_char_frac": 0.20,
+}
+
+#: paragraph boundary: one LF directly followed by >=1 more (CRLF is
+#: normalized to LF first). A whitespace-only line does NOT separate
+#: paragraphs — a documented convention both engines share.
+_PARA_SPLIT_RE = "\n{2,}"
+
+
+def repetition_signals_lines(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    thresholds: dict | None = None,
+) -> DataFrame:
+    """Per-document Gopher LINE/PARAGRAPH duplicate signals (Rae et al.
+    2021, Table A1, public) — the template/boilerplate poison the n-gram
+    families (:func:`repetition_signals_table`) see only obliquely:
+    pages that repeat whole nav bars, footers, or copied paragraphs.
+
+    Units: lines split on LF (CRLF normalized to LF first, so a CRLF
+    file agrees with its LF twin), paragraphs split on ``\\n{2,}``;
+    units with no non-whitespace character are dropped (blank lines are
+    structure, not content). Duplicate convention MATCHES the n-gram
+    table: numerator = occurrences belonging to units seen >= 2 times,
+    denominator = all occurrences; the ``_char_`` variants weight each
+    occurrence by the unit's character length (the paper's character
+    fractions). Fractions are single IEEE divisions of exact longs,
+    unrounded; a doc with no units keeps NULL fractions and is never
+    repetitive. ``repetitive`` ORs the four rules at the published
+    thresholds (0.30/0.30 occurrence, 0.20/0.20 character); override
+    any subset via ``thresholds``.
+
+    Scale shape — identical to the n-gram table: explode both unit
+    families off ONE scan as a fam-tagged stream, then TWO map-side-
+    combined shuffles (``(id, fam, unit)`` counts, then the per-doc
+    rollup). Every exchange carries pre-aggregated rows, never raw
+    lines; adding families widens rows, never adds exchanges.
+    """
+    thr = dict(GOPHER_LINE_DUP_THRESHOLDS)
+    if thresholds:
+        unknown = set(thresholds) - set(thr)
+        if unknown:
+            raise ValueError(f"unknown line-dup thresholds: {sorted(unknown)}")
+        thr.update(thresholds)
+    text = F.regexp_replace(
+        F.coalesce(F.col(text_col), F.lit("")), "\r\n", "\n"
+    )
+    lines = F.filter(F.split(text, "\n"), lambda x: x.rlike(NON_WS_RE))
+    paras = F.filter(
+        F.split(text, _PARA_SPLIT_RE), lambda x: x.rlike(NON_WS_RE)
+    )
+
+    def _tag(arr: Column, fam: str) -> Column:
+        # fam binds via closure, NOT a second lambda param (F.transform
+        # reads a 2-arg lambda as (element, index) — same gotcha as the
+        # n-gram table)
+        return F.transform(
+            arr, lambda u: F.struct(F.lit(fam).alias("fam"), u.alias("u"))
+        )
+
+    base = df.select(
+        F.col(id_col),
+        F.size(lines).cast("int").alias("n_lines"),
+        F.size(paras).cast("int").alias("n_paras"),
+        F.concat(_tag(lines, "line"), _tag(paras, "para")).alias("__fu"),
+    )
+    ex = base.select(
+        id_col, "n_lines", "n_paras", F.explode("__fu").alias("fu")
+    ).select(
+        id_col, "n_lines", "n_paras",
+        F.col("fu.fam").alias("fam"), F.col("fu.u").alias("u"),
+    )
+    counts = ex.groupBy(id_col, "fam", "u").agg(
+        F.count(F.lit(1)).alias("c"),
+        F.first("n_lines").alias("n_lines"),
+        F.first("n_paras").alias("n_paras"),
+    ).withColumn("ulen", F.length("u").cast("long"))
+    aggs = [
+        F.first("n_lines").alias("n_lines"),
+        F.first("n_paras").alias("n_paras"),
+    ]
+    for fam in ("line", "para"):
+        is_fam = F.col("fam") == fam
+        dup = is_fam & (F.col("c") >= 2)
+        aggs += [
+            F.sum(F.when(dup, F.col("c"))).alias(f"__d_{fam}"),
+            F.sum(F.when(is_fam, F.col("c"))).alias(f"__t_{fam}"),
+            F.sum(F.when(dup, F.col("c") * F.col("ulen"))
+                  ).alias(f"__dc_{fam}"),
+            F.sum(F.when(is_fam, F.col("c") * F.col("ulen"))
+                  ).alias(f"__tc_{fam}"),
+        ]
+    per_doc = counts.groupBy(id_col).agg(*aggs)
+    frac_cols, verdicts = [], []
+    for fam, kind in (("line", ""), ("para", "")):
+        for num_c, den_c, name in (
+            (f"__d_{fam}", f"__t_{fam}", f"dup_{fam}_frac"),
+            (f"__dc_{fam}", f"__tc_{fam}", f"dup_{fam}_char_frac"),
+        ):
+            frac = F.try_divide(
+                F.coalesce(F.col(num_c), F.lit(0)), F.col(den_c)
+            )
+            frac_cols.append(frac.alias(name))
+            verdicts.append(
+                F.coalesce(frac > F.lit(float(thr[name])), F.lit(False))
+            )
+    verdict = verdicts[0]
+    for v in verdicts[1:]:
+        verdict = verdict | v
+    out = per_doc.select(
+        id_col, "n_lines", "n_paras", *frac_cols,
+        verdict.alias("repetitive"),
+    )
+    # docs with no non-whitespace line produce no exploded rows at all:
+    # re-attach them with NULL fractions so the operator is total
+    empties = df.where(F.size(lines) == 0).select(
+        F.col(id_col),
+        F.lit(0).cast("int").alias("n_lines"),
+        F.lit(0).cast("int").alias("n_paras"),
+        *[F.lit(None).cast("double").alias(n)
+          for n in ("dup_line_frac", "dup_line_char_frac",
+                    "dup_para_frac", "dup_para_char_frac")],
+        F.lit(False).alias("repetitive"),
+    )
+    return out.unionByName(empties)
+
+
+def repetition_signals_lines_oracle_sql(
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    thresholds: dict | None = None,
+) -> str:
+    """DuckDB mirror of :func:`repetition_signals_lines` — same CRLF
+    normalization, same split/blank-filter conventions, same duplicate
+    and character-weight arithmetic, same NULL/empty-doc semantics,
+    same unknown-threshold rejection."""
+    thr = dict(GOPHER_LINE_DUP_THRESHOLDS)
+    if thresholds:
+        unknown = set(thresholds) - set(thr)
+        if unknown:
+            raise ValueError(f"unknown line-dup thresholds: {sorted(unknown)}")
+        thr.update(thresholds)
+    tx = (
+        f"regexp_replace(coalesce({text_col}, ''), '\\r\\n', chr(10), 'g')"
+    )
+    lines = (
+        f"list_filter(string_split({tx}, chr(10)), "
+        f"x -> regexp_matches(x, '{NON_WS_RE}'))"
+    )
+    paras = (
+        f"list_filter(regexp_split_to_array({tx}, '\\n{{2,}}'), "
+        f"x -> regexp_matches(x, '{NON_WS_RE}'))"
+    )
+    pivot, fracs = [], []
+    for fam in ("line", "para"):
+        pivot += [
+            f"sum(CASE WHEN fam = '{fam}' AND c >= 2 THEN c END) AS d_{fam}",
+            f"sum(CASE WHEN fam = '{fam}' THEN c END) AS t_{fam}",
+            f"sum(CASE WHEN fam = '{fam}' AND c >= 2 THEN c * ulen END)"
+            f" AS dc_{fam}",
+            f"sum(CASE WHEN fam = '{fam}' THEN c * ulen END) AS tc_{fam}",
+        ]
+        fracs += [
+            f"CASE WHEN t_{fam} IS NOT NULL THEN "
+            f"CAST(coalesce(d_{fam}, 0) AS DOUBLE) / t_{fam} END "
+            f"AS dup_{fam}_frac",
+            f"CASE WHEN tc_{fam} IS NOT NULL THEN "
+            f"CAST(coalesce(dc_{fam}, 0) AS DOUBLE) / tc_{fam} END "
+            f"AS dup_{fam}_char_frac",
+        ]
+    names = ("dup_line_frac", "dup_line_char_frac",
+             "dup_para_frac", "dup_para_char_frac")
+    verdict = "\n               OR ".join(
+        f"coalesce({n} > {float(thr[n])!r}, FALSE)" for n in names
+    )
+    sep = ",\n                 "
+    return f"""
+        WITH t AS (
+          SELECT {id_col}, {lines} AS lines, {paras} AS paras
+          FROM {table}),
+        g AS (
+          SELECT {id_col}, len(lines) AS n_lines, len(paras) AS n_paras,
+                 unnest(lines) AS u, 'line' AS fam FROM t
+          UNION ALL
+          SELECT {id_col}, len(lines), len(paras), unnest(paras), 'para'
+          FROM t),
+        c AS (
+          SELECT {id_col}, fam, u, count(*) AS c,
+                 CAST(len(u) AS BIGINT) AS ulen,
+                 any_value(n_lines) AS n_lines,
+                 any_value(n_paras) AS n_paras
+          FROM g GROUP BY 1, 2, 3, 5),
+        p AS (
+          SELECT {id_col},
+                 any_value(n_lines) AS n_lines,
+                 any_value(n_paras) AS n_paras,
+                 {sep.join(pivot)}
+          FROM c GROUP BY 1),
+        m AS (
+          SELECT {id_col}, CAST(n_lines AS INT) AS n_lines,
+                 CAST(n_paras AS INT) AS n_paras,
+                 {sep.join(fracs)}
+          FROM p
+          UNION ALL
+          SELECT {id_col}, 0, 0, NULL, NULL, NULL, NULL
+          FROM t WHERE len(lines) = 0)
+        SELECT {id_col}, n_lines, n_paras, {", ".join(names)},
+               {verdict}
+                 AS repetitive
+        FROM m
+        """

@@ -685,6 +685,45 @@ def _register_text() -> None:
         docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
         return tx.quality_signals_gopher(docs)
 
+    # the fixture corpus is single-line, where every line/paragraph
+    # fraction is trivially 0 — plant a deterministic multi-line layout
+    # from each doc's own text (identical expression both engines):
+    # two paragraphs, with doc_id-dependent duplicate lines/paragraphs
+    _LINES_SYNTH_SQL = (
+        "substr(text, 1, 40) || chr(10) || substr(text, 41, 40) "
+        "|| chr(10) || chr(10) || "
+        "CASE WHEN doc_id % 3 = 0 THEN substr(text, 1, 40) "
+        "ELSE substr(text, 81, 40) END || chr(10) || "
+        "CASE WHEN doc_id % 2 = 0 THEN substr(text, 1, 40) "
+        "ELSE substr(text, 121, 40) END"
+    )
+
+    @_register(
+        "text_repetition_gopher_lines",
+        tx.repetition_signals_lines_oracle_sql(
+            table=f"(SELECT doc_id, {_LINES_SYNTH_SQL} AS t2 FROM documents)",
+            text_col="t2",
+        ),
+    )
+    def text_repetition_gopher_lines(spark: SparkSession, sf_dir: str
+                                     ) -> DataFrame:
+        """The LINE/PARAGRAPH half of the published Gopher repetition
+        filter (Rae et al. 2021, Table A1): duplicate line/paragraph
+        occurrence fractions plus their character-weighted variants —
+        the whole-unit template/boilerplate poison the n-gram families
+        see only obliquely. Same plan scale-shape as the n-gram table:
+        one fam-tagged exploded stream, two map-side-combined shuffles.
+        The fixture text is single-line, so the query plants a
+        deterministic two-paragraph layout with doc_id-dependent
+        duplicate lines/paragraphs from each doc's own text — both
+        engines build the identical string, so the planted duplicates
+        exercise every fraction and both verdict polarities
+        (operators/text.py::repetition_signals_lines)."""
+        docs = read_table(spark, sf_dir, "documents").select(
+            "doc_id", F.expr(_LINES_SYNTH_SQL).alias("t2")
+        )
+        return tx.repetition_signals_lines(docs, text_col="t2")
+
     @_register(
         "text_repetition_gopher_full",
         tx.repetition_signals_table_oracle_sql(),
@@ -4881,10 +4920,11 @@ _DRIVER_PRIORITY = [
     # text_repetition_gopher, agg_grouping_sets_orders,
     # stream_interval_join_ss_left.
     "text_perplexity_unigram",
-    "text_gopher_quality",          # r9-new, first driver row
+    "text_gopher_quality",           # r9-new, first driver row
+    "text_repetition_gopher_lines",  # r10-new, first driver row
     "text_repetition_gopher_full",
     "search_bm25_batch", "search_tfidf_keywords",
-    "search_bm25_indexed", "search_bm25_index_add", "search_hybrid_rrf",
+    "search_bm25_indexed", "search_hybrid_rrf",
     "sim_embedding_covariance",
     "corpus_decontaminate_bloom",
     "corpus_stats", "corpus_top_terms", "corpus_length_quantiles",
