@@ -720,13 +720,28 @@ def repetition_signals_table(
     session config — without the coalesce, ANSI mode silently drops
     NULL-text rows (``size(NULL)`` fails the short-doc re-attach filter)
     and legacy mode emits ``n_tokens=-1``.
+
+    MEASURED pitfall the token-materializing projection below exists
+    for: higher-order functions run INTERPRETED, and an array-typed
+    subexpression referenced inside a transform lambda (the
+    ``element_at(toks, …)`` gram builder) is re-evaluated PER ELEMENT —
+    with ``toks`` inlined as the ``regexp_extract_all`` expression, the
+    tokenizer re-ran for every gram position: 14.4 s vs 0.4 s (33×) on
+    the sf0.1 corpus for the gram projection alone. Materializing the
+    token array once per row behind a projection boundary restores
+    evaluate-once; CollapseProject keeps the boundary because the alias
+    is referenced many times (non-cheap, multi-use).
     """
     if top_thresholds is None:
         top_thresholds = GOPHER_TOP_NGRAM_THRESHOLDS
     if dup_thresholds is None:
         dup_thresholds = GOPHER_DUP_NGRAM_THRESHOLDS
     fams = _repetition_fams(top_thresholds, dup_thresholds)
-    toks = tokens(F.coalesce(F.col(text_col), F.lit("")))
+    tok_df = df.select(
+        F.col(id_col),
+        tokens(F.coalesce(F.col(text_col), F.lit(""))).alias("__toks"),
+    )
+    toks = F.col("__toks")
 
     def grams(n: int) -> Column:
         # windows i = 1 .. size-(n-1), each joined with single spaces —
@@ -744,7 +759,7 @@ def repetition_signals_table(
         )
 
     ns = sorted({n for _, n, _ in fams})
-    base = df.select(
+    base = tok_df.select(
         F.col(id_col),
         F.size(toks).alias("n_tokens"),
         *[grams(n).alias(f"__g{n}") for n in ns],
@@ -806,7 +821,7 @@ def repetition_signals_table(
     # exploded rows at all: re-attach them with NULL fractions so the
     # operator is total over its input
     min_n = min(ns)
-    empties = df.where(F.size(toks) < min_n).select(
+    empties = tok_df.where(F.size(toks) < min_n).select(
         F.col(id_col),
         F.size(toks).cast("int").alias("n_tokens"),
         *[F.lit(None).cast("double").alias(_frac_col_name(kind, n))
