@@ -743,23 +743,41 @@ def repetition_signals_table(
     )
     toks = F.col("__toks")
 
-    def grams(n: int) -> Column:
-        # windows i = 1 .. size-(n-1), each joined with single spaces —
-        # mirrors the DuckDB list_transform in the oracle exactly.
-        # Guarded: F.sequence(1, 0) yields a DESCENDING [1, 0] (not
-        # empty!), which would fabricate windows for too-short docs
-        windows = F.transform(
-            F.sequence(F.lit(1), F.size(toks) - F.lit(n - 1)),
-            lambda i: F.concat_ws(
-                " ", *[F.element_at(toks, i + F.lit(j)) for j in range(n)]
-            ),
-        )
-        return F.when(F.size(toks) >= n, windows).otherwise(
-            F.expr("CAST(array() AS array<string>)")
-        )
-
+    # Incremental zip_with gram chain (the `dedup.shingles` insight):
+    # z_n[i] = toks[i..i+n-1] joined with spaces, built from z_{n-1} and
+    # the n-shifted token array — ONE O(tokens) zip_with per level
+    # instead of n element_at calls per window, i.e. O(k·tokens) gram
+    # building instead of O(k²·tokens) for a k-family table. On the
+    # short-document sf0.1 fixture the two measure at parity (the
+    # (id, fam, gram) count shuffle dominates); the asymptotic win
+    # materializes on long documents, where per-window element_at work
+    # grows with n. Each level lives in its OWN projection so it
+    # evaluates once (multi-use aliases keep CollapseProject from
+    # inlining them — see the docstring pitfall). zip_with pads the
+    # shorter side with nulls and concat_ws skips nulls, so the
+    # trailing (n-1) PARTIAL windows are cut by the guarded slice below
+    # — windows i = 1 .. size-(n-1), identical strings to the DuckDB
+    # list_transform in the oracle.
     ns = sorted({n for _, n, _ in fams})
-    base = tok_df.select(
+    chain = tok_df
+    prev = "__toks"
+    for n in range(2, max(ns) + 1):
+        zn = F.zip_with(
+            F.col(prev),
+            F.slice(toks, n, 2_000_000_000),
+            lambda x, y: F.concat_ws(" ", x, y),
+        )
+        chain = chain.select("*", zn.alias(f"__z{n}"))
+        prev = f"__z{n}"
+
+    def grams(n: int) -> Column:
+        src = toks if n == 1 else F.col(f"__z{n}")
+        return F.when(
+            F.size(toks) >= n,
+            F.slice(src, F.lit(1), F.size(toks) - F.lit(n - 1)),
+        ).otherwise(F.expr("CAST(array() AS array<string>)"))
+
+    base = chain.select(
         F.col(id_col),
         F.size(toks).alias("n_tokens"),
         *[grams(n).alias(f"__g{n}") for n in ns],
