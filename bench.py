@@ -844,6 +844,58 @@ def mjpeg_decode_probe() -> dict:
     return out
 
 
+def calibration_probe(spark, *, reps: int = 3) -> dict:
+    """A FIXED, code-independent workload (range scan + xxhash64 + hash
+    aggregate — Spark builtins only, no repo code, no I/O) whose wall
+    time measures the MACHINE, not this round's tree. Re-timed at the
+    start and end of every bench run and recorded as
+    ``BENCH_DETAIL.json.noise_control`` (VERDICT r9 next-round #2):
+    rounds 7 and 9 both recorded 1.1–1.2× headline drift that took a
+    hand-run prior-tree control plus a judge A/B to attribute to host
+    load — this section ships the control WITH the recording. To
+    noise-correct a round-over-round comparison, divide each round's
+    headline by its calibration median; a calibration ratio far from
+    1.0 between rounds (or between this run's start and end) says the
+    host, not the code, moved."""
+
+    def once() -> float:
+        t0 = time.perf_counter()
+        # bit_xor, not sum: summing 30M hashes overflows long under
+        # ANSI mode; xor forces the same per-row hash work overflow-free
+        spark.range(0, 30_000_000, 1, 32).selectExpr(
+            "bit_xor(xxhash64(id)) AS s", "count(1) AS n"
+        ).collect()
+        return time.perf_counter() - t0
+
+    times = sorted(once() for _ in range(max(reps, 1)))
+    return {
+        "workload": "range30M-xxhash64-hashagg x32 partitions",
+        "median_sec": round(times[len(times) // 2], 3),
+        "times_sec": [round(t, 3) for t in times],
+    }
+
+
+def _clustered_embeddings(
+    spark, n_rows: int, dim: int, n_clusters: int,
+    *, sigma: float = 0.05, seed: int = 7,
+):
+    """Synthetic embeddings WITH planted cluster structure: ``n_clusters``
+    random unit centroid directions, each vector = its centroid plus
+    isotropic Gaussian noise (per-dim ``sigma``; noise norm ~
+    sigma*sqrt(dim) ≈ 0.4 at the defaults — tight clusters, the regime
+    real encoder embeddings of topically-grouped corpora live in).
+    Deterministic via the fixed seed."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    cents = rng.normal(size=(n_clusters, dim))
+    cents /= np.linalg.norm(cents, axis=1, keepdims=True)
+    assign = rng.integers(0, n_clusters, size=n_rows)
+    vecs = cents[assign] + sigma * rng.normal(size=(n_rows, dim))
+    rows = [(int(i), [float(x) for x in v]) for i, v in enumerate(vecs)]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
 def ann_recall_probe(
     spark,
     sf_dir: str,
@@ -862,7 +914,51 @@ def ann_recall_probe(
     deterministic tie-broken :func:`cosine_topk` — for IVF at each
     ``nprobe`` (both centroid modes) and for the int8 coarse-scan path.
     The candidate fraction ~ nprobe/n_centroids is the cost lever the
-    recall buys down."""
+    recall buys down.
+
+    TWO regimes (VERDICT r9 next-round #3): ``unstructured`` runs on
+    the fixture embeddings (near IVF's worst case — little cluster
+    structure, so a neighbor's list is barely more likely than any
+    other, and recall ~ candidate fraction); ``clustered`` runs on a
+    same-size synthetic corpus with ``n_centroids`` planted Gaussian
+    clusters (:func:`_clustered_embeddings`) — the regime where IVF
+    pays, showing candidate_fraction ≪ recall. Together they bracket
+    what a user should expect at each nprobe."""
+    from window_aggregation_spark.sources.io import read_table
+
+    out: dict = {
+        "unstructured": _recall_sweep(
+            spark, None, sf_dir=sf_dir, k=k, n_queries=n_queries,
+            n_centroids=n_centroids, nprobes=nprobes,
+        ),
+    }
+    dim = len(
+        read_table(spark, sf_dir, "embeddings")
+        .select("embedding").first()["embedding"]
+    )
+    clustered = _clustered_embeddings(
+        spark, out["unstructured"]["n_corpus"], dim, n_centroids
+    )
+    out["clustered"] = _recall_sweep(
+        spark, clustered, sf_dir=sf_dir, k=k, n_queries=n_queries,
+        n_centroids=n_centroids, nprobes=nprobes,
+    )
+    return out
+
+
+def _recall_sweep(
+    spark,
+    corpus_df,
+    *,
+    sf_dir: str,
+    k: int,
+    n_queries: int,
+    n_centroids: int,
+    nprobes,
+) -> dict:
+    """One regime's full recall sweep (IVF both centroid modes × nprobe,
+    plus the int8 overfetch curve) over ``corpus_df`` (or the fixture
+    embeddings when None)."""
     from window_aggregation_spark.operators.similarity import (
         cosine_topk,
         ivf_centroids,
@@ -871,7 +967,13 @@ def ann_recall_probe(
     )
     from window_aggregation_spark.sources.io import read_table
 
-    emb = read_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    emb = (
+        corpus_df
+        if corpus_df is not None
+        else read_table(spark, sf_dir, "embeddings").select(
+            "vec_id", "embedding"
+        )
+    )
     corpus = emb.cache()
     n_corpus = corpus.count()
     queries = corpus.orderBy("vec_id").limit(n_queries).cache()
@@ -989,6 +1091,9 @@ def main() -> None:
     next(iter(queries.values())).build(spark, sf_dir).write.format("noop").mode(
         "overwrite"
     ).save()
+    # host-noise control, START of run (code-independent workload; the
+    # matching END sample closes the bracket after the probes)
+    calibration_start = calibration_probe(spark)
     # build the signature store outside the timed region too (the
     # *_stored dedup twins consume it; write-once artifact), recording
     # its cost as its own section number rather than inside a query.
@@ -1079,6 +1184,21 @@ def main() -> None:
     # sections go out as their own (earlier) line plus a full on-disk
     # record, and the LAST stdout line is the compact headline — small
     # enough to always survive the tail capture.
+    calibration_end = calibration_probe(spark)
+    sections["noise_control"] = {
+        "doc": (
+            "fixed code-independent workload timed at run start/end; "
+            "divide a round's headline by its calibration median before "
+            "comparing across rounds — a ratio far from 1.0 is the HOST "
+            "moving, not the tree"
+        ),
+        "start": calibration_start,
+        "end": calibration_end,
+        "end_over_start": round(
+            calibration_end["median_sec"]
+            / max(calibration_start["median_sec"], 1e-9), 3
+        ),
+    }
     sections["machine"] = {
         "before": machine_before,
         "after": machine_snapshot(),

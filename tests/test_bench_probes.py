@@ -96,22 +96,43 @@ def test_cc_scale_probe_shape(spark, sf_dir):
 
 
 def test_ann_recall_probe_shape_and_monotonicity(spark, sf_dir):
-    """recall@k is in [0,1] for every setting, the IVF curve is
+    """Both regimes: recall@k in [0,1] for every setting, the IVF curve
     non-decreasing in nprobe (more lists scanned can only add candidates
-    under the same deterministic tie-break), and the int8 re-rank path
-    sits at/near exact."""
+    under the same deterministic tie-break), the int8 re-rank path
+    at/near exact on the fixture — and, the reason the clustered regime
+    exists (VERDICT r9 #3), the planted-cluster corpus must show
+    recall ≫ candidate_fraction at nprobe=1 under the k-means codebook,
+    and beat the unstructured regime at the same setting."""
     out = bench.ann_recall_probe(
         spark, sf_dir, k=5, n_queries=16, n_centroids=8, nprobes=(1, 4, 8)
     )
-    assert out["n_queries"] == 16 and out["n_corpus"] > 0
-    for mode in ("ivf_sample", "ivf_kmeans"):
-        curve = out[mode]
-        rs = [curve[str(p)]["recall"] for p in (1, 4, 8)]
-        assert all(0.0 <= r <= 1.0 for r in rs)
-        assert rs == sorted(rs), f"{mode} recall not monotone: {rs}"
-        # nprobe == n_centroids scans every list == brute force
-        assert rs[-1] == 1.0
-    assert out["int8_overfetch_4"]["recall"] >= 0.95
+    for regime in ("unstructured", "clustered"):
+        r_out = out[regime]
+        assert r_out["n_queries"] == 16 and r_out["n_corpus"] > 0
+        for mode in ("ivf_sample", "ivf_kmeans"):
+            curve = r_out[mode]
+            rs = [curve[str(p)]["recall"] for p in (1, 4, 8)]
+            assert all(0.0 <= r <= 1.0 for r in rs)
+            assert rs == sorted(rs), f"{regime}/{mode} not monotone: {rs}"
+            # nprobe == n_centroids scans every list == brute force
+            assert rs[-1] == 1.0
+    assert out["unstructured"]["int8_overfetch_4"]["recall"] >= 0.95
+    clustered = out["clustered"]["ivf_kmeans"]["1"]
+    unstructured = out["unstructured"]["ivf_kmeans"]["1"]
+    assert clustered["recall"] >= 0.8, clustered
+    assert clustered["recall"] >= 3 * clustered["candidate_fraction"]
+    assert clustered["recall"] > unstructured["recall"]
+
+
+def test_calibration_probe_shape(spark):
+    """The noise-control workload (VERDICT r9 #2): positive times,
+    median is the middle sample, and the workload string names what
+    was run (the recording must be self-describing)."""
+    out = bench.calibration_probe(spark, reps=3)
+    assert len(out["times_sec"]) == 3
+    assert all(t > 0 for t in out["times_sec"])
+    assert out["median_sec"] == sorted(out["times_sec"])[1]
+    assert "xxhash64" in out["workload"]
 
 
 def test_stream_state_probe_state_is_bounded(spark, sf_dir, monkeypatch, tmp_path):

@@ -154,6 +154,15 @@ def quantized_topk(
     brute-force truth on the sf0.1 embeddings is 0.99 at ``overfetch=1``
     and 1.0 at ``overfetch>=2`` — int8 + re-rank is effectively exact,
     unlike the IVF pruning whose recall curve see :func:`ivf_topk`.
+
+    Regime caveat (measured on the probe's planted-cluster corpus):
+    int8 recall INVERTS on tightly clustered embeddings —
+    0.32/0.50/0.73 at overfetch 1/2/4 — because within a tight cluster
+    every candidate's cosine sits within the quantization error, so the
+    coarse ordering is noise exactly where IVF shines. The two paths
+    are complements: clustered data → IVF (+k-means codebook);
+    unstructured data → int8 + re-rank; when unsure, raise
+    ``overfetch`` (recall is monotone in it on both regimes).
     """
     if (qvec_col is None) != (qscale_col is None):
         raise ValueError("qvec_col and qscale_col must be given together")
@@ -441,17 +450,31 @@ def ivf_topk(
     computations agree in sign/order (ties broken by centroid index in
     both). Candidate fraction ~= nprobe / n_centroids.
 
-    MEASURED recall (``bench.py::ann_recall_probe``, recorded in
-    BENCH_DETAIL.json): recall@10 vs brute-force truth on the sf0.1
-    synthetic embeddings (2000 x 64-dim, 16 centroids) —
-    ``nprobe`` 1/2/4/8 → 0.45/0.53/0.66/0.84 (sample centroids),
-    0.44/0.54/0.68/0.87 (k-means). The synthetic vectors are near the
-    WORST case for IVF (little cluster structure, so a neighbor's list
-    is barely more likely than any other); corpora with real cluster
-    structure sit well above this curve at equal nprobe, but tune
-    ``nprobe`` against a measured curve on YOUR data, not the
-    candidate fraction alone. When recall must be exact, use
-    :func:`cosine_topk` or :func:`quantized_topk` (measured 0.99-1.0).
+    MEASURED recall, BOTH regimes (``bench.py::ann_recall_probe``,
+    recorded in BENCH_DETAIL.json): recall@10 vs brute-force truth at
+    sf0.1 (2000 x 64-dim, 16 centroids), ``nprobe`` 1/2/4/8 —
+
+    - **unstructured** (the fixture embeddings — near IVF's WORST case,
+      little cluster structure): 0.45/0.53/0.66/0.84 (sample),
+      0.44/0.54/0.68/0.87 (k-means). Recall tracks the candidate
+      fraction; IVF barely beats scanning that fraction at random, and
+      k-means refinement buys nothing — there are no clusters to find.
+    - **clustered** (same-size synthetic with 16 planted Gaussian
+      clusters — the regime real encoder embeddings of topical corpora
+      live in): 0.76/0.93/0.99/1.0 (sample), **0.96/1.0/1.0/1.0
+      (k-means)** — recall ≫ candidate fraction (0.96 recall scanning
+      6% of the corpus at nprobe=1), and the k-means codebook is worth
+      +0.20 recall at nprobe=1 because it recovers the planted
+      centroids where the deterministic sample misses ~1/3 of them.
+
+    Tuning guidance: if your embeddings cluster (topical corpora,
+    dedup-adjacent populations), build the codebook with
+    ``centroids="kmeans"`` and start at nprobe ≈ 1-2; if a recall probe
+    on YOUR data shows the unstructured shape (recall ≈ nprobe /
+    n_centroids), IVF is not pruning for you — use
+    :func:`quantized_topk` (int8 coarse + exact re-rank) or
+    :func:`cosine_topk`. Always tune against a measured curve, not the
+    candidate fraction alone.
     """
     precomputed = not isinstance(centroids, str)
     if not precomputed and centroids not in ("sample", "kmeans"):

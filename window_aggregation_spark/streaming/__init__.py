@@ -1,5 +1,8 @@
 from window_aggregation_spark.streaming.enrich import enrich_stream
-from window_aggregation_spark.streaming.interval_join import interval_join
+from window_aggregation_spark.streaming.interval_join import (
+    IntervalJoinSpec,
+    interval_join,
+)
 from window_aggregation_spark.streaming.stateful import batch_ewma, streaming_ewma
 from window_aggregation_spark.streaming.window_stream import (
     sessionize,
@@ -8,6 +11,7 @@ from window_aggregation_spark.streaming.window_stream import (
 )
 
 __all__ = [
+    "IntervalJoinSpec",
     "batch_ewma",
     "enrich_stream",
     "interval_join",
