@@ -795,18 +795,24 @@ def repetition_signals_table(
             lambda g: F.struct(F.lit(fam).alias("fam"), g.alias("g")),
         )
 
+    # n_tokens does NOT ride through the exploded stream or the
+    # 2.4M-group count aggregate: every n-gram family with window size
+    # n contributes exactly (n_tokens - (n-1)) occurrences for any doc
+    # long enough to reach the rollup, so the rollup re-derives
+    # n_tokens = total(min-n family) + (min_n - 1) — one narrower
+    # explode row and one less per-group aggregation state instead of a
+    # first() carried across millions of mostly-unique gram groups.
     tagged = [_tag(F.col(f"__g{n}"), f"{kind}{n}") for kind, n, _ in fams]
     ex = base.select(
         id_col,
-        "n_tokens",
         F.explode(F.concat(*tagged) if len(tagged) > 1 else tagged[0]
                   ).alias("fg"),
-    ).select(id_col, "n_tokens", F.col("fg.fam").alias("fam"),
+    ).select(id_col, F.col("fg.fam").alias("fam"),
              F.col("fg.g").alias("g"))
     counts = ex.groupBy(id_col, "fam", "g").agg(
-        F.count(F.lit(1)).alias("c"), F.first("n_tokens").alias("n_tokens")
+        F.count(F.lit(1)).alias("c")
     )
-    aggs = [F.first("n_tokens").alias("n_tokens")]
+    aggs = []
     for kind, n, _ in fams:
         fam = f"{kind}{n}"
         if kind == "t":
@@ -820,6 +826,10 @@ def repetition_signals_table(
             F.sum(F.when(F.col("fam") == fam, F.col("c"))).alias(f"__t_{fam}")
         )
     per_doc = counts.groupBy(id_col).agg(*aggs)
+    min_kind, min_n_fam, _ = min(fams, key=lambda f: f[1])
+    n_tokens_col = (
+        F.col(f"__t_{min_kind}{min_n_fam}") + F.lit(min_n_fam - 1)
+    ).cast("int")
 
     frac_cols, verdicts = [], []
     for kind, n, thr in fams:
@@ -833,7 +843,8 @@ def repetition_signals_table(
     for v in verdicts[1:]:
         verdict = verdict | v
     out = per_doc.select(
-        id_col, "n_tokens", *frac_cols, verdict.alias("repetitive")
+        id_col, n_tokens_col.alias("n_tokens"), *frac_cols,
+        verdict.alias("repetitive"),
     )
     # docs too short to form even one n-gram of ANY family produce no
     # exploded rows at all: re-attach them with NULL fractions so the
