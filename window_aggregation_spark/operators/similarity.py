@@ -89,7 +89,18 @@ def quantize_embeddings(
     vector quantizes to zeros with scale 0.
     """
     v = F.col(vec_col)
-    mx = F.array_max(F.transform(v, lambda x: F.abs(x.cast("double"))))
+    # max|x| is materialized as a column BEFORE the per-element lambda
+    # references it: higher-order functions run interpreted, and a
+    # non-column expression inside the lambda body is re-evaluated PER
+    # ELEMENT — with array_max inlined, quantization cost O(dim²) per
+    # row instead of O(dim) (the text.py gram-builder pitfall). A
+    # column reference inside the lambda is a cheap attribute lookup.
+    mx_col = f"__qmx_{alias_q}"
+    mx = F.col(mx_col)
+    with_mx = df.withColumn(
+        mx_col,
+        F.array_max(F.transform(v, lambda x: F.abs(x.cast("double")))),
+    )
     q = F.when(
         mx > 0,
         F.transform(
@@ -98,8 +109,10 @@ def quantize_embeddings(
         ),
     ).otherwise(F.transform(v, lambda x: F.lit(0)))
     scale = F.when(mx > 0, mx / F.lit(127.0)).otherwise(F.lit(0.0))
-    return df.withColumn(alias_q, q).withColumn(
-        alias_scale, scale.cast("double")
+    return (
+        with_mx.withColumn(alias_q, q)
+        .withColumn(alias_scale, scale.cast("double"))
+        .drop(mx_col)
     )
 
 
