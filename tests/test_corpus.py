@@ -718,3 +718,42 @@ def test_split_leakage_safe_keeps_clusters_together(spark):
     plain2 = {r.doc_id: r.split
               for r in cp.split_by_hash(solo, "doc_id", splits).collect()}
     assert safe2[999] == plain2[999]
+
+
+def test_prune_duplicated_lines_cross_doc_boilerplate(spark):
+    """Line-level C4/CCNet cleaning: lines over the doc-frequency bound
+    vanish corpus-wide (nav bar in 4/4 docs, cookie banner in 2/4),
+    per-doc-unique lines and BLANK lines survive in order, CRLF input
+    agrees with its LF twin, fully-boilerplate docs come back as the
+    empty string, and the DuckDB oracle matches exactly."""
+    import duckdb as _duck
+    import pandas as pd
+
+    docs = [
+        (1, "NAV BAR\ncontent one\n\nrare footer"),
+        (2, "NAV BAR\ncontent two\nCOOKIE BANNER"),
+        (3, "NAV BAR\r\ncontent three\r\nCOOKIE BANNER"),
+        (4, "NAV BAR"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.pruned_text, r.n_pruned_lines)
+        for r in cp.prune_duplicated_lines(
+            df, "doc_id", max_doc_frac=0.26
+        ).collect()
+    }
+    assert got[1] == ("content one\n\nrare footer", 1)
+    assert got[2] == ("content two", 2)
+    assert got[3] == ("content three", 2)  # CRLF == LF twin
+    assert got[4] == ("", 1)  # fully boilerplate -> empty, not NULL
+    con = _duck.connect()
+    con.register("docs_t", pd.DataFrame(docs, columns=["doc_id", "text"]))
+    want = {
+        int(r[0]): (r[1], int(r[2]))
+        for r in con.execute(
+            cp.prune_duplicated_lines_oracle_sql(
+                "docs_t", "doc_id", max_doc_frac=0.26
+            )
+        ).fetchall()
+    }
+    assert got == want

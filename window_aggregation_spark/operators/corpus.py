@@ -37,7 +37,11 @@ from window_aggregation_spark.operators.dedup import (
     portable_hash64_duck,
 )
 from window_aggregation_spark.operators.skew import salted_running_agg
-from window_aggregation_spark.operators.text import TOKEN_RE, tokens
+from window_aggregation_spark.operators.text import (
+    NON_WS_RE,
+    TOKEN_RE,
+    tokens,
+)
 
 # Hash grain for split thresholds: weights are quantized to 1/1_000_000,
 # plenty for any realistic split ratio and small enough that the 60-bit
@@ -387,6 +391,115 @@ def prune_frequent_tokens(
         .join(rebuilt, on=id_col, how="left")
         .select(id_col, F.coalesce(F.col(alias), F.lit("")).alias(alias))
     )
+
+
+def prune_duplicated_lines(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    *,
+    max_doc_frac: float = 0.05,
+    alias: str = "pruned_text",
+) -> DataFrame:
+    """Cross-document LINE-level boilerplate removal (the C4/CCNet
+    cleaning step): drop every line that appears in more than
+    ``max_doc_frac`` of all documents — nav bars, cookie banners,
+    footers, license headers — keeping each document's remaining lines
+    in order. The within-document complement is
+    :func:`..text.repetition_signals_lines` (which SCORES docs);
+    this one EDITS them. Returns ``(id_col, alias, n_pruned_lines)``.
+
+    Line conventions match ``repetition_signals_lines``: CRLF
+    normalized to LF, lines split on LF; lines with no non-whitespace
+    character are never counted and never removed (blank lines are
+    document structure, not boilerplate). NULL text reads as the empty
+    document.
+
+    Scale shape — the corpus text is NEVER shuffled: document frequency
+    runs over per-doc-distinct content lines (two map-side-combined
+    shuffles on the line key), the offending-line set — tiny BY
+    CONSTRUCTION (lines in > ``max_doc_frac`` of N docs number at most
+    total-line-occurrences / (frac·N)) — collapses to a ONE-ROW array
+    aggregate that broadcast-cross-joins back, and reconstruction is a
+    pure projection ``filter(lines, ln -> !array_contains(...))`` +
+    rejoin. Unlike :func:`prune_frequent_tokens` there is no
+    groupBy(doc) reassembly pass: the line array never leaves its row.
+    The doc count enters lazily via a second 1-row broadcast aggregate,
+    so the whole operator is one plan with no driver-side action.
+    """
+    text = F.regexp_replace(
+        F.coalesce(F.col(text_col), F.lit("")), "\r\n", "\n"
+    )
+    base = df.select(
+        F.col(id_col), F.split(text, "\n").alias("__lines")
+    )
+    content = base.select(
+        id_col, F.explode("__lines").alias("__ln")
+    ).where(F.col("__ln").rlike(NON_WS_RE))
+    n_docs = df.select(F.count(F.lit(1)).alias("__n_docs"))
+    docfreq = (
+        content.distinct()
+        .groupBy("__ln")
+        .agg(F.count(F.lit(1)).alias("__df"))
+    )
+    frequent = (
+        docfreq.crossJoin(F.broadcast(n_docs))
+        .where(F.col("__df") > F.lit(max_doc_frac) * F.col("__n_docs"))
+        .agg(F.collect_list("__ln").alias("__bl"))
+    )
+    kept = F.filter(
+        F.col("__lines"),
+        lambda ln: ~(
+            ln.rlike(NON_WS_RE) & F.array_contains(F.col("__bl"), ln)
+        ),
+    )
+    return base.crossJoin(F.broadcast(frequent)).select(
+        F.col(id_col),
+        F.array_join(kept, "\n").alias(alias),
+        (F.size("__lines") - F.size(kept)).cast("int")
+        .alias("n_pruned_lines"),
+    )
+
+
+def prune_duplicated_lines_oracle_sql(
+    table: str,
+    id_col: str,
+    text_col: str = "text",
+    *,
+    max_doc_frac: float = 0.05,
+    alias: str = "pruned_text",
+) -> str:
+    """DuckDB mirror of :func:`prune_duplicated_lines` — same CRLF
+    normalization, same blank-line exemption, same one-row
+    frequent-line array cross join, same rejoin."""
+    tx = f"regexp_replace(coalesce({text_col}, ''), '\\r\\n', chr(10), 'g')"
+    return f"""
+        WITH base AS (
+          SELECT {id_col}, string_split({tx}, chr(10)) AS lines
+          FROM {table}),
+        cand AS (
+          SELECT DISTINCT {id_col}, unnest(lines) AS ln FROM base),
+        freq AS (
+          SELECT ln FROM (
+            SELECT ln, count(*) AS df FROM cand
+            WHERE regexp_matches(ln, '{NON_WS_RE}')
+            GROUP BY ln)
+          WHERE df > {max_doc_frac!r} * (SELECT count(*) FROM {table})),
+        bl AS (
+          SELECT coalesce(list(ln), []) AS bl FROM freq),
+        kept AS (
+          SELECT {id_col}, lines,
+                 list_filter(lines, x -> NOT (
+                   regexp_matches(x, '{NON_WS_RE}') AND list_contains(bl, x)
+                 )) AS k
+          FROM base, bl)
+        SELECT {id_col},
+               -- coalesce: DuckDB array_to_string([]) is NULL, Spark
+               -- array_join([]) is '' (the r9 shingle-oracle finding)
+               coalesce(array_to_string(k, chr(10)), '') AS {alias},
+               CAST(len(lines) - len(k) AS INT) AS n_pruned_lines
+        FROM kept
+    """
 
 
 def prune_frequent_tokens_oracle_sql(

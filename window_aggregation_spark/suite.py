@@ -3160,6 +3160,44 @@ def _register_corpus() -> None:
             docs, "doc_id", "text", max_doc_frac=0.3
         )
 
+    # planted cross-document boilerplate over the single-line fixture:
+    # a nav line in 100% of docs, a cookie line in 50%, a footer in 10%
+    # — at max_doc_frac=0.3 the first two prune, the footer and every
+    # per-doc-unique content line survive, and the blank line pins the
+    # structure-preservation rule; both engines build the same string
+    _BOILER_SYNTH_SQL = (
+        "'NAVBAR HOME ABOUT CONTACT' || chr(10) || substr(text, 1, 40) "
+        "|| chr(10) || chr(10) || "
+        "CASE WHEN doc_id % 2 = 0 THEN 'THIS SITE USES COOKIES' "
+        "ELSE substr(text, 41, 40) END || chr(10) || "
+        "CASE WHEN doc_id % 10 = 0 THEN 'RARE FOOTER LINE' "
+        "ELSE substr(text, 81, 40) END"
+    )
+
+    @_register(
+        "corpus_prune_dup_lines",
+        cp.prune_duplicated_lines_oracle_sql(
+            f"(SELECT doc_id, {_BOILER_SYNTH_SQL} AS t2 FROM documents)",
+            "doc_id", "t2", max_doc_frac=0.3,
+        ),
+    )
+    def corpus_prune_dup_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Cross-document LINE-level boilerplate removal (the C4/CCNet
+        cleaning step prune_frequent_tokens does at token grain): lines
+        in >30% of documents — nav bars, cookie banners — are removed
+        corpus-wide, order and blank-line structure preserved. Scale
+        shape beats the token variant: the offending-line set collapses
+        to a ONE-ROW broadcast array and reconstruction is a pure
+        projection over each doc's line array, so the corpus text is
+        never shuffled and there is no groupBy(doc) reassembly
+        (operators/corpus.py::prune_duplicated_lines)."""
+        docs = read_table(spark, sf_dir, "documents").select(
+            "doc_id", F.expr(_BOILER_SYNTH_SQL).alias("t2")
+        )
+        return cp.prune_duplicated_lines(
+            docs, "doc_id", "t2", max_doc_frac=0.3
+        )
+
     @_register(
         "corpus_repetition",
         cp.repetition_profile_oracle_sql("documents", "doc_id"),
@@ -4927,7 +4965,8 @@ _DRIVER_PRIORITY = [
     "search_bm25_indexed", "search_hybrid_rrf",
     "sim_embedding_covariance",
     "corpus_decontaminate_bloom",
-    "corpus_stats", "corpus_top_terms", "corpus_length_quantiles",
+    "corpus_stats", "corpus_length_quantiles",
+    "corpus_prune_dup_lines",  # r10-new, first driver row
     "corpus_tar_shards_roundtrip", "corpus_sample_weighted",
     "join_fuzzy_part_names",
     "ts_sessionize", "ts_anomaly_zscore",
