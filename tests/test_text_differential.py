@@ -307,5 +307,27 @@ def test_fuzzed_text_matches_oracle_across_engines(spark, tmp_path):
             ),
             sort_cols=["doc_id"],
         )
+        # r10 line-grain operators over the same nasty corpus: the
+        # newline/CRLF/vertical-tab zoo is exactly where line splitting
+        # and blank-line filtering can diverge between engines
+        assert_frames_match(
+            repetition_signals_lines(frame),
+            con.sql(repetition_signals_lines_oracle_sql(table="fuzzdocs")),
+            sort_cols=["doc_id"],
+        )
+        from window_aggregation_spark.operators.corpus import (
+            prune_duplicated_lines,
+            prune_duplicated_lines_oracle_sql,
+        )
+
+        assert_frames_match(
+            prune_duplicated_lines(frame, "doc_id", max_doc_frac=0.02),
+            con.sql(
+                prune_duplicated_lines_oracle_sql(
+                    "fuzzdocs", "doc_id", max_doc_frac=0.02
+                )
+            ),
+            sort_cols=["doc_id"],
+        )
     finally:
         con.close()
