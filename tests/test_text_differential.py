@@ -16,6 +16,8 @@ import duckdb
 import pytest
 
 from window_aggregation_spark.operators.text import (
+    c4_clean,
+    c4_clean_oracle_sql,
     quality_signals_gopher,
     quality_signals_gopher_oracle_sql,
     repetition_signals_lines,
@@ -164,6 +166,52 @@ def test_repetition_lines_match_oracle_on_adversarial_text(adv):
     assert rows[8].dup_para_frac is None  # NULL text
 
 
+def test_c4_clean_matches_oracle_on_adversarial_text(adv):
+    """The C4 heuristics over the adversarial corpus, plus pinned rule
+    behavior: terminal-punctuation retention, the 3-word line minimum,
+    javascript-line removal, and the page-level discards."""
+    frame, con = adv
+    got = c4_clean(frame)
+    want = con.sql(c4_clean_oracle_sql(table="adv_docs"))
+    assert_frames_match(got, want, sort_cols=["doc_id"])
+    rows = {r.doc_id: r for r in got.collect()}
+    # doc 3 'to be continued...' lines end in '.', but no doc reaches
+    # 5 sentences except doc 14 — which has no terminal punct at all
+    assert all(not r.c4_keep for r in rows.values())
+    assert rows[8].c4_text == "" and rows[8].n_kept_lines == 0
+
+
+def test_c4_clean_rule_behavior(spark):
+    """Each published rule bites on a targeted page: javascript lines
+    vanish, short/punctuationless lines vanish, lorem-ipsum and
+    curly-brace pages are discarded, quoted sentence ends count, CRLF
+    agrees with LF, and a 5-sentence page survives."""
+    docs = [
+        (1, "A good sentence here today. Another one follows after! "
+            "Is this a question? Yes it surely is. And a fifth one."),
+        (2, "drop me no punct\nthis one has javascript in it.\n"
+            "Good sentence one here. Good sentence two here. "
+            "Good sentence three here. Good four here. Good five here."),
+        (3, "code page { x } here. One two three. Two more here. "
+            "Three more here. Four more here. Five more here."),
+        (4, "lorem ipsum dolor sit. One two three. Two here now. "
+            "Three here now. Four here now. Five here now."),
+        (5, "Only two sentences here. Not enough for the page rule."),
+        (6, 'Quoted end works fine." Second sentence too. Third plain. '
+            "Fourth plain. Fifth plain."),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    rows = {r.doc_id: r for r in c4_clean(df).collect()}
+    assert rows[1].c4_keep and rows[1].n_sentences == 5
+    assert rows[2].c4_keep  # javascript + punctless lines dropped,
+    assert "javascript" not in rows[2].c4_text  # page itself survives
+    assert rows[2].n_kept_lines == 1
+    assert not rows[3].c4_keep  # curly brace
+    assert not rows[4].c4_keep  # lorem ipsum
+    assert not rows[5].c4_keep  # < 5 sentences
+    assert rows[6].c4_keep  # closing quote after terminal punct
+
+
 def test_minhash_pairs_match_oracle_on_adversarial_text(spark, tmp_path):
     """MinHash+LSH dedup on degenerate documents — NULL text, empty
     text, whitespace-only, sub-shingle-length, unicode, and genuine
@@ -305,6 +353,11 @@ def test_fuzzed_text_matches_oracle_across_engines(spark, tmp_path):
                 f"SELECT doc_id, {redact_pii_oracle_expr('text')} AS red "
                 "FROM fuzzdocs"
             ),
+            sort_cols=["doc_id"],
+        )
+        assert_frames_match(
+            c4_clean(frame),
+            con.sql(c4_clean_oracle_sql(table="fuzzdocs")),
             sort_cols=["doc_id"],
         )
         # r10 line-grain operators over the same nasty corpus: the

@@ -1269,3 +1269,162 @@ def repetition_signals_lines_oracle_sql(
                  AS repetitive
         FROM m
         """
+
+
+# The published C4 cleaning heuristics (Raffel et al. 2020, "Exploring
+# the Limits of Transfer Learning with a Unified Text-to-Text
+# Transformer", §2.2, public): line-level retention rules plus
+# page-level discard rules. Thresholds as published.
+C4_RULES: dict = {
+    "min_words_per_line": 3,
+    "min_sentences": 5,
+    "ban_javascript_lines": True,
+    "ban_lorem_ipsum": True,
+    "ban_curly_brace": True,
+}
+
+#: ASCII terminal punctuation ending a retained line (the paper's
+#: "terminal punctuation mark", including a closing quote after one).
+_C4_LINE_END_RE = '[.!?]["\']?$'
+
+
+def c4_clean(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    rules: dict | None = None,
+) -> DataFrame:
+    """The published C4 cleaning heuristics (Raffel et al. 2020 §2.2,
+    public) — the OTHER canonical web-corpus filter set next to the
+    Gopher rules (:func:`quality_signals_gopher` scores structure;
+    this one EDITS pages the way C4 did):
+
+    - retain only lines ending in a terminal punctuation mark
+      (``.``/``!``/``?``, optionally followed by a closing quote);
+    - retain only lines with at least ``min_words_per_line``
+      whitespace words (paper: 3);
+    - drop any line containing the word "javascript" (case-insensitive);
+    - discard the PAGE when fewer than ``min_sentences`` sentences
+      remain (paper: 5 — sentence count approximated as terminal-
+      punctuation occurrences across kept lines, documented), when the
+      raw page contains "lorem ipsum" (case-insensitive), or when it
+      contains a curly brace (code).
+
+    Returns ``(id_col, c4_text, n_kept_lines, n_sentences, c4_keep)``
+    — ``c4_text`` is the kept lines rejoined (empty string when none),
+    ``c4_keep`` the page-level verdict; callers filter and select. The
+    paper's dirty-word page filter is deliberately NOT bundled: it
+    needs a curated wordlist, and shipping a token list here would be
+    worse than letting deployments pass their own line/page predicates.
+
+    One pure-codegen projection over the line array (CRLF normalized,
+    split on LF — the :func:`repetition_signals_lines` conventions):
+    zero shuffles, zero UDFs, scan speed at 100 TB. NULL text reads as
+    the empty page (``c4_keep`` false).
+    """
+    r = dict(C4_RULES)
+    if rules:
+        unknown = set(rules) - set(r)
+        if unknown:
+            raise ValueError(f"unknown C4 rules: {sorted(unknown)}")
+        r.update(rules)
+    text = F.regexp_replace(
+        F.coalesce(F.col(text_col), F.lit("")), "\r\n", "\n"
+    )
+    min_words = int(r["min_words_per_line"])
+
+    def line_ok(ln: Column) -> Column:
+        ok = ln.rlike(_C4_LINE_END_RE)
+        ok = ok & (
+            F.size(F.filter(F.split(ln, WS_RE), lambda w: w != F.lit("")))
+            >= F.lit(min_words)
+        )
+        if r["ban_javascript_lines"]:
+            ok = ok & ~F.lower(ln).contains("javascript")
+        return ok
+
+    base = df.select(
+        F.col(id_col),
+        text.alias("__tx"),
+        F.filter(F.split(text, "\n"), line_ok).alias("__kept"),
+    )
+    kept = F.col("__kept")
+    joined = F.array_join(kept, "\n")
+    # sentence count ~= terminal-punctuation occurrences in kept lines
+    n_sent = F.length(joined) - F.length(
+        F.regexp_replace(joined, "[.!?]", "")
+    )
+    keep = n_sent >= F.lit(int(r["min_sentences"]))
+    if r["ban_lorem_ipsum"]:
+        keep = keep & ~F.lower(F.col("__tx")).contains("lorem ipsum")
+    if r["ban_curly_brace"]:
+        keep = keep & ~F.col("__tx").contains("{") & ~F.col(
+            "__tx"
+        ).contains("}")
+    return base.select(
+        F.col(id_col),
+        joined.alias("c4_text"),
+        F.size(kept).cast("int").alias("n_kept_lines"),
+        n_sent.cast("int").alias("n_sentences"),
+        keep.alias("c4_keep"),
+    )
+
+
+def c4_clean_oracle_sql(
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    rules: dict | None = None,
+) -> str:
+    """DuckDB mirror of :func:`c4_clean` — same CRLF normalization,
+    same line predicates, same punctuation-count sentence
+    approximation, same page-level verdict, same unknown-rule
+    rejection."""
+    r = dict(C4_RULES)
+    if rules:
+        unknown = set(rules) - set(r)
+        if unknown:
+            raise ValueError(f"unknown C4 rules: {sorted(unknown)}")
+        r.update(rules)
+    tx = f"regexp_replace(coalesce({text_col}, ''), '\\r\\n', chr(10), 'g')"
+    min_words = int(r["min_words_per_line"])
+    # the line-end regex contains a single quote (closing-quote char
+    # class) — double it for the SQL string literal
+    end_re = _C4_LINE_END_RE.replace("'", "''")
+    preds = [
+        f"regexp_matches(x, '{end_re}')",
+        f"len(list_filter(regexp_split_to_array(x, '{WS_RE}'), "
+        f"w -> w <> '')) >= {min_words}",
+    ]
+    if r["ban_javascript_lines"]:
+        preds.append("NOT contains(lower(x), 'javascript')")
+    line_pred = " AND ".join(preds)
+    page = [f"n_sentences >= {int(r['min_sentences'])}"]
+    if r["ban_lorem_ipsum"]:
+        page.append("NOT contains(lower(tx), 'lorem ipsum')")
+    if r["ban_curly_brace"]:
+        page.append("NOT contains(tx, '{') AND NOT contains(tx, '}')")
+    page_pred = " AND ".join(page)
+    return f"""
+        WITH base AS (
+          SELECT {id_col}, {tx} AS tx,
+                 list_filter(string_split({tx}, chr(10)),
+                             x -> {line_pred}) AS kept
+          FROM {table}),
+        j AS (
+          SELECT {id_col}, tx, kept,
+                 coalesce(array_to_string(kept, chr(10)), '') AS c4_text
+          FROM base),
+        m AS (
+          SELECT {id_col}, tx, c4_text,
+                 CAST(len(kept) AS INT) AS n_kept_lines,
+                 CAST(len(c4_text) -
+                      len(regexp_replace(c4_text, '[.!?]', '', 'g'))
+                      AS INT) AS n_sentences
+          FROM j)
+        SELECT {id_col}, c4_text, n_kept_lines, n_sentences,
+               {page_pred} AS c4_keep
+        FROM m
+        """

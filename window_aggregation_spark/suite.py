@@ -685,6 +685,49 @@ def _register_text() -> None:
         docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
         return tx.quality_signals_gopher(docs)
 
+    # planted C4 fixture: the soup text has no terminal punctuation, so
+    # every rule gets real work — line 1 kept (ends '.'), line 2 dropped
+    # (no terminal punct), line 3 javascript-dropped for doc_id%4,
+    # line 4 plants lorem ipsum for doc_id%5 (page discard), line 5
+    # plants a curly brace for doc_id%7 (page discard), and the tail
+    # sentences push surviving pages past the 5-sentence minimum
+    _C4_SYNTH_SQL = (
+        "substr(text, 1, 40) || '.' || chr(10) || "
+        "substr(text, 41, 40) || chr(10) || "
+        "CASE WHEN doc_id % 4 = 0 THEN 'uses javascript here sadly.' "
+        "ELSE substr(text, 81, 40) || '!' END || chr(10) || "
+        "CASE WHEN doc_id % 5 = 0 THEN 'lorem ipsum dolor sit amet.' "
+        "ELSE substr(text, 121, 40) || '?' END || chr(10) || "
+        "substr(text, 161, 40) || "
+        "CASE WHEN doc_id % 7 = 0 THEN '. code {x} follows. More words '"
+        " || 'here. Third sentence. Final one.' "
+        "ELSE '. And more here. Also this one. Plus a final sentence.' "
+        "END"
+    )
+
+    @_register(
+        "text_c4_clean",
+        tx.c4_clean_oracle_sql(
+            table=f"(SELECT doc_id, {_C4_SYNTH_SQL} AS t2 FROM documents)",
+            text_col="t2",
+        ),
+    )
+    def text_c4_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """The published C4 cleaning heuristics (Raffel et al. 2020
+        §2.2) — the other canonical web-corpus filter set next to the
+        Gopher rules: terminal-punctuation line retention, 3-word line
+        minimum, javascript-line removal, and the page-level
+        5-sentence / lorem-ipsum / curly-brace discards. One
+        pure-codegen projection over the line array — zero shuffles,
+        scan speed at 100 TB. The fixture text carries no punctuation,
+        so the query plants a deterministic layout exercising every
+        rule and both page verdicts
+        (operators/text.py::c4_clean)."""
+        docs = read_table(spark, sf_dir, "documents").select(
+            "doc_id", F.expr(_C4_SYNTH_SQL).alias("t2")
+        )
+        return tx.c4_clean(docs, text_col="t2")
+
     # the fixture corpus is single-line, where every line/paragraph
     # fraction is trivially 0 — plant a deterministic multi-line layout
     # from each doc's own text (identical expression both engines):
@@ -4963,7 +5006,9 @@ _DRIVER_PRIORITY = [
     "text_repetition_gopher_full",
     "search_bm25_batch", "search_tfidf_keywords",
     "search_bm25_indexed", "search_hybrid_rrf",
-    "sim_embedding_covariance",
+    "text_c4_clean",  # r10-new, first driver row (cedes
+                      # sim_embedding_covariance, recorded r9; sim
+                      # family keeps sim_topk_ivf)
     "corpus_decontaminate_bloom",
     "corpus_stats", "corpus_length_quantiles",
     "corpus_prune_dup_lines",  # r10-new, first driver row
