@@ -497,10 +497,15 @@ def _gopher_quality_cols(
     alpha = F.size(F.filter(words, lambda w: w.rlike("[A-Za-z]")))
     alpha_frac = F.try_divide(alpha, n_words)
     toks = tokens(text)
+    # array_intersect, not filter(stopwords, s -> array_contains(toks, s)):
+    # identical distinct-stopwords-present count, but `toks` is a direct
+    # argument evaluated ONCE — inside the lambda the inlined tokenizer
+    # would re-run per stopword (the interpreted-HOF pitfall; this
+    # expression also serves the standalone gopher_quality_pass
+    # predicate, which cannot materialize columns)
     stop_hits = F.size(
-        F.filter(
-            F.array(*[F.lit(s) for s in GOPHER_STOPWORDS]),
-            lambda s: F.array_contains(toks, s),
+        F.array_intersect(
+            toks, F.array(*[F.lit(s) for s in GOPHER_STOPWORDS])
         )
     )
 
