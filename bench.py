@@ -844,6 +844,54 @@ def mjpeg_decode_probe() -> dict:
     return out
 
 
+def hof_materialization_probe(spark, sf_dir: str) -> dict:
+    """Records the interpreted-HOF re-evaluation pitfall as numbers
+    (round 10): an array subexpression referenced inside a transform
+    lambda is re-evaluated PER ELEMENT, so building n-gram windows off
+    the INLINED tokenizer re-runs ``regexp_extract_all`` for every gram
+    position, while the same plan with the token array materialized
+    behind a projection boundary evaluates it once per row. Both plans
+    produce identical grams; the ratio is the cost of missing the
+    materialization (the shape every text operator here now uses)."""
+    from window_aggregation_spark.operators.text import tokens
+    from window_aggregation_spark.sources.io import read_table
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def grams_from(toks):
+        return F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size(toks) - 1, F.lit(0))),
+            lambda i: F.concat_ws(
+                " ", F.element_at(toks, i), F.element_at(toks, i + 1)
+            ),
+        )
+
+    inlined = docs.select(
+        "doc_id",
+        grams_from(tokens(F.coalesce(F.col("text"), F.lit("")))).alias("g"),
+    )
+    materialized = docs.select(
+        "doc_id",
+        tokens(F.coalesce(F.col("text"), F.lit(""))).alias("__toks"),
+    ).select("doc_id", grams_from(F.col("__toks")).alias("g"))
+
+    def best_of(df, reps: int = 3) -> float:
+        df.write.format("noop").mode("overwrite").save()  # warm
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            df.write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - t0)
+        return round(best, 3)
+
+    t_in, t_mat = best_of(inlined), best_of(materialized)
+    return {
+        "inlined_sec": t_in,
+        "materialized_sec": t_mat,
+        "slowdown_x": round(t_in / max(t_mat, 1e-9), 1),
+    }
+
+
 def calibration_probe(spark, *, reps: int = 3) -> dict:
     """A FIXED, code-independent workload (range scan + xxhash64 + hash
     aggregate — Spark builtins only, no repo code, no I/O) whose wall
@@ -1166,6 +1214,15 @@ def main() -> None:
             sections["stream_state_probe"] = stream_state_probe(spark, sf_dir)
         except Exception as e:
             sections["stream_state_probe"] = {
+                "err": f"{type(e).__name__}: {e}"[:300]
+            }
+    if os.environ.get("SPARK_GRAFT_HOF_PROBE", "1") != "0":
+        try:
+            sections["hof_materialization_probe"] = (
+                hof_materialization_probe(spark, sf_dir)
+            )
+        except Exception as e:
+            sections["hof_materialization_probe"] = {
                 "err": f"{type(e).__name__}: {e}"[:300]
             }
     if os.environ.get("SPARK_GRAFT_ANN_RECALL_PROBE", "1") != "0":

@@ -170,3 +170,12 @@ def test_scaled_docs_copies_are_not_near_duplicates(spark, sf_dir, tmp_path):
     j = base.join(copy9, "k")
     assert j.count() > 0
     assert j.where(F.col("t0") == F.col("t9")).count() == 0
+
+
+def test_hof_materialization_probe_shows_the_pitfall(spark, sf_dir):
+    """The probe's reason to exist: the inlined-tokenizer gram plan must
+    measure materially slower than the materialized-column twin (the
+    per-element re-evaluation), and both must be positive timings."""
+    out = bench.hof_materialization_probe(spark, sf_dir)
+    assert out["inlined_sec"] > 0 and out["materialized_sec"] > 0
+    assert out["slowdown_x"] >= 2.0, out
