@@ -859,12 +859,18 @@ def hof_materialization_probe(spark, sf_dir: str) -> dict:
     docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
 
     def grams_from(toks):
-        return F.transform(
-            F.sequence(F.lit(1), F.greatest(F.size(toks) - 1, F.lit(0))),
-            lambda i: F.concat_ws(
-                " ", F.element_at(toks, i), F.element_at(toks, i + 1)
+        # guarded like the production builder: sequence(1, 0) yields a
+        # DESCENDING [1, 0] (not empty!) whose element_at(toks, 0) is a
+        # runtime error — docs with <2 tokens must produce no windows
+        return F.when(
+            F.size(toks) >= 2,
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks) - 1),
+                lambda i: F.concat_ws(
+                    " ", F.element_at(toks, i), F.element_at(toks, i + 1)
+                ),
             ),
-        )
+        ).otherwise(F.expr("CAST(array() AS array<string>)"))
 
     inlined = docs.select(
         "doc_id",

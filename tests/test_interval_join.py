@@ -280,3 +280,42 @@ def test_spec_drain_composite_key_left_join(spark, tmp_path):
         q.stop()
     got = _pairs(spec.strip_sentinels(spark.table("ij_spec_drain")))
     assert got == want
+
+
+def test_spec_strip_handles_float_keys_and_refuses_missing_keys(spark):
+    """Review findings, pinned: (a) float32 sentinel key values round on
+    storage — strip_sentinels must cast its literal to the column type
+    or the equality never matches again; (b) a sink missing the key
+    columns must RAISE instead of silently degrading to ts-only
+    matching (which would strip real rows at the sentinel timestamp)."""
+    from window_aggregation_spark.streaming.interval_join import (
+        SENTINEL_TS,
+        IntervalJoinSpec,
+        _sentinel_key_value,
+    )
+
+    spec = IntervalJoinSpec(["fk"], "ts", "ts_r")
+    template = spark.createDataFrame(
+        [(1.5, "2024-01-01 00:00:00")], "fk float, s string"
+    ).select("fk", F.to_timestamp("s").alias("ts"))
+    sent, _ = spec.drain_sentinels(template, template.withColumnRenamed(
+        "ts", "ts_r"))
+    # fake sink: the stored (float32-rounded) sentinel plus a real row
+    # that legitimately carries the sentinel timestamp
+    sink = sent.unionByName(
+        template.where(F.lit(True)).select(
+            F.lit(1.5).cast("float").alias("fk"),
+            F.to_timestamp(F.lit(SENTINEL_TS)).alias("ts"),
+        )
+    )
+    kept = spec.strip_sentinels(sink).collect()
+    assert len(kept) == 1 and abs(kept[0]["fk"] - 1.5) < 1e-6
+    # the bug the cast fixes: the RIGHT side's double literal is not
+    # float32-representable, so the stored value differs from it — an
+    # uncast equality could never match it again
+    import struct as _struct
+
+    rv = _sentinel_key_value("fk", "float", 1)
+    assert _struct.unpack("f", _struct.pack("f", rv))[0] != rv
+    with pytest.raises(ValueError, match="not in the sink"):
+        spec.strip_sentinels(sink.drop("fk"))

@@ -59,6 +59,10 @@ ADVERSARIAL_DOCS = [
     (17, "123 456 789 0 42a b7 99... #1"),
     # quotes and punctuation stuck to words
     (18, "'quoted' \"double\" (paren) end. comma, semi; colon: the of"),
+    # lone-CR-terminated line (old-Mac ending, survives the CRLF-only
+    # normalization): Java's '$' matches before a final CR, RE2's does
+    # not — the c4 line-end anchor must be \z so both engines agree
+    (19, "One two three four five.\rmore text after the lone cr."),
 ]
 
 

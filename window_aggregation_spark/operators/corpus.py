@@ -40,6 +40,8 @@ from window_aggregation_spark.operators.skew import salted_running_agg
 from window_aggregation_spark.operators.text import (
     NON_WS_RE,
     TOKEN_RE,
+    lf_lines,
+    lf_lines_duck,
     tokens,
 )
 
@@ -427,11 +429,8 @@ def prune_duplicated_lines(
     The doc count enters lazily via a second 1-row broadcast aggregate,
     so the whole operator is one plan with no driver-side action.
     """
-    text = F.regexp_replace(
-        F.coalesce(F.col(text_col), F.lit("")), "\r\n", "\n"
-    )
     base = df.select(
-        F.col(id_col), F.split(text, "\n").alias("__lines")
+        F.col(id_col), lf_lines(text_col).alias("__lines")
     )
     content = base.select(
         id_col, F.explode("__lines").alias("__ln")
@@ -472,10 +471,9 @@ def prune_duplicated_lines_oracle_sql(
     """DuckDB mirror of :func:`prune_duplicated_lines` — same CRLF
     normalization, same blank-line exemption, same one-row
     frequent-line array cross join, same rejoin."""
-    tx = f"regexp_replace(coalesce({text_col}, ''), '\\r\\n', chr(10), 'g')"
     return f"""
         WITH base AS (
-          SELECT {id_col}, string_split({tx}, chr(10)) AS lines
+          SELECT {id_col}, {lf_lines_duck(text_col)} AS lines
           FROM {table}),
         cand AS (
           SELECT DISTINCT {id_col}, unnest(lines) AS ln FROM base),

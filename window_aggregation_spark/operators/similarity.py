@@ -343,8 +343,12 @@ def _kmeans_centroids(
     big-memory driver, or shrink the codebook (IVF recall depends on
     nprobe/n_centroids RATIO more than on absolute codebook size)."""
     spark = corpus.sparkSession
-    cents = _sample_centroids(corpus, n_centroids)
-    dim = cents.shape[1]
+    # budget check BEFORE the seed collect: _sample_centroids itself
+    # brings n_centroids full vectors to the driver, which at the
+    # failing codebook sizes is the same driver-memory shape the guard
+    # exists to prevent — probe the dim from ONE row instead
+    first = corpus.select("v").first()
+    dim = len(first["v"]) if first is not None else 0
     cells = n_centroids * dim
     if cells > max_centroid_cells:
         raise ValueError(
@@ -355,6 +359,7 @@ def _kmeans_centroids(
             "size. Raise the budget on a large-memory driver, or reduce "
             "n_centroids (recall tracks the nprobe/n_centroids ratio)"
         )
+    cents = _sample_centroids(corpus, n_centroids)
     for _ in range(iters):
         b = spark.sparkContext.broadcast(cents)
         assigned = corpus.mapInPandas(
@@ -430,6 +435,7 @@ def ivf_topk(
     assign: str = "numpy",
     centroids: str = "sample",
     kmeans_iters: int = 3,
+    max_centroid_cells: int = 2_000_000,
 ) -> DataFrame:
     """IVF-style approximate top-k: partition the corpus into inverted lists
     by nearest centroid; each query scans only its ``nprobe`` closest lists.
@@ -522,6 +528,7 @@ def ivf_topk(
         cents = ivf_centroids(
             corpus, n_centroids, mode=centroids, corpus_id=corpus_id,
             vec_col=vec_col, kmeans_iters=kmeans_iters,
+            max_centroid_cells=max_centroid_cells,
         )
     if nprobe > cents.shape[0]:
         raise ValueError(
@@ -695,6 +702,7 @@ def build_ivf_index(
     n_centroids: int = 16,
     centroids: str = "sample",
     kmeans_iters: int = 3,
+    max_centroid_cells: int = 2_000_000,
     corpus_id: str = "vec_id",
     vec_col: str = "embedding",
     mode: str = "overwrite",
@@ -734,7 +742,10 @@ def build_ivf_index(
         F.col(corpus_id).alias("id"), F.col(vec_col).alias("v")
     )
     if centroids == "kmeans":
-        cents = _kmeans_centroids(c_base, n_centroids, kmeans_iters)
+        cents = _kmeans_centroids(
+            c_base, n_centroids, kmeans_iters,
+            max_centroid_cells=max_centroid_cells,
+        )
     elif centroids == "sample":
         cents = _sample_centroids(c_base, n_centroids)
     else:

@@ -1055,6 +1055,36 @@ def repetition_signals_table_oracle_sql(
 # the n-gram families above complement: a document is removed when the
 # fraction of line/paragraph occurrences (or of the characters they
 # carry) belonging to units that appear more than once exceeds the bound.
+def lf_normalized(text_col: str) -> Column:
+    """NULL coalesced to the empty document, CRLF normalized to LF —
+    the shared pre-split step of every line-grain operator."""
+    return F.regexp_replace(
+        F.coalesce(F.col(text_col), F.lit("")), "\r\n", "\n"
+    )
+
+
+def lf_lines(text_col: str) -> Column:
+    """The SHARED line-splitting convention for every line-grain
+    operator here (``repetition_signals_lines``, ``c4_clean``,
+    ``corpus.prune_duplicated_lines``): :func:`lf_normalized`, split on
+    LF. One definition — these operators' documented contract is that
+    their conventions MATCH, so the splitting must not be able to
+    fork."""
+    return F.split(lf_normalized(text_col), "\n")
+
+
+def lf_normalized_duck(text_col: str) -> str:
+    """DuckDB rendering of the shared CRLF normalization."""
+    return (
+        f"regexp_replace(coalesce({text_col}, ''), '\\r\\n', chr(10), 'g')"
+    )
+
+
+def lf_lines_duck(text_col: str) -> str:
+    """DuckDB rendering of :func:`lf_lines`."""
+    return f"string_split({lf_normalized_duck(text_col)}, chr(10))"
+
+
 GOPHER_LINE_DUP_THRESHOLDS: dict = {
     "dup_line_frac": 0.30,
     "dup_para_frac": 0.30,
@@ -1105,12 +1135,10 @@ def repetition_signals_lines(
         if unknown:
             raise ValueError(f"unknown line-dup thresholds: {sorted(unknown)}")
         thr.update(thresholds)
-    text = F.regexp_replace(
-        F.coalesce(F.col(text_col), F.lit("")), "\r\n", "\n"
-    )
-    lines = F.filter(F.split(text, "\n"), lambda x: x.rlike(NON_WS_RE))
+    lines = F.filter(lf_lines(text_col), lambda x: x.rlike(NON_WS_RE))
     paras = F.filter(
-        F.split(text, _PARA_SPLIT_RE), lambda x: x.rlike(NON_WS_RE)
+        F.split(lf_normalized(text_col), _PARA_SPLIT_RE),
+        lambda x: x.rlike(NON_WS_RE),
     )
 
     def _tag(arr: Column, fam: str) -> Column:
@@ -1123,25 +1151,22 @@ def repetition_signals_lines(
 
     base = df.select(
         F.col(id_col),
-        F.size(lines).cast("int").alias("n_lines"),
-        F.size(paras).cast("int").alias("n_paras"),
         F.concat(_tag(lines, "line"), _tag(paras, "para")).alias("__fu"),
     )
     ex = base.select(
-        id_col, "n_lines", "n_paras", F.explode("__fu").alias("fu")
+        id_col, F.explode("__fu").alias("fu")
     ).select(
-        id_col, "n_lines", "n_paras",
+        id_col,
         F.col("fu.fam").alias("fam"), F.col("fu.u").alias("u"),
     )
+    # n_lines/n_paras do NOT ride the shuffles: each equals its family's
+    # occurrence total (__t_line / __t_para) by definition, so the
+    # rollup re-derives them — same narrowing as the n-gram table's
+    # n_tokens carry removal
     counts = ex.groupBy(id_col, "fam", "u").agg(
-        F.count(F.lit(1)).alias("c"),
-        F.first("n_lines").alias("n_lines"),
-        F.first("n_paras").alias("n_paras"),
+        F.count(F.lit(1)).alias("c")
     ).withColumn("ulen", F.length("u").cast("long"))
-    aggs = [
-        F.first("n_lines").alias("n_lines"),
-        F.first("n_paras").alias("n_paras"),
-    ]
+    aggs = []
     for fam in ("line", "para"):
         is_fam = F.col("fam") == fam
         dup = is_fam & (F.col("c") >= 2)
@@ -1171,7 +1196,11 @@ def repetition_signals_lines(
     for v in verdicts[1:]:
         verdict = verdict | v
     out = per_doc.select(
-        id_col, "n_lines", "n_paras", *frac_cols,
+        id_col,
+        F.col("__t_line").cast("int").alias("n_lines"),
+        F.coalesce(F.col("__t_para"), F.lit(0)).cast("int")
+        .alias("n_paras"),
+        *frac_cols,
         verdict.alias("repetitive"),
     )
     # docs with no non-whitespace line produce no exploded rows at all:
@@ -1205,15 +1234,13 @@ def repetition_signals_lines_oracle_sql(
         if unknown:
             raise ValueError(f"unknown line-dup thresholds: {sorted(unknown)}")
         thr.update(thresholds)
-    tx = (
-        f"regexp_replace(coalesce({text_col}, ''), '\\r\\n', chr(10), 'g')"
-    )
     lines = (
-        f"list_filter(string_split({tx}, chr(10)), "
+        f"list_filter({lf_lines_duck(text_col)}, "
         f"x -> regexp_matches(x, '{NON_WS_RE}'))"
     )
     paras = (
-        f"list_filter(regexp_split_to_array({tx}, '\\n{{2,}}'), "
+        f"list_filter(regexp_split_to_array("
+        f"{lf_normalized_duck(text_col)}, '\\n{{2,}}'), "
         f"x -> regexp_matches(x, '{NON_WS_RE}'))"
     )
     pivot, fracs = [], []
@@ -1244,26 +1271,22 @@ def repetition_signals_lines_oracle_sql(
           SELECT {id_col}, {lines} AS lines, {paras} AS paras
           FROM {table}),
         g AS (
-          SELECT {id_col}, len(lines) AS n_lines, len(paras) AS n_paras,
-                 unnest(lines) AS u, 'line' AS fam FROM t
+          SELECT {id_col}, unnest(lines) AS u, 'line' AS fam FROM t
           UNION ALL
-          SELECT {id_col}, len(lines), len(paras), unnest(paras), 'para'
-          FROM t),
+          SELECT {id_col}, unnest(paras), 'para' FROM t),
         c AS (
           SELECT {id_col}, fam, u, count(*) AS c,
-                 CAST(len(u) AS BIGINT) AS ulen,
-                 any_value(n_lines) AS n_lines,
-                 any_value(n_paras) AS n_paras
+                 CAST(len(u) AS BIGINT) AS ulen
           FROM g GROUP BY 1, 2, 3, 5),
         p AS (
           SELECT {id_col},
-                 any_value(n_lines) AS n_lines,
-                 any_value(n_paras) AS n_paras,
                  {sep.join(pivot)}
           FROM c GROUP BY 1),
         m AS (
-          SELECT {id_col}, CAST(n_lines AS INT) AS n_lines,
-                 CAST(n_paras AS INT) AS n_paras,
+          -- n_lines / n_paras ARE the per-family occurrence totals; no
+          -- carried counts ride the aggregations (mirrors the operator)
+          SELECT {id_col}, CAST(t_line AS INT) AS n_lines,
+                 CAST(coalesce(t_para, 0) AS INT) AS n_paras,
                  {sep.join(fracs)}
           FROM p
           UNION ALL
@@ -1290,7 +1313,11 @@ C4_RULES: dict = {
 
 #: ASCII terminal punctuation ending a retained line (the paper's
 #: "terminal punctuation mark", including a closing quote after one).
-_C4_LINE_END_RE = '[.!?]["\']?$'
+#: Anchored with \z, NOT $: Java's $ also matches before a final line
+#: terminator, so a lone-CR-terminated line ('...\r' — old-Mac endings
+#: survive the CRLF-only normalization) would pass in Spark but fail in
+#: RE2 (verified against DuckDB) — \z means end-of-input in both.
+_C4_LINE_END_RE = '[.!?]["\']?\\z'
 
 
 def c4_clean(
@@ -1334,9 +1361,6 @@ def c4_clean(
         if unknown:
             raise ValueError(f"unknown C4 rules: {sorted(unknown)}")
         r.update(rules)
-    text = F.regexp_replace(
-        F.coalesce(F.col(text_col), F.lit("")), "\r\n", "\n"
-    )
     min_words = int(r["min_words_per_line"])
 
     def line_ok(ln: Column) -> Column:
@@ -1351,8 +1375,8 @@ def c4_clean(
 
     base = df.select(
         F.col(id_col),
-        text.alias("__tx"),
-        F.filter(F.split(text, "\n"), line_ok).alias("__kept"),
+        lf_normalized(text_col).alias("__tx"),
+        F.filter(lf_lines(text_col), line_ok).alias("__kept"),
     )
     kept = F.col("__kept")
     joined = F.array_join(kept, "\n")
@@ -1393,7 +1417,7 @@ def c4_clean_oracle_sql(
         if unknown:
             raise ValueError(f"unknown C4 rules: {sorted(unknown)}")
         r.update(rules)
-    tx = f"regexp_replace(coalesce({text_col}, ''), '\\r\\n', chr(10), 'g')"
+    tx = lf_normalized_duck(text_col)
     min_words = int(r["min_words_per_line"])
     # the line-end regex contains a single quote (closing-quote char
     # class) — double it for the SQL string literal

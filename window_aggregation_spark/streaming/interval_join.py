@@ -272,6 +272,17 @@ class IntervalJoinSpec:
         it carries the sentinel timestamp AND its side's auto-chosen
         key values, so real rows at the sentinel timestamp survive."""
         dtypes = dict(sink_df.dtypes)
+        missing = [k for k in self.keys if k not in dtypes]
+        if missing:
+            # silently weakening to ts-only matching would strip real
+            # rows at the sentinel timestamp — the exact gap this
+            # method exists to close; refuse instead
+            raise ValueError(
+                f"strip_sentinels: join keys {missing} not in the sink "
+                f"columns {sink_df.columns} — keep the key columns "
+                "through the sink (or filter sentinels manually) so "
+                "real rows at the sentinel timestamp cannot be stripped"
+            )
         at_ts = F.to_timestamp(F.lit(self.sentinel_at))
         preds = []
         for side, ts_col in ((0, self.left_ts), (1, self.right_ts)):
@@ -283,11 +294,14 @@ class IntervalJoinSpec:
                 continue
             p = F.col(ts_col).cast("timestamp") == at_ts
             for k in self.keys:
-                if k not in dtypes:
-                    continue
+                # cast the literal to the COLUMN's type before
+                # comparing: the float32 sentinel values round on
+                # storage, and an unrounded double literal would never
+                # equal the stored float again
                 p = p & (
                     F.col(k)
                     == F.lit(_sentinel_key_value(k, dtypes[k], side))
+                    .cast(dtypes[k])
                 )
             preds.append(p)
         if not preds:
