@@ -5,8 +5,11 @@ produce a malformed BENCH record. Timings themselves are not asserted
 
 from __future__ import annotations
 
+import os
 import sys
 from pathlib import Path
+
+import pytest
 
 sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
@@ -175,7 +178,15 @@ def test_scaled_docs_copies_are_not_near_duplicates(spark, sf_dir, tmp_path):
 def test_hof_materialization_probe_shows_the_pitfall(spark, sf_dir):
     """The probe's reason to exist: the inlined-tokenizer gram plan must
     measure materially slower than the materialized-column twin (the
-    per-element re-evaluation), and both must be positive timings."""
+    per-element re-evaluation), and both must be positive timings.
+
+    The ratio assertion is a WALL-CLOCK check on a ~30x measured effect
+    (ADVICE r10): it stays on by default so the pitfall cannot silently
+    regress, but a loaded CI host can opt out of the timing half via
+    SPARK_GRAFT_SKIP_PERF_ASSERTS=1 — the structural half (the probe
+    runs, both timings positive) always executes."""
     out = bench.hof_materialization_probe(spark, sf_dir)
     assert out["inlined_sec"] > 0 and out["materialized_sec"] > 0
+    if os.environ.get("SPARK_GRAFT_SKIP_PERF_ASSERTS"):
+        pytest.skip("perf ratio assertion disabled via env")
     assert out["slowdown_x"] >= 2.0, out

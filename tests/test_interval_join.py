@@ -319,3 +319,52 @@ def test_spec_strip_handles_float_keys_and_refuses_missing_keys(spark):
     assert _struct.unpack("f", _struct.pack("f", rv))[0] != rv
     with pytest.raises(ValueError, match="not in the sink"):
         spec.strip_sentinels(sink.drop("fk"))
+
+
+def test_spec_strip_left_join_refuses_missing_left_ts(spark):
+    """ADVICE r10 (medium): under how='left' the LEFT drain sentinel IS
+    emitted to the sink (NULL right payload, extreme key values) — a
+    sink that dropped left_ts must RAISE, not silently let the sentinel
+    survive into downstream results. The RIGHT side's ts staying
+    droppable is fine: inner/left joins never emit the right sentinel."""
+    from window_aggregation_spark.streaming.interval_join import (
+        IntervalJoinSpec,
+    )
+
+    sink = spark.createDataFrame(
+        [(10, "2024-01-01 00:00:00", "2024-01-01 00:01:00")],
+        "fk int, s string, s_r string",
+    ).select(
+        "fk",
+        F.to_timestamp("s").alias("ts"),
+        F.to_timestamp("s_r").alias("ts_r"),
+    )
+    left_spec = IntervalJoinSpec(["fk"], "ts", "ts_r", how="left")
+    with pytest.raises(ValueError, match="left drain sentinel"):
+        left_spec.strip_sentinels(sink.drop("ts"))
+    # right ts missing is tolerated on both join types (never emitted)
+    assert left_spec.strip_sentinels(sink.drop("ts_r")).count() == 1
+    inner_spec = IntervalJoinSpec(["fk"], "ts", "ts_r", how="inner")
+    # inner join with left ts missing: left sentinel never matches, so
+    # it never reaches the sink — skipping stays safe
+    assert inner_spec.strip_sentinels(sink.drop("ts")).count() == 1
+
+
+def test_spec_drain_refuses_template_missing_ts(spark):
+    """ADVICE r10 (low): a drain template missing its side's ts column
+    would let flush_sentinel emit a sentinel with NO event time — one
+    that never advances the watermark, the exact silent-drain failure
+    this API exists to prevent. Must raise, same style as missing keys."""
+    from window_aggregation_spark.streaming.interval_join import (
+        IntervalJoinSpec,
+    )
+
+    spec = IntervalJoinSpec(["fk"], "ts", "ts_r")
+    template = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00")], "fk int, s string"
+    ).select("fk", F.to_timestamp("s").alias("ts"))
+    with pytest.raises(ValueError, match="timestamp column 'ts'"):
+        spec.drain_sentinels(template.drop("ts"),
+                             template.withColumnRenamed("ts", "ts_r"))
+    with pytest.raises(ValueError, match="timestamp column 'ts_r'"):
+        spec.drain_sentinels(template, template)

@@ -211,3 +211,19 @@ def test_kmeans_centroid_collect_budget(spark, emb):
         emb, 8, mode="kmeans", kmeans_iters=1, max_centroid_cells=8 * 64
     )
     assert cents.shape == (8, 64)
+
+
+def test_kmeans_budget_probe_handles_empty_and_null_vectors(spark):
+    """ADVICE r10: the dim probe must surface an all-NULL (or empty)
+    vector corpus as a clear ValueError, not a bare TypeError from
+    len(None) — and it probes via F.size, shipping one int, not a
+    vector."""
+    from pyspark.sql import functions as F
+
+    nulls = spark.range(4).select(
+        F.col("id"), F.lit(None).cast("array<float>").alias("v")
+    )
+    with pytest.raises(ValueError, match="no non-null vectors"):
+        sim._kmeans_centroids(nulls, 2, 1)
+    with pytest.raises(ValueError, match="no non-null vectors"):
+        sim._kmeans_centroids(nulls.limit(0), 2, 1)

@@ -665,3 +665,15 @@ def test_quarantine_write_roundtrip_on_renameless_fs(spark, shim_dir):
         df.where(F.lit(False)), checks, f"{shim_dir}/routed_empty"
     )
     assert (out2["clean_rows"], out2["quarantined_rows"]) == (0, 0)
+
+
+def test_conditional_put_fs_refuses_atomic_rename_base():
+    """ADVICE r10: wrapping an atomic-rename-capable FS must raise — a
+    hardcoded atomic_rename=False would otherwise silently switch the
+    manifest protocol to the numbered rename-less layout even though
+    the base could have used the rename fast path."""
+    with pytest.raises(ValueError, match="RENAME-LESS"):
+        sm.ConditionalPutFS(sm.PosixFS(), lambda p, d: True)
+    # the intended base (rename-less) still wraps fine
+    fs = sm.ConditionalPutFS(sm.RenamelessLocalFS(), lambda p, d: True)
+    assert fs.atomic_rename is False

@@ -346,9 +346,20 @@ def _kmeans_centroids(
     # budget check BEFORE the seed collect: _sample_centroids itself
     # brings n_centroids full vectors to the driver, which at the
     # failing codebook sizes is the same driver-memory shape the guard
-    # exists to prevent — probe the dim from ONE row instead
-    first = corpus.select("v").first()
-    dim = len(first["v"]) if first is not None else 0
+    # exists to prevent — probe the dim via F.size over the first
+    # NON-NULL vector (ADVICE r10: a NULL first row must not surface as
+    # a bare TypeError, and the probe should ship one int, not a vector)
+    probe = (
+        corpus.select(F.size("v").alias("d"))
+        .where(F.col("v").isNotNull())
+        .first()
+    )
+    if probe is None:
+        raise ValueError(
+            "_kmeans_centroids: the corpus has no non-null vectors — "
+            "cannot infer the embedding dimension (or seed a codebook)"
+        )
+    dim = probe["d"]
     cells = n_centroids * dim
     if cells > max_centroid_cells:
         raise ValueError(

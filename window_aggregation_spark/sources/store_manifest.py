@@ -234,6 +234,19 @@ class ConditionalPutFS:
     atomic_rename = False
 
     def __init__(self, base, conditional_put):
+        # refuse to wrap an atomic-rename-capable FS (ADVICE r10):
+        # `atomic_rename = False` here would silently switch the
+        # manifest protocol to the rename-less numbered layout while
+        # the base FS could have used the simpler rename protocol —
+        # the wrapper exists for object stores, which are rename-less
+        if getattr(base, "atomic_rename", True) is not False:
+            raise ValueError(
+                "ConditionalPutFS wraps RENAME-LESS filesystems only "
+                f"(got base {type(base).__name__} with atomic_rename="
+                f"{getattr(base, 'atomic_rename', None)!r}); an "
+                "atomic-rename-capable store should use the rename "
+                "manifest protocol directly, not a conditional-PUT shim"
+            )
         self._base = base
         self._conditional_put = conditional_put
 

@@ -222,6 +222,19 @@ class IntervalJoinSpec:
                 f"drain_sentinels: join keys {missing} not in the "
                 f"side-{'LR'[side]} template columns {template.columns}"
             )
+        ts_col = self.left_ts if side == 0 else self.right_ts
+        if ts_col not in dtypes:
+            # flush_sentinel silently omits a ts column absent from the
+            # template, producing a sentinel with no event time that
+            # never advances the watermark — the exact silent-drain
+            # failure this API exists to prevent (ADVICE r10)
+            raise ValueError(
+                f"drain_sentinels: side-{'LR'[side]} timestamp column "
+                f"{ts_col!r} not in the template columns "
+                f"{template.columns} — a sentinel without its event-time "
+                "column cannot advance the watermark and the drain "
+                "silently never happens"
+            )
         return {
             k: _sentinel_key_value(k, dtypes[k], side) for k in self.keys
         }
@@ -289,8 +302,23 @@ class IntervalJoinSpec:
             if ts_col not in dtypes:
                 # a side whose ts column the sink dropped cannot be
                 # identified — and matching on the key values ALONE
-                # would strip real rows; skip it (for inner/left joins
-                # the right sentinel never reaches the sink anyway)
+                # would strip real rows. For the RIGHT side under
+                # inner/left joins the sentinel never reaches the sink,
+                # so skipping is safe; but under how='left' the LEFT
+                # sentinel IS emitted (NULL right payload, extreme key
+                # values) and silently surviving it would be the exact
+                # degradation the missing-keys path above refuses
+                # (ADVICE r10) — raise instead.
+                if side == 0 and self.how == "left":
+                    raise ValueError(
+                        f"strip_sentinels: left timestamp column "
+                        f"{ts_col!r} not in the sink columns "
+                        f"{sink_df.columns} — under how='left' the left "
+                        "drain sentinel reaches the sink and cannot be "
+                        "identified without its timestamp; keep "
+                        f"{ts_col!r} through the sink (or filter "
+                        "sentinels manually)"
+                    )
                 continue
             p = F.col(ts_col).cast("timestamp") == at_ts
             for k in self.keys:
