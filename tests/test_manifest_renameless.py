@@ -677,3 +677,147 @@ def test_conditional_put_fs_refuses_atomic_rename_base():
     # the intended base (rename-less) still wraps fine
     fs = sm.ConditionalPutFS(sm.RenamelessLocalFS(), lambda p, d: True)
     assert fs.atomic_rename is False
+
+
+class _FakeBoto3S3:
+    """boto3-shaped S3 fake honoring IfNoneMatch='*': raises a
+    ClientError-shaped exception (carries .response) when the key
+    exists, persists bodies under a local root so the wrapped FS can
+    read the published manifests back."""
+
+    class ClientError(Exception):
+        def __init__(self, code, status):
+            super().__init__(code)
+            self.response = {
+                "Error": {"Code": code},
+                "ResponseMetadata": {"HTTPStatusCode": status},
+            }
+
+    def __init__(self, root=None):
+        self.root = root
+        self.objects = {}
+        self.puts = []
+
+    def put_object(self, *, Bucket, Key, Body, IfNoneMatch=None):
+        assert IfNoneMatch == "*", "adapter must send IfNoneMatch='*'"
+        self.puts.append((Bucket, Key))
+        if (Bucket, Key) in self.objects:
+            raise self.ClientError("PreconditionFailed", 412)
+        self.objects[(Bucket, Key)] = Body
+        if self.root is not None:
+            # bucket= mode strips the leading slash off the local path
+            with open("/" + Key, "wb") as f:
+                f.write(Body)
+
+
+class _FakeGcsClient:
+    """google-cloud-storage-shaped fake: blob.upload_from_string with
+    if_generation_match=0 raises a PreconditionFailed-shaped exception
+    (code=412) when the object exists."""
+
+    class PreconditionFailed(Exception):
+        code = 412
+
+    def __init__(self):
+        self.objects = {}
+
+    def bucket(self, name):
+        client = self
+
+        class _Bucket:
+            def blob(self, key):
+                class _Blob:
+                    def upload_from_string(
+                        self, data, *, if_generation_match
+                    ):
+                        assert if_generation_match == 0
+                        if (name, key) in client.objects:
+                            raise client.PreconditionFailed()
+                        client.objects[(name, key)] = data
+
+                return _Blob()
+
+        return _Bucket()
+
+
+def test_boto3_adapter_contract(tmp_path):
+    """VERDICT r10 #6: the packaged boto3 adapter creates-if-absent,
+    maps 412/PreconditionFailed to False (→ ManifestConflictError at
+    the write_manifest layer), parses s3:// URLs, and propagates
+    non-precondition errors raw."""
+    fake = _FakeBoto3S3()
+    put = sm.boto3_conditional_put(fake)
+    assert put("s3://b/stores/x/MANIFEST-" + "0" * 19 + "1", "g1") is True
+    assert put("s3://b/stores/x/MANIFEST-" + "0" * 19 + "1", "g2") is False
+    assert fake.objects[("b", "stores/x/MANIFEST-" + "0" * 19 + "1")] == (
+        b"g1"
+    )
+    with pytest.raises(ValueError, match="bucket/key"):
+        put("s3://bucket-only", "x")
+    with pytest.raises(ValueError, match="URL"):
+        put("/local/path", "x")
+
+    class _Boom(Exception):
+        response = {
+            "Error": {"Code": "AccessDenied"},
+            "ResponseMetadata": {"HTTPStatusCode": 403},
+        }
+
+    def deny(**kw):
+        raise _Boom()
+
+    fake.put_object = deny
+    with pytest.raises(_Boom):
+        put("s3://b/k", "x")
+
+
+def test_gcs_adapter_contract():
+    """Same contract for the google-cloud-storage adapter:
+    if_generation_match=0, 412 → False, other errors raw."""
+    fake = _FakeGcsClient()
+    put = sm.gcs_conditional_put(fake)
+    assert put("gs://b/m/MANIFEST-" + "0" * 19 + "1", "g1") is True
+    assert put("gs://b/m/MANIFEST-" + "0" * 19 + "1", "g2") is False
+    # wrong scheme refused (an s3 URL must not silently hit GCS)
+    with pytest.raises(ValueError, match="URL"):
+        put("s3://b/k", "x")
+
+    class _Outage(Exception):
+        code = 503
+
+    class _DownClient(_FakeGcsClient):
+        def bucket(self, name):
+            raise _Outage()
+
+    with pytest.raises(_Outage):
+        sm.gcs_conditional_put(_DownClient())("gs://b/k", "x")
+
+
+def test_boto3_adapter_fences_write_manifest_end_to_end(tmp_path):
+    """The packaged adapter plugged into ConditionalPutFS drives the
+    full manifest protocol: explicit bucket= mode treats the local
+    manifest path as the object key (the fake persists bodies to disk
+    so reads resolve), and the second of two same-generation claims
+    loses with ManifestConflictError."""
+    root = str(tmp_path / "s3ish")
+    os.makedirs(root)
+    fake = _FakeBoto3S3(root=root)
+    fs = sm.ConditionalPutFS(
+        sm.RenamelessLocalFS(), sm.boto3_conditional_put(fake, bucket="b")
+    )
+    sm.register_fs_prefix(root, fs)
+    try:
+        sm.write_manifest(root, {"a": "a_v1"})
+        sm.write_manifest(root, {"a": "a_v2"})
+        assert sm.read_manifest(root, {"a": "a"})["a"] == "a_v2"
+        # a racing writer re-claiming generation 2 loses at the claim
+        # (write_manifest maps this FileExistsError to
+        # ManifestConflictError — pinned by
+        # test_conditional_put_lost_race_raises_conflict)
+        with pytest.raises(FileExistsError):
+            fs.create_new(f"{root}/MANIFEST-{2:020d}", "stolen")
+        # published manifests were NOT clobbered by the lost claim
+        key = f"{root}/MANIFEST-{2:020d}".lstrip("/")
+        assert fake.objects[("b", key)] != b"stolen"
+    finally:
+        sm.unregister_fs_prefix(root)
