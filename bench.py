@@ -898,6 +898,82 @@ def hof_materialization_probe(spark, sf_dir: str) -> dict:
     }
 
 
+def prune_dup_lines_strategy_probe(
+    spark, *, n_docs: int = 1000, lines_per_doc: int = 200,
+    pool: int = 20000, max_doc_frac: float = 0.005,
+) -> dict:
+    """Measures the blocklist-scale crossover in
+    ``prune_duplicated_lines`` (round 11 — VERDICT r10 next-round #5):
+    a boilerplate-heavy corpus whose frequent-line set (~``pool``
+    lines) far exceeds the documented ``blocklist_join_threshold``,
+    timed under both strategies. The fast path's per-line membership
+    test is a linear scan over the one-row broadcast array (O(lines ×
+    |bl|) per doc); the fallback hash-joins per-doc-distinct lines
+    against the frequent set. Also checks the two outputs hash-equal —
+    the fallback must be value-identical, not just faster.
+
+    Corpus shape: each doc draws ``lines_per_doc`` lines from a shared
+    ``pool`` (each pool line lands in ~n_docs*lines_per_doc/pool docs,
+    comfortably over ``max_doc_frac``) plus one unique line, so the
+    expected blocklist IS the pool and the unique lines must survive."""
+    from window_aggregation_spark.operators.corpus import (
+        prune_duplicated_lines,
+    )
+
+    idx = F.sequence(F.lit(0), F.lit(lines_per_doc - 1))
+    docs = spark.range(n_docs).select(
+        F.col("id").alias("doc_id"),
+        F.concat(
+            F.concat_ws(
+                "\n",
+                F.transform(
+                    idx,
+                    lambda i: F.concat(
+                        F.lit("boilerplate line "),
+                        F.pmod(
+                            F.col("id") * F.lit(131) + i * F.lit(17),
+                            F.lit(pool),
+                        ).cast("string"),
+                    ),
+                ),
+            ),
+            F.lit("\nunique "),
+            F.col("id").cast("string"),
+        ).alias("text"),
+    ).localCheckpoint()  # pin the synthetic corpus: time the prune, not
+    # the generator, and give both strategies the identical input
+
+    def best_of(strategy: str, reps: int = 2) -> float:
+        out = prune_duplicated_lines(
+            docs, "doc_id", max_doc_frac=max_doc_frac, strategy=strategy
+        )
+        out.write.format("noop").mode("overwrite").save()  # warm
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            out.write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - t0)
+        return round(best, 3)
+
+    def out_hash(strategy: str) -> int:
+        return prune_duplicated_lines(
+            docs, "doc_id", max_doc_frac=max_doc_frac, strategy=strategy
+        ).selectExpr(
+            "bit_xor(xxhash64(doc_id, pruned_text, n_pruned_lines)) AS h"
+        ).first()["h"]
+
+    t_arr, t_join = best_of("array"), best_of("join")
+    return {
+        "n_docs": n_docs,
+        "lines_per_doc": lines_per_doc,
+        "blocklist_pool": pool,
+        "array_sec": t_arr,
+        "join_sec": t_join,
+        "speedup_x": round(t_arr / max(t_join, 1e-9), 1),
+        "outputs_hash_equal": out_hash("array") == out_hash("join"),
+    }
+
+
 def calibration_probe(spark, *, reps: int = 3) -> dict:
     """A FIXED, code-independent workload (range scan + xxhash64 + hash
     aggregate — Spark builtins only, no repo code, no I/O) whose wall
@@ -1229,6 +1305,15 @@ def main() -> None:
             )
         except Exception as e:
             sections["hof_materialization_probe"] = {
+                "err": f"{type(e).__name__}: {e}"[:300]
+            }
+    if os.environ.get("SPARK_GRAFT_PRUNE_PROBE", "1") != "0":
+        try:
+            sections["prune_dup_lines_strategy_probe"] = (
+                prune_dup_lines_strategy_probe(spark)
+            )
+        except Exception as e:
+            sections["prune_dup_lines_strategy_probe"] = {
                 "err": f"{type(e).__name__}: {e}"[:300]
             }
     if os.environ.get("SPARK_GRAFT_ANN_RECALL_PROBE", "1") != "0":

@@ -190,3 +190,15 @@ def test_hof_materialization_probe_shows_the_pitfall(spark, sf_dir):
     if os.environ.get("SPARK_GRAFT_SKIP_PERF_ASSERTS"):
         pytest.skip("perf ratio assertion disabled via env")
     assert out["slowdown_x"] >= 2.0, out
+
+
+def test_prune_dup_lines_strategy_probe_shape(spark):
+    """VERDICT r10 #5: the crossover probe must time both strategies on
+    the same pinned corpus and certify value-identity. Run tiny (the
+    crossover magnitude itself is recorded at bench scale)."""
+    out = bench.prune_dup_lines_strategy_probe(
+        spark, n_docs=40, lines_per_doc=10, pool=60, max_doc_frac=0.05
+    )
+    assert out["array_sec"] > 0 and out["join_sec"] > 0
+    assert out["outputs_hash_equal"] is True
+    assert out["blocklist_pool"] == 60

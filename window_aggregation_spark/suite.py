@@ -3242,6 +3242,33 @@ def _register_corpus() -> None:
         )
 
     @_register(
+        "corpus_prune_dup_lines_joined",
+        cp.prune_duplicated_lines_oracle_sql(
+            f"(SELECT doc_id, {_BOILER_SYNTH_SQL} AS t2 FROM documents)",
+            "doc_id", "t2", max_doc_frac=0.3,
+        ),
+        headline=False,
+    )
+    def corpus_prune_dup_lines_joined(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        """The blocklist-scale FALLBACK of corpus_prune_dup_lines
+        (VERDICT r10 #5): same boilerplate fixture, same oracle, but
+        membership runs as a broadcast hash join of per-doc-distinct
+        exploded lines against the frequent set, collect_set into a
+        per-doc blocklist, rejoin — the shape for tiny max_doc_frac on
+        boilerplate-heavy corpora where the one-row-array scan turns
+        O(lines x |bl|) per doc. Crossover measured in
+        bench.py::prune_dup_lines_strategy_probe (3.9x at |bl|=20k)
+        (operators/corpus.py::prune_duplicated_lines strategy='join')."""
+        docs = read_table(spark, sf_dir, "documents").select(
+            "doc_id", F.expr(_BOILER_SYNTH_SQL).alias("t2")
+        )
+        return cp.prune_duplicated_lines(
+            docs, "doc_id", "t2", max_doc_frac=0.3, strategy="join"
+        )
+
+    @_register(
         "corpus_repetition",
         cp.repetition_profile_oracle_sql("documents", "doc_id"),
     )
