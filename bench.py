@@ -1104,6 +1104,7 @@ def _recall_sweep(
     embeddings when None)."""
     from window_aggregation_spark.operators.similarity import (
         cosine_topk,
+        hybrid_topk,
         ivf_centroids,
         ivf_topk,
         quantized_topk,
@@ -1144,6 +1145,7 @@ def _recall_sweep(
         "n_corpus": n_corpus,
         "n_centroids": n_centroids,
     }
+    codebooks: dict = {}
     for mode in ("sample", "kmeans"):
         # ONE codebook per mode, reused across the nprobe sweep: the
         # corpus passes (3 Lloyd iterations for kmeans) happen once and
@@ -1168,6 +1170,7 @@ def _recall_sweep(
                 "candidate_fraction": round(np_ / n_centroids, 3),
             }
         out[f"ivf_{mode}"] = curve
+        codebooks[mode] = codebook
     for overfetch in (1, 2, 4):
         t0 = time.perf_counter()
         r = recall_of(
@@ -1177,6 +1180,30 @@ def _recall_sweep(
             "recall": r,
             "sec": round(time.perf_counter() - t0, 3),
         }
+    # hybrid = IVF(kmeans codebook) candidates UNION int8 candidates,
+    # one exact re-rank (VERDICT r10 next-round #4). The operator's
+    # guarantee — recall >= max of its branches at the SAME (nprobe,
+    # overfetch) — is recorded per point as floor_max_of_branches so a
+    # violation (which would mean the branches stopped sharing the
+    # exact ordering) is visible in the recording itself.
+    hyb: dict = {"overfetch": 4, "codebook": "kmeans"}
+    for np_ in nprobes:
+        t0 = time.perf_counter()
+        r = recall_of(
+            hybrid_topk(
+                queries, corpus, k=k, n_centroids=n_centroids,
+                nprobe=np_, overfetch=4, centroids=codebooks["kmeans"],
+            )
+        )
+        hyb[str(np_)] = {
+            "recall": r,
+            "sec": round(time.perf_counter() - t0, 3),
+            "floor_max_of_branches": max(
+                out["ivf_kmeans"][str(np_)]["recall"],
+                out["int8_overfetch_4"]["recall"],
+            ),
+        }
+    out["hybrid"] = hyb
     queries.unpersist()
     corpus.unpersist()
     return out

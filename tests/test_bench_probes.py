@@ -125,6 +125,18 @@ def test_ann_recall_probe_shape_and_monotonicity(spark, sf_dir):
     assert clustered["recall"] >= 0.8, clustered
     assert clustered["recall"] >= 3 * clustered["candidate_fraction"]
     assert clustered["recall"] > unstructured["recall"]
+    # VERDICT r10 #4: the hybrid dominates BOTH branches at every
+    # matched (nprobe, overfetch) point, on BOTH regimes — this is the
+    # operator's guarantee (shared exact ordering), so a violation is a
+    # bug, not noise
+    for regime in ("unstructured", "clustered"):
+        hyb = out[regime]["hybrid"]
+        assert hyb["codebook"] == "kmeans" and hyb["overfetch"] == 4
+        for p in (1, 4, 8):
+            pt = hyb[str(p)]
+            assert pt["recall"] >= pt["floor_max_of_branches"], (
+                regime, p, pt,
+            )
 
 
 def test_calibration_probe_shape(spark):

@@ -1639,9 +1639,10 @@ def _register_similarity() -> None:
         "i -> CAST({a}[i] AS BIGINT) * {b}[i])), (acc, v) -> acc + v)"
     )
 
-    @_register(
-        "sim_topk_quantized",
-        f"""
+    def _duck_quantized_sql() -> str:
+        """DuckDB recomputation of the int8 coarse scan + exact re-rank
+        (shared by sim_topk_quantized and the hybrid's int8 branch)."""
+        return f"""
         WITH base AS (
           SELECT vec_id, embedding,
                  list_max(list_transform(embedding,
@@ -1677,8 +1678,9 @@ def _register_similarity() -> None:
                 ORDER BY cos_sim DESC, neighbor_id ASC) AS rn
               FROM rer)
         WHERE rn <= 5
-        """,
-    )
+        """
+
+    @_register("sim_topk_quantized", _duck_quantized_sql())
     def sim_topk_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
         """int8 coarse scan + exact re-rank: quantized integer dot products
         (EXACT in any engine — the coarse ranking itself is oracle-checked
@@ -1839,6 +1841,40 @@ def _register_similarity() -> None:
         corpus = emb.where(F.col("vec_id") >= 8)
         return sim.ivf_topk(
             queries, corpus, k=5, n_centroids=16, nprobe=4, assign="expr"
+        )
+
+    @_register(
+        "sim_topk_hybrid",
+        f"""
+        WITH u AS (
+          SELECT DISTINCT query_id, neighbor_id, cos_sim FROM (
+            SELECT query_id, neighbor_id, cos_sim FROM ({_duck_ivf_sql()})
+            UNION ALL
+            SELECT query_id, neighbor_id, cos_sim
+            FROM ({_duck_quantized_sql()})))
+        SELECT query_id, neighbor_id, cos_sim, CAST(rn AS INT) AS nn_rank
+        FROM (SELECT *, row_number() OVER (
+                PARTITION BY query_id
+                ORDER BY cos_sim DESC, neighbor_id ASC) AS rn
+              FROM u)
+        WHERE rn <= 5
+        """,
+    )
+    def sim_topk_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """The regime-dominant ANN path (VERDICT r10 #4): IVF candidates
+        UNION int8 coarse-scan candidates, one exact float re-rank —
+        recall >= max(ivf, int8) pointwise because both branches share
+        the exact rounded-cosine ordering (measured on both probe
+        regimes, bench.py::ann_recall_probe 'hybrid'). Gate config uses
+        the bit-reproducible branches (assign='expr' IVF + int8's exact
+        integer coarse ranking) so the whole union is oracle-checkable
+        (operators/similarity.py::hybrid_topk)."""
+        emb = read_table(spark, sf_dir, "embeddings")
+        queries = emb.where(F.col("vec_id") < 8)
+        corpus = emb.where(F.col("vec_id") >= 8)
+        return sim.hybrid_topk(
+            queries, corpus, k=5, n_centroids=16, nprobe=4, overfetch=4,
+            assign="expr",
         )
 
 
