@@ -856,3 +856,54 @@ def test_repetition_signals_full_table_hand_values(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     plan = plan.split("== Initial Plan ==")[0]
     assert plan.count("Exchange") <= 2, plan
+
+
+def test_duplicated_sentence_spans_keep_first_and_cut(spark):
+    """VERDICT r10 #3: C4's three-sentence-span dedup at sentence grain
+    — a 3-sentence passage shared by three docs (with different
+    surroundings, so line/doc-grain dedup can't see it) is kept ONLY in
+    the globally-first occurrence (lowest (id, pos)); cut_sentence_spans
+    removes it from the rest and rebuilds every doc in the canonical
+    single-spaced sentence form. The DuckDB oracles mirror both steps."""
+    import duckdb as _duck
+    import pandas as pd
+
+    shared = "And more here. Also this one. Plus a final sentence."
+    docs = [
+        (1, f"Doc one opens uniquely. {shared} Doc one closes."),
+        (2, f"Doc two differs up front! {shared}"),
+        (3, f"{shared} Doc three trails off."),
+        (4, "No duplication lives here. Honest. Entirely original text."),
+        (5, "Too short."),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    spans = dd.duplicated_sentence_spans(df, "doc_id", window=3)
+    got = {
+        (r.doc_id, r.span_start, r.span_end, r.n_windows)
+        for r in spans.collect()
+    }
+    # doc 1 holds the first occurrence (pos 1) -> untouched; docs 2, 3
+    # lose exactly the shared window (doc 2 at pos 1, doc 3 at pos 0)
+    assert got == {(2, 1, 4, 1), (3, 0, 3, 1)}
+    cut = {
+        r.doc_id: r.cut_text
+        for r in dd.cut_sentence_spans(df, spans, "doc_id").collect()
+    }
+    assert cut[1] == f"Doc one opens uniquely. {shared} Doc one closes."
+    assert cut[2] == "Doc two differs up front!"
+    assert cut[3] == "Doc three trails off."
+    assert cut[4] == "No duplication lives here. Honest. Entirely original text."
+    assert cut[5] == "Too short."
+    con = _duck.connect()
+    con.register("docs_t", pd.DataFrame(docs, columns=["doc_id", "text"]))
+    spans_sql = dd.duplicated_sentence_spans_oracle_sql("docs_t", "doc_id")
+    want_spans = {
+        tuple(int(x) for x in r) for r in con.execute(
+            f"SELECT doc_id, span_start, span_end, n_windows "
+            f"FROM ({spans_sql})"
+        ).fetchall()
+    }
+    assert want_spans == got
+    want_cut = dict(con.execute(dd.cut_sentence_spans_oracle_sql(
+        "docs_t", spans_sql, "doc_id")).fetchall())
+    assert {int(k): v for k, v in want_cut.items()} == cut

@@ -292,3 +292,24 @@ def test_pipeline_gopher_filter_adds_no_exchange(spark, sf_dir):
     assert plan.count("Exchange") == rep.count("Exchange") == 2, plan[:800]
     assert len(re.findall(r"Scan parquet", plan)) == 2, plan[:800]
     assert "Python" not in plan
+
+
+def test_pipeline_c4_clean_is_sum_of_its_stages(spark, sf_dir):
+    """VERDICT r10 #3: the full C4 pipeline's visible plan must be
+    EXACTLY the sentence-span stage's shape — 3 exchanges (window hash,
+    per-doc window, cut rejoin), zero Python — with the c4+prune stages
+    behind one lazily-checkpointed intermediate (computed once; its own
+    2-exchange prune shape is pinned via corpus_prune_dup_lines).
+    Composition adds no exchange over the sum of the stages."""
+    from window_aggregation_spark.operators import dedup as dd
+
+    plan = _plan(SUITE["pipeline_c4_clean"].build(spark, sf_dir))
+    src = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", F.col("text").alias("pruned_text"))
+        .localCheckpoint(eager=False)
+    )
+    spans = dd.duplicated_sentence_spans(src, "doc_id", "pruned_text")
+    stage = _plan(dd.cut_sentence_spans(src, spans, "doc_id", "pruned_text"))
+    assert plan.count("Exchange") == stage.count("Exchange") == 3, plan[:800]
+    assert "Python" not in plan

@@ -934,6 +934,226 @@ def cut_token_spans(
     )
 
 
+def duplicated_sentence_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    *,
+    window: int = 3,
+) -> DataFrame:
+    """C4's cross-document SENTENCE-span dedup (Raffel et al. 2020
+    §2.2: "we removed any duplicate three-sentence span ... discarding
+    all but one") — :func:`duplicated_spans`'s machinery re-grained
+    from token windows to sentence windows, with the paper's keep-one
+    policy built in: every length-``window`` sentence run is hashed
+    (portable md5-derived hash, oracle-checkable); runs occurring more
+    than once CORPUS-WIDE (within- or cross-document) mark all
+    occurrences EXCEPT the globally first (ordered by ``(id, pos)`` —
+    deterministic); marked windows merge into maximal per-doc spans.
+    Returns ``(id_col, span_start, span_end, n_windows)`` with
+    half-open SENTENCE-index bounds; apply with
+    :func:`cut_sentence_spans`.
+
+    Scale shape (same as the token variant): the window stream is
+    O(total sentences) rows off one scan; the occurrence count AND the
+    global first-occurrence rank share ONE shuffle on the hash; span
+    merging is one per-doc window pass. No self-joins, no all-pairs.
+    """
+    from window_aggregation_spark.operators.text import sentence_array
+
+    sarr = sentence_array(text_col)
+    base = df.where(F.size(sarr) >= window).select(
+        F.col(id_col), sarr.alias("__sents")
+    )
+    wins = base.select(
+        id_col,
+        F.explode(
+            F.sequence(F.lit(0), F.size("__sents") - F.lit(window))
+        ).alias("__pos"),
+        F.col("__sents"),
+    ).select(
+        id_col,
+        "__pos",
+        portable_hash64(
+            F.concat_ws(
+                " ", F.slice("__sents", F.col("__pos") + 1, window)
+            )
+        ).alias("__h"),
+    )
+    wh = Window.partitionBy("__h")
+    worder = wh.orderBy(F.col(id_col).asc(), F.col("__pos").asc())
+    hits = (
+        wins.withColumn("__n", F.count(F.lit(1)).over(wh))
+        .withColumn("__rn", F.row_number().over(worder))
+        .where((F.col("__n") > 1) & (F.col("__rn") > 1))
+        .select(id_col, "__pos")
+    )
+    w = Window.partitionBy(id_col).orderBy("__pos")
+    prev = F.lag("__pos").over(w)
+    flagged = hits.withColumn(
+        "__new",
+        F.when(
+            prev.isNull() | (F.col("__pos") <= prev + F.lit(window)),
+            F.lit(0),
+        ).otherwise(F.lit(1)),
+    )
+    grped = flagged.withColumn(
+        "__grp",
+        F.sum("__new").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return (
+        grped.groupBy(id_col, "__grp")
+        .agg(
+            F.min("__pos").cast("long").alias("span_start"),
+            (F.max("__pos") + F.lit(window)).cast("long").alias("span_end"),
+            F.count(F.lit(1)).alias("n_windows"),
+        )
+        .select(id_col, "span_start", "span_end", "n_windows")
+    )
+
+
+def duplicated_sentence_spans_oracle_sql(
+    table: str,
+    id_col: str,
+    text_col: str = "text",
+    *,
+    window: int = 3,
+) -> str:
+    """DuckDB mirror of :func:`duplicated_sentence_spans` (1-based
+    inclusive list slicing == Spark's ``slice(arr, pos+1, window)``)."""
+    from window_aggregation_spark.operators.text import sentence_array_duck
+
+    h = portable_hash64_duck(
+        f"array_to_string(sents[pos + 1 : pos + {window}], ' ')"
+    )
+    return f"""
+        WITH base AS (
+          SELECT {id_col}, {sentence_array_duck(text_col)} AS sents
+          FROM {table}),
+        long_enough AS (
+          SELECT {id_col}, sents FROM base WHERE len(sents) >= {window}),
+        pos AS (
+          SELECT {id_col}, sents,
+                 unnest(generate_series(0, len(sents) - {window})) AS pos
+          FROM long_enough),
+        wins AS (SELECT {id_col}, pos, {h} AS h FROM pos),
+        hits AS (
+          SELECT {id_col}, pos FROM (
+            SELECT {id_col}, pos,
+                   count(*) OVER (PARTITION BY h) AS n,
+                   row_number() OVER (PARTITION BY h
+                     ORDER BY {id_col} ASC, pos ASC) AS rn
+            FROM wins)
+          WHERE n > 1 AND rn > 1),
+        flagged AS (
+          SELECT {id_col}, pos,
+                 CASE WHEN lag(pos) OVER w IS NULL
+                        OR pos <= lag(pos) OVER w + {window}
+                      THEN 0 ELSE 1 END AS newf
+          FROM hits
+          WINDOW w AS (PARTITION BY {id_col} ORDER BY pos)),
+        grped AS (
+          SELECT {id_col}, pos,
+                 sum(newf) OVER (PARTITION BY {id_col} ORDER BY pos
+                   ROWS UNBOUNDED PRECEDING) AS grp
+          FROM flagged)
+        SELECT {id_col}, CAST(min(pos) AS BIGINT) AS span_start,
+               CAST(max(pos) + {window} AS BIGINT) AS span_end,
+               count(*) AS n_windows
+        FROM grped GROUP BY {id_col}, grp
+    """
+
+
+def cut_sentence_spans(
+    df: DataFrame,
+    spans: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    *,
+    alias: str = "cut_text",
+) -> DataFrame:
+    """Apply sentence-span removal (the C4 keep-one cut): given
+    ``spans`` rows ``(id_col, span_start, span_end)`` in half-open
+    SENTENCE-index bounds (from :func:`duplicated_sentence_spans`),
+    return ``df`` with ``alias`` = the document rebuilt from its
+    sentences minus those ranges. ALL docs are rebuilt from the
+    canonical sentence array (single-spaced — the
+    :func:`..text.sentence_array` convention, mirroring
+    :func:`cut_token_spans`'s rebuild-from-tokens), so cut and uncut
+    documents come back in the same normal form."""
+    from window_aggregation_spark.operators.text import sentence_array
+
+    per_doc = spans.groupBy(id_col).agg(
+        F.collect_list(
+            F.struct(
+                F.col("span_start").alias("s"), F.col("span_end").alias("e")
+            )
+        ).alias("__spans")
+    )
+    joined = df.join(per_doc, on=id_col, how="left").withColumn(
+        "__sents", sentence_array(text_col)
+    )
+    kept = F.filter(
+        F.col("__sents"),
+        lambda s, i: ~F.exists(
+            F.col("__spans"), lambda sp: (i >= sp["s"]) & (i < sp["e"])
+        ),
+    )
+    return (
+        joined.withColumn(
+            alias,
+            F.when(
+                F.col("__spans").isNull(),
+                F.array_join(F.col("__sents"), " "),
+            ).otherwise(F.array_join(kept, " ")),
+        )
+        .drop("__spans", "__sents")
+    )
+
+
+def cut_sentence_spans_oracle_sql(
+    table: str,
+    spans_sql: str,
+    id_col: str,
+    text_col: str = "text",
+    *,
+    alias: str = "cut_text",
+) -> str:
+    """DuckDB mirror of :func:`cut_sentence_spans` over ``table`` with
+    spans from ``spans_sql`` (a query returning ``(id_col, span_start,
+    span_end)``). Parallel unnests zip positionally (0-based pos, like
+    Spark's filter-lambda index); the anti-join drops sentences any
+    span covers; string_agg rebuilds in order; docs with no sentences
+    come back as the empty string (Spark array_join([]) == '')."""
+    from window_aggregation_spark.operators.text import sentence_array_duck
+
+    return f"""
+        WITH src AS (
+          SELECT {id_col}, {sentence_array_duck(text_col)} AS sents
+          FROM {table}),
+        sp AS ({spans_sql}),
+        spos AS (
+          SELECT {id_col}, unnest(sents) AS sent,
+                 unnest(range(0, len(sents))) AS pos
+          FROM src),
+        kept AS (
+          SELECT p.{id_col}, p.sent, p.pos
+          FROM spos p
+          WHERE NOT EXISTS (
+            SELECT 1 FROM sp
+            WHERE sp.{id_col} = p.{id_col}
+              AND p.pos >= sp.span_start AND p.pos < sp.span_end)),
+        rebuilt AS (
+          SELECT {id_col},
+                 string_agg(sent, ' ' ORDER BY pos) AS {alias}
+          FROM kept GROUP BY {id_col})
+        SELECT s.{id_col}, coalesce(r.{alias}, '') AS {alias}
+        FROM src s LEFT JOIN rebuilt r USING ({id_col})
+    """
+
+
 def canonical_per_cluster(
     df: DataFrame,
     id_col: str,

@@ -1085,6 +1085,45 @@ def lf_lines_duck(text_col: str) -> str:
     return f"string_split({lf_normalized_duck(text_col)}, chr(10))"
 
 
+#: The SHARED sentence-extraction convention (round 11): maximal runs
+#: of non-terminal characters ending in one terminal punctuation mark,
+#: optionally followed by a closing quote — the C4 three-sentence-span
+#: grain (Raffel et al. 2020 §2.2). Deliberately RE2-safe (no
+#: lookaround, no $) so DuckDB reproduces the split bit-for-bit; text
+#: after the last terminal mark is dropped (an unterminated trailing
+#: fragment is not a sentence under this convention).
+SENT_RE = "[^.!?]*[.!?][\"']?"
+
+
+def sentence_array(text_col: str) -> Column:
+    """Sentences of ``text_col`` under the shared convention: extract
+    :data:`SENT_RE` matches, canonicalize whitespace (every internal
+    run — including the newlines line-grain operators leave behind —
+    collapses to one space, ends trimmed), drop empties. The
+    canonicalization is what makes the same sentence hash equal whether
+    it followed a newline or a space, which the cross-document span
+    dedup depends on. NULL text reads as no sentences."""
+    ext = F.regexp_extract_all(
+        F.coalesce(F.col(text_col), F.lit("")), F.lit(SENT_RE), F.lit(0)
+    )
+    canon = F.transform(
+        ext, lambda s: F.trim(F.regexp_replace(s, r"\s+", " "))
+    )
+    return F.filter(canon, lambda s: s != F.lit(""))
+
+
+def sentence_array_duck(text_col: str) -> str:
+    """DuckDB rendering of :func:`sentence_array` (note the explicit
+    'g' flag: DuckDB regexp_replace is first-match-only by default,
+    Spark's is global)."""
+    re_sql = SENT_RE.replace("'", "''")
+    return (
+        f"list_filter(list_transform("
+        f"regexp_extract_all(coalesce({text_col}, ''), '{re_sql}'), "
+        f"s -> trim(regexp_replace(s, '\\s+', ' ', 'g'))), s -> s <> '')"
+    )
+
+
 GOPHER_LINE_DUP_THRESHOLDS: dict = {
     "dup_line_frac": 0.30,
     "dup_para_frac": 0.30,

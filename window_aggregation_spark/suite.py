@@ -3543,6 +3543,7 @@ _register_corpus()
 
 
 def _register_pipeline() -> None:
+    from window_aggregation_spark.operators import corpus as cp
     from window_aggregation_spark.operators import dedup as dd
     from window_aggregation_spark.operators import text as tx
 
@@ -3643,6 +3644,103 @@ def _register_pipeline() -> None:
         return rep.where(~F.col("repetitive")).select(
             "doc_id", "n_tokens", "top_ngram_frac", "dup_ngram_frac"
         )
+
+    # The full C4 reproduction (VERDICT r10 #3): all three published
+    # cleaning steps of Raffel et al. 2020 §2.2 composed in order —
+    # page/line heuristics, cross-document line boilerplate, duplicate
+    # three-sentence spans. Planted fixture: line 1 unique-kept, line 2
+    # dropped (no terminal punct), line 3 javascript-dropped for
+    # doc_id%4, line 4 is a SHARED banner in half the docs (survives
+    # c4_clean, pruned by the line stage at 30%), doc_id%5 plants lorem
+    # ipsum and doc_id%7 a curly brace (page discards), and the last
+    # line embeds a shared three-sentence tail behind a per-doc-unique
+    # prefix — invisible to line-grain dedup, cut by the span stage in
+    # every doc but the globally first.
+    _C4_PIPE_SYNTH_SQL = (
+        "substr(text, 1, 40) || '.' || chr(10) || "
+        "substr(text, 41, 40) || chr(10) || "
+        "CASE WHEN doc_id % 4 = 0 THEN 'uses javascript here sadly.' "
+        "ELSE substr(text, 81, 40) || '!' END || chr(10) || "
+        "CASE WHEN doc_id % 2 = 0 "
+        "THEN 'This shared cookie banner repeats very often indeed.' "
+        "ELSE substr(text, 121, 40) || '?' END || chr(10) || "
+        "CASE WHEN doc_id % 5 = 0 "
+        "THEN 'lorem ipsum dolor sit amet.' || chr(10) ELSE '' END || "
+        "substr(text, 161, 40) || "
+        "CASE WHEN doc_id % 7 = 0 "
+        "THEN '. code {x} follows. More words here. Third one. Final.' "
+        "ELSE '. And more here. Also this one. Plus a final sentence.' "
+        "END"
+    )
+    # oracle composition mirrors the plan composition stage for stage:
+    # c4-kept pages -> line-boilerplate prune -> sentence-span cut
+    # (DuckDB scopes each generator's nested WITHs)
+    _c4_pages = (
+        "(SELECT doc_id, c4_text FROM ("
+        + tx.c4_clean_oracle_sql(
+            table=f"(SELECT doc_id, {_C4_PIPE_SYNTH_SQL} AS t2 "
+                  "FROM documents)",
+            text_col="t2",
+        )
+        + ") WHERE c4_keep)"
+    )
+    _c4_pruned = (
+        "(SELECT doc_id, pruned_text FROM ("
+        + cp.prune_duplicated_lines_oracle_sql(
+            _c4_pages, "doc_id", "c4_text", max_doc_frac=0.3
+        )
+        + "))"
+    )
+    _c4_spans = dd.duplicated_sentence_spans_oracle_sql(
+        _c4_pruned, "doc_id", "pruned_text"
+    )
+
+    @_register(
+        "pipeline_c4_clean",
+        "SELECT doc_id, clean_text FROM ("
+        + dd.cut_sentence_spans_oracle_sql(
+            _c4_pruned, _c4_spans, "doc_id", "pruned_text",
+            alias="clean_text",
+        )
+        + ")",
+        headline=True,
+    )
+    def pipeline_c4_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """The FULL published C4 cleaning pipeline (Raffel et al. 2020
+        §2.2), all three steps in one lazy plan: (1) the line/page
+        heuristics (c4_clean — pure-codegen projection, fused into the
+        scan), (2) cross-document line-boilerplate removal
+        (prune_duplicated_lines), (3) duplicate THREE-SENTENCE-span
+        removal with the paper's keep-one policy
+        (duplicated_sentence_spans + cut_sentence_spans, sentence
+        grain). Stages run coarse-to-fine — page, then line, then
+        sentence — because the span cut rebuilds documents from the
+        canonical sentence array, which erases the line structure the
+        line stage needs. Composition adds no exchange over the sum of
+        the stages (pinned in tests/test_plan_quality.py)
+        (operators/text.py::c4_clean,
+        operators/corpus.py::prune_duplicated_lines,
+        operators/dedup.py::duplicated_sentence_spans)."""
+        docs = read_table(spark, sf_dir, "documents").select(
+            "doc_id", F.expr(_C4_PIPE_SYNTH_SQL).alias("t2")
+        )
+        pages = (
+            tx.c4_clean(docs, text_col="t2")
+            .where(F.col("c4_keep"))
+            .select("doc_id", "c4_text")
+        )
+        # lazily checkpoint the (small: id + cleaned text) pruned
+        # intermediate: the span stage references it TWICE (window
+        # source + cut target), and without the truncation each branch
+        # re-runs c4+prune from the parquet scan — 6 corpus scans / 15
+        # exchanges instead of 3 scans once + the span stages
+        pruned = cp.prune_duplicated_lines(
+            pages, "doc_id", "c4_text", max_doc_frac=0.3
+        ).select("doc_id", "pruned_text").localCheckpoint(eager=False)
+        spans = dd.duplicated_sentence_spans(pruned, "doc_id", "pruned_text")
+        return dd.cut_sentence_spans(
+            pruned, spans, "doc_id", "pruned_text", alias="clean_text"
+        ).select("doc_id", "clean_text")
 
 
 _register_pipeline()
