@@ -388,3 +388,76 @@ def test_fuzzed_text_matches_oracle_across_engines(spark, tmp_path):
         )
     finally:
         con.close()
+
+
+def test_gopher_quality_gated_per_language(spark):
+    """VERDICT r10 #7 (carrying ADVICE r9): the published Gopher rules
+    encode English/Latin assumptions (ASCII alpha words, the 8 English
+    stopwords), so clean Russian/Chinese documents mass-fail them. The
+    per-language hook must (a) detect the language in-predicate and
+    relax exactly those rules, (b) keep the published defaults for
+    English and undetected text — garbage still fails — and (c) accept
+    an existing language column instead of re-detecting."""
+    from window_aggregation_spark.operators.text import (
+        gopher_quality_pass,
+        gopher_quality_pass_by_language,
+        language_pred,
+    )
+
+    ru = " ".join(
+        ["это новая наука и все люди хотят знать больше о мире вокруг"] * 5
+    )
+    zh = " ".join(["我 在 北京 的 家 有 他 和 这 个 人 不 是 我 的"] * 5)
+    en_good = " ".join(
+        ["the quick brown fox jumps over that lazy dog with great energy"]
+        * 5
+    )
+    en_junk = " ".join(str(1111 * i) for i in range(60))
+    docs = [(1, ru), (2, zh), (3, en_good), (4, en_junk)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    langs = {
+        r.doc_id: r.lp
+        for r in df.select(
+            "doc_id", language_pred("text").alias("lp")
+        ).collect()
+    }
+    assert langs == {1: "ru", 2: "zh", 3: "en", 4: "und"}
+    raw = {
+        r.doc_id: r.qp
+        for r in df.select(
+            "doc_id", gopher_quality_pass("text").alias("qp")
+        ).collect()
+    }
+    # the spurious mass-fail the hook exists to stop
+    assert raw == {1: False, 2: False, 3: True, 4: False}
+    gated = {
+        r.doc_id: r.qp
+        for r in df.select(
+            "doc_id",
+            gopher_quality_pass_by_language("text").alias("qp"),
+        ).collect()
+    }
+    assert gated == {1: True, 2: True, 3: True, 4: False}
+    # reusing a trusted language column skips re-detection
+    with_lang = df.withColumn("lang", language_pred("text"))
+    via_col = {
+        r.doc_id: r.qp
+        for r in with_lang.select(
+            "doc_id",
+            gopher_quality_pass_by_language(
+                "text", lang_col="lang"
+            ).alias("qp"),
+        ).collect()
+    }
+    assert via_col == gated
+    # empty overrides degrade to the published rules exactly
+    none_gated = {
+        r.doc_id: r.qp
+        for r in df.select(
+            "doc_id",
+            gopher_quality_pass_by_language(
+                "text", per_language_overrides={}
+            ).alias("qp"),
+        ).collect()
+    }
+    assert none_gated == raw
