@@ -974,6 +974,31 @@ def prune_dup_lines_strategy_probe(
     }
 
 
+# Pinned host-speed reference for the calibrated headline (round 11 —
+# VERDICT r10 next-round #2): the geometric mean of ROUND 10's recorded
+# start/end calibration medians (BENCH_r10.json noise_control: 0.157 /
+# 0.115 → 0.134 s). Rounds compare value_calibrated directly: it is the
+# raw headline divided by (this run's calibration / this reference), so
+# a round recorded on a 1.3×-slower host reads ~even instead of ~1.3×
+# up. The reference is a CONSTANT by design — recalibrating it would
+# silently re-base the whole cross-round series.
+REFERENCE_CALIBRATION_SEC = 0.134
+
+
+def calibrated_value(value: float, cal_start: dict, cal_end: dict) -> dict:
+    """The host-normalized headline block: run calibration = geometric
+    mean of the start/end control medians (balances in-run drift, which
+    r10 measured at 1.37×), host_factor = run / pinned reference,
+    value_calibrated = value / host_factor."""
+    run_cal = (cal_start["median_sec"] * cal_end["median_sec"]) ** 0.5
+    host_factor = run_cal / REFERENCE_CALIBRATION_SEC
+    return {
+        "calibration_median_sec": round(run_cal, 4),
+        "host_factor": round(host_factor, 3),
+        "value_calibrated": round(value / max(host_factor, 1e-9), 3),
+    }
+
+
 def calibration_probe(spark, *, reps: int = 3) -> dict:
     """A FIXED, code-independent workload (range scan + xxhash64 + hash
     aggregate — Spark builtins only, no repo code, no I/O) whose wall
@@ -1373,6 +1398,11 @@ def main() -> None:
     # record, and the LAST stdout line is the compact headline — small
     # enough to always survive the tail capture.
     calibration_end = calibration_probe(spark)
+    headline.update(
+        calibrated_value(
+            headline["value"], calibration_start, calibration_end
+        )
+    )
     sections["noise_control"] = {
         "doc": (
             "fixed code-independent workload timed at run start/end; "

@@ -214,3 +214,20 @@ def test_prune_dup_lines_strategy_probe_shape(spark):
     assert out["array_sec"] > 0 and out["join_sec"] > 0
     assert out["outputs_hash_equal"] is True
     assert out["blocklist_pool"] == 60
+
+
+def test_calibrated_headline_value():
+    """VERDICT r10 #2: the calibrated headline divides the raw value by
+    (run calibration / pinned reference). With r10's own recorded
+    medians the factor is ~1.0 (the reference IS their geometric mean);
+    a 2x-slower host halves the calibrated value."""
+    base = bench.calibrated_value(
+        44.2, {"median_sec": 0.157}, {"median_sec": 0.115}
+    )
+    assert abs(base["host_factor"] - 1.0) < 0.02
+    assert abs(base["value_calibrated"] - 44.2) < 1.0
+    slow = bench.calibrated_value(
+        44.2, {"median_sec": 0.314}, {"median_sec": 0.230}
+    )
+    assert abs(slow["host_factor"] - 2.0) < 0.04
+    assert abs(slow["value_calibrated"] - 22.1) < 1.0
