@@ -58,3 +58,39 @@ def test_no_registered_query_lost_by_reorder():
     assert len(SUITE) >= 75
     assert set(s._DRIVER_PRIORITY) <= set(SUITE)
     assert len(list(SUITE)[:DRIVER_CAP]) == len(s._DRIVER_PRIORITY) == 50
+
+
+def test_driver_rotation_recency():
+    """VERDICT r10 #1: driver history is the durable record, so the head
+    must rotate oldest-record-first — no registered query may sit
+    un-slotted with a driver record more than MAX_AGE rounds behind the
+    newest recorded round, and a never-recorded query must hold a slot
+    immediately. (The family-anchor test above bounds how aggressively
+    rotation can evict; this one bounds how long it can procrastinate.)"""
+    import json
+    import re
+    from pathlib import Path
+
+    MAX_AGE = 5
+    root = Path(__file__).resolve().parents[1]
+    latest: dict[str, int] = {}
+    maxr = 0
+    for f in sorted(root.glob("CORRECTNESS_r*.json")):
+        r = int(re.search(r"r(\d+)", f.name).group(1))
+        maxr = max(maxr, r)
+        for q in json.loads(f.read_text()):
+            latest[q] = r
+    assert maxr > 0, "no CORRECTNESS files found"
+    head = set(list(SUITE)[:DRIVER_CAP])
+    stale = sorted(
+        n for n in SUITE
+        if n not in head and maxr - latest.get(n, 0) > MAX_AGE
+    )
+    assert not stale, (
+        f"queries with driver records >{MAX_AGE} rounds old are not "
+        f"scheduled for re-recording: {stale}"
+    )
+    unrecorded = sorted(n for n in SUITE if n not in latest and n not in head)
+    assert not unrecorded, (
+        f"never-recorded queries without a driver slot: {unrecorded}"
+    )

@@ -5154,56 +5154,51 @@ _register_weighted_sample()
 # round; everything rotated out was driver-recorded green in r5
 # (CORRECTNESS_r05.json) and stays judge/gate-sim covered.
 _DRIVER_PRIORITY = [
-    # --- Round-10 rotation (VERDICT r9 next-round #1): the two r9-new ---
-    # judge-gate-sim-green queries take driver slots
-    # (dq_quarantine_sink_roundtrip, text_gopher_quality), plus the
-    # r10-new pipeline_gopher_filter capstone. Ceded (all driver-green
-    # in r9; families keep >=1 anchor; corpus keeps >=5):
-    # text_repetition_gopher, agg_grouping_sets_orders,
-    # stream_interval_join_ss_left.
-    "text_perplexity_unigram",
-    "text_gopher_quality",           # r9-new, first driver row
-    "text_repetition_gopher_lines",  # r10-new, first driver row
-    "text_repetition_gopher_full",
-    "search_bm25_batch", "search_tfidf_keywords",
-    "search_bm25_indexed", "search_hybrid_rrf",
-    "text_c4_clean",  # r10-new, first driver row (cedes
-                      # sim_embedding_covariance, recorded r9; sim
-                      # family keeps sim_topk_ivf)
-    "corpus_decontaminate_bloom",
-    "corpus_stats", "corpus_length_quantiles",
-    "corpus_prune_dup_lines",  # r10-new, first driver row
-    "corpus_tar_shards_roundtrip", "corpus_sample_weighted",
-    "join_fuzzy_part_names",
-    "ts_sessionize", "ts_anomaly_zscore",
-    "agg_pivot_orders", "agg_discrete_percentile",
-    "src_schema_evolution",
-    "graph_pagerank",
-    "w_count_distinct_running",
-    "dq_drift_psi", "dq_profile_orders",
-    "dq_quarantine_orders",
-    "dq_quarantine_sink_roundtrip",  # r9-new, first driver row
-    "cdc_snapshot_diff",
-    # --- streaming-engine-executed interval joins -------------------------
-    "stream_interval_join_ss",
-    # --- prior-round lifecycle anchors (kept recorded) -------------------
-    "search_bm25_deleted",    # index delete+compact == filtered rebuild
-    "mm_video_mjpeg",         # compressed video via the built-in codec
-    # --- family anchors (18): every family keeps >= 1 recorded row ------
-    "w_rank_family", "w_lead_lag", "w_first_last_ignore_nulls",
-    "w_accumulate_running", "w_median_running", "w_discrete_percentile",
-    "w_sql_backend",
-    "w_approx_percentile",    # r7 criterion: bench split must keep the
-                              # yardstick-carrying gate row hash-green
-    "stream_stateful_ewma", "stream_tumbling_counts",
-    "dedup_minhash_lsh",      # dedup family anchor
-    "mm_decode_features",
-    "sim_topk_ivf",
-    "search_bm25_topk",
-    "asof_join_events", "range_join_incidents",
-    "skew_salted_running_sum",
-    "pipeline_clean_corpus",
-    "pipeline_gopher_filter",  # r10-new capstone, first driver row
+    # --- Round-11 rotation (VERDICT r10 next-round #1): oldest-record-
+    # first. The head is now CONSTRUCTED, not curated: (a) this round's
+    # never-recorded queries (pipeline_c4_clean, sim_topk_hybrid,
+    # corpus_prune_dup_lines_joined), (b) each family's oldest-recorded
+    # member as its anchor, (c) remaining slots filled strictly by
+    # oldest driver record. That pulls in the ENTIRE r4/r5 cohort (32
+    # queries, incl. the Section-2 parity anchors w_continuous_percentile,
+    # w_row_number_ntile, w_repartition_output, w_golden_alias_overwrite
+    # and the r10-changed sim_topk_quantized) plus the 14 oldest r6
+    # rows; after this round no un-slotted query's record is older than
+    # r6. tests/test_driver_slots.py::test_driver_rotation_recency pins
+    # the invariant so the stale tail cannot regrow.
+    # --- never recorded (r11-new) ---------------------------------------
+    "pipeline_c4_clean",
+    "sim_topk_hybrid",
+    "corpus_prune_dup_lines_joined",
+    # --- r4/r5 cohort (oldest records in the ledger) ---------------------
+    "text_fingerprint",                      # r4
+    "asof_join_forward",
+    "corpus_decontaminate", "corpus_mix_budget", "corpus_pack_sequences",
+    "corpus_split_hash", "corpus_stratified_sample",
+    "dedup_embedding_cosine", "dedup_exact_key", "dedup_semantic_pairs",
+    "dedup_substring_spans",
+    "mm_audio_features",
+    "sim_topk_bruteforce", "sim_topk_lsh", "sim_topk_quantized",
+    "skew_salted_join",
+    "stream_interval_join", "stream_sessionize",
+    "text_profile", "text_quality_model",
+    "w_accumulate_range_frame", "w_accumulate_rows_frame",
+    "w_continuous_percentile", "w_events_running", "w_extended_aggregates",
+    "w_first_last_running", "w_golden_alias_overwrite", "w_multi_one_pass",
+    "w_range_interval_frame", "w_repartition_output", "w_row_number_ntile",
+    "w_unbounded_following",
+    # --- oldest r6 rows + remaining family anchors -----------------------
+    "agg_rollup_lineitem",
+    "cdc_scd2_state",
+    "corpus_pack_shards", "corpus_prune_frequent", "corpus_redact_pii",
+    "corpus_repetition", "corpus_take_n_stratum",
+    "dedup_content_md5", "dedup_incremental",
+    "dq_expectations_orders",
+    "graph_triangle_count",
+    "join_bloom_prefilter",
+    "range_join_left",
+    "ts_resample_ffill",
+    "search_bm25_index_add",  # search anchor: the family's oldest (r9)
 ]
 
 
