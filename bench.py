@@ -989,7 +989,16 @@ def calibrated_value(value: float, cal_start: dict, cal_end: dict) -> dict:
     """The host-normalized headline block: run calibration = geometric
     mean of the start/end control medians (balances in-run drift, which
     r10 measured at 1.37×), host_factor = run / pinned reference,
-    value_calibrated = value / host_factor."""
+    value_calibrated = value / host_factor.
+
+    Interpretation (measured the first time this shipped): the control
+    is BURST-CPU-ONLY, so when host speed moves, the suite — part
+    scheduler latency, I/O and shuffle, which move less — shifts by a
+    SMALLER factor than the control. Raw and calibrated therefore
+    BRACKET the true host-adjusted number (raw biased by the host,
+    calibrated overcorrected toward it); read them together with
+    ``vs_prev_round.median_query_ratio``, which shows the per-query
+    shift the suite actually experienced (code changes included)."""
     run_cal = (cal_start["median_sec"] * cal_end["median_sec"]) ** 0.5
     host_factor = run_cal / REFERENCE_CALIBRATION_SEC
     return {
@@ -1272,6 +1281,45 @@ def dedup_pair_counts(spark, sf_dir: str) -> dict:
     }
 
 
+def vs_prev_round(timings: dict) -> dict:
+    """Robust per-query shift vs the newest recorded BENCH_r*.json: the
+    MEDIAN ratio of this run's per-query times to the previous round's,
+    over the common queries. A diagnostic, not a normalizer (it folds
+    code changes in with host drift) — but read against host_factor it
+    separates the two: a median ratio ABOVE host_factor means the suite
+    moved less than burst CPU did (the usual case); individual queries
+    far below the median are genuine code-level wins."""
+    import glob
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    recs = sorted(glob.glob(os.path.join(here, "BENCH_r*.json")))
+    if not recs:
+        return {}
+    try:
+        parsed = json.load(open(recs[-1])).get("parsed", {})
+    except Exception:
+        return {}
+    prev = parsed.get("queries", {})
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+    if str(parsed.get("sf")) != sf:
+        # a ratio across scale factors is noise, not a diagnostic
+        return {}
+    common = sorted(set(prev) & set(timings))
+    ratios = sorted(
+        timings[k] / prev[k] for k in common if prev[k] and timings[k]
+    )
+    if not ratios:
+        return {}
+    return {
+        "vs_prev_round": {
+            "record": os.path.basename(recs[-1]),
+            "n_common": len(ratios),
+            "median_query_ratio": round(ratios[len(ratios) // 2], 3),
+        }
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").split("sf")[-1]
@@ -1403,6 +1451,7 @@ def main() -> None:
             headline["value"], calibration_start, calibration_end
         )
     )
+    headline.update(vs_prev_round(timings))
     sections["noise_control"] = {
         "doc": (
             "fixed code-independent workload timed at run start/end; "

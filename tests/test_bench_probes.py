@@ -231,3 +231,25 @@ def test_calibrated_headline_value():
     )
     assert abs(slow["host_factor"] - 2.0) < 0.04
     assert abs(slow["value_calibrated"] - 22.1) < 1.0
+
+
+def test_vs_prev_round_diagnostic(monkeypatch):
+    """The per-query shift diagnostic: median ratio over common queries
+    against the newest BENCH_r*.json record, empty-safe, and guarded
+    against cross-scale-factor comparison (a ratio across sf is noise)."""
+    import json
+    from pathlib import Path
+
+    recs = sorted(Path(bench.__file__).parent.glob("BENCH_r*.json"))
+    assert recs, "repo carries BENCH records"
+    rec = json.loads(recs[-1].read_text())["parsed"]
+    prev = rec["queries"]
+    monkeypatch.setenv(
+        "SPARK_GRAFT_SF_DIR", f"/root/testdata/sf{rec['sf']}"
+    )
+    same = bench.vs_prev_round(dict(prev))
+    assert same["vs_prev_round"]["median_query_ratio"] == 1.0
+    assert same["vs_prev_round"]["n_common"] == len(prev)
+    assert bench.vs_prev_round({"nonexistent_query": 1.0}) == {}
+    monkeypatch.setenv("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+    assert bench.vs_prev_round(dict(prev)) == {}

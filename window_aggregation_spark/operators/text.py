@@ -1173,7 +1173,11 @@ def sentence_array(text_col: str) -> Column:
     collapses to one space, ends trimmed), drop empties. The
     canonicalization is what makes the same sentence hash equal whether
     it followed a newline or a space, which the cross-document span
-    dedup depends on. NULL text reads as no sentences."""
+    dedup depends on. NULL text reads as no sentences. Convention
+    corner, stated: an ellipsis ("...") splits into three one-character
+    "." sentences — degenerate but IDENTICAL in both engines, and the
+    C4 pipeline's upstream line filter already keeps only
+    terminal-punctuated prose where this is rare."""
     ext = F.regexp_extract_all(
         F.coalesce(F.col(text_col), F.lit("")), F.lit(SENT_RE), F.lit(0)
     )
@@ -1290,7 +1294,7 @@ def repetition_signals_lines(
         ]
     per_doc = counts.groupBy(id_col).agg(*aggs)
     frac_cols, verdicts = [], []
-    for fam, kind in (("line", ""), ("para", "")):
+    for fam in ("line", "para"):
         for num_c, den_c, name in (
             (f"__d_{fam}", f"__t_{fam}", f"dup_{fam}_frac"),
             (f"__dc_{fam}", f"__tc_{fam}", f"dup_{fam}_char_frac"),
