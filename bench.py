@@ -1302,20 +1302,27 @@ def vs_prev_round(timings: dict) -> dict:
     prev = parsed.get("queries", {})
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").split("sf")[-1]
-    if str(parsed.get("sf")) != sf:
+    try:
+        same_sf = float(parsed.get("sf")) == float(sf)
+    except (TypeError, ValueError):
+        same_sf = False
+    if not same_sf:
         # a ratio across scale factors is noise, not a diagnostic
+        # (float-compare: the record stores 1.0, the dir says '1')
         return {}
     common = sorted(set(prev) & set(timings))
-    ratios = sorted(
+    import statistics
+
+    ratios = [
         timings[k] / prev[k] for k in common if prev[k] and timings[k]
-    )
+    ]
     if not ratios:
         return {}
     return {
         "vs_prev_round": {
             "record": os.path.basename(recs[-1]),
             "n_common": len(ratios),
-            "median_query_ratio": round(ratios[len(ratios) // 2], 3),
+            "median_query_ratio": round(statistics.median(ratios), 3),
         }
     }
 

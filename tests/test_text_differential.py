@@ -461,3 +461,61 @@ def test_gopher_quality_gated_per_language(spark):
         ).collect()
     }
     assert none_gated == raw
+
+
+def test_sentence_array_ws_class_and_caps_ru_cross_engine(spark):
+    """r11 self-review, pinned: (a) sentence canonicalization must use
+    WS_RE, not \\s — Java's \\s matches \\x0B, RE2's does not, so a
+    vertical tab inside a sentence would hash differently across
+    engines (both now keep it as a token character); (b) the ru
+    detector must lowercase before char scoring — an all-caps Russian
+    document previously scored 0 and fell through to 'und'."""
+    import duckdb as _duck
+    import pandas as pd
+
+    from window_aggregation_spark.operators.text import (
+        language_id_oracle_expr,
+        language_pred,
+        sentence_array,
+        sentence_array_duck,
+    )
+
+    docs = [
+        (1, "Hello\x0bworld. Split\tacross\nspace. Done."),
+        (2, "ЭТО ВАЖНО. ЧИТАЙТЕ ВНИМАТЕЛЬНО. ОНА НОВАЯ НАУКА О МИРЕ."),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r.doc_id: r.s
+        for r in df.select(
+            "doc_id", sentence_array("text").alias("s")
+        ).collect()
+    }
+    # \x0B survives as a character in both engines; \t and \n collapse
+    assert got[1] == [
+        "Hello\x0bworld.", "Split across space.", "Done.",
+    ]
+    con = _duck.connect()
+    con.register("t", pd.DataFrame(docs, columns=["doc_id", "text"]))
+    want = dict(
+        con.execute(
+            f"SELECT doc_id, {sentence_array_duck('text')} FROM t "
+            "ORDER BY doc_id"
+        ).fetchall()
+    )
+    assert {int(k): list(v) for k, v in want.items()} == got
+    langs = {
+        r.doc_id: r.lp
+        for r in df.select(
+            "doc_id", language_pred("text").alias("lp")
+        ).collect()
+    }
+    assert langs[2] == "ru"
+    oracle_langs = dict(
+        con.execute(
+            f"SELECT doc_id, {language_id_oracle_expr('text')} FROM t "
+            "ORDER BY doc_id"
+        ).fetchall()
+    )
+    assert oracle_langs[2] == "ru"
+    assert oracle_langs[1] == langs[1]

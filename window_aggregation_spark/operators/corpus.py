@@ -455,7 +455,9 @@ def prune_duplicated_lines(
       crossover in ``bench.py::prune_dup_lines_strategy_probe``).
 
     All strategies are value-identical; the fallback hash-matching the
-    fast path is pinned in ``tests/test_corpus_ops.py``.
+    fast path is pinned in ``tests/test_corpus.py``. ``"auto"``
+    checkpoints the frequent-line set before counting it, so the count
+    and the chosen strategy share one document-frequency pass.
     """
     if strategy not in ("array", "join", "auto"):
         raise ValueError(f"unknown strategy: {strategy!r}")
@@ -475,6 +477,12 @@ def prune_duplicated_lines(
         .select("__ln")
     )
     if strategy == "auto":
+        # checkpoint BEFORE counting: the count is a full run of the
+        # document-frequency aggregation (the operator's dominant
+        # shuffles), and without truncation the chosen strategy's plan
+        # would re-run the identical aggregation from scratch — auto
+        # would cost two corpus passes instead of one (r11 self-review)
+        frequent_lines = frequent_lines.localCheckpoint()
         n_bl = frequent_lines.count()
         strategy = "array" if n_bl <= blocklist_join_threshold else "join"
     if strategy == "array":

@@ -789,6 +789,66 @@ def minhash_dedup_cc(
     return df.join(keep, on=id_col, how="left_semi")
 
 
+def _merge_marked_windows(
+    hits: DataFrame, id_col: str, window: int
+) -> DataFrame:
+    """Merge marked window positions ``(id_col, __pos)`` into maximal
+    half-open spans ``(id_col, span_start, span_end, n_windows)`` —
+    the per-doc lag + running-sum pass shared by the token-grain
+    (:func:`duplicated_spans`) and sentence-grain
+    (:func:`duplicated_sentence_spans`) operators, so the merge
+    boundary (``pos <= prev + window``: overlapping OR adjacent)
+    cannot drift between grains."""
+    w = Window.partitionBy(id_col).orderBy("__pos")
+    prev = F.lag("__pos").over(w)
+    flagged = hits.withColumn(
+        "__new",
+        F.when(
+            prev.isNull() | (F.col("__pos") <= prev + F.lit(window)),
+            F.lit(0),
+        ).otherwise(F.lit(1)),
+    )
+    grped = flagged.withColumn(
+        "__grp",
+        F.sum("__new").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return (
+        grped.groupBy(id_col, "__grp")
+        .agg(
+            F.min("__pos").cast("long").alias("span_start"),
+            (F.max("__pos") + F.lit(window)).cast("long").alias("span_end"),
+            F.count(F.lit(1)).alias("n_windows"),
+        )
+        .select(id_col, "span_start", "span_end", "n_windows")
+    )
+
+
+def _merge_spans_sql(id_col: str, window: int, hits_cte: str) -> str:
+    """The DuckDB rendering of :func:`_merge_marked_windows` over a CTE
+    ``hits_cte`` with columns ``({id_col}, pos)`` — shared by both span
+    oracles for the same no-drift reason."""
+    return f"""
+        flagged AS (
+          SELECT {id_col}, pos,
+                 CASE WHEN lag(pos) OVER w IS NULL
+                        OR pos <= lag(pos) OVER w + {window}
+                      THEN 0 ELSE 1 END AS newf
+          FROM {hits_cte}
+          WINDOW w AS (PARTITION BY {id_col} ORDER BY pos)),
+        grped AS (
+          SELECT {id_col}, pos,
+                 sum(newf) OVER (PARTITION BY {id_col} ORDER BY pos
+                   ROWS UNBOUNDED PRECEDING) AS grp
+          FROM flagged)
+        SELECT {id_col}, CAST(min(pos) AS BIGINT) AS span_start,
+               CAST(max(pos) + {window} AS BIGINT) AS span_end,
+               count(*) AS n_windows
+        FROM grped GROUP BY {id_col}, grp
+    """
+
+
 def duplicated_spans(
     df: DataFrame,
     id_col: str,
@@ -817,10 +877,12 @@ def duplicated_spans(
     per-doc window pass (lag + running sum — integers only, no floats
     anywhere). No self-joins, no all-pairs anything.
     """
-    arr = tokens(F.col(text_col))
-    base = df.where(F.size(arr) >= window).select(
-        F.col(id_col), arr.alias("__toks")
-    )
+    # select-then-where: materialize the token array once per row (the
+    # where-then-select shape evaluated the tokenizer twice — Spark
+    # does not CSE across Filter and Project)
+    base = df.select(
+        F.col(id_col), tokens(F.col(text_col)).alias("__toks")
+    ).where(F.size("__toks") >= window)
     wins = base.select(
         id_col,
         F.explode(
@@ -843,30 +905,7 @@ def duplicated_spans(
         .select("__h")
     )
     hits = wins.join(dup, on="__h").select(id_col, "__pos")
-    w = Window.partitionBy(id_col).orderBy("__pos")
-    prev = F.lag("__pos").over(w)
-    flagged = hits.withColumn(
-        "__new",
-        F.when(
-            prev.isNull() | (F.col("__pos") <= prev + F.lit(window)),
-            F.lit(0),
-        ).otherwise(F.lit(1)),
-    )
-    grped = flagged.withColumn(
-        "__grp",
-        F.sum("__new").over(
-            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        ),
-    )
-    return (
-        grped.groupBy(id_col, "__grp")
-        .agg(
-            F.min("__pos").cast("long").alias("span_start"),
-            (F.max("__pos") + F.lit(window)).cast("long").alias("span_end"),
-            F.count(F.lit(1)).alias("n_windows"),
-        )
-        .select(id_col, "span_start", "span_end", "n_windows")
-    )
+    return _merge_marked_windows(hits, id_col, window)
 
 
 def duplicated_spans_oracle_sql(
@@ -899,23 +938,7 @@ def duplicated_spans_oracle_sql(
             SELECT h, count(DISTINCT {id_col}) AS d FROM wins GROUP BY h)
           WHERE d >= {min_docs}),
         hits AS (SELECT {id_col}, pos FROM wins WHERE h IN (SELECT h FROM dup)),
-        flagged AS (
-          SELECT {id_col}, pos,
-                 CASE WHEN lag(pos) OVER w IS NULL
-                        OR pos <= lag(pos) OVER w + {window}
-                      THEN 0 ELSE 1 END AS newf
-          FROM hits
-          WINDOW w AS (PARTITION BY {id_col} ORDER BY pos)),
-        grped AS (
-          SELECT {id_col}, pos,
-                 sum(newf) OVER (PARTITION BY {id_col} ORDER BY pos
-                                 ROWS UNBOUNDED PRECEDING) AS grp
-          FROM flagged)
-        SELECT {id_col},
-               CAST(min(pos) AS BIGINT) AS span_start,
-               CAST(max(pos) + {window} AS BIGINT) AS span_end,
-               count(*) AS n_windows
-        FROM grped GROUP BY {id_col}, grp
+        {_merge_spans_sql(id_col, window, 'hits')}
     """
 
 
@@ -990,10 +1013,11 @@ def duplicated_sentence_spans(
     """
     from window_aggregation_spark.operators.text import sentence_array
 
-    sarr = sentence_array(text_col)
-    base = df.where(F.size(sarr) >= window).select(
-        F.col(id_col), sarr.alias("__sents")
-    )
+    # select-then-where: sentence extraction is three regex passes over
+    # the whole text — materialize it once per row
+    base = df.select(
+        F.col(id_col), sentence_array(text_col).alias("__sents")
+    ).where(F.size("__sents") >= window)
     wins = base.select(
         id_col,
         F.explode(
@@ -1009,38 +1033,18 @@ def duplicated_sentence_spans(
             )
         ).alias("__h"),
     )
-    wh = Window.partitionBy("__h")
-    worder = wh.orderBy(F.col(id_col).asc(), F.col("__pos").asc())
+    # __rn > 1 alone marks non-first occurrences of duplicated windows:
+    # a second row_number in a hash group IS the duplication proof (the
+    # earlier count(*)-over-hash conjunct was dead logic, r11 review)
+    worder = Window.partitionBy("__h").orderBy(
+        F.col(id_col).asc(), F.col("__pos").asc()
+    )
     hits = (
-        wins.withColumn("__n", F.count(F.lit(1)).over(wh))
-        .withColumn("__rn", F.row_number().over(worder))
-        .where((F.col("__n") > 1) & (F.col("__rn") > 1))
+        wins.withColumn("__rn", F.row_number().over(worder))
+        .where(F.col("__rn") > 1)
         .select(id_col, "__pos")
     )
-    w = Window.partitionBy(id_col).orderBy("__pos")
-    prev = F.lag("__pos").over(w)
-    flagged = hits.withColumn(
-        "__new",
-        F.when(
-            prev.isNull() | (F.col("__pos") <= prev + F.lit(window)),
-            F.lit(0),
-        ).otherwise(F.lit(1)),
-    )
-    grped = flagged.withColumn(
-        "__grp",
-        F.sum("__new").over(
-            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        ),
-    )
-    return (
-        grped.groupBy(id_col, "__grp")
-        .agg(
-            F.min("__pos").cast("long").alias("span_start"),
-            (F.max("__pos") + F.lit(window)).cast("long").alias("span_end"),
-            F.count(F.lit(1)).alias("n_windows"),
-        )
-        .select(id_col, "span_start", "span_end", "n_windows")
-    )
+    return _merge_marked_windows(hits, id_col, window)
 
 
 def duplicated_sentence_spans_oracle_sql(
@@ -1071,27 +1075,11 @@ def duplicated_sentence_spans_oracle_sql(
         hits AS (
           SELECT {id_col}, pos FROM (
             SELECT {id_col}, pos,
-                   count(*) OVER (PARTITION BY h) AS n,
                    row_number() OVER (PARTITION BY h
                      ORDER BY {id_col} ASC, pos ASC) AS rn
             FROM wins)
-          WHERE n > 1 AND rn > 1),
-        flagged AS (
-          SELECT {id_col}, pos,
-                 CASE WHEN lag(pos) OVER w IS NULL
-                        OR pos <= lag(pos) OVER w + {window}
-                      THEN 0 ELSE 1 END AS newf
-          FROM hits
-          WINDOW w AS (PARTITION BY {id_col} ORDER BY pos)),
-        grped AS (
-          SELECT {id_col}, pos,
-                 sum(newf) OVER (PARTITION BY {id_col} ORDER BY pos
-                   ROWS UNBOUNDED PRECEDING) AS grp
-          FROM flagged)
-        SELECT {id_col}, CAST(min(pos) AS BIGINT) AS span_start,
-               CAST(max(pos) + {window} AS BIGINT) AS span_end,
-               count(*) AS n_windows
-        FROM grped GROUP BY {id_col}, grp
+          WHERE rn > 1),
+        {_merge_spans_sql(id_col, window, 'hits')}
     """
 
 

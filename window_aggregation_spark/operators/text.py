@@ -73,15 +73,20 @@ def _stopword_hits(toks: Column, lang: str) -> Column:
 
 
 def _char_hits(text: Column, lang: str) -> Column:
-    """Occurrences of each single-character stopword in the raw text —
-    the zh list is CJK characters, which the latin tokenizer drops
-    entirely (so token-hit scoring would leave zh permanently at 0 and
-    undetectable). Each listed char has length 1, so the length delta
-    after removing it IS its occurrence count."""
+    """Occurrences of each single-character stopword in the LOWERCASED
+    text — the zh list is CJK characters, which the latin tokenizer
+    drops entirely (so token-hit scoring would leave zh permanently at
+    0 and undetectable); the ru list is lowercase Cyrillic letters, so
+    without the lower() an all-caps Russian document would score 0 and
+    fall through to 'und' (r11 self-review) — lowercasing matches how
+    every Latin language is scored (tokens() lowers internally). Each
+    listed char has length 1, so the length delta after removing it IS
+    its occurrence count."""
+    lowered = F.lower(text)
     total = F.lit(0)
     for w in STOPWORDS[lang]:
         total = total + (
-            F.length(text) - F.length(F.replace(text, F.lit(w)))
+            F.length(lowered) - F.length(F.replace(lowered, F.lit(w)))
         )
     return total
 
@@ -198,8 +203,11 @@ def language_id_oracle_expr(text_col: str = "text") -> str:
 
     def hits(lang: str) -> str:
         if lang in CHAR_BASED_LANGS:
+            # lower(), matching _char_hits: the ru list is lowercase
+            # Cyrillic and all-caps Russian must not score 0
+            low = f"lower({text})"
             return "(" + " + ".join(
-                f"(len({text}) - len(replace({text}, '{w}', '')))"
+                f"(len({low}) - len(replace({low}, '{w}', '')))"
                 for w in STOPWORDS[lang]
             ) + ")"
         stop_in = ", ".join(f"'{w}'" for w in STOPWORDS[lang])
@@ -1181,8 +1189,11 @@ def sentence_array(text_col: str) -> Column:
     ext = F.regexp_extract_all(
         F.coalesce(F.col(text_col), F.lit("")), F.lit(SENT_RE), F.lit(0)
     )
+    # WS_RE, never \s: Java's \s matches \x0B, RE2's does not — the
+    # exact divergence the module-level WS_CLASS comment pins (caught
+    # by the r11 self-review in this round's own flagship pipeline)
     canon = F.transform(
-        ext, lambda s: F.trim(F.regexp_replace(s, r"\s+", " "))
+        ext, lambda s: F.trim(F.regexp_replace(s, WS_RE, " "))
     )
     return F.filter(canon, lambda s: s != F.lit(""))
 
@@ -1195,7 +1206,7 @@ def sentence_array_duck(text_col: str) -> str:
     return (
         f"list_filter(list_transform("
         f"regexp_extract_all(coalesce({text_col}, ''), '{re_sql}'), "
-        f"s -> trim(regexp_replace(s, '\\s+', ' ', 'g'))), s -> s <> '')"
+        f"s -> trim(regexp_replace(s, '{WS_RE}', ' ', 'g'))), s -> s <> '')"
     )
 
 

@@ -286,7 +286,8 @@ def _split_object_url(path: str, schemes: tuple, bucket: str | None):
     if bucket is not None:
         return bucket, path.lstrip("/")
     m = _SCHEME_RE.match(path)
-    if not m or path[: m.end() - 3] not in schemes:
+    # RFC 3986: scheme comparison is case-insensitive
+    if not m or path[: m.end() - 3].lower() not in schemes:
         raise ValueError(
             f"conditional-PUT adapter: expected a "
             f"{'/'.join(schemes)}://bucket/key URL (or pass bucket=...), "
