@@ -907,3 +907,51 @@ def test_duplicated_sentence_spans_keep_first_and_cut(spark):
     want_cut = dict(con.execute(dd.cut_sentence_spans_oracle_sql(
         "docs_t", spans_sql, "doc_id")).fetchall())
     assert {int(k): v for k, v in want_cut.items()} == cut
+
+
+def test_sentence_spans_against_incremental(spark):
+    """Incremental C4: a new batch's spans are marked wherever their
+    3-sentence windows already live in the corpus — EVERY new-side
+    occurrence (the kept copy is in the corpus), no keep-one exception —
+    while novel text and the corpus itself stay untouched; the DuckDB
+    oracle mirrors it exactly."""
+    import duckdb as _duck
+    import pandas as pd
+
+    shared = "And more here. Also this one. Plus a final sentence."
+    corpus = [
+        (1, f"Corpus doc opens. {shared}"),
+        (2, "Entirely corpus-only text lives here. Truly. Really. Yes."),
+    ]
+    new = [
+        (10, f"New doc leads in! {shared} New doc trails off."),
+        (11, "Fresh sentences only. Nothing borrowed at all. Honest."),
+        (12, f"{shared}"),
+    ]
+    cdf = spark.createDataFrame(corpus, "doc_id long, text string")
+    ndf = spark.createDataFrame(new, "doc_id long, text string")
+    spans = dd.sentence_spans_against(ndf, cdf, "doc_id", window=3)
+    got = {
+        (r.doc_id, r.span_start, r.span_end, r.n_windows)
+        for r in spans.collect()
+    }
+    assert got == {(10, 1, 4, 1), (12, 0, 3, 1)}
+    cut = {
+        r.doc_id: r.cut_text
+        for r in dd.cut_sentence_spans(ndf, spans, "doc_id").collect()
+    }
+    assert cut[10] == "New doc leads in! New doc trails off."
+    assert cut[11] == "Fresh sentences only. Nothing borrowed at all. Honest."
+    assert cut[12] == ""
+    con = _duck.connect()
+    con.register("corpus_t", pd.DataFrame(corpus, columns=["doc_id", "text"]))
+    con.register("new_t", pd.DataFrame(new, columns=["doc_id", "text"]))
+    want = {
+        tuple(int(x) for x in r)
+        for r in con.execute(
+            dd.sentence_spans_against_oracle_sql(
+                "new_t", "corpus_t", "doc_id"
+            )
+        ).fetchall()
+    }
+    assert want == got

@@ -986,6 +986,37 @@ def cut_token_spans(
     )
 
 
+def _sentence_windows(
+    df: DataFrame, id_col: str, text_col: str, window: int
+) -> DataFrame:
+    """``(id_col, __pos, __h)`` — every length-``window`` sentence run
+    of every document, hashed with the portable hash. Shared by the
+    whole-corpus and incremental sentence-span operators so the window
+    convention cannot fork."""
+    from window_aggregation_spark.operators.text import sentence_array
+
+    # select-then-where: sentence extraction is three regex passes over
+    # the whole text — materialize it once per row
+    base = df.select(
+        F.col(id_col), sentence_array(text_col).alias("__sents")
+    ).where(F.size("__sents") >= window)
+    return base.select(
+        id_col,
+        F.explode(
+            F.sequence(F.lit(0), F.size("__sents") - F.lit(window))
+        ).alias("__pos"),
+        F.col("__sents"),
+    ).select(
+        id_col,
+        "__pos",
+        portable_hash64(
+            F.concat_ws(
+                " ", F.slice("__sents", F.col("__pos") + 1, window)
+            )
+        ).alias("__h"),
+    )
+
+
 def duplicated_sentence_spans(
     df: DataFrame,
     id_col: str,
@@ -1011,28 +1042,7 @@ def duplicated_sentence_spans(
     global first-occurrence rank share ONE shuffle on the hash; span
     merging is one per-doc window pass. No self-joins, no all-pairs.
     """
-    from window_aggregation_spark.operators.text import sentence_array
-
-    # select-then-where: sentence extraction is three regex passes over
-    # the whole text — materialize it once per row
-    base = df.select(
-        F.col(id_col), sentence_array(text_col).alias("__sents")
-    ).where(F.size("__sents") >= window)
-    wins = base.select(
-        id_col,
-        F.explode(
-            F.sequence(F.lit(0), F.size("__sents") - F.lit(window))
-        ).alias("__pos"),
-        F.col("__sents"),
-    ).select(
-        id_col,
-        "__pos",
-        portable_hash64(
-            F.concat_ws(
-                " ", F.slice("__sents", F.col("__pos") + 1, window)
-            )
-        ).alias("__h"),
-    )
+    wins = _sentence_windows(df, id_col, text_col, window)
     # __rn > 1 alone marks non-first occurrences of duplicated windows:
     # a second row_number in a hash group IS the duplication proof (the
     # earlier count(*)-over-hash conjunct was dead logic, r11 review)
@@ -1079,6 +1089,85 @@ def duplicated_sentence_spans_oracle_sql(
                      ORDER BY {id_col} ASC, pos ASC) AS rn
             FROM wins)
           WHERE rn > 1),
+        {_merge_spans_sql(id_col, window, 'hits')}
+    """
+
+
+def sentence_spans_against(
+    new: DataFrame,
+    corpus: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    *,
+    window: int = 3,
+) -> DataFrame:
+    """Incremental C4 span dedup — the steady-state pipeline shape: mark
+    every length-``window`` sentence run in NEW documents that already
+    occurs anywhere in the EXISTING corpus, without re-deduping the
+    corpus itself. The corpus keeps everything (it was deduped when it
+    was built); every new-side occurrence of a corpus window is marked
+    — no keep-one exception, unlike :func:`duplicated_sentence_spans`,
+    because the kept copy already lives in the corpus. Returns the same
+    ``(id_col, span_start, span_end, n_windows)`` spans; apply with
+    :func:`cut_sentence_spans`. New-vs-new duplication is deliberately
+    NOT handled here — run :func:`duplicated_sentence_spans` over the
+    new batch first (or after) if batches can self-duplicate.
+
+    Scale shape: the corpus side reduces to DISTINCT window hashes (one
+    map-side-combined shuffle carrying 8-byte hashes — at 100 TB this
+    is the set you persist next to the corpus and reuse per batch); the
+    new batch joins against it on the hash and merges spans per doc.
+    The corpus text is scanned once and never carried past the hash.
+    """
+    corpus_h = (
+        _sentence_windows(corpus, id_col, text_col, window)
+        .select("__h")
+        .distinct()
+    )
+    hits = (
+        _sentence_windows(new, id_col, text_col, window)
+        .join(corpus_h, on="__h")
+        .select(id_col, "__pos")
+    )
+    return _merge_marked_windows(hits, id_col, window)
+
+
+def sentence_spans_against_oracle_sql(
+    new_table: str,
+    corpus_table: str,
+    id_col: str,
+    text_col: str = "text",
+    *,
+    window: int = 3,
+) -> str:
+    """DuckDB mirror of :func:`sentence_spans_against`."""
+    from window_aggregation_spark.operators.text import sentence_array_duck
+
+    h = portable_hash64_duck(
+        f"array_to_string(sents[pos + 1 : pos + {window}], ' ')"
+    )
+
+    def wins(table: str, cte: str) -> str:
+        return f"""
+        {cte}_base AS (
+          SELECT {id_col}, {sentence_array_duck(text_col)} AS sents
+          FROM {table}),
+        {cte}_long AS (
+          SELECT {id_col}, sents FROM {cte}_base
+          WHERE len(sents) >= {window}),
+        {cte}_pos AS (
+          SELECT {id_col}, sents,
+                 unnest(generate_series(0, len(sents) - {window})) AS pos
+          FROM {cte}_long),
+        {cte} AS (SELECT {id_col}, pos, {h} AS h FROM {cte}_pos)"""
+
+    return f"""
+        WITH {wins(corpus_table, "cw")},
+        {wins(new_table, "nw")},
+        corpus_h AS (SELECT DISTINCT h FROM cw),
+        hits AS (
+          SELECT {id_col}, pos FROM nw
+          WHERE h IN (SELECT h FROM corpus_h)),
         {_merge_spans_sql(id_col, window, 'hits')}
     """
 

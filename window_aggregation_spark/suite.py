@@ -1532,6 +1532,50 @@ def _register_dedup() -> None:
         docs = read_table(spark, sf_dir, "documents")
         return dd.duplicated_spans(docs, "doc_id", window=15)
 
+    # split the fixture corpus into an EXISTING corpus and a NEW batch:
+    # even docs on both sides share a planted 3-sentence tail (the
+    # corpus-shared window the incremental pass must cut), odd docs get
+    # three per-doc-unique sentences (the negatives)
+    _SPANS_SYNTH_SQL = (
+        "substr(text, 1, 40) || '. ' || "
+        "CASE WHEN doc_id % 2 = 0 "
+        "THEN 'And more here. Also this one. Plus a final sentence.' "
+        "ELSE substr(text, 41, 40) || '. ' || substr(text, 81, 40) "
+        "|| '. ' || substr(text, 121, 40) || '.' END"
+    )
+    _SPANS_NEW = (
+        f"(SELECT doc_id, {_SPANS_SYNTH_SQL} AS t2 FROM documents "
+        "WHERE doc_id % 3 = 0)"
+    )
+    _SPANS_CORPUS = (
+        f"(SELECT doc_id, {_SPANS_SYNTH_SQL} AS t2 FROM documents "
+        "WHERE doc_id % 3 <> 0)"
+    )
+
+    @_register(
+        "dedup_sentence_spans_against",
+        dd.sentence_spans_against_oracle_sql(
+            _SPANS_NEW, _SPANS_CORPUS, "doc_id", "t2"
+        ),
+    )
+    def dedup_sentence_spans_against(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        """Incremental C4 span dedup (the steady-state pipeline shape):
+        sentence windows of a NEW batch that already occur in the
+        EXISTING corpus are marked — every new-side occurrence, no
+        keep-one exception (the kept copy lives in the corpus) — while
+        the corpus is never re-deduped and its text never carried past
+        a distinct-hash set (at 100 TB: the 8-byte-hash set you persist
+        next to the corpus and reuse per batch)
+        (operators/dedup.py::sentence_spans_against)."""
+        base = read_table(spark, sf_dir, "documents").select(
+            "doc_id", F.expr(_SPANS_SYNTH_SQL).alias("t2")
+        )
+        new = base.where(F.col("doc_id") % 3 == 0)
+        corpus = base.where(F.col("doc_id") % 3 != 0)
+        return dd.sentence_spans_against(new, corpus, "doc_id", "t2")
+
     @_register("dedup_simhash", _duck_simhash_sql())
     def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         """max_hamming=3 is the classic simhash near-dup bar (4 pigeonhole
@@ -5170,6 +5214,8 @@ _DRIVER_PRIORITY = [
     "pipeline_c4_clean",
     "sim_topk_hybrid",
     "corpus_prune_dup_lines_joined",
+    "dedup_sentence_spans_against",  # cedes corpus_take_n_stratum (r6;
+                                     # corpus family keeps 10 slots)
     # --- r4/r5 cohort (oldest records in the ledger) ---------------------
     "text_fingerprint",                      # r4
     "asof_join_forward",
@@ -5191,7 +5237,7 @@ _DRIVER_PRIORITY = [
     "agg_rollup_lineitem",
     "cdc_scd2_state",
     "corpus_pack_shards", "corpus_prune_frequent", "corpus_redact_pii",
-    "corpus_repetition", "corpus_take_n_stratum",
+    "corpus_repetition",
     "dedup_content_md5", "dedup_incremental",
     "dq_expectations_orders",
     "graph_triangle_count",
