@@ -1095,7 +1095,7 @@ def duplicated_sentence_spans_oracle_sql(
 
 def sentence_spans_against(
     new: DataFrame,
-    corpus: DataFrame,
+    corpus: "DataFrame | SentenceHashStore",
     id_col: str,
     text_col: str = "text",
     *,
@@ -1113,23 +1113,247 @@ def sentence_spans_against(
     NOT handled here — run :func:`duplicated_sentence_spans` over the
     new batch first (or after) if batches can self-duplicate.
 
+    ``corpus`` is either the corpus DataFrame (one-shot shape: its text
+    is scanned, hashed, and reduced to a distinct 8-byte-hash set in
+    this plan) or a persisted :class:`SentenceHashStore` (steady-state
+    shape: the hash set was built ONCE by
+    :func:`build_sentence_hash_store` and each batch reads only the
+    hash parquet — the corpus text is never rescanned). The two paths
+    are value-identical on the same corpus state (pinned by the
+    ``dedup_sentence_spans_stored`` gate row, same-oracle pattern as
+    ``dedup_minhash_lsh_stored``).
+
     Scale shape: the corpus side reduces to DISTINCT window hashes (one
-    map-side-combined shuffle carrying 8-byte hashes — at 100 TB this
-    is the set you persist next to the corpus and reuse per batch); the
-    new batch joins against it on the hash and merges spans per doc.
-    The corpus text is scanned once and never carried past the hash.
+    map-side-combined shuffle carrying 8-byte hashes — at 100 TB: the
+    :class:`SentenceHashStore` artifact); the new batch joins against
+    it on the hash and merges spans per doc. The corpus text is scanned
+    at most once and never carried past the hash.
     """
-    corpus_h = (
-        _sentence_windows(corpus, id_col, text_col, window)
-        .select("__h")
-        .distinct()
-    )
+    if isinstance(corpus, SentenceHashStore):
+        corpus.check(window=window)
+        # folds may repeat a hash the base (or another fold) already
+        # holds — distinct here, or every duplicate multiplies the join
+        # hits and the same window merges twice into a double-counted
+        # span. Map-side combine makes this one cheap 8-byte shuffle.
+        corpus_h = corpus.hashes.select("__h").distinct()
+    else:
+        corpus_h = (
+            _sentence_windows(corpus, id_col, text_col, window)
+            .select("__h")
+            .distinct()
+        )
     hits = (
         _sentence_windows(new, id_col, text_col, window)
         .join(corpus_h, on="__h")
         .select(id_col, "__pos")
     )
     return _merge_marked_windows(hits, id_col, window)
+
+
+class SentenceHashStore:
+    """A persisted corpus sentence-window hash set — the artifact
+    :func:`sentence_spans_against` promises ("the 8-byte-hash set you
+    persist next to the corpus and reuse per batch", VERDICT r11 #1).
+
+    At 100 TB the whole point of the incremental span dedup is NOT
+    rescanning the corpus per batch, yet without this store every
+    ``sentence_spans_against`` call recomputed the corpus windows —
+    the recompute IS the cost the operator exists to avoid. Build the
+    set once (:func:`build_sentence_hash_store` — one sentence+hash
+    pass over the corpus, persisting ~8 bytes per window, orders of
+    magnitude smaller than text), serve every batch from the parquet
+    scan, and fold each accepted batch's own windows back with
+    :func:`sentence_hash_store_add` so the next batch also dedups
+    against everything admitted since the build.
+
+    Same manifest/fencing lifecycle as :class:`SignatureStore`
+    (``sources/store_manifest.py``): folds accumulate under
+    ``span_hash_folds/batch_id=N`` (overwrite-per-epoch, so a replayed
+    batch REPLACES its rows — idempotent), and
+    :func:`sentence_hash_store_compact` merges base+folds into a fresh
+    distinct generation behind an atomic manifest flip.
+
+    No tombstones, deliberately: a window hash is a SET member
+    contributed by every document containing that sentence run —
+    deleting one document cannot soundly remove the hash without a
+    refcount (another doc may still hold the run), and an unsoundly
+    removed hash would let the next batch re-admit text the corpus
+    still contains. Takedown-scale deletions rebuild the store from
+    the filtered corpus (one pass — the same cost the original build
+    paid); per-doc tombstoning is the SignatureStore's job where
+    signatures ARE per-doc.
+
+    ``window`` is persisted and re-checked at use: a store built at a
+    different window grain than the consuming call raises instead of
+    silently matching nothing. The hash embeds the
+    :func:`..text.sentence_array` convention — a store predates any
+    change to SENT_RE, so bump stores when the convention changes.
+    """
+
+    def __init__(self, hashes: DataFrame, *, window: int):
+        self.hashes = hashes
+        self.window = window
+
+    def check(self, *, window: int) -> None:
+        if window != self.window:
+            raise ValueError(
+                f"sentence-hash store was built with window={self.window}; "
+                f"call requested window={window} — the persisted hashes "
+                "are of a different span grain and would match nothing"
+            )
+
+
+# Component -> directory names of a sentence-hash store (manifest
+# protocol versions them on compaction; pre-manifest stores read as
+# exactly these names — same convention as _SIG_COMPONENTS).
+_SPANHASH_COMPONENTS = {
+    "hashes": "span_hashes",
+    "folds": "span_hash_folds",
+}
+
+
+def build_sentence_hash_store(
+    corpus: DataFrame,
+    id_col: str,
+    path: str,
+    text_col: str = "text",
+    *,
+    window: int = 3,
+    mode: str = "overwrite",
+) -> "SentenceHashStore":
+    """One sentence+hash pass over the corpus, persisting the DISTINCT
+    window-hash set under ``path`` (``span_hashes/`` parquet + a
+    one-row ``params/`` parquet). Returns the store re-read from disk,
+    so downstream plans run against exactly what was persisted."""
+    from window_aggregation_spark.sources import store_manifest as sm
+
+    if mode not in ("overwrite", "error", "errorifexists"):
+        # append would stack params rows (arbitrary row wins -> wrong
+        # window grain) and bypass the manifest after a compaction;
+        # growing the set is sentence_hash_store_add's job
+        raise ValueError(
+            f"mode must be overwrite/error, got {mode!r}; the hash set is "
+            "grown per admitted batch via sentence_hash_store_add, never "
+            "by re-running the builder"
+        )
+    spark = corpus.sparkSession
+    if mode == "overwrite":
+        # a rebuild over a lifecycle-managed store must clear the old
+        # MANIFEST/fold partitions, or loads keep resolving the
+        # previous generation's folds on top of the fresh base
+        sm.reset_generations(path, _SPANHASH_COMPONENTS)
+    hashes = (
+        _sentence_windows(corpus, id_col, text_col, window)
+        .select("__h")
+        .distinct()
+    )
+    hashes.write.mode(mode).parquet(f"{path}/span_hashes")
+    spark.createDataFrame(
+        [(window,)], "window int"
+    ).coalesce(1).write.mode(mode).parquet(f"{path}/params")
+    return load_sentence_hash_store(spark, path)
+
+
+def load_sentence_hash_store(spark, path: str) -> "SentenceHashStore":
+    """Load a persisted sentence-hash store; the hashes stay a lazy
+    parquet scan (only the one params row reaches the driver). Fold
+    partitions written by :func:`sentence_hash_store_add` union in
+    here; the base written at build time is never touched after the
+    fact. Existence checks go through the Hadoop FS layer so folds on
+    object stores are seen too."""
+    from window_aggregation_spark.sources import store_manifest as sm
+
+    m = sm.read_manifest(path, _SPANHASH_COMPONENTS)
+    p = spark.read.parquet(f"{path}/params").first()
+    base = spark.read.parquet(f"{path}/{m['hashes']}")
+    folds_dir = f"{path}/{m['folds']}"
+    if sm.dir_exists(spark, folds_dir):
+        folds = spark.read.parquet(folds_dir).select("__h")
+        base = base.unionByName(folds)
+    return SentenceHashStore(base, window=int(p["window"]))
+
+
+def sentence_hash_store_add(
+    new: DataFrame,
+    id_col: str,
+    path: str,
+    text_col: str = "text",
+    *,
+    batch_id: int,
+) -> "SentenceHashStore":
+    """Fold an ADMITTED batch's window hashes into the store, so the
+    next batch dedups against everything accepted since the build —
+    pass the batch AFTER cutting (:func:`cut_sentence_spans` output,
+    or the post-filter survivors): folding pre-cut text would poison
+    the set with windows the corpus never admitted, and later
+    re-submissions of that rejected content would be wrongly cut.
+
+    ``batch_id`` keys an overwrite-per-epoch fold partition
+    (``span_hash_folds/batch_id=N`` — the :mod:`..streaming`
+    ingest-loop convention): a replayed batch REPLACES its own rows
+    instead of appending duplicates, so retries are idempotent.
+    Duplicate hashes ACROSS folds/base are harmless for correctness
+    (serving distincts the union) and disappear at the next
+    :func:`sentence_hash_store_compact`."""
+    from window_aggregation_spark.sources import store_manifest as sm
+
+    sm.check_store_path(path, "sentence-hash store")
+    spark = new.sparkSession
+    m = sm.read_manifest(path, _SPANHASH_COMPONENTS)
+    p = spark.read.parquet(f"{path}/params").first()
+    hashes = (
+        _sentence_windows(new, id_col, text_col, int(p["window"]))
+        .select("__h")
+        .distinct()
+    )
+    hashes.write.mode("overwrite").parquet(
+        f"{path}/{m['folds']}/batch_id={int(batch_id)}"
+    )
+    return load_sentence_hash_store(spark, path)
+
+
+def sentence_hash_store_compact(
+    spark, path: str, *, sweep: bool = False
+) -> "SentenceHashStore":
+    """Merge the fold partitions into ONE new distinct base generation
+    behind a single atomic manifest flip: serving stops paying the
+    per-call union+distinct over every fold ever folded. No-op when
+    there are no folds. Run it with the ingest loop STOPPED (a batch
+    retried across the compaction would find its fold merged away —
+    harmless HERE because re-folding a merged batch only re-adds
+    already-present hashes, but the quiet-window discipline is the
+    same as every log-structured store's). ``sweep`` deletes the
+    superseded generation dirs right after the flip — only safe with
+    no concurrent readers; default keeps them for
+    :func:`sentence_hash_store_gc`."""
+    from window_aggregation_spark.sources import store_manifest as sm
+
+    sm.check_store_path(path, "sentence-hash store")
+    m = sm.read_manifest(path, _SPANHASH_COMPONENTS)
+    if not sm.dir_exists(spark, f"{path}/{m['folds']}"):
+        return load_sentence_hash_store(spark, path)
+    merged = load_sentence_hash_store(spark, path).hashes.distinct()
+    new = {
+        c: sm.next_version(path, _SPANHASH_COMPONENTS[c], m[c])
+        for c in ("hashes", "folds")
+    }
+    merged.write.parquet(f"{path}/{new['hashes']}")
+    # expected=m: a compact racing a concurrent add must raise, not
+    # silently erase the fold that add just published
+    sm.write_manifest(path, {**m, **new}, expected=m)
+    if sweep:
+        for c in ("hashes", "folds"):
+            sm.sweep_stale(path, _SPANHASH_COMPONENTS[c], new[c])
+    return load_sentence_hash_store(spark, path)
+
+
+def sentence_hash_store_gc(path: str, *, grace_seconds: float = 900.0) -> dict:
+    """Out-of-band reclaim of superseded sentence-hash-store generations
+    — run from a quiet window (the same slot as compactions); see
+    ``sources/store_manifest.gc_store``."""
+    from window_aggregation_spark.sources import store_manifest as sm
+
+    return sm.gc_store(path, _SPANHASH_COMPONENTS, grace_seconds=grace_seconds)
 
 
 def sentence_spans_against_oracle_sql(

@@ -1249,6 +1249,44 @@ def pair_cache_for(spark: SparkSession, sf_dir: str):
     return pairs
 
 
+# The incremental-span fixture: split the corpus into an EXISTING corpus
+# and a NEW batch — even docs on both sides share a planted 3-sentence
+# tail (the corpus-shared window the incremental pass must cut), odd
+# docs get three per-doc-unique sentences (the negatives). Module-level
+# because the persisted-store builder below and the registered queries
+# must derive the IDENTICAL corpus slice.
+_SPANS_SYNTH_SQL = (
+    "substr(text, 1, 40) || '. ' || "
+    "CASE WHEN doc_id % 2 = 0 "
+    "THEN 'And more here. Also this one. Plus a final sentence.' "
+    "ELSE substr(text, 41, 40) || '. ' || substr(text, 81, 40) "
+    "|| '. ' || substr(text, 121, 40) || '.' END"
+)
+
+
+def sentence_hash_store_for(spark: SparkSession, sf_dir: str):
+    """The per-fixture persisted sentence-hash store the incremental
+    span-dedup _stored twin serves from (VERDICT r11 #1): built once
+    under /tmp over the fixture's EXISTING-corpus slice (path keyed by
+    the source parquet's identity, so a regenerated fixture invalidates
+    the cache), loaded on every later call. bench.py builds it outside
+    the timed region — write-once-artifact accounting, same as the
+    minhash signature store."""
+    import os
+
+    from window_aggregation_spark.operators import dedup as dd
+
+    path = fixture_store_path(sf_dir, "spanhash")
+    if not os.path.exists(f"{path}/params"):
+        corpus = (
+            read_table(spark, sf_dir, "documents")
+            .select("doc_id", F.expr(_SPANS_SYNTH_SQL).alias("t2"))
+            .where(F.col("doc_id") % 3 != 0)
+        )
+        return dd.build_sentence_hash_store(corpus, "doc_id", path, "t2")
+    return dd.load_sentence_hash_store(spark, path)
+
+
 def _register_dedup() -> None:
     from window_aggregation_spark.operators import dedup as dd
 
@@ -1532,17 +1570,9 @@ def _register_dedup() -> None:
         docs = read_table(spark, sf_dir, "documents")
         return dd.duplicated_spans(docs, "doc_id", window=15)
 
-    # split the fixture corpus into an EXISTING corpus and a NEW batch:
-    # even docs on both sides share a planted 3-sentence tail (the
-    # corpus-shared window the incremental pass must cut), odd docs get
-    # three per-doc-unique sentences (the negatives)
-    _SPANS_SYNTH_SQL = (
-        "substr(text, 1, 40) || '. ' || "
-        "CASE WHEN doc_id % 2 = 0 "
-        "THEN 'And more here. Also this one. Plus a final sentence.' "
-        "ELSE substr(text, 41, 40) || '. ' || substr(text, 81, 40) "
-        "|| '. ' || substr(text, 121, 40) || '.' END"
-    )
+    # the EXISTING-corpus / NEW-batch fixture split is module-level
+    # (_SPANS_SYNTH_SQL, by sentence_hash_store_for) — the store builder
+    # and the queries must hash the IDENTICAL corpus slice
     _SPANS_NEW = (
         f"(SELECT doc_id, {_SPANS_SYNTH_SQL} AS t2 FROM documents "
         "WHERE doc_id % 3 = 0)"
@@ -1552,12 +1582,14 @@ def _register_dedup() -> None:
         "WHERE doc_id % 3 <> 0)"
     )
 
-    @_register(
-        "dedup_sentence_spans_against",
-        dd.sentence_spans_against_oracle_sql(
-            _SPANS_NEW, _SPANS_CORPUS, "doc_id", "t2"
-        ),
+    # ONE oracle string for both the recompute and the store-served
+    # incremental span twins — hash-equality by construction, the
+    # dedup_minhash_lsh_stored pattern
+    _spans_against_oracle = dd.sentence_spans_against_oracle_sql(
+        _SPANS_NEW, _SPANS_CORPUS, "doc_id", "t2"
     )
+
+    @_register("dedup_sentence_spans_against", _spans_against_oracle)
     def dedup_sentence_spans_against(
         spark: SparkSession, sf_dir: str
     ) -> DataFrame:
@@ -1566,8 +1598,8 @@ def _register_dedup() -> None:
         EXISTING corpus are marked — every new-side occurrence, no
         keep-one exception (the kept copy lives in the corpus) — while
         the corpus is never re-deduped and its text never carried past
-        a distinct-hash set (at 100 TB: the 8-byte-hash set you persist
-        next to the corpus and reuse per batch)
+        a distinct-hash set (at 100 TB: the persisted
+        SentenceHashStore the _stored twin serves from)
         (operators/dedup.py::sentence_spans_against)."""
         base = read_table(spark, sf_dir, "documents").select(
             "doc_id", F.expr(_SPANS_SYNTH_SQL).alias("t2")
@@ -1575,6 +1607,27 @@ def _register_dedup() -> None:
         new = base.where(F.col("doc_id") % 3 == 0)
         corpus = base.where(F.col("doc_id") % 3 != 0)
         return dd.sentence_spans_against(new, corpus, "doc_id", "t2")
+
+    @_register("dedup_sentence_spans_stored", _spans_against_oracle,
+               headline=True)
+    def dedup_sentence_spans_stored(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        """Incremental span dedup served from the persisted
+        SentenceHashStore (VERDICT r11 #1) — the TRUE steady-state
+        shape: the corpus sentence+hash pass ran ONCE at store build;
+        each batch reads only the 8-byte-hash parquet, so the corpus
+        text is never rescanned per batch (at 100 TB the rescan IS the
+        cost the incremental operator exists to avoid). Hash-equal to
+        dedup_sentence_spans_against by construction (same oracle SQL
+        object; the store holds exactly the corpus slice's distinct
+        window hashes) (operators/dedup.py::SentenceHashStore)."""
+        base = read_table(spark, sf_dir, "documents").select(
+            "doc_id", F.expr(_SPANS_SYNTH_SQL).alias("t2")
+        )
+        new = base.where(F.col("doc_id") % 3 == 0)
+        store = sentence_hash_store_for(spark, sf_dir)
+        return dd.sentence_spans_against(new, store, "doc_id", "t2")
 
     @_register("dedup_simhash", _duck_simhash_sql())
     def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5198,53 +5251,59 @@ _register_weighted_sample()
 # round; everything rotated out was driver-recorded green in r5
 # (CORRECTNESS_r05.json) and stays judge/gate-sim covered.
 _DRIVER_PRIORITY = [
-    # --- Round-11 rotation (VERDICT r10 next-round #1): oldest-record-
-    # first. The head is now CONSTRUCTED, not curated: (a) this round's
-    # never-recorded queries (pipeline_c4_clean, sim_topk_hybrid,
-    # corpus_prune_dup_lines_joined), (b) each family's oldest-recorded
-    # member as its anchor, (c) remaining slots filled strictly by
-    # oldest driver record. That pulls in the ENTIRE r4/r5 cohort (32
-    # queries, incl. the Section-2 parity anchors w_continuous_percentile,
-    # w_row_number_ntile, w_repartition_output, w_golden_alias_overwrite
-    # and the r10-changed sim_topk_quantized) plus the 14 oldest r6
-    # rows; after this round no un-slotted query's record is older than
-    # r6. tests/test_driver_slots.py::test_driver_rotation_recency pins
-    # the invariant so the stale tail cannot regrow.
-    # --- never recorded (r11-new) ---------------------------------------
-    "pipeline_c4_clean",
-    "sim_topk_hybrid",
-    "corpus_prune_dup_lines_joined",
-    "dedup_sentence_spans_against",  # cedes corpus_take_n_stratum (r6;
-                                     # corpus family keeps 10 slots)
-    # --- r4/r5 cohort (oldest records in the ledger) ---------------------
-    "text_fingerprint",                      # r4
-    "asof_join_forward",
-    "corpus_decontaminate", "corpus_mix_budget", "corpus_pack_sequences",
-    "corpus_split_hash", "corpus_stratified_sample",
-    "dedup_embedding_cosine", "dedup_exact_key", "dedup_semantic_pairs",
-    "dedup_substring_spans",
-    "mm_audio_features",
-    "sim_topk_bruteforce", "sim_topk_lsh", "sim_topk_quantized",
-    "skew_salted_join",
-    "stream_interval_join", "stream_sessionize",
-    "text_profile", "text_quality_model",
-    "w_accumulate_range_frame", "w_accumulate_rows_frame",
-    "w_continuous_percentile", "w_events_running", "w_extended_aggregates",
-    "w_first_last_running", "w_golden_alias_overwrite", "w_multi_one_pass",
-    "w_range_interval_frame", "w_repartition_output", "w_row_number_ntile",
-    "w_unbounded_following",
-    # --- oldest r6 rows + remaining family anchors -----------------------
-    "agg_rollup_lineitem",
-    "cdc_scd2_state",
-    "corpus_pack_shards", "corpus_prune_frequent", "corpus_redact_pii",
-    "corpus_repetition",
-    "dedup_content_md5", "dedup_incremental",
-    "dq_expectations_orders",
-    "graph_triangle_count",
-    "join_bloom_prefilter",
-    "range_join_left",
-    "ts_resample_ffill",
-    "search_bm25_index_add",  # search anchor: the family's oldest (r9)
+    # --- Round-12 rotation (VERDICT r11 next-round #2), oldest-record-
+    # first construction: (a) this round's never-recorded query, (b) the
+    # ENTIRE r6 cohort (19 queries — the recency invariant
+    # tests/test_driver_slots.py::test_driver_rotation_recency fails at
+    # maxr=12 for any of them left un-slotted), (c) the full r7/r8/r9
+    # cohorts (15 — refreshed to age 0 rather than riding at age 3-5),
+    # (d) one anchor per family not already covered, picked r10-oldest,
+    # (e) the remaining slots go to queries whose CODE changed this
+    # round ahead of their newest driver record (hybrid re-rank trim,
+    # language-detector tier, prune-auto capstone) plus the two sf1
+    # growth-curve profilees. After this round no un-slotted query's
+    # newest record is older than r10.
+    # --- never recorded (r12-new) ----------------------------------------
+    "dedup_sentence_spans_stored",
+    # --- r6 cohort (oldest records in the ledger; 19) ---------------------
+    "corpus_take_n_stratum",
+    "dedup_incremental_estimate", "dedup_keep_best",
+    "dedup_minhash_cc", "dedup_minhash_cc_stored",
+    "dedup_minhash_lsh_stored", "dedup_ngram_jaccard", "dedup_simhash",
+    "mm_video_features",
+    "skew_salted_running_stats",
+    "stream_dedup_events", "stream_interval_join_left",
+    "stream_sliding_counts",
+    "text_language_id", "text_token_counts",
+    "w_events_running_salted", "w_multi_spec_plans",
+    "w_stats_nth_value", "w_two_field_moments",
+    # --- r7 cohort (5) -----------------------------------------------------
+    "agg_cube_orders", "corpus_chunk", "corpus_shuffle",
+    "stream_anomaly_zscore", "ts_ohlc_daily",
+    # --- r8 cohort (5) -----------------------------------------------------
+    "corpus_split_leakage_safe", "dedup_store_deleted",
+    "text_perplexity_bigram", "ts_cohort_retention", "ts_funnel_steps",
+    # --- r9 cohort (5) -----------------------------------------------------
+    "agg_grouping_sets_orders", "corpus_top_terms",
+    "sim_embedding_covariance", "stream_interval_join_ss_left",
+    "text_repetition_gopher",
+    # --- family anchors not covered above (r10-oldest per family) ---------
+    "asof_join_events",
+    "cdc_snapshot_diff",
+    "dq_drift_psi",
+    "graph_pagerank",
+    "join_fuzzy_part_names",   # also this round's sf1-ratio profilee
+    "pipeline_c4_clean",       # changed this round: strategy='auto' wiring
+    "range_join_incidents",
+    "search_bm25_topk",
+    # --- code changed this round ahead of newest record + profilees -------
+    "sim_topk_hybrid",         # union-once exact re-rank (r11 verdict #6)
+    "text_gopher_quality",     # detector tier + und policy (r11 verdict #7)
+    "corpus_prune_dup_lines",  # r11 code change, newest record r10
+    "dedup_minhash_lsh",       # r11 code change, newest record r10
+    "sim_topk_ivf",            # r11 code change, newest record r10
+    "w_approx_percentile",     # sf1-ratio profilee (r11 verdict #4)
+    "src_schema_evolution",    # the src_ family's first-ever slot
 ]
 
 
