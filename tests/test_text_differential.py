@@ -463,6 +463,181 @@ def test_gopher_quality_gated_per_language(spark):
     assert none_gated == raw
 
 
+def test_language_tier_r12_detects_and_gates(spark):
+    """VERDICT r11 #7: the pt/it/nl/ja tier — each new language (a) is
+    detected by both engines identically (the oracle derives from the
+    same STOPWORDS/LANG_PRIORITY tables, so parity is structural, but
+    pin it anyway), (b) no longer mass-fails the English-stopword rule
+    under the default per-language overrides, (c) never flips a
+    document the r11 detector already labeled (additions append after
+    the original six in priority, so ties keep the old winner)."""
+    import duckdb as _duck
+    import pandas as pd
+
+    from window_aggregation_spark.operators.text import (
+        gopher_quality_pass,
+        gopher_quality_pass_by_language,
+        language_id_oracle_expr,
+        language_pred,
+    )
+
+    fixtures = {
+        "pt": "este texto fala de um projeto que vamos fazer para o time "
+              "com apoio da empresa e não vamos parar em nada do caminho",
+        "it": "questo testo parla di un progetto che il gruppo vuole fare "
+              "per una azienda e non sono cose banali ma idee con futuro",
+        "nl": "de groep schrijft een verhaal over het werk dat niet af is "
+              "en wij zijn van plan om op te schieten met de volgende stap",
+        # segmented (the zh/ja overrides assume segmented text — the
+        # documented convention; unsegmented CJK is one giant "word")
+        "ja": "これ は 新しい 研究 の 話 です 。 私 たち は 毎日 データ "
+              "を 集めて 、 結果 を 調べて から 報告 します 。",
+        # the original six must keep their labels (regression guard)
+        "en": "the quick brown fox jumps over that lazy dog with energy "
+              "and it is a fine day for all of the animals in the field",
+        "es": "el grupo de personas que vive en la ciudad quiere un futuro "
+              "mejor por los niños y con mucho trabajo los vamos a ayudar",
+        "fr": "le groupe de personnes qui vivent dans les villes et les "
+              "champs est pour la science et que des bonnes idées pour tous",
+    }
+    rows = [(i, lang, (txt + " ") * 4) for i, (lang, txt)
+            in enumerate(fixtures.items())]
+    df = spark.createDataFrame(rows, "doc_id long, want string, text string")
+    got = {
+        r.want: r.lp
+        for r in df.select(
+            "want", language_pred("text").alias("lp")
+        ).collect()
+    }
+    assert got == {lang: lang for lang in fixtures}
+    con = _duck.connect()
+    try:
+        con.register(
+            "t", pd.DataFrame(rows, columns=["doc_id", "want", "text"])
+        )
+        oracle = dict(
+            con.execute(
+                f"SELECT want, {language_id_oracle_expr('text')} FROM t"
+            ).fetchall()
+        )
+    finally:
+        con.close()
+    assert oracle == got
+    # gating: every clean non-English doc fails the published rules
+    # (the 8-English-stopword requirement) but passes the gated verdict
+    non_en = df.where("want <> 'en'")
+    raw = {
+        r.want: r.qp
+        for r in non_en.select(
+            "want", gopher_quality_pass("text").alias("qp")
+        ).collect()
+    }
+    assert raw == {lang: False for lang in fixtures if lang != "en"}
+    gated = {
+        r.want: r.qp
+        for r in non_en.select(
+            "want", gopher_quality_pass_by_language("text").alias("qp")
+        ).collect()
+    }
+    assert gated == {lang: True for lang in fixtures if lang != "en"}
+
+
+def test_und_policy_structural_judges_unknown_languages_on_structure(spark):
+    """VERDICT r11 #7, the honesty boundary: languages past the
+    detector's tier route to 'und'. und_policy='structural' judges them
+    on the structural rules only (clean Polish text passes; digit soup
+    and a bullet-list page still fail), the default keeps the r11
+    English-tuned filtering, an explicit 'und' override wins over the
+    policy, and unknown policy values raise."""
+    import pytest as _pytest
+
+    from window_aggregation_spark.operators.text import (
+        gopher_quality_pass_by_language,
+        language_pred,
+    )
+
+    pl = (
+        "grupa ludzi pracuje nad nowym projektem badawczym ktory zmienia "
+        "sposob mysleniu miescie przyszlosci oraz daje wiele dobrych "
+        "wynikow naukowych "
+    ) * 4
+    junk = " ".join(str(1111 * i) for i in range(60))
+    bullets = "\n".join("- pozycja listy numer " + str(i) for i in range(60))
+    rows = [(1, pl), (2, junk), (3, bullets)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    assert {
+        r.doc_id: r.lp
+        for r in df.select(
+            "doc_id", language_pred("text").alias("lp")
+        ).collect()
+    } == {1: "und", 2: "und", 3: "und"}
+
+    def verdicts(**kw):
+        return {
+            r.doc_id: r.qp
+            for r in df.select(
+                "doc_id",
+                gopher_quality_pass_by_language("text", **kw).alias("qp"),
+            ).collect()
+        }
+
+    assert verdicts() == {1: False, 2: False, 3: False}  # r11 default
+    assert verdicts(und_policy="structural") == {
+        1: True, 2: False, 3: False,
+    }
+    # an explicit und override beats the policy
+    assert verdicts(
+        und_policy="structural",
+        per_language_overrides={"und": {"max_words": 1}},
+    ) == {1: False, 2: False, 3: False}
+    with _pytest.raises(ValueError, match="und_policy"):
+        gopher_quality_pass_by_language("text", und_policy="lenient")
+
+
+def test_min_nonnum_word_frac_mirrors_cross_engine(spark):
+    """The script-agnostic junk guard must agree across engines when
+    enabled (Java vs RE2 on the pure-ASCII class ranges), and leave the
+    published-rules oracle SQL byte-identical when disabled (the
+    default 0.0)."""
+    import duckdb as _duck
+    import pandas as pd
+
+    from window_aggregation_spark.operators.text import (
+        quality_signals_gopher,
+        quality_signals_gopher_oracle_sql,
+    )
+
+    assert "nonnum" not in quality_signals_gopher_oracle_sql()
+    rules = {"min_nonnum_word_frac": 0.8, "min_alpha_word_frac": 0.0,
+             "min_stopword_hits": 0}
+    rows = [
+        (1, " ".join(str(1111 * i) for i in range(60))),        # digit soup
+        (2, ("grupa ludzi pracuje nad nowym projektem badawczym "
+             "naukowych wynikow dobrych wiele daje oraz miescie ") * 7),
+        (3, ("это новая наука и все люди хотят знать больше о мире "
+             "вокруг нас сегодня и завтра утром ") * 5),         # non-ASCII
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: r.quality_pass
+        for r in quality_signals_gopher(df, rules=rules).collect()
+    }
+    assert got == {1: False, 2: True, 3: True}
+    con = _duck.connect()
+    try:
+        con.register("t", pd.DataFrame(rows, columns=["doc_id", "text"]))
+        want = dict(
+            con.execute(
+                "SELECT doc_id, quality_pass FROM ("
+                + quality_signals_gopher_oracle_sql("t", rules=rules)
+                + ")"
+            ).fetchall()
+        )
+    finally:
+        con.close()
+    assert {int(k): bool(v) for k, v in want.items()} == got
+
+
 def test_sentence_array_ws_class_and_caps_ru_cross_engine(spark):
     """r11 self-review, pinned: (a) sentence canonicalization must use
     WS_RE, not \\s — Java's \\s matches \\x0B, RE2's does not, so a

@@ -39,6 +39,10 @@ WS_RE = f"[{WS_CLASS}]+"
 # letters / digits / single non-alnum-non-space symbol — a BPE-ish split
 BPE_RE = f"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9{WS_CLASS}]"
 PUNCT_RE = "[.,;:!?]"
+# a character that is neither an ASCII digit nor ASCII punctuation —
+# i.e. a letter of ANY script (pure-ASCII class ranges !-/ :-@ [-` {-~,
+# identical in Java and RE2); the min_nonnum_word_frac guard's test
+NONNUM_WORD_RE = "[^0-9!-/:-@\\[-`{-~]"
 _MOD = 2147483647  # 2^31 - 1
 
 # Small public stopword lists — enough signal for a heuristic language ID.
@@ -52,9 +56,24 @@ STOPWORDS: dict[str, tuple[str, ...]] = {
     # highest-frequency lowercase Cyrillic letters — a script detector,
     # exactly the role the hanzi list plays for zh
     "ru": ("о", "е", "а", "и", "н", "т", "с", "р", "в", "л"),
+    # round-12 tier (VERDICT r11 #7): same pattern, next most common web
+    # languages. pt/it/nl are token-scored Latin lists; ja is char-based
+    # on the highest-frequency HIRAGANA (particles/inflection — unique to
+    # Japanese, so kanji shared with the zh list cannot flip the winner
+    # as long as any hiragana is present, which running ja text
+    # guarantees; romaji-only or katakana-only text stays 'und').
+    "pt": ("de", "que", "o", "da", "do", "em", "um", "para", "com", "não"),
+    "it": ("di", "che", "il", "la", "per", "un", "non", "sono", "una", "con"),
+    "nl": ("de", "het", "een", "van", "en", "dat", "niet", "op", "te", "zijn"),
+    "ja": ("の", "に", "は", "を", "た", "が", "で", "て", "と", "し"),
 }
-# deterministic tie-break: first language in this order wins
-LANG_PRIORITY: tuple[str, ...] = ("en", "es", "de", "fr", "zh", "ru")
+# deterministic tie-break: first language in this order wins. The r12
+# additions append AFTER the original six, so every pre-existing
+# tie-break verdict is unchanged (a new language must score STRICTLY
+# higher to win a document the old detector labeled).
+LANG_PRIORITY: tuple[str, ...] = (
+    "en", "es", "de", "fr", "zh", "ru", "pt", "it", "nl", "ja",
+)
 
 
 def tokens(text: Column) -> Column:
@@ -64,7 +83,7 @@ def tokens(text: Column) -> Column:
 # languages whose "stopwords" are single characters and whose text the
 # [a-z0-9]+ tokenizer cannot segment — scored by raw character
 # occurrences instead of token hits
-CHAR_BASED_LANGS: tuple = ("zh", "ru")
+CHAR_BASED_LANGS: tuple = ("zh", "ru", "ja")
 
 
 def _stopword_hits(toks: Column, lang: str) -> Column:
@@ -399,6 +418,15 @@ GOPHER_QUALITY_RULES: dict = {
     "max_ellipsis_line_frac": 0.30,  # lines ending with an ellipsis
     "min_alpha_word_frac": 0.80,     # words containing a letter
     "min_stopword_hits": 2,          # distinct hits from the 8-word list
+    # NOT a published Gopher rule — a script-AGNOSTIC junk guard, OFF by
+    # default (0.0) so the published rule set is bit-unchanged: fraction
+    # of words containing any character that is neither an ASCII digit
+    # nor ASCII punctuation (i.e. a letter of ANY script). The
+    # und_policy="structural" path turns it on because dropping the
+    # ASCII alpha rule for unknown scripts would otherwise re-admit
+    # digit/symbol soup. Predicate-only: it is not one of the published
+    # signal columns quality_signals_gopher emits.
+    "min_nonnum_word_frac": 0.0,
 }
 # the paper's required-stopword list
 GOPHER_STOPWORDS: tuple = ("the", "be", "to", "of", "and", "that",
@@ -476,6 +504,40 @@ GOPHER_PER_LANGUAGE_OVERRIDES: dict = {
         "min_stopword_hits": 0,
         "min_mean_word_len": 1.0,
     },
+    # ja shares zh's CJK shape: no ASCII alpha words, no English
+    # stopwords, and (segmented) words of 1-2 characters
+    "ja": {
+        "min_alpha_word_frac": 0.0,
+        "min_stopword_hits": 0,
+        "min_mean_word_len": 1.0,
+    },
+    # Latin-script non-English (r12): the alpha-word rule is fine (ASCII
+    # letters dominate even accented words), but the 8-REQUIRED-ENGLISH-
+    # stopwords rule mass-fails every clean document — drop only it.
+    # These entries cover the detectable tier; es/de/fr were silently
+    # English-filtered in r11 even though the detector could name them.
+    "es": {"min_stopword_hits": 0},
+    "de": {"min_stopword_hits": 0},
+    "fr": {"min_stopword_hits": 0},
+    "pt": {"min_stopword_hits": 0},
+    "it": {"min_stopword_hits": 0},
+    "nl": {"min_stopword_hits": 0},
+}
+
+
+#: ``und_policy="structural"``'s rule relaxation for undetected
+#: documents: exactly the two English-tuned rules are dropped (the
+#: ASCII alpha-word fraction and the 8-English-stopword requirement);
+#: every structural rule — word-count bounds, mean word length, symbol
+#: ratios, bullet/ellipsis line fractions — stays at the published
+#: thresholds, so structural garbage still fails.
+UND_STRUCTURAL_OVERRIDES: dict = {
+    "min_alpha_word_frac": 0.0,
+    "min_stopword_hits": 0,
+    # dropping the ASCII alpha rule alone would re-admit digit/symbol
+    # soup — the script-agnostic replacement keeps it failing (same
+    # 0.80 bar, but "letter of ANY script" instead of ASCII-only)
+    "min_nonnum_word_frac": 0.80,
 }
 
 
@@ -485,6 +547,7 @@ def gopher_quality_pass_by_language(
     rules: dict | None = None,
     per_language_overrides: dict | None = None,
     lang_col: str | None = None,
+    und_policy: str = "english",
 ):
     """The Gopher quality verdict with the English-tuned rules GATED per
     language (VERDICT r10 #7): documents route through the language
@@ -492,20 +555,41 @@ def gopher_quality_pass_by_language(
     existing language column) and each language in
     ``per_language_overrides`` (default
     :data:`GOPHER_PER_LANGUAGE_OVERRIDES`) gets its own relaxed rule
-    set — so a clean Russian or Chinese document no longer mass-fails
-    the ASCII alpha-word and English-stopword rules, while English (and
-    every unlisted language, including 'und') keeps the published
-    defaults. ``rules`` applies everywhere first; a language's
-    overrides layer on top. Still one pure-codegen predicate — zero
-    shuffles, fuses into the scan."""
+    set — so a clean Russian, Chinese, Japanese or Latin-script
+    non-English document no longer mass-fails the ASCII alpha-word /
+    English-stopword rules, while English (and every unlisted
+    language) keeps the published defaults. ``rules`` applies
+    everywhere first; a language's overrides layer on top.
+
+    ``und_policy`` (VERDICT r11 #7) decides what 'und' — a language the
+    detector cannot name — means for the English-tuned rules:
+
+    - ``"english"`` (default, the r11 behavior): undetected text is
+      filtered at the published thresholds. Right when the corpus is
+      predominantly English and 'und' mostly IS low-signal English.
+    - ``"structural"``: undetected text is judged on the structural
+      rules only (:data:`UND_STRUCTURAL_OVERRIDES` layered on top of
+      ``rules``). Right for multilingual corpora where 'und' is mostly
+      languages beyond the detector's tier — without this, every such
+      document is English-filtered regardless of quality.
+
+    An explicit ``"und"`` key in ``per_language_overrides`` wins over
+    the policy. Still one pure-codegen predicate — zero shuffles,
+    fuses into the scan."""
+    if und_policy not in ("english", "structural"):
+        raise ValueError(
+            f"unknown und_policy: {und_policy!r} (english | structural)"
+        )
     lang = (
         F.col(lang_col) if lang_col is not None else language_pred(text_col)
     )
-    overrides = (
+    overrides = dict(
         GOPHER_PER_LANGUAGE_OVERRIDES
         if per_language_overrides is None
         else per_language_overrides
     )
+    if und_policy == "structural" and "und" not in overrides:
+        overrides["und"] = dict(UND_STRUCTURAL_OVERRIDES)
     out = gopher_quality_pass(text_col, rules=rules)
     for lg, ov in overrides.items():
         merged = {**(rules or {}), **ov}
@@ -603,6 +687,16 @@ def _gopher_quality_cols(
         & ok(alpha_frac >= F.lit(float(r["min_alpha_word_frac"])))
         & ok(stop_hits >= F.lit(int(r["min_stopword_hits"])))
     )
+    if float(r["min_nonnum_word_frac"]) > 0:
+        # predicate-only script-agnostic junk guard (see the rules-dict
+        # note): words with any char that is neither an ASCII digit nor
+        # ASCII punctuation — i.e. a letter of ANY script. Pure-ASCII
+        # class ranges, identical in Java and RE2.
+        nonnum = F.size(F.filter(words, lambda w: w.rlike(NONNUM_WORD_RE)))
+        quality_pass = quality_pass & ok(
+            F.try_divide(nonnum, n_words)
+            >= F.lit(float(r["min_nonnum_word_frac"]))
+        )
     signals = {
         "n_words": n_words,
         "mean_word_len": mean_wl,
@@ -643,6 +737,23 @@ def quality_signals_gopher_oracle_sql(
     toks = f"regexp_extract_all(lower({text}), '{TOKEN_RE}')"
     stops = ", ".join(f"'{s}'" for s in GOPHER_STOPWORDS)
     bullets = ", ".join(f"'{b}'" for b in _BULLETS)
+    # the predicate-only min_nonnum_word_frac guard mirrors in only when
+    # enabled, so the published-rules SQL is byte-identical to r11's
+    nn_m = nn_f = nn_pred = ""
+    if float(r["min_nonnum_word_frac"]) > 0:
+        nn_m = (
+            ",\n                 len(list_filter(words, w -> "
+            "regexp_matches(w, '" + NONNUM_WORD_RE + "'))) AS nonnum"
+        )
+        nn_f = (
+            ",\n                 CASE WHEN n_words > 0 THEN "
+            "CAST(nonnum AS DOUBLE) / n_words END AS nonnum_word_frac"
+        )
+        nn_pred = (
+            "\n               AND coalesce(nonnum_word_frac >= "
+            + repr(float(r["min_nonnum_word_frac"]))
+            + ", FALSE)"
+        )
     return f"""
         WITH base AS (
           SELECT {id_col},
@@ -669,7 +780,7 @@ def quality_signals_gopher_oracle_sql(
                  len(list_filter(words, w -> regexp_matches(w, '[A-Za-z]')))
                    AS alpha,
                  len(list_filter([{stops}], s -> list_contains(toks, s)))
-                   AS stopword_hits
+                   AS stopword_hits{nn_m}
           FROM base),
         f AS (
           SELECT {id_col},
@@ -692,7 +803,7 @@ def quality_signals_gopher_oracle_sql(
                  CASE WHEN n_words > 0
                       THEN CAST(alpha AS DOUBLE) / n_words END
                    AS alpha_word_frac,
-                 CAST(stopword_hits AS INT) AS stopword_hits
+                 CAST(stopword_hits AS INT) AS stopword_hits{nn_f}
           FROM m)
         SELECT {id_col}, n_words, mean_word_len, hash_word_ratio,
                ellipsis_word_ratio,
@@ -720,7 +831,7 @@ def quality_signals_gopher_oracle_sql(
                  alpha_word_frac >= {float(r["min_alpha_word_frac"])!r},
                  FALSE)
                AND coalesce(stopword_hits >= {int(r["min_stopword_hits"])},
-                            FALSE)
+                            FALSE){nn_pred}
                AS quality_pass
         FROM f
         """
