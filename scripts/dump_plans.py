@@ -94,6 +94,28 @@ NOTES = {
         "dedup_minhash_lsh_stored the LSH+CC family shares ONE signature "
         "pass per corpus instead of computing it per query."
     ),
+    "dedup_sentence_spans_against": (
+        "2 scans are the corpus (reduced to a distinct 8-byte hash set, "
+        "broadcast into the window join) and the new batch — never a "
+        "second corpus pass; the 2 exchanges are the distinct and the "
+        "per-doc span merge (pinned in tests/test_plan_quality.py::"
+        "test_incremental_span_dedup_plan_shapes)."
+    ),
+    "dedup_sentence_spans_stored": (
+        "same shape as dedup_sentence_spans_against, but the corpus TEXT "
+        "scan is gone: the corpus side reads the persisted "
+        "SentenceHashStore parquet (ReadSchema is the bare __h:bigint) — "
+        "the steady-state batch never rescans the corpus (VERDICT r11 "
+        "#1; same plan pin as above)."
+    ),
+    "pipeline_c4_clean": (
+        "the prune stage runs strategy='auto' (r12): ONE plan-build-time "
+        "driver count over the checkpointed frequent-line key set "
+        "(already aggregated, never the corpus) picks array vs hash-join "
+        "before the visible plan is constructed; the c4+prune stages sit "
+        "behind the lazily-checkpointed pruned intermediate, so the "
+        "visible plan stays the span stage's 3-exchange shape."
+    ),
 }
 
 

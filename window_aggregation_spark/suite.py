@@ -3830,9 +3830,17 @@ def _register_pipeline() -> None:
         # intermediate: the span stage references it TWICE (window
         # source + cut target), and without the truncation each branch
         # re-runs c4+prune from the parquet scan — 6 corpus scans / 15
-        # exchanges instead of 3 scans once + the span stages
+        # exchanges instead of 3 scans once + the span stages.
+        # strategy='auto' (r12, VERDICT r11 #8): at 100 TB a tiny
+        # max_doc_frac on a boilerplate-heavy crawl can push the
+        # blocklist past the broadcast-array bound, and the capstone
+        # must self-select the hash-join fallback rather than degrade
+        # into per-line linear scans. Cost of auto = one driver count
+        # over the already-aggregated, checkpointed line-key set at
+        # plan-build time (all strategies value-identical, so the
+        # oracle is unchanged).
         pruned = cp.prune_duplicated_lines(
-            pages, "doc_id", "c4_text", max_doc_frac=0.3
+            pages, "doc_id", "c4_text", max_doc_frac=0.3, strategy="auto"
         ).select("doc_id", "pruned_text").localCheckpoint(eager=False)
         spans = dd.duplicated_sentence_spans(pruned, "doc_id", "pruned_text")
         return dd.cut_sentence_spans(
