@@ -512,6 +512,18 @@ def layout_probe(spark, sf_dir: str, *, n_files: int = 16) -> dict:
 _SCALED_TABLES = ("lineitem", "events", "documents", "embeddings")
 
 
+def _reads_scaled_table(q) -> bool:
+    """Whether a suite query's input grows in the sf1 fixture: its
+    oracle SQL (the query's authoritative table-level definition)
+    references at least one copies-scaled fact table. Queries over the
+    1x-symlinked dimension tables (part/orders/...) do the same work at
+    both scales. Oracle-less queries conservatively count as scaled."""
+    sql = q.oracle
+    if sql is None:
+        return True
+    return any(t in sql for t in _SCALED_TABLES)
+
+
 def _ensure_scaled_dir(spark, src_dir: str, out_dir: str, copies: int) -> None:
     """Materialize a ~``copies``x copy of ``src_dir`` under ``out_dir``
     (idempotent). Key columns shift per copy — bigger data has more
@@ -593,16 +605,34 @@ def sf1_section(
     spanhash_build = round(time.perf_counter() - t0, 3)
     timings: dict[str, float] = {}
     ratios: dict[str, float] = {}
+    ratios_unscaled: dict[str, float] = {}
     total = 0.0
     for name, q in sorted(headline_queries().items()):
-        t0 = time.perf_counter()
         build = q.bench_build or q.build
-        build(spark, out_dir).write.format("noop").mode("overwrite").save()
-        dt = round(time.perf_counter() - t0, 3)
+        # min-of-2: the section exists for slope, and a single cold rep
+        # was the whole story behind r11's two worst "ratios" (the
+        # recorded join_fuzzy 0.66 re-measured at ~0.1 warm — its input
+        # doesn't even scale; see input_unscaled below)
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            build(spark, out_dir).write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - t0)
+        dt = round(best, 3)
         timings[name] = dt
         total += dt
         if sf01_timings and sf01_timings.get(name):
-            ratios[name] = round(dt / (copies * sf01_timings[name]), 2)
+            ratio = round(dt / (copies * sf01_timings[name]), 2)
+            # Queries whose inputs are ALL 1x-symlinked dimension tables
+            # (no scaled table in their oracle SQL) do identical work at
+            # both scales: linear_ratio's copies-x denominator is a
+            # category error for them (true linearity would read ~1/
+            # copies). Record them separately so the growth-curve table
+            # only contains queries whose input actually grew.
+            if _reads_scaled_table(q):
+                ratios[name] = ratio
+            else:
+                ratios_unscaled[name] = ratio
         print(f"# sf1 {name}: {dt}s", file=sys.stderr, flush=True)
     out = {
         "sf": 1.0,
@@ -612,6 +642,8 @@ def sf1_section(
     }
     if ratios:
         out["linear_ratio"] = ratios
+    if ratios_unscaled:
+        out["ratio_unscaled_input"] = ratios_unscaled
     out["signature_store_build_sec"] = sig_build
     out["pair_cache_build_sec"] = pairs_build
     out["text_index_build_sec"] = tix_build
@@ -900,6 +932,70 @@ def hof_materialization_probe(spark, sf_dir: str) -> dict:
         "inlined_sec": t_in,
         "materialized_sec": t_mat,
         "slowdown_x": round(t_in / max(t_mat, 1e-9), 1),
+    }
+
+
+def span_store_probe(spark, sf_dir: str, *, corpus_mult: int = 64) -> dict:
+    """The SentenceHashStore's reason to exist, measured (r12 — VERDICT
+    r11 #1): the incremental span dedup's batch cost must not scale
+    with the corpus. Three timings over the same new batch —
+
+    - ``rescan_sec``: ``sentence_spans_against(new, corpus_df)``, the
+      r11 shape that re-hashes the corpus text per batch;
+    - ``rescan_big_sec``: same, corpus replicated ``corpus_mult``x
+      (id-shifted) — shows the rescan cost GROWING with the corpus;
+    - ``stored_sec``: served from the persisted hash store — the
+      corpus enters as the 8-byte hash parquet only, so this number
+      should track the BATCH size and sit near-flat as the corpus
+      grows (the store parquet grows, but only in distinct windows).
+
+    min-of-2 noop-forced runs each; ``speedup`` = rescan/stored,
+    ``speedup_big`` = rescan_big/stored — the second is the one that
+    widens with corpus scale (at 100 TB the rescan is simply not
+    runnable per batch). ``corpus_mult`` defaults high (64) because at
+    small multipliers the replicated scan just soaks up idle cores on
+    the 32-thread host and the volume effect is invisible (measured:
+    8x read FASTER than 1x; 64x reads 4x slower while stored stays
+    flat)."""
+    from window_aggregation_spark.operators import dedup as dd
+    from window_aggregation_spark.sources.io import read_table
+    from window_aggregation_spark.suite import (
+        _SPANS_SYNTH_SQL,
+        sentence_hash_store_for,
+    )
+
+    base = read_table(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(_SPANS_SYNTH_SQL).alias("t2")
+    )
+    new = base.where(F.col("doc_id") % 3 == 0)
+    corpus = base.where(F.col("doc_id") % 3 != 0)
+    big = corpus
+    for i in range(1, corpus_mult):
+        big = big.unionByName(
+            corpus.select(
+                (F.col("doc_id") + F.lit(i * 10**9)).alias("doc_id"), "t2"
+            )
+        )
+    store = sentence_hash_store_for(spark, sf_dir)
+
+    def best(df) -> float:
+        t = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            df.write.format("noop").mode("overwrite").save()
+            t = min(t, time.perf_counter() - t0)
+        return round(t, 3)
+
+    rescan = best(dd.sentence_spans_against(new, corpus, "doc_id", "t2"))
+    rescan_big = best(dd.sentence_spans_against(new, big, "doc_id", "t2"))
+    stored = best(dd.sentence_spans_against(new, store, "doc_id", "t2"))
+    return {
+        "corpus_mult": corpus_mult,
+        "rescan_sec": rescan,
+        "rescan_big_sec": rescan_big,
+        "stored_sec": stored,
+        "speedup": round(rescan / max(stored, 1e-9), 2),
+        "speedup_big": round(rescan_big / max(stored, 1e-9), 2),
     }
 
 
@@ -1445,6 +1541,13 @@ def main() -> None:
             )
         except Exception as e:
             sections["prune_dup_lines_strategy_probe"] = {
+                "err": f"{type(e).__name__}: {e}"[:300]
+            }
+    if os.environ.get("SPARK_GRAFT_SPAN_STORE_PROBE", "1") != "0":
+        try:
+            sections["span_store_probe"] = span_store_probe(spark, sf_dir)
+        except Exception as e:
+            sections["span_store_probe"] = {
                 "err": f"{type(e).__name__}: {e}"[:300]
             }
     if os.environ.get("SPARK_GRAFT_ANN_RECALL_PROBE", "1") != "0":

@@ -108,6 +108,13 @@ NOTES = {
         "the steady-state batch never rescans the corpus (VERDICT r11 "
         "#1; same plan pin as above)."
     ),
+    "pipeline_c4_increment": (
+        "the steady-state batch twin of pipeline_c4_clean: the corpus "
+        "side is the persisted SentenceHashStore parquet (no corpus "
+        "text scan — the batch-ingest span policy joins the broadcast "
+        "8-byte hash set), and the c4+prune(auto) stages sit behind the "
+        "same lazily-checkpointed batch intermediate."
+    ),
     "pipeline_c4_clean": (
         "the prune stage runs strategy='auto' (r12): ONE plan-build-time "
         "driver count over the checkpointed frequent-line key set "

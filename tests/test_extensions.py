@@ -955,3 +955,75 @@ def test_sentence_spans_against_incremental(spark):
         ).fetchall()
     }
     assert want == got
+
+
+def test_sentence_spans_increment_combines_both_relations(spark):
+    """The batch-ingest policy (r12): corpus-duplicate windows cut from
+    EVERY batch occurrence; batch-internal duplicates keep the
+    globally-first batch occurrence; a window that is BOTH (in corpus
+    and batch-duplicated) is cut everywhere. One window pass — and the
+    result differs from either standalone operator, which is the point
+    (composing their merged spans after the fact would mis-index).
+    DuckDB oracle mirrors exactly."""
+    import duckdb as _duck
+    import pandas as pd
+
+    shared = "And more here. Also this one. Plus a final sentence."
+    batch_dup = "Batch novel alpha. Batch novel beta. Batch novel gamma."
+    corpus = [
+        (1, f"Corpus doc opens. {shared}"),
+    ]
+    new = [
+        # corpus window -> cut here AND in doc 12 (no keep-one)
+        (10, f"New doc leads in! {shared} New doc trails off."),
+        # batch-internal dup -> doc 11 keeps it (first by id), 13 cuts
+        (11, f"{batch_dup}"),
+        (12, f"{shared}"),
+        (13, f"Something else first? {batch_dup}"),
+        (14, "Fresh sentences only. Nothing borrowed at all. Honest."),
+    ]
+    cdf = spark.createDataFrame(corpus, "doc_id long, text string")
+    ndf = spark.createDataFrame(new, "doc_id long, text string")
+    spans = dd.sentence_spans_increment(ndf, cdf, "doc_id", window=3)
+    got = {
+        (r.doc_id, r.span_start, r.span_end, r.n_windows)
+        for r in spans.collect()
+    }
+    assert got == {(10, 1, 4, 1), (12, 0, 3, 1), (13, 1, 4, 1)}
+    cut = {
+        r.doc_id: r.cut_text
+        for r in dd.cut_sentence_spans(ndf, spans, "doc_id").collect()
+    }
+    assert cut[10] == "New doc leads in! New doc trails off."
+    assert cut[11] == batch_dup          # the kept batch copy
+    assert cut[13] == "Something else first?"
+    assert cut[14].startswith("Fresh sentences only.")
+    con = _duck.connect()
+    try:
+        con.register(
+            "corpus_t", pd.DataFrame(corpus, columns=["doc_id", "text"])
+        )
+        con.register("new_t", pd.DataFrame(new, columns=["doc_id", "text"]))
+        want = {
+            tuple(int(x) for x in r)
+            for r in con.execute(
+                dd.sentence_spans_increment_oracle_sql(
+                    "new_t", "corpus_t", "doc_id"
+                )
+            ).fetchall()
+        }
+    finally:
+        con.close()
+    assert want == got
+    # served from the persisted store == recomputed from the corpus
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as tmp:
+        store = dd.build_sentence_hash_store(cdf, "doc_id", f"{tmp}/sh")
+        via_store = {
+            (r.doc_id, r.span_start, r.span_end, r.n_windows)
+            for r in dd.sentence_spans_increment(
+                ndf, store, "doc_id", window=3
+            ).collect()
+        }
+    assert via_store == got

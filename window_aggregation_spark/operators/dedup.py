@@ -1150,6 +1150,108 @@ def sentence_spans_against(
     return _merge_marked_windows(hits, id_col, window)
 
 
+def sentence_spans_increment(
+    new: DataFrame,
+    corpus: "DataFrame | SentenceHashStore",
+    id_col: str,
+    text_col: str = "text",
+    *,
+    window: int = 3,
+) -> DataFrame:
+    """The BATCH-INGEST span policy — what a steady-state C4 pipeline
+    actually applies to each arriving batch, combining both dedup
+    relations in ONE pass over the batch windows:
+
+    - a window that already exists in the CORPUS is cut from EVERY
+      batch occurrence (the kept copy lives in the corpus —
+      :func:`sentence_spans_against`'s relation);
+    - a window duplicated WITHIN the batch (and not in the corpus)
+      keeps its globally-first batch occurrence by ``(id, pos)`` and
+      cuts the rest (:func:`duplicated_sentence_spans`'s keep-one
+      relation).
+
+    Running the two operators separately can NOT be composed correctly
+    after the fact: each returns merged spans in the original sentence
+    index space, but cutting one set shifts the indices the other was
+    computed against — so the combined policy must mark hits at window
+    grain before the single merge+cut, which is exactly what this does.
+    Returns the usual ``(id_col, span_start, span_end, n_windows)``;
+    apply with :func:`cut_sentence_spans`.
+
+    ``corpus`` is a DataFrame or (the steady-state shape) a persisted
+    :class:`SentenceHashStore`. Scale shape: one batch window pass,
+    one left join against the (broadcast-small, 8-byte) corpus hash
+    set, one row_number over the batch's window-hash shuffle — the
+    corpus is never rescanned when served from the store, and the
+    batch text never shuffles (ids + hashes only)."""
+    if isinstance(corpus, SentenceHashStore):
+        corpus.check(window=window)
+        corpus_h = corpus.hashes.select("__h").distinct()
+    else:
+        corpus_h = (
+            _sentence_windows(corpus, id_col, text_col, window)
+            .select("__h")
+            .distinct()
+        )
+    wins = _sentence_windows(new, id_col, text_col, window)
+    worder = Window.partitionBy("__h").orderBy(
+        F.col(id_col).asc(), F.col("__pos").asc()
+    )
+    hits = (
+        wins.join(
+            corpus_h.withColumn("__in_corpus", F.lit(True)), "__h", "left"
+        )
+        .withColumn("__rn", F.row_number().over(worder))
+        .where(F.col("__in_corpus").isNotNull() | (F.col("__rn") > 1))
+        .select(id_col, "__pos")
+    )
+    return _merge_marked_windows(hits, id_col, window)
+
+
+def sentence_spans_increment_oracle_sql(
+    new_table: str,
+    corpus_table: str,
+    id_col: str,
+    text_col: str = "text",
+    *,
+    window: int = 3,
+) -> str:
+    """DuckDB mirror of :func:`sentence_spans_increment`."""
+    from window_aggregation_spark.operators.text import sentence_array_duck
+
+    h = portable_hash64_duck(
+        f"array_to_string(sents[pos + 1 : pos + {window}], ' ')"
+    )
+
+    def wins(table: str, cte: str) -> str:
+        return f"""
+        {cte}_base AS (
+          SELECT {id_col}, {sentence_array_duck(text_col)} AS sents
+          FROM {table}),
+        {cte}_long AS (
+          SELECT {id_col}, sents FROM {cte}_base
+          WHERE len(sents) >= {window}),
+        {cte}_pos AS (
+          SELECT {id_col}, sents,
+                 unnest(generate_series(0, len(sents) - {window})) AS pos
+          FROM {cte}_long),
+        {cte} AS (SELECT {id_col}, pos, {h} AS h FROM {cte}_pos)"""
+
+    return f"""
+        WITH {wins(corpus_table, "cw")},
+        {wins(new_table, "nw")},
+        corpus_h AS (SELECT DISTINCT h FROM cw),
+        hits AS (
+          SELECT {id_col}, pos FROM (
+            SELECT {id_col}, pos, h,
+                   row_number() OVER (PARTITION BY h
+                     ORDER BY {id_col} ASC, pos ASC) AS rn
+            FROM nw)
+          WHERE rn > 1 OR h IN (SELECT h FROM corpus_h)),
+        {_merge_spans_sql(id_col, window, 'hits')}
+    """
+
+
 class SentenceHashStore:
     """A persisted corpus sentence-window hash set — the artifact
     :func:`sentence_spans_against` promises ("the 8-byte-hash set you

@@ -3847,6 +3847,79 @@ def _register_pipeline() -> None:
             pruned, spans, "doc_id", "pruned_text", alias="clean_text"
         ).select("doc_id", "clean_text")
 
+    # --- the STEADY-STATE twin (r12): one arriving batch against the
+    # persisted corpus hash set. Batch = the %3==0 slice with the page/
+    # line structure; corpus = the spanhash fixture store (the %3<>0
+    # slice — its planted tail sentences are the positives the batch
+    # must cut). The oracle recomputes the corpus side from the raw
+    # slice, so store-serving correctness is hash-checked end to end.
+    _c4i_batch = (
+        f"(SELECT doc_id, {_C4_PIPE_SYNTH_SQL} AS t2 FROM documents "
+        "WHERE doc_id % 3 = 0)"
+    )
+    _c4i_pages = (
+        "(SELECT doc_id, c4_text FROM ("
+        + tx.c4_clean_oracle_sql(table=_c4i_batch, text_col="t2")
+        + ") WHERE c4_keep)"
+    )
+    _c4i_pruned = (
+        "(SELECT doc_id, pruned_text AS t2 FROM ("
+        + cp.prune_duplicated_lines_oracle_sql(
+            _c4i_pages, "doc_id", "c4_text", max_doc_frac=0.3
+        )
+        + "))"
+    )
+    _c4i_corpus = (
+        f"(SELECT doc_id, {_SPANS_SYNTH_SQL} AS t2 FROM documents "
+        "WHERE doc_id % 3 <> 0)"
+    )
+    _c4i_spans = dd.sentence_spans_increment_oracle_sql(
+        _c4i_pruned, _c4i_corpus, "doc_id", "t2"
+    )
+
+    @_register(
+        "pipeline_c4_increment",
+        "SELECT doc_id, clean_text FROM ("
+        + dd.cut_sentence_spans_oracle_sql(
+            _c4i_pruned, _c4i_spans, "doc_id", "t2", alias="clean_text"
+        )
+        + ")",
+        headline=True,
+    )
+    def pipeline_c4_increment(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """The steady-state C4 batch ingest (r12) — what each ARRIVING
+        batch pays once the corpus exists: (1) page/line heuristics
+        (c4_clean), (2) line-boilerplate prune within the batch
+        (boilerplate repeats within any crawl-scale batch; the corpus-
+        frequency blocklist is the whole-corpus pipeline's job), (3)
+        the combined batch-ingest span policy
+        (sentence_spans_increment): windows already in the CORPUS —
+        served from the persisted SentenceHashStore, no corpus rescan —
+        cut from every batch occurrence, batch-internal duplicates
+        keep their first occurrence. Batch cost is independent of
+        corpus size: the corpus enters as the 8-byte hash parquet only
+        (measured in bench.py::span_store_probe)
+        (operators/dedup.py::sentence_spans_increment,
+        SentenceHashStore)."""
+        docs = read_table(spark, sf_dir, "documents").select(
+            "doc_id", F.expr(_C4_PIPE_SYNTH_SQL).alias("t2")
+        ).where(F.col("doc_id") % 3 == 0)
+        pages = (
+            tx.c4_clean(docs, text_col="t2")
+            .where(F.col("c4_keep"))
+            .select("doc_id", "c4_text")
+        )
+        pruned = cp.prune_duplicated_lines(
+            pages, "doc_id", "c4_text", max_doc_frac=0.3, strategy="auto"
+        ).select("doc_id", "pruned_text").localCheckpoint(eager=False)
+        store = sentence_hash_store_for(spark, sf_dir)
+        spans = dd.sentence_spans_increment(
+            pruned, store, "doc_id", "pruned_text"
+        )
+        return dd.cut_sentence_spans(
+            pruned, spans, "doc_id", "pruned_text", alias="clean_text"
+        ).select("doc_id", "clean_text")
+
 
 _register_pipeline()
 
@@ -5273,6 +5346,8 @@ _DRIVER_PRIORITY = [
     # newest record is older than r10.
     # --- never recorded (r12-new) ----------------------------------------
     "dedup_sentence_spans_stored",
+    "pipeline_c4_increment",  # cedes corpus_shuffle (r7 — age 5 at r13,
+                              # rotates next round; corpus keeps 5 slots)
     # --- r6 cohort (oldest records in the ledger; 19) ---------------------
     "corpus_take_n_stratum",
     "dedup_incremental_estimate", "dedup_keep_best",
@@ -5286,7 +5361,7 @@ _DRIVER_PRIORITY = [
     "w_events_running_salted", "w_multi_spec_plans",
     "w_stats_nth_value", "w_two_field_moments",
     # --- r7 cohort (5) -----------------------------------------------------
-    "agg_cube_orders", "corpus_chunk", "corpus_shuffle",
+    "agg_cube_orders", "corpus_chunk",
     "stream_anomaly_zscore", "ts_ohlc_daily",
     # --- r8 cohort (5) -----------------------------------------------------
     "corpus_split_leakage_safe", "dedup_store_deleted",
