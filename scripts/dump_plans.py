@@ -108,6 +108,12 @@ NOTES = {
         "the steady-state batch never rescans the corpus (VERDICT r11 "
         "#1; same plan pin as above)."
     ),
+    "dedup_token_spans_stored": (
+        "token-grain twin of dedup_sentence_spans_stored: the corpus "
+        "side is the grain='token' span-hash parquet (bare __h scan); "
+        "the verbatim-passage/decontamination check without a corpus "
+        "rescan."
+    ),
     "pipeline_c4_increment": (
         "the steady-state batch twin of pipeline_c4_clean: the corpus "
         "side is the persisted SentenceHashStore parquet (no corpus "

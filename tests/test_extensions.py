@@ -1027,3 +1027,56 @@ def test_sentence_spans_increment_combines_both_relations(spark):
             ).collect()
         }
     assert via_store == got
+
+
+def test_span_hash_store_grains(spark, tmp_path):
+    """r12 grain generalization: a token-grain store serves
+    token_spans_against identically to the corpus recompute; grain is
+    persisted and re-checked (a sentence-grain store raises in the
+    token operator and vice versa — never a silent zero-match); a
+    pre-r12 params parquet without the grain column loads as
+    sentence-grain."""
+    import pytest as _pytest
+
+    corpus = spark.createDataFrame(
+        [(1, "alpha " * 20 + "one two three four five six seven eight "
+             "nine ten eleven twelve thirteen fourteen fifteen tail")],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [(10, "lead in words " + "one two three four five six seven "
+              "eight nine ten eleven twelve thirteen fourteen fifteen "
+              "and novel trailing content here")],
+        "doc_id long, text string",
+    )
+    tok = dd.build_sentence_hash_store(
+        corpus, "doc_id", str(tmp_path / "tok"), grain="token", window=15
+    )
+    assert tok.grain == "token"
+    direct = sorted(
+        (r.doc_id, r.span_start, r.span_end)
+        for r in dd.token_spans_against(
+            new, corpus, "doc_id", window=15
+        ).collect()
+    )
+    via = sorted(
+        (r.doc_id, r.span_start, r.span_end)
+        for r in dd.token_spans_against(
+            new, tok, "doc_id", window=15
+        ).collect()
+    )
+    assert direct == via and direct  # non-trivial and equal
+    sent = dd.build_sentence_hash_store(
+        corpus, "doc_id", str(tmp_path / "sent")
+    )
+    with _pytest.raises(ValueError, match="grain"):
+        dd.token_spans_against(new, sent, "doc_id", window=15)
+    with _pytest.raises(ValueError, match="grain"):
+        dd.sentence_spans_against(new, tok, "doc_id", window=3)
+    # pre-r12 store: params row without the grain column
+    legacy = str(tmp_path / "legacy")
+    dd.build_sentence_hash_store(corpus, "doc_id", legacy)
+    spark.createDataFrame([(3,)], "window int").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(f"{legacy}/params")
+    assert dd.load_sentence_hash_store(spark, legacy).grain == "sentence"

@@ -849,6 +849,37 @@ def _merge_spans_sql(id_col: str, window: int, hits_cte: str) -> str:
     """
 
 
+def _token_windows(
+    df: DataFrame, id_col: str, text_col: str, window: int
+) -> DataFrame:
+    """``(id_col, __pos, __h)`` — every length-``window`` TOKEN run of
+    every document, hashed with the portable hash; the token-grain twin
+    of :func:`_sentence_windows`, shared by the whole-corpus and
+    incremental token-span operators so the window convention cannot
+    fork."""
+    # select-then-where: materialize the token array once per row (the
+    # where-then-select shape evaluated the tokenizer twice — Spark
+    # does not CSE across Filter and Project)
+    base = df.select(
+        F.col(id_col), tokens(F.col(text_col)).alias("__toks")
+    ).where(F.size("__toks") >= window)
+    return base.select(
+        id_col,
+        F.explode(
+            F.sequence(F.lit(0), F.size("__toks") - F.lit(window))
+        ).alias("__pos"),
+        F.col("__toks"),
+    ).select(
+        id_col,
+        "__pos",
+        portable_hash64(
+            F.concat_ws(
+                " ", F.slice("__toks", F.col("__pos") + 1, window)
+            )
+        ).alias("__h"),
+    )
+
+
 def duplicated_spans(
     df: DataFrame,
     id_col: str,
@@ -877,27 +908,7 @@ def duplicated_spans(
     per-doc window pass (lag + running sum — integers only, no floats
     anywhere). No self-joins, no all-pairs anything.
     """
-    # select-then-where: materialize the token array once per row (the
-    # where-then-select shape evaluated the tokenizer twice — Spark
-    # does not CSE across Filter and Project)
-    base = df.select(
-        F.col(id_col), tokens(F.col(text_col)).alias("__toks")
-    ).where(F.size("__toks") >= window)
-    wins = base.select(
-        id_col,
-        F.explode(
-            F.sequence(F.lit(0), F.size("__toks") - F.lit(window))
-        ).alias("__pos"),
-        F.col("__toks"),
-    ).select(
-        id_col,
-        "__pos",
-        portable_hash64(
-            F.concat_ws(
-                " ", F.slice("__toks", F.col("__pos") + 1, window)
-            )
-        ).alias("__h"),
-    )
+    wins = _token_windows(df, id_col, text_col, window)
     dup = (
         wins.groupBy("__h")
         .agg(F.countDistinct(id_col).alias("__d"))
@@ -1252,8 +1263,90 @@ def sentence_spans_increment_oracle_sql(
     """
 
 
+def token_spans_against(
+    new: DataFrame,
+    corpus: "DataFrame | SentenceHashStore",
+    id_col: str,
+    text_col: str = "text",
+    *,
+    window: int = 15,
+) -> DataFrame:
+    """Incremental VERBATIM-PASSAGE dedup (r12) — the token-grain twin
+    of :func:`sentence_spans_against`, and the decontamination-shaped
+    check a training pipeline runs on every arriving batch: mark every
+    length-``window`` TOKEN run in NEW documents that already occurs
+    anywhere in the EXISTING corpus (every new-side occurrence — the
+    kept copy lives in the corpus), without re-scanning or re-deduping
+    the corpus. Same grain as :func:`duplicated_spans` (window=15
+    tokens ≈ the memorization-length passages you cut before
+    training); returns the usual ``(id_col, span_start, span_end,
+    n_windows)`` token-bound spans; apply with :func:`cut_token_spans`.
+
+    ``corpus`` is a DataFrame or a :class:`SentenceHashStore` built
+    with ``grain="token"`` (the grain is persisted and re-checked — a
+    sentence-grain store raises instead of matching nothing). Scale
+    shape: identical to the sentence twin — the corpus reduces to (or
+    is already persisted as) a distinct 8-byte-hash set, one join on
+    the hash, one per-doc merge pass; the store is ~1 hash per corpus
+    token, still orders of magnitude smaller than the text it
+    replaces."""
+    if isinstance(corpus, SentenceHashStore):
+        corpus.check(window=window, grain="token")
+        corpus_h = corpus.hashes.select("__h").distinct()
+    else:
+        corpus_h = (
+            _token_windows(corpus, id_col, text_col, window)
+            .select("__h")
+            .distinct()
+        )
+    hits = (
+        _token_windows(new, id_col, text_col, window)
+        .join(corpus_h, on="__h")
+        .select(id_col, "__pos")
+    )
+    return _merge_marked_windows(hits, id_col, window)
+
+
+def token_spans_against_oracle_sql(
+    new_table: str,
+    corpus_table: str,
+    id_col: str,
+    text_col: str = "text",
+    *,
+    window: int = 15,
+) -> str:
+    """DuckDB mirror of :func:`token_spans_against`."""
+    from window_aggregation_spark.operators.text import TOKEN_RE
+
+    arr = f"regexp_extract_all(lower({text_col}), '{TOKEN_RE}')"
+    h = portable_hash64_duck(
+        f"array_to_string(toks[pos + 1 : pos + {window}], ' ')"
+    )
+
+    def wins(table: str, cte: str) -> str:
+        return f"""
+        {cte}_base AS (
+          SELECT {id_col}, {arr} AS toks FROM {table}
+          WHERE len({arr}) >= {window}),
+        {cte}_pos AS (
+          SELECT {id_col}, toks,
+                 unnest(generate_series(0, len(toks) - {window})) AS pos
+          FROM {cte}_base),
+        {cte} AS (SELECT {id_col}, pos, {h} AS h FROM {cte}_pos)"""
+
+    return f"""
+        WITH {wins(corpus_table, "cw")},
+        {wins(new_table, "nw")},
+        corpus_h AS (SELECT DISTINCT h FROM cw),
+        hits AS (
+          SELECT {id_col}, pos FROM nw
+          WHERE h IN (SELECT h FROM corpus_h)),
+        {_merge_spans_sql(id_col, window, 'hits')}
+    """
+
+
 class SentenceHashStore:
-    """A persisted corpus sentence-window hash set — the artifact
+    """A persisted corpus span-window hash set — the artifact
     :func:`sentence_spans_against` promises ("the 8-byte-hash set you
     persist next to the corpus and reuse per batch", VERDICT r11 #1).
 
@@ -1285,32 +1378,50 @@ class SentenceHashStore:
     paid); per-doc tombstoning is the SignatureStore's job where
     signatures ARE per-doc.
 
-    ``window`` is persisted and re-checked at use: a store built at a
-    different window grain than the consuming call raises instead of
-    silently matching nothing. The hash embeds the
-    :func:`..text.sentence_array` convention — a store predates any
-    change to SENT_RE, so bump stores when the convention changes.
+    ``window`` and ``grain`` are persisted and re-checked at use: a
+    store built at a different span grain than the consuming call
+    raises instead of silently matching nothing. ``grain`` is
+    ``"sentence"`` (C4's unit — :func:`sentence_spans_against` /
+    :func:`sentence_spans_increment`) or ``"token"`` (verbatim-passage
+    windows — :func:`token_spans_against`, the decontamination grain;
+    ~1 hash per corpus token, still ~8 bytes vs the text). The hash
+    embeds the :func:`..text.sentence_array` / :func:`tokens`
+    convention — a store predates any change to those, so bump stores
+    when the convention changes.
     """
 
-    def __init__(self, hashes: DataFrame, *, window: int):
+    def __init__(self, hashes: DataFrame, *, window: int,
+                 grain: str = "sentence"):
+        if grain not in _WINDOW_GRAINS:
+            raise ValueError(f"unknown grain: {grain!r}")
         self.hashes = hashes
         self.window = window
+        self.grain = grain
 
-    def check(self, *, window: int) -> None:
-        if window != self.window:
+    def check(self, *, window: int, grain: str = "sentence") -> None:
+        if (window, grain) != (self.window, self.grain):
             raise ValueError(
-                f"sentence-hash store was built with window={self.window}; "
-                f"call requested window={window} — the persisted hashes "
-                "are of a different span grain and would match nothing"
+                f"span-hash store was built with window={self.window}, "
+                f"grain={self.grain!r}; call requested window={window}, "
+                f"grain={grain!r} — the persisted hashes are of a "
+                "different span grain and would match nothing"
             )
 
 
-# Component -> directory names of a sentence-hash store (manifest
+# Component -> directory names of a span-hash store (manifest
 # protocol versions them on compaction; pre-manifest stores read as
 # exactly these names — same convention as _SIG_COMPONENTS).
 _SPANHASH_COMPONENTS = {
     "hashes": "span_hashes",
     "folds": "span_hash_folds",
+}
+
+# grain -> the shared window builder ALL span operators at that grain
+# use (one table, so a store and its consumers cannot disagree on what
+# a window is)
+_WINDOW_GRAINS = {
+    "sentence": _sentence_windows,
+    "token": _token_windows,
 }
 
 
@@ -1321,14 +1432,18 @@ def build_sentence_hash_store(
     text_col: str = "text",
     *,
     window: int = 3,
+    grain: str = "sentence",
     mode: str = "overwrite",
 ) -> "SentenceHashStore":
-    """One sentence+hash pass over the corpus, persisting the DISTINCT
-    window-hash set under ``path`` (``span_hashes/`` parquet + a
-    one-row ``params/`` parquet). Returns the store re-read from disk,
-    so downstream plans run against exactly what was persisted."""
+    """One window+hash pass over the corpus at the chosen ``grain``,
+    persisting the DISTINCT window-hash set under ``path``
+    (``span_hashes/`` parquet + a one-row ``params/`` parquet). Returns
+    the store re-read from disk, so downstream plans run against
+    exactly what was persisted."""
     from window_aggregation_spark.sources import store_manifest as sm
 
+    if grain not in _WINDOW_GRAINS:
+        raise ValueError(f"unknown grain: {grain!r}")
     if mode not in ("overwrite", "error", "errorifexists"):
         # append would stack params rows (arbitrary row wins -> wrong
         # window grain) and bypass the manifest after a compaction;
@@ -1345,19 +1460,19 @@ def build_sentence_hash_store(
         # previous generation's folds on top of the fresh base
         sm.reset_generations(path, _SPANHASH_COMPONENTS)
     hashes = (
-        _sentence_windows(corpus, id_col, text_col, window)
+        _WINDOW_GRAINS[grain](corpus, id_col, text_col, window)
         .select("__h")
         .distinct()
     )
     hashes.write.mode(mode).parquet(f"{path}/span_hashes")
     spark.createDataFrame(
-        [(window,)], "window int"
+        [(window, grain)], "window int, grain string"
     ).coalesce(1).write.mode(mode).parquet(f"{path}/params")
     return load_sentence_hash_store(spark, path)
 
 
 def load_sentence_hash_store(spark, path: str) -> "SentenceHashStore":
-    """Load a persisted sentence-hash store; the hashes stay a lazy
+    """Load a persisted span-hash store; the hashes stay a lazy
     parquet scan (only the one params row reaches the driver). Fold
     partitions written by :func:`sentence_hash_store_add` union in
     here; the base written at build time is never touched after the
@@ -1366,13 +1481,16 @@ def load_sentence_hash_store(spark, path: str) -> "SentenceHashStore":
     from window_aggregation_spark.sources import store_manifest as sm
 
     m = sm.read_manifest(path, _SPANHASH_COMPONENTS)
-    p = spark.read.parquet(f"{path}/params").first()
+    pdf = spark.read.parquet(f"{path}/params")
+    p = pdf.first()
+    # pre-r12 stores predate the grain column and are sentence-grain
+    grain = p["grain"] if "grain" in pdf.columns else "sentence"
     base = spark.read.parquet(f"{path}/{m['hashes']}")
     folds_dir = f"{path}/{m['folds']}"
     if sm.dir_exists(spark, folds_dir):
         folds = spark.read.parquet(folds_dir).select("__h")
         base = base.unionByName(folds)
-    return SentenceHashStore(base, window=int(p["window"]))
+    return SentenceHashStore(base, window=int(p["window"]), grain=grain)
 
 
 def sentence_hash_store_add(
@@ -1402,9 +1520,11 @@ def sentence_hash_store_add(
     sm.check_store_path(path, "sentence-hash store")
     spark = new.sparkSession
     m = sm.read_manifest(path, _SPANHASH_COMPONENTS)
-    p = spark.read.parquet(f"{path}/params").first()
+    pdf = spark.read.parquet(f"{path}/params")
+    p = pdf.first()
+    grain = p["grain"] if "grain" in pdf.columns else "sentence"
     hashes = (
-        _sentence_windows(new, id_col, text_col, int(p["window"]))
+        _WINDOW_GRAINS[grain](new, id_col, text_col, int(p["window"]))
         .select("__h")
         .distinct()
     )

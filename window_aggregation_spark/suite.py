@@ -1264,6 +1264,26 @@ _SPANS_SYNTH_SQL = (
 )
 
 
+def token_hash_store_for(spark: SparkSession, sf_dir: str):
+    """The token-grain (grain='token', window=15) span-hash fixture
+    store — the verbatim-passage/decontamination twin of
+    :func:`sentence_hash_store_for`, built over the same
+    EXISTING-corpus slice of the raw documents text."""
+    import os
+
+    from window_aggregation_spark.operators import dedup as dd
+
+    path = fixture_store_path(sf_dir, "tokhash")
+    if not os.path.exists(f"{path}/params"):
+        corpus = read_table(spark, sf_dir, "documents").select(
+            "doc_id", "text"
+        ).where(F.col("doc_id") % 3 != 0)
+        return dd.build_sentence_hash_store(
+            corpus, "doc_id", path, grain="token", window=15
+        )
+    return dd.load_sentence_hash_store(spark, path)
+
+
 def sentence_hash_store_for(spark: SparkSession, sf_dir: str):
     """The per-fixture persisted sentence-hash store the incremental
     span-dedup _stored twin serves from (VERDICT r11 #1): built once
@@ -1628,6 +1648,51 @@ def _register_dedup() -> None:
         new = base.where(F.col("doc_id") % 3 == 0)
         store = sentence_hash_store_for(spark, sf_dir)
         return dd.sentence_spans_against(new, store, "doc_id", "t2")
+
+    # ONE oracle string for the token-grain (verbatim-passage) twins —
+    # the decontamination-shaped incremental check
+    _TOK_NEW = "(SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0)"
+    _TOK_CORPUS = (
+        "(SELECT doc_id, text FROM documents WHERE doc_id % 3 <> 0)"
+    )
+    _tok_against_oracle = dd.token_spans_against_oracle_sql(
+        _TOK_NEW, _TOK_CORPUS, "doc_id", "text"
+    )
+
+    @_register("dedup_token_spans_against", _tok_against_oracle)
+    def dedup_token_spans_against(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        """Incremental VERBATIM-PASSAGE dedup (r12): 15-token runs of a
+        NEW batch that already occur in the EXISTING corpus are marked
+        — the decontamination-shaped per-batch check, at the same
+        window grain as dedup_substring_spans. Corpus reduces to a
+        distinct 8-byte-hash set; its text never travels past the hash
+        (operators/dedup.py::token_spans_against)."""
+        docs = read_table(spark, sf_dir, "documents").select(
+            "doc_id", "text"
+        )
+        new = docs.where(F.col("doc_id") % 3 == 0)
+        corpus = docs.where(F.col("doc_id") % 3 != 0)
+        return dd.token_spans_against(new, corpus, "doc_id", window=15)
+
+    @_register("dedup_token_spans_stored", _tok_against_oracle)
+    def dedup_token_spans_stored(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        """The token-grain store serving path: the span-hash store is
+        grain-parametrized (grain='token' persisted and re-checked — a
+        sentence-grain store raises instead of matching nothing), so
+        the decontamination check also runs without rescanning the
+        corpus. Hash-equal to dedup_token_spans_against by
+        construction (same oracle SQL object)
+        (operators/dedup.py::SentenceHashStore)."""
+        docs = read_table(spark, sf_dir, "documents").select(
+            "doc_id", "text"
+        )
+        new = docs.where(F.col("doc_id") % 3 == 0)
+        store = token_hash_store_for(spark, sf_dir)
+        return dd.token_spans_against(new, store, "doc_id", window=15)
 
     @_register("dedup_simhash", _duck_simhash_sql())
     def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5346,8 +5411,11 @@ _DRIVER_PRIORITY = [
     # newest record is older than r10.
     # --- never recorded (r12-new) ----------------------------------------
     "dedup_sentence_spans_stored",
-    "pipeline_c4_increment",  # cedes corpus_shuffle (r7 — age 5 at r13,
-                              # rotates next round; corpus keeps 5 slots)
+    "pipeline_c4_increment",     # cedes corpus_shuffle (r7 — age 5 at r13,
+                                 # rotates next round; corpus keeps 5 slots)
+    "dedup_token_spans_against",  # cede ts_cohort_retention +
+    "dedup_token_spans_stored",   # ts_funnel_steps (r8, age 4 — safe until
+                                  # r14; ts_ anchored by ts_ohlc_daily)
     # --- r6 cohort (oldest records in the ledger; 19) ---------------------
     "corpus_take_n_stratum",
     "dedup_incremental_estimate", "dedup_keep_best",
@@ -5365,7 +5433,7 @@ _DRIVER_PRIORITY = [
     "stream_anomaly_zscore", "ts_ohlc_daily",
     # --- r8 cohort (5) -----------------------------------------------------
     "corpus_split_leakage_safe", "dedup_store_deleted",
-    "text_perplexity_bigram", "ts_cohort_retention", "ts_funnel_steps",
+    "text_perplexity_bigram",
     # --- r9 cohort (5) -----------------------------------------------------
     "agg_grouping_sets_orders", "corpus_top_terms",
     "sim_embedding_covariance", "stream_interval_join_ss_left",
