@@ -1471,13 +1471,23 @@ def build_sentence_hash_store(
     return load_sentence_hash_store(spark, path)
 
 
-def load_sentence_hash_store(spark, path: str) -> "SentenceHashStore":
+def load_sentence_hash_store(
+    spark, path: str, *, exclude_fold_epoch: int | None = None
+) -> "SentenceHashStore":
     """Load a persisted span-hash store; the hashes stay a lazy
     parquet scan (only the one params row reaches the driver). Fold
     partitions written by :func:`sentence_hash_store_add` union in
     here; the base written at build time is never touched after the
     fact. Existence checks go through the Hadoop FS layer so folds on
-    object stores are seen too."""
+    object stores are seen too.
+
+    ``exclude_fold_epoch``: the streaming span-ingest loop passes its
+    CURRENT epoch id so a replayed micro-batch never sees its own
+    previously-folded window hashes — without this, every kept
+    first-copy of a batch retried after its fold would read as a
+    corpus duplicate, be cut, and the replay would overwrite the
+    output partition with over-cut documents (silent data loss, the
+    exact failure the SignatureStore's twin parameter prevents)."""
     from window_aggregation_spark.sources import store_manifest as sm
 
     m = sm.read_manifest(path, _SPANHASH_COMPONENTS)
@@ -1488,8 +1498,12 @@ def load_sentence_hash_store(spark, path: str) -> "SentenceHashStore":
     base = spark.read.parquet(f"{path}/{m['hashes']}")
     folds_dir = f"{path}/{m['folds']}"
     if sm.dir_exists(spark, folds_dir):
-        folds = spark.read.parquet(folds_dir).select("__h")
-        base = base.unionByName(folds)
+        folds = spark.read.parquet(folds_dir)
+        if exclude_fold_epoch is not None:
+            folds = folds.where(
+                F.col("batch_id") != int(exclude_fold_epoch)
+            )
+        base = base.unionByName(folds.select("__h"))
     return SentenceHashStore(base, window=int(p["window"]), grain=grain)
 
 
