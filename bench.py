@@ -1343,9 +1343,13 @@ def _recall_sweep(
                 out["int8_overfetch_4"]["recall"],
             ),
             # the r12 shortlist prune's receipt (VERDICT r11 "what's
-            # wrong" #2): < 1.0 means one hybrid plan costs less than
-            # running its two branches separately — the overlap skips
-            # the float re-rank fetch and the dedup exchange is gone
+            # wrong" #2): one hybrid plan vs its two branches run
+            # separately. Expect ~0.9-1.0 at probe scale: the int8
+            # coarse scan dominates both sides, so the structural
+            # savings (overlap skips the float re-rank fetch, no dedup
+            # exchange, IVF branch checkpointed to execute once) are
+            # small against per-call collect overhead here — they are
+            # the part that matters at corpus scale.
             "cost_vs_sum_of_branches": round(
                 sec / max(branches_sec, 1e-9), 3
             ),

@@ -1172,12 +1172,19 @@ def hybrid_topk(
     unless compute-bound. Cost (round 12, after the shortlist prune —
     :func:`_pruned_union_rank`): the int8 COARSE scan is still paid in
     full (it is the unstructured-regime recall source and cannot be
-    skipped without losing the guarantee), but the float re-rank fetch
-    now touches only shortlist pairs the IVF branch did NOT already
-    exact-score, and the union needs no dedup exchange — measured in
-    ``bench.py::ann_recall_probe`` ``hybrid.cost_vs_sum_of_branches``.
-    When even the coarse-scan budget is tight, fall back to the single
-    branch matching your measured regime.
+    skipped without losing the guarantee) and DOMINATES, so the
+    structural savings — the float re-rank fetch touches only
+    shortlist pairs the IVF branch did not already exact-score, the
+    union needs no dedup exchange, and the IVF branch is guaranteed to
+    execute once (lazy checkpoint; it is referenced twice) — read as
+    cost ≈ sum-of-branches minus the overlap re-rank:
+    ``bench.py::ann_recall_probe`` records
+    ``hybrid.cost_vs_sum_of_branches`` per point (~0.9–1.0 at probe
+    scale, where the saved stage is small against collect overhead;
+    the removed exchange and single-execution guarantee are the part
+    that matters at corpus scale). When even the coarse-scan budget is
+    tight, fall back to the single branch matching your measured
+    regime.
 
     Both branches accept their usual knobs (``centroids=`` codebook /
     mode for IVF, pre-quantized ``qvec_col``/``qscale_col`` columns for
@@ -1231,7 +1238,13 @@ def _pruned_union_rank(
     the final exact re-rank over a superset of both branches'
     survivors."""
     cols = ["query_id", "neighbor_id", "cos_sim"]
-    ivf_out = ivf.select(*cols)
+    # lazily checkpoint the (tiny: k rows/query) scored IVF output: it
+    # is referenced TWICE (union arm + anti-join build side), and
+    # without truncation Spark executes the whole IVF branch — centroid
+    # assignment passes included — once per reference (measured: the
+    # clustered-regime hybrid read >1x the sum of its branches in the
+    # first r12 recording, exactly the double-execution surcharge)
+    ivf_out = ivf.select(*cols).localCheckpoint(eager=False)
     # both sides are tiny (k and k*overfetch rows per query): broadcast
     # the scored IVF output as the anti-join's build side
     rest = shortlist.join(
