@@ -378,3 +378,142 @@ def test_salted_running_agg_equals_plain_window_randomized(spark, case):
         for r in df.withColumn("x", plain).collect()
     }
     assert got == want
+
+
+@st.composite
+def against_case(draw):
+    # tiny alphabet so cross-corpus shared windows actually occur
+    def doc_list(lo_id, n):
+        docs = []
+        for i in range(n):
+            toks = draw(
+                st.lists(st.sampled_from("abc"), min_size=0, max_size=25)
+            )
+            docs.append((lo_id + i, " ".join(toks)))
+        return docs
+
+    corpus = doc_list(0, draw(st.integers(1, 4)))
+    new = doc_list(100, draw(st.integers(1, 4)))
+    window = draw(st.integers(2, 5))
+    return corpus, new, window
+
+
+def _merge_marks(did, toks_len, window, marks):
+    spans, cur = [], None
+    for p in sorted(marks):
+        if cur is not None and p <= cur[1]:
+            cur = (cur[0], max(cur[1], p + window), cur[2] + 1)
+        else:
+            if cur:
+                spans.append((did, *cur))
+            cur = (p, p + window, 1)
+    if cur:
+        spans.append((did, *cur))
+    return spans
+
+
+@settings(max_examples=15, deadline=None)
+@given(against_case())
+def test_token_spans_against_equals_naive(spark, case):
+    """Incremental verbatim-passage dedup (r12): every new-side window
+    that occurs ANYWHERE in the corpus is marked — every occurrence, no
+    keep-one — and nothing else; brute-force reference over arbitrary
+    tiny-alphabet corpora."""
+    from window_aggregation_spark.operators.dedup import token_spans_against
+
+    corpus, new, window = case
+    corpus_wins = set()
+    for _, text in corpus:
+        toks = text.split() if text else []
+        for p in range(len(toks) - window + 1):
+            corpus_wins.add(tuple(toks[p : p + window]))
+    expected = []
+    for did, text in new:
+        toks = text.split() if text else []
+        marks = [
+            p
+            for p in range(len(toks) - window + 1)
+            if tuple(toks[p : p + window]) in corpus_wins
+        ]
+        expected.extend(_merge_marks(did, len(toks), window, marks))
+    cdf = spark.createDataFrame(corpus, "doc_id long, text string")
+    ndf = spark.createDataFrame(new, "doc_id long, text string")
+    got = sorted(
+        (r["doc_id"], r["span_start"], r["span_end"], r["n_windows"])
+        for r in token_spans_against(
+            ndf, cdf, "doc_id", window=window
+        ).collect()
+    )
+    assert got == sorted(expected)
+
+
+@st.composite
+def sentence_increment_case(draw):
+    # sentences constructed from a tiny alphabet (1-3 tokens + '.') so
+    # they match the sentence_array convention exactly AND collide often
+    def doc_list(lo_id, n):
+        docs = []
+        for i in range(n):
+            n_sents = draw(st.integers(0, 6))
+            sents = [
+                " ".join(
+                    draw(
+                        st.lists(
+                            st.sampled_from("ab"), min_size=1, max_size=3
+                        )
+                    )
+                )
+                + "."
+                for _ in range(n_sents)
+            ]
+            docs.append((lo_id + i, sents))
+        return docs
+
+    corpus = doc_list(0, draw(st.integers(1, 3)))
+    new = doc_list(100, draw(st.integers(1, 4)))
+    window = draw(st.integers(2, 3))
+    return corpus, new, window
+
+
+@settings(max_examples=15, deadline=None)
+@given(sentence_increment_case())
+def test_sentence_spans_increment_equals_naive(spark, case):
+    """The combined batch-ingest policy (r12): corpus windows cut from
+    EVERY new-side occurrence; batch-internal duplicates (not in the
+    corpus) keep exactly the globally-first occurrence by (id, pos);
+    brute-force reference at sentence grain."""
+    from window_aggregation_spark.operators.dedup import (
+        sentence_spans_increment,
+    )
+
+    corpus, new, window = case
+    corpus_wins = set()
+    for _, sents in corpus:
+        for p in range(len(sents) - window + 1):
+            corpus_wins.add(tuple(sents[p : p + window]))
+    # global first occurrence per window across the batch, by (id, pos)
+    first: dict = {}
+    for did, sents in sorted(new):
+        for p in range(len(sents) - window + 1):
+            first.setdefault(tuple(sents[p : p + window]), (did, p))
+    expected = []
+    for did, sents in new:
+        marks = []
+        for p in range(len(sents) - window + 1):
+            w = tuple(sents[p : p + window])
+            if w in corpus_wins or first[w] != (did, p):
+                marks.append(p)
+        expected.extend(_merge_marks(did, len(sents), window, marks))
+    cdf = spark.createDataFrame(
+        [(d, " ".join(s)) for d, s in corpus], "doc_id long, text string"
+    )
+    ndf = spark.createDataFrame(
+        [(d, " ".join(s)) for d, s in new], "doc_id long, text string"
+    )
+    got = sorted(
+        (r["doc_id"], r["span_start"], r["span_end"], r["n_windows"])
+        for r in sentence_spans_increment(
+            ndf, cdf, "doc_id", window=window
+        ).collect()
+    )
+    assert got == sorted(expected)
