@@ -579,8 +579,10 @@ def sf1_section(
     *, copies: int = 10,
 ) -> dict:
     """Headline queries on ~10x sf0.1 (~6M-row lineitem): the growth-curve
-    evidence that per-query cost scales ~linearly with data size. One rep
-    per query (the section exists for slope, not microseconds). When the
+    evidence that per-query cost scales ~linearly with data size. Min-of-2
+    reps per query since r12 (a single cold rep manufactured r11's two
+    worst "ratios"; pre-r12 recordings are single-rep — don't mix
+    methodologies when comparing across rounds). When the
     run's sf0.1 timings are passed in, each query also records
     ``linear_ratio`` = sf1_time / (copies * sf0.1_time) — 1.0 is perfectly
     linear, < 1 is sub-linear (fixed overheads amortizing), and anything

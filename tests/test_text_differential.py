@@ -563,14 +563,15 @@ def test_und_policy_structural_judges_unknown_languages_on_structure(spark):
     ) * 4
     junk = " ".join(str(1111 * i) for i in range(60))
     bullets = "\n".join("- pozycja listy numer " + str(i) for i in range(60))
-    rows = [(1, pl), (2, junk), (3, bullets)]
+    stars = "★★★★ ☆☆☆ ★★★★★ " * 20  # symbol soup: letterless in ANY script
+    rows = [(1, pl), (2, junk), (3, bullets), (4, stars)]
     df = spark.createDataFrame(rows, "doc_id long, text string")
     assert {
         r.doc_id: r.lp
         for r in df.select(
             "doc_id", language_pred("text").alias("lp")
         ).collect()
-    } == {1: "und", 2: "und", 3: "und"}
+    } == {1: "und", 2: "und", 3: "und", 4: "und"}
 
     def verdicts(**kw):
         return {
@@ -581,15 +582,18 @@ def test_und_policy_structural_judges_unknown_languages_on_structure(spark):
             ).collect()
         }
 
-    assert verdicts() == {1: False, 2: False, 3: False}  # r11 default
+    assert verdicts() == {1: False, 2: False, 3: False, 4: False}
+    # structural: clean unknown-language text passes; digit soup,
+    # bullet spam, AND symbol soup (the \p{L} guard — a negated-ASCII
+    # class wrongly admitted it, r12 review) still fail
     assert verdicts(und_policy="structural") == {
-        1: True, 2: False, 3: False,
+        1: True, 2: False, 3: False, 4: False,
     }
     # an explicit und override beats the policy
     assert verdicts(
         und_policy="structural",
         per_language_overrides={"und": {"max_words": 1}},
-    ) == {1: False, 2: False, 3: False}
+    ) == {1: False, 2: False, 3: False, 4: False}
     with _pytest.raises(ValueError, match="und_policy"):
         gopher_quality_pass_by_language("text", und_policy="lenient")
 
@@ -616,13 +620,14 @@ def test_min_nonnum_word_frac_mirrors_cross_engine(spark):
              "naukowych wynikow dobrych wiele daje oraz miescie ") * 7),
         (3, ("это новая наука и все люди хотят знать больше о мире "
              "вокруг нас сегодня и завтра утром ") * 5),         # non-ASCII
+        (4, "★★★★ ☆☆☆ ★★★★★ " * 20),  # symbols: non-ASCII but letterless
     ]
     df = spark.createDataFrame(rows, "doc_id long, text string")
     got = {
         r.doc_id: r.quality_pass
         for r in quality_signals_gopher(df, rules=rules).collect()
     }
-    assert got == {1: False, 2: True, 3: True}
+    assert got == {1: False, 2: True, 3: True, 4: False}
     con = _duck.connect()
     try:
         con.register("t", pd.DataFrame(rows, columns=["doc_id", "text"]))

@@ -936,9 +936,11 @@ def duplicated_spans_oracle_sql(
         f"array_to_string(toks[pos + 1 : pos + {window}], ' ')"
     )
     return f"""
-        WITH base AS (
-          SELECT {id_col}, {arr} AS toks FROM {table}
-          WHERE len({arr}) >= {window}),
+        WITH raw AS (
+          SELECT {id_col}, {arr} AS toks FROM {table}),
+        base AS (
+          SELECT {id_col}, toks FROM raw
+          WHERE len(toks) >= {window}),
         pos AS (
           SELECT {id_col}, toks,
                  unnest(generate_series(0, len(toks) - {window})) AS pos
@@ -1324,10 +1326,16 @@ def token_spans_against_oracle_sql(
     )
 
     def wins(table: str, cte: str) -> str:
+        # materialize-then-filter in separate CTEs: DuckDB does not CSE
+        # textual expression copies, and `WHERE len({arr}) >= k` in the
+        # same SELECT would tokenize every document twice (the exact
+        # double-eval _token_windows' Spark-side comment warns about)
         return f"""
+        {cte}_raw AS (
+          SELECT {id_col}, {arr} AS toks FROM {table}),
         {cte}_base AS (
-          SELECT {id_col}, {arr} AS toks FROM {table}
-          WHERE len({arr}) >= {window}),
+          SELECT {id_col}, toks FROM {cte}_raw
+          WHERE len(toks) >= {window}),
         {cte}_pos AS (
           SELECT {id_col}, toks,
                  unnest(generate_series(0, len(toks) - {window})) AS pos
@@ -1514,7 +1522,8 @@ def sentence_hash_store_add(
     text_col: str = "text",
     *,
     batch_id: int,
-) -> "SentenceHashStore":
+    reload: bool = True,
+) -> "SentenceHashStore | None":
     """Fold an ADMITTED batch's window hashes into the store, so the
     next batch dedups against everything accepted since the build —
     pass the batch AFTER cutting (:func:`cut_sentence_spans` output,
@@ -1545,7 +1554,10 @@ def sentence_hash_store_add(
     hashes.write.mode("overwrite").parquet(
         f"{path}/{m['folds']}/batch_id={int(batch_id)}"
     )
-    return load_sentence_hash_store(spark, path)
+    # reload=False: the streaming loop discards the return (it reloads
+    # with exclude_fold_epoch at the NEXT epoch anyway) — skip the
+    # manifest read + params job it would pay per micro-batch
+    return load_sentence_hash_store(spark, path) if reload else None
 
 
 def sentence_hash_store_compact(

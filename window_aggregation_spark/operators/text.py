@@ -39,10 +39,15 @@ WS_RE = f"[{WS_CLASS}]+"
 # letters / digits / single non-alnum-non-space symbol — a BPE-ish split
 BPE_RE = f"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9{WS_CLASS}]"
 PUNCT_RE = "[.,;:!?]"
-# a character that is neither an ASCII digit nor ASCII punctuation —
-# i.e. a letter of ANY script (pure-ASCII class ranges !-/ :-@ [-` {-~,
-# identical in Java and RE2); the min_nonnum_word_frac guard's test
-NONNUM_WORD_RE = "[^0-9!-/:-@\\[-`{-~]"
+# a letter of ANY script — the min_nonnum_word_frac guard's test.
+# \p{L} (Unicode letter) deliberately, NOT a negated ASCII class: the
+# negation also matched emoji/box/star symbols, so '★★★★' spam counted
+# as "letterful" and structural gating re-admitted pure symbol soup
+# (r12 review). Java and RE2 both implement \p{L}; they can disagree
+# only on Unicode-version edge codepoints, acceptable for a
+# predicate-only rule that is OFF by default (and the cross-engine
+# test pins Latin/Cyrillic/symbol behavior).
+NONNUM_WORD_RE = "\\p{L}"
 _MOD = 2147483647  # 2^31 - 1
 
 # Small public stopword lists — enough signal for a heuristic language ID.
@@ -57,22 +62,27 @@ STOPWORDS: dict[str, tuple[str, ...]] = {
     # exactly the role the hanzi list plays for zh
     "ru": ("о", "е", "а", "и", "н", "т", "с", "р", "в", "л"),
     # round-12 tier (VERDICT r11 #7): same pattern, next most common web
-    # languages. pt/it/nl are token-scored Latin lists; ja is char-based
-    # on the highest-frequency HIRAGANA (particles/inflection — unique to
-    # Japanese, so kanji shared with the zh list cannot flip the winner
-    # as long as any hiragana is present, which running ja text
-    # guarantees; romaji-only or katakana-only text stays 'und').
-    "pt": ("de", "que", "o", "da", "do", "em", "um", "para", "com", "não"),
+    # languages. pt/it/nl are token-scored Latin lists — every entry must
+    # survive the [a-z0-9]+ tokenizer, so accented forms are excluded by
+    # construction ('não' would tokenize to 'n','o' and never match; r12
+    # review swapped it for 'uma'). ja is char-based on the highest-
+    # frequency HIRAGANA (particles/inflection — unique to Japanese;
+    # romaji-only or katakana-only text stays 'und').
+    "pt": ("de", "que", "o", "da", "do", "em", "um", "para", "com", "uma"),
     "it": ("di", "che", "il", "la", "per", "un", "non", "sono", "una", "con"),
     "nl": ("de", "het", "een", "van", "en", "dat", "niet", "op", "te", "zijn"),
     "ja": ("の", "に", "は", "を", "た", "が", "で", "て", "と", "し"),
 }
 # deterministic tie-break: first language in this order wins. The r12
-# additions append AFTER the original six, so every pre-existing
-# tie-break verdict is unchanged (a new language must score STRICTLY
-# higher to win a document the old detector labeled).
+# Latin additions append AFTER the original six, so no r11 verdict can
+# flip (a new language must score STRICTLY higher to win). ja sits
+# BEFORE zh deliberately: kanji shared with the zh hanzi list can TIE a
+# kanji-dense Japanese document's zh score against its hiragana hits,
+# and the tie must go to the language whose unique script is present —
+# pure Chinese text has zero hiragana hits, so zh documents are
+# unaffected by the placement.
 LANG_PRIORITY: tuple[str, ...] = (
-    "en", "es", "de", "fr", "zh", "ru", "pt", "it", "nl", "ja",
+    "en", "es", "de", "fr", "ja", "zh", "ru", "pt", "it", "nl",
 )
 
 

@@ -135,6 +135,7 @@ def streaming_ingest_spans(
                 store_path,
                 text_col,
                 batch_id=int(epoch_id),
+                reload=False,  # next epoch reloads with its own exclusion
             )
 
     return (
