@@ -600,14 +600,85 @@ def gopher_quality_pass_by_language(
     )
     if und_policy == "structural" and "und" not in overrides:
         overrides["und"] = dict(UND_STRUCTURAL_OVERRIDES)
-    out = gopher_quality_pass(text_col, rules=rules)
+    # group languages by their EFFECTIVE rule set (r12): the gopher
+    # expression tree is large and its HOFs evaluate interpreted, so
+    # one copy per LANGUAGE paid ~2.5x what one copy per DISTINCT rule
+    # set pays (es/de/fr/pt/it/nl share one set; zh/ja another) — the
+    # same grouping the oracle builder uses, so branch counts match
+    groups: dict = {}
     for lg, ov in overrides.items():
-        merged = {**(rules or {}), **ov}
+        key = tuple(sorted({**(rules or {}), **ov}.items()))
+        groups.setdefault(key, []).append(lg)
+    out = gopher_quality_pass(text_col, rules=rules)
+    for key, langs in sorted(groups.items()):
         out = F.when(
-            lang == F.lit(lg),
-            gopher_quality_pass(text_col, rules=merged),
+            lang.isin(sorted(langs)),
+            gopher_quality_pass(text_col, rules=dict(key)),
         ).otherwise(out)
     return out
+
+
+def gopher_by_language_oracle_sql(
+    table: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    rules: dict | None = None,
+    per_language_overrides: dict | None = None,
+    und_policy: str = "english",
+) -> str:
+    """DuckDB mirror of :func:`gopher_quality_pass_by_language` (plus
+    the detected language): emits ``({id_col}, lang_pred,
+    quality_pass_gated)``. The CASE branches are DERIVED from the same
+    ``per_language_overrides`` / :data:`UND_STRUCTURAL_OVERRIDES`
+    tables the Spark predicate reads — languages sharing a rule set
+    share one gopher subquery, so the two engines cannot drift when a
+    language or override is added. One gopher subquery per DISTINCT
+    rule set (plus the published default), each the standard
+    :func:`quality_signals_gopher_oracle_sql`, joined on the id."""
+    if und_policy not in ("english", "structural"):
+        raise ValueError(
+            f"unknown und_policy: {und_policy!r} (english | structural)"
+        )
+    overrides = dict(
+        GOPHER_PER_LANGUAGE_OVERRIDES
+        if per_language_overrides is None
+        else per_language_overrides
+    )
+    if und_policy == "structural" and "und" not in overrides:
+        overrides["und"] = dict(UND_STRUCTURAL_OVERRIDES)
+    # group languages by their EFFECTIVE rule set (rules ⊕ override)
+    groups: dict = {}
+    for lg, ov in overrides.items():
+        key = tuple(sorted({**(rules or {}), **ov}.items()))
+        groups.setdefault(key, []).append(lg)
+    joins, cases = [], []
+    for i, (key, langs) in enumerate(sorted(groups.items())):
+        sub = quality_signals_gopher_oracle_sql(
+            table, id_col, text_col, rules=dict(key)
+        )
+        joins.append(
+            f"JOIN (SELECT {id_col}, quality_pass FROM ({sub})) q{i} "
+            f"ON q{i}.{id_col} = l.{id_col}"
+        )
+        in_list = ", ".join(f"'{lg}'" for lg in sorted(langs))
+        cases.append(
+            f"WHEN l.lang_pred IN ({in_list}) THEN q{i}.quality_pass"
+        )
+    base = quality_signals_gopher_oracle_sql(
+        table, id_col, text_col, rules=rules
+    )
+    nl = "\n               "
+    return f"""
+        SELECT l.{id_col}, l.lang_pred,
+               CASE {nl.join(cases)}
+                    ELSE qbase.quality_pass END AS quality_pass_gated
+        FROM (SELECT {id_col}, {language_id_oracle_expr(text_col)}
+              FROM {table}) l
+        JOIN (SELECT {id_col}, quality_pass FROM ({base})) qbase
+          ON qbase.{id_col} = l.{id_col}
+        {' '.join(joins)}
+    """
 
 
 def gopher_quality_pass(text_col: str = "text", *, rules: dict | None = None):

@@ -622,6 +622,69 @@ def _register_text() -> None:
                                                            "source", "text")
         return tx.language_id(df).drop("text")
 
+    # multilingual planted fixture for the per-language Gopher gate:
+    # one language (or failure mode) per doc_id % 7 bucket, each long
+    # enough to clear min_words; identical synth SQL on both engines.
+    # ru/zh exercise the CJK/Cyrillic overrides (zh's 1-hanzi words need
+    # the min_mean_word_len=1.0 relaxation), pt the Latin stopword
+    # relaxation, the Polish-like text the und_policy='structural' path
+    # (detected 'und', passes on structure), digit soup and hash spam
+    # must still fail everywhere.
+    _GOPHER_ML_SYNTH = (
+        "CASE doc_id % 7 "
+        "WHEN 0 THEN repeat('это новая наука и все люди хотят знать "
+        "больше о мире вокруг нас сегодня ', 5) "
+        "WHEN 1 THEN repeat('我 在 北京 的 家 有 他 和 这 个 人 不 是 我 的 ', 5) "
+        "WHEN 2 THEN repeat('este texto fala de um projeto que vamos "
+        "fazer para o time com apoio da empresa ', 4) "
+        "WHEN 3 THEN repeat('1111 2222 33333 4444 55555 6666 77777 8888 "
+        "99999 1010 ', 6) "
+        "WHEN 4 THEN repeat('grupa ludzi pracuje nad nowym projektem "
+        "badawczym oraz daje wiele dobrych wynikow ', 5) "
+        "WHEN 5 THEN repeat('the quick brown fox jumps over that lazy "
+        "dog with great energy and it is a fine day ', 4) "
+        "ELSE repeat('#### #### #### #### #### #### #### #### #### "
+        "#### ', 6) END"
+    )
+
+    @_register(
+        "text_gopher_by_language",
+        tx.gopher_by_language_oracle_sql(
+            f"(SELECT doc_id, {_GOPHER_ML_SYNTH} AS t2 FROM documents)",
+            "doc_id",
+            "t2",
+            und_policy="structural",
+        ),
+    )
+    def text_gopher_by_language(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Per-language Gopher gating, driver-verified (r12 — the r11
+        delivery had only unit tests): documents route through the
+        10-language detector and each detected language gets its
+        override rule set; und_policy='structural' judges undetected
+        text on structural rules only (with the script-agnostic
+        \\p{L} junk guard). The oracle derives its CASE branches from
+        the SAME overrides tables, so adding a language or override
+        without mirroring is structurally impossible
+        (operators/text.py::gopher_quality_pass_by_language,
+        gopher_by_language_oracle_sql)."""
+        docs = read_table(spark, sf_dir, "documents").select(
+            "doc_id", F.expr(_GOPHER_ML_SYNTH).alias("t2")
+        )
+        # materialize the detector verdict ONCE and route via lang_col:
+        # inlined, every override branch re-derives the full 10-language
+        # scoring CASE (the interpreted-expression re-evaluation pitfall
+        # again — measured 25.8 -> ~8 s on the sf0.01 gate row)
+        with_lang = docs.select(
+            "doc_id", "t2", tx.language_pred("t2").alias("lang_pred")
+        )
+        return with_lang.select(
+            "doc_id",
+            "lang_pred",
+            tx.gopher_quality_pass_by_language(
+                "t2", lang_col="lang_pred", und_policy="structural"
+            ).alias("quality_pass_gated"),
+        )
+
     @_register("text_token_counts", _text_oracle(tx.token_counts_oracle_exprs()))
     def text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         df = read_table(spark, sf_dir, "documents").select("doc_id", "lang",
@@ -5416,6 +5479,8 @@ _DRIVER_PRIORITY = [
     "dedup_token_spans_against",  # cede ts_cohort_retention +
     "dedup_token_spans_stored",   # ts_funnel_steps (r8, age 4 — safe until
                                   # r14; ts_ anchored by ts_ohlc_daily)
+    "text_gopher_by_language",    # cedes dedup_store_deleted (r8, age 4 —
+                                  # rotates by r14; dedup keeps 9 slots)
     # --- r6 cohort (oldest records in the ledger; 19) ---------------------
     "corpus_take_n_stratum",
     "dedup_incremental_estimate", "dedup_keep_best",
@@ -5432,7 +5497,7 @@ _DRIVER_PRIORITY = [
     "agg_cube_orders", "corpus_chunk",
     "stream_anomaly_zscore", "ts_ohlc_daily",
     # --- r8 cohort (5) -----------------------------------------------------
-    "corpus_split_leakage_safe", "dedup_store_deleted",
+    "corpus_split_leakage_safe",
     "text_perplexity_bigram",
     # --- r9 cohort (5) -----------------------------------------------------
     "agg_grouping_sets_orders", "corpus_top_terms",
