@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import sys
 import time
 from pathlib import Path
@@ -521,7 +522,12 @@ def _reads_scaled_table(q) -> bool:
     sql = q.oracle
     if sql is None:
         return True
-    return any(t in sql for t in _SCALED_TABLES)
+    # word-boundary match (ADVICE r12): bare substring containment
+    # misclassified any oracle that merely EMBEDS a scaled-table name in
+    # an alias or synth string (e.g. a CTE named `documents_base`)
+    return any(
+        re.search(rf"\b{t}\b", sql) is not None for t in _SCALED_TABLES
+    )
 
 
 def _ensure_scaled_dir(spark, src_dir: str, out_dir: str, copies: int) -> None:
@@ -1446,6 +1452,56 @@ def vs_prev_round(timings: dict) -> dict:
     }
 
 
+def write_detail_guarded(record: dict, repo_dir: str, *,
+                         force: bool = False) -> dict:
+    """Persist the full bench recording WITHOUT clobbering another scale
+    factor's evidence (VERDICT r12 what's-wrong #2 — two rounds running,
+    an off-sf smoke run destroyed the committed sf0.1 recording and it
+    had to be restored from git; the discipline now lives in code):
+
+    - the run always writes its own ``BENCH_DETAIL.<sf>.json``;
+    - the canonical ``BENCH_DETAIL.json`` is written only when it does
+      not exist, records the SAME ``sf``, or ``force`` is set
+      (``--force`` / ``SPARK_GRAFT_BENCH_FORCE=1``). A smoke run at
+      sf0.001 therefore provably cannot touch the sf0.1 recording.
+
+    Returns ``{"per_sf": path, "canonical": path|None,
+    "skipped_reason": str|None}`` so callers/tests can assert what
+    happened; IO errors degrade to stderr notes (read-only checkouts
+    must never lose the stdout headline)."""
+    sf = record.get("sf")
+    out = {"per_sf": None, "canonical": None, "skipped_reason": None}
+    per_sf = os.path.join(repo_dir, f"BENCH_DETAIL.{sf}.json")
+    try:
+        with open(per_sf, "w") as f:
+            json.dump(record, f, indent=1)
+        out["per_sf"] = per_sf
+    except OSError as e:
+        print(f"# {per_sf} not written: {e}", file=sys.stderr)
+    canonical = os.path.join(repo_dir, "BENCH_DETAIL.json")
+    if os.path.exists(canonical) and not force:
+        try:
+            with open(canonical) as f:
+                prev_sf = json.load(f).get("sf")
+        except (OSError, ValueError):
+            prev_sf = None  # unreadable/corrupt recording: claim it
+        if prev_sf is not None and prev_sf != sf:
+            out["skipped_reason"] = (
+                f"existing recording is sf={prev_sf}, this run is "
+                f"sf={sf}; pass --force to overwrite"
+            )
+            print(f"# BENCH_DETAIL.json kept: {out['skipped_reason']}",
+                  file=sys.stderr)
+            return out
+    try:
+        with open(canonical, "w") as f:
+            json.dump(record, f, indent=1)
+        out["canonical"] = canonical
+    except OSError as e:  # read-only checkout etc.
+        print(f"# BENCH_DETAIL.json not written: {e}", file=sys.stderr)
+    return out
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").split("sf")[-1]
@@ -1610,13 +1666,12 @@ def main() -> None:
         "before": machine_before,
         "after": machine_snapshot(),
     }
-    detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                               "BENCH_DETAIL.json")
-    try:
-        with open(detail_path, "w") as f:
-            json.dump({**headline, **sections}, f, indent=1)
-    except OSError as e:  # read-only checkout etc. — never lose the headline
-        print(f"# BENCH_DETAIL.json not written: {e}", file=sys.stderr)
+    write_detail_guarded(
+        {**headline, **sections},
+        os.path.dirname(os.path.abspath(__file__)),
+        force=os.environ.get("SPARK_GRAFT_BENCH_FORCE") == "1"
+        or "--force" in sys.argv,
+    )
     if sections:
         print(json.dumps(sections))
     print(json.dumps({**headline, "detail": "BENCH_DETAIL.json"}))

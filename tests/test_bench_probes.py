@@ -253,3 +253,39 @@ def test_vs_prev_round_diagnostic(monkeypatch):
     assert bench.vs_prev_round({"nonexistent_query": 1.0}) == {}
     monkeypatch.setenv("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
     assert bench.vs_prev_round(dict(prev)) == {}
+
+
+def test_write_detail_guarded_cannot_clobber_other_sf(tmp_path):
+    """VERDICT r12 what's-wrong #2: two rounds running, an off-sf smoke
+    run overwrote the committed sf0.1 recording. The guard must (a)
+    always write the per-sf file, (b) refuse to touch the canonical
+    BENCH_DETAIL.json when it records a DIFFERENT sf, (c) allow
+    same-sf refresh and --force, (d) claim corrupt/missing recordings."""
+    import json
+
+    d = str(tmp_path)
+    # fresh dir: canonical + per-sf both written
+    r1 = bench.write_detail_guarded({"sf": 0.1, "value": 1}, d)
+    assert r1["canonical"] and r1["per_sf"].endswith("BENCH_DETAIL.0.1.json")
+    assert json.load(open(f"{d}/BENCH_DETAIL.json"))["sf"] == 0.1
+
+    # off-sf smoke run: per-sf written, canonical untouched
+    r2 = bench.write_detail_guarded({"sf": 0.001, "value": 2}, d)
+    assert r2["canonical"] is None and "sf=0.001" in r2["skipped_reason"]
+    assert json.load(open(f"{d}/BENCH_DETAIL.json"))["value"] == 1
+    assert json.load(open(f"{d}/BENCH_DETAIL.0.001.json"))["value"] == 2
+
+    # same-sf refresh overwrites; --force crosses sf
+    r3 = bench.write_detail_guarded({"sf": 0.1, "value": 3}, d)
+    assert r3["canonical"] is not None
+    assert json.load(open(f"{d}/BENCH_DETAIL.json"))["value"] == 3
+    r4 = bench.write_detail_guarded({"sf": 0.001, "value": 4}, d, force=True)
+    assert r4["canonical"] is not None
+    assert json.load(open(f"{d}/BENCH_DETAIL.json"))["sf"] == 0.001
+
+    # corrupt recording is claimed rather than wedging the run
+    with open(f"{d}/BENCH_DETAIL.json", "w") as f:
+        f.write("{not json")
+    r5 = bench.write_detail_guarded({"sf": 0.1, "value": 5}, d)
+    assert r5["canonical"] is not None
+    assert json.load(open(f"{d}/BENCH_DETAIL.json"))["value"] == 5

@@ -600,7 +600,8 @@ def test_und_policy_structural_judges_unknown_languages_on_structure(spark):
 
 def test_min_nonnum_word_frac_mirrors_cross_engine(spark):
     """The script-agnostic junk guard must agree across engines when
-    enabled (Java vs RE2 on the pure-ASCII class ranges), and leave the
+    enabled (Java vs RE2 on \\p{L}, the Unicode-letter class — word 4's
+    symbol-only spam must count as letterless in BOTH), and leave the
     published-rules oracle SQL byte-identical when disabled (the
     default 0.0)."""
     import duckdb as _duck

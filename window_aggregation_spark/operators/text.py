@@ -430,8 +430,8 @@ GOPHER_QUALITY_RULES: dict = {
     "min_stopword_hits": 2,          # distinct hits from the 8-word list
     # NOT a published Gopher rule — a script-AGNOSTIC junk guard, OFF by
     # default (0.0) so the published rule set is bit-unchanged: fraction
-    # of words containing any character that is neither an ASCII digit
-    # nor ASCII punctuation (i.e. a letter of ANY script). The
+    # of words containing a Unicode letter (NONNUM_WORD_RE = \p{L}, so
+    # symbol/emoji-only words count as letterless too). The
     # und_policy="structural" path turns it on because dropping the
     # ASCII alpha rule for unknown scripts would otherwise re-admit
     # digit/symbol soup. Predicate-only: it is not one of the published
@@ -770,9 +770,9 @@ def _gopher_quality_cols(
     )
     if float(r["min_nonnum_word_frac"]) > 0:
         # predicate-only script-agnostic junk guard (see the rules-dict
-        # note): words with any char that is neither an ASCII digit nor
-        # ASCII punctuation — i.e. a letter of ANY script. Pure-ASCII
-        # class ranges, identical in Java and RE2.
+        # note): words containing a Unicode letter (NONNUM_WORD_RE =
+        # \p{L} — deliberately excludes symbol/emoji-only words; Java
+        # and RE2 agree outside Unicode-version edge codepoints).
         nonnum = F.size(F.filter(words, lambda w: w.rlike(NONNUM_WORD_RE)))
         quality_pass = quality_pass & ok(
             F.try_divide(nonnum, n_words)
