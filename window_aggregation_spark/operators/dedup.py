@@ -246,7 +246,8 @@ def build_signature_store(
 
 
 def load_signature_store(
-    spark, path: str, *, exclude_fold_epoch: int | None = None
+    spark, path: str, *, exclude_fold_epoch: int | None = None,
+    exclude_folds_from: int | None = None,
 ) -> SignatureStore:
     """Load a persisted signature store; the signatures stay a lazy
     parquet scan (only the one params row reaches the driver).
@@ -265,7 +266,16 @@ def load_signature_store(
     "duplicate", and overwrite its output partition as empty (silent
     data loss, far worse than the duplicate rows the overwrite already
     prevents). Excluding exactly ``batch_id=N`` reconstructs the store
-    state the epoch saw the first time, making replay bit-identical."""
+    state the epoch saw the first time, making a single-batch retry
+    bit-identical.
+
+    ``exclude_folds_from`` (r13 — the span-store twin's ADVICE r12 fix,
+    applied symmetrically): exclude every fold with ``batch_id >=`` the
+    given epoch. The streaming loop passes this instead, so a
+    fresh-checkpoint restart replaying SEVERAL epochs also reconstructs
+    each epoch's original store view — with the exact-match form,
+    earlier epochs saw LATER epochs' folds and could drop documents the
+    first run admitted."""
     from window_aggregation_spark.sources import store_manifest as sm
 
     m = sm.read_manifest(path, _SIG_COMPONENTS)
@@ -280,6 +290,8 @@ def load_signature_store(
         folds = spark.read.parquet(folds_dir)
         if exclude_fold_epoch is not None:
             folds = folds.where(F.col("batch_id") != int(exclude_fold_epoch))
+        if exclude_folds_from is not None:
+            folds = folds.where(F.col("batch_id") < int(exclude_folds_from))
     # pending deletions (signature_store_delete) anti-join out here, so
     # deleted docs stop matching ingest batches immediately. Tombstones
     # carry the fold WATERMARK captured at delete time (`__upto_batch` =

@@ -102,22 +102,24 @@ def _stopword_hits(toks: Column, lang: str) -> Column:
 
 
 def _char_hits(text: Column, lang: str) -> Column:
-    """Occurrences of each single-character stopword in the LOWERCASED
+    """Occurrences of the single-character stopwords in the LOWERCASED
     text — the zh list is CJK characters, which the latin tokenizer
     drops entirely (so token-hit scoring would leave zh permanently at
     0 and undetectable); the ru list is lowercase Cyrillic letters, so
     without the lower() an all-caps Russian document would score 0 and
     fall through to 'und' (r11 self-review) — lowercasing matches how
-    every Latin language is scored (tokens() lowers internally). Each
-    listed char has length 1, so the length delta after removing it IS
-    its occurrence count."""
+    every Latin language is scored (tokens() lowers internally).
+
+    ONE char-class regexp scan per language (r13): every listed char
+    is a length-1 BMP letter with no regex meaning, so the length
+    delta after deleting the class `[c1c2...]` equals the sum of the
+    per-char deltas the r12 form computed — identical value, but 1
+    text scan instead of 10 (the detector showed up in the gated
+    pipeline capstones' profile; 3 char languages paid 30 scans per
+    row per copy)."""
     lowered = F.lower(text)
-    total = F.lit(0)
-    for w in STOPWORDS[lang]:
-        total = total + (
-            F.length(lowered) - F.length(F.replace(lowered, F.lit(w)))
-        )
-    return total
+    cls = "[" + "".join(STOPWORDS[lang]) + "]"
+    return F.length(lowered) - F.length(F.regexp_replace(lowered, cls, ""))
 
 
 def text_profile(df: DataFrame, text_col: str = "text") -> DataFrame:
@@ -193,7 +195,18 @@ def language_pred(text_col: str = "text") -> Column:
     occurrences — the latin tokenizer drops CJK/Cyrillic entirely, so
     token scoring would leave them undetectable. Pure codegen, so it
     composes into predicates (:func:`gopher_quality_pass_by_language`)
-    without materializing a column."""
+    without materializing a column.
+
+    Deliberately NOT struct-bound, unlike the DuckDB mirror's
+    ``struct_pack`` (r13, measured): wrapping the CASE in a bind-once
+    lambda forces the WHOLE expression — including the otherwise
+    codegen-able char-scan replaces — onto the interpreted path, and
+    the standalone projection ran ~1.6x SLOWER bound (1.76–1.85 s vs
+    1.15 s at sf0.1); the CASE's short-circuit keeps each score
+    near-once anyway. Consumers that are interpreted regardless bind
+    at their OWN level instead
+    (:func:`gopher_quality_pass_by_language` binds the verdict string
+    once per row)."""
     text = F.coalesce(F.col(text_col), F.lit(""))
     toks = tokens(text)
     scores = {
@@ -233,12 +246,16 @@ def language_id_oracle_expr(text_col: str = "text") -> str:
     def hits(lang: str) -> str:
         if lang in CHAR_BASED_LANGS:
             # lower(), matching _char_hits: the ru list is lowercase
-            # Cyrillic and all-caps Russian must not score 0
+            # Cyrillic and all-caps Russian must not score 0; one
+            # char-class scan mirroring the r13 Spark form (every
+            # listed char is a regex-inert length-1 BMP letter, so the
+            # class delta equals the per-char delta sum)
             low = f"lower({text})"
-            return "(" + " + ".join(
-                f"(len({low}) - len(replace({low}, '{w}', '')))"
-                for w in STOPWORDS[lang]
-            ) + ")"
+            cls = "[" + "".join(STOPWORDS[lang]) + "]"
+            return (
+                f"(len({low}) - len(regexp_replace({low}, '{cls}', "
+                "'', 'g')))"
+            )
         stop_in = ", ".join(f"'{w}'" for w in STOPWORDS[lang])
         return f"len(list_filter({toks}, t -> t IN ({stop_in})))"
 

@@ -140,12 +140,15 @@ def streaming_ingest_dedup(
         if not batch_df.head(1):
             return
         spark = batch_df.sparkSession
-        # exclude THIS epoch's own fold partition: a replayed batch must
-        # dedup against the store state it saw the first time, not
-        # against its own folded signatures (which would drop every doc
-        # as a self-duplicate and empty the output partition)
+        # exclude THIS epoch's fold partition AND every later one
+        # (r13, >= semantics): a replayed batch must dedup against the
+        # store state it saw the first time — its own folded signatures
+        # would drop every doc as a self-duplicate and empty the output
+        # partition, and under a fresh-checkpoint multi-epoch replay an
+        # EARLY epoch seeing a LATER epoch's folds would drop documents
+        # the first run admitted
         store = load_signature_store(
-            spark, store_path, exclude_fold_epoch=int(epoch_id)
+            spark, store_path, exclude_folds_from=int(epoch_id)
         )
         clean = ingest_dedup_batch(
             batch_df,

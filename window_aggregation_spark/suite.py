@@ -4007,9 +4007,16 @@ def _register_pipeline() -> None:
         via the structural 'und' policy, digit soup and hash spam fail
         everywhere, short documents fail in every language
         (operators/text.py::gopher_quality_pass_by_language)."""
+        # lazily checkpoint the synthesized corpus (the pipeline_c4_clean
+        # idiom): t2 must be a real attribute downstream — the gate and
+        # the detector reference it hundreds of times through interpreted
+        # HOFs, and PushDownPredicates would otherwise inline the repeat()
+        # CASE into every reference (measured: 4,175 repeat() copies in
+        # the plan, 12.4 s at sf0.1; checkpointed + the char-class
+        # detector scan: ~4 s)
         docs = read_table(spark, sf_dir, "documents").select(
             "doc_id", F.expr(_ML_PIPE_SYNTH).alias("t2")
-        )
+        ).localCheckpoint(eager=False)
         with_lang = docs.select(
             "doc_id", "t2", tx.language_pred("t2").alias("lang_pred")
         )
