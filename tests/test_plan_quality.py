@@ -284,13 +284,15 @@ def test_pipeline_gopher_filter_adds_no_exchange(spark, sf_dir):
     """VERDICT r9 #8: composing the Gopher quality rules (pure-codegen
     predicate) with the repetition filter must keep EXACTLY the
     repetition-signals plan shape — 2 exchanges (gram counts + per-doc
-    rollup), 2 scans (main + short-doc re-attach), zero Python stages —
-    i.e. the pipeline composition adds no shuffle over the signals
-    query it composes."""
+    rollup), ONE scan (r13: short docs ride the exploded stream as a
+    sentinel row; the former re-attach branch re-ran the scan AND the
+    now-expensive language-gated filter a second time), zero Python
+    stages — i.e. the pipeline composition adds no shuffle over the
+    signals query it composes."""
     plan = _plan(SUITE["pipeline_gopher_filter"].build(spark, sf_dir))
     rep = _plan(SUITE["text_repetition_gopher"].build(spark, sf_dir))
     assert plan.count("Exchange") == rep.count("Exchange") == 2, plan[:800]
-    assert len(re.findall(r"Scan parquet", plan)) == 2, plan[:800]
+    assert len(re.findall(r"Scan parquet", plan)) == 1, plan[:800]
     assert "Python" not in plan
 
 
@@ -305,17 +307,22 @@ def test_language_gated_pipelines_bind_the_detector_once(spark, sf_dir):
     hiragana list marks detector copies (11 'の' per copy: the priority
     CASE references the ja score once per WHEN + greatest())."""
     gated = _plan(SUITE["pipeline_gopher_filter"].build(spark, sf_dir))
-    # the repetition shape has TWO scans (main + short-doc re-attach),
-    # each carrying the pushed gate filter once: 11 per copy x 2 scans.
-    # The un-bound form read 4 copies PER SCAN (88 here).
-    assert gated.count("の") == 22, gated.count("の")
+    # ONE scan (r13 one-pass repetition) carrying the pushed gate
+    # filter once: 11 hiragana markers per detector copy. The un-bound
+    # form read 4 copies per scan (44 here); the r12 two-scan shape
+    # read 22.
+    assert gated.count("の") == 11, gated.count("の")
     assert gated.count("Exchange") == 2, gated[:800]
 
     ml = _plan(SUITE["pipeline_gopher_multilingual"].build(spark, sf_dir))
-    # detector evaluated once for lang_pred (materialized column) and
-    # once inside the gate's bound lambda — 2 copies total, never
-    # one per rule-set branch (which would read 5)
-    assert ml.count("の") == 22, ml.count("の")
+    # the capstone checkpoints lang_pred WITH the synthesized corpus
+    # (r13), so the detector runs exactly once inside the checkpoint
+    # job and the visible plan carries ZERO detector copies — the gate
+    # routes on the materialized column. The r12 shape (checkpoint of
+    # t2 only) showed 2 copies: PushDownPredicates inlined the full
+    # detector into the pushed gate filter while the projection
+    # recomputed it for output (measured 6.0 -> ~2.5 s at sf0.1).
+    assert ml.count("の") == 0, ml.count("の")
     assert ml.count("Window ") == 1  # the parity window operator ranks
     assert "Python" not in gated and "Python" not in ml
 

@@ -700,3 +700,78 @@ def test_sentence_array_ws_class_and_caps_ru_cross_engine(spark):
     )
     assert oracle_langs[2] == "ru"
     assert oracle_langs[1] == langs[1]
+
+
+def test_regex_stopword_scan_equals_token_filter_scoring(spark):
+    """r13: the detector's Latin-language scoring moved from an
+    interpreted per-token ``filter(toks, isin)`` pass to ONE
+    ``regexp_count`` scan whose ``[a-z0-9]`` lookarounds re-create the
+    tokenizer's boundaries. The two formulations must count
+    IDENTICALLY for every Latin language on boundary-adversarial text
+    — substring embeddings (athe/thex), underscore and punctuation
+    boundaries (the tokenizer splits on ``_``, ``\\b`` would not),
+    digit flanks (a1the2is has no 'the' token), repeated and adjacent
+    stopwords, case folding, and the shared-word languages (de/nl both
+    list 'de'... es/fr/pt too) — and for the char-based languages the
+    class count must equal the old length-delta replace. DuckDB's
+    independent list_filter oracle closes the triangle."""
+    import duckdb as _duck
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+    from window_aggregation_spark.operators.text import (
+        CHAR_BASED_LANGS,
+        LANG_PRIORITY,
+        STOPWORDS,
+        _char_hits,
+        _stopword_hits,
+        _stopword_hits_text,
+        language_id_oracle_expr,
+        language_pred,
+        tokens,
+    )
+
+    docs = [
+        (1, "the the,the.the_the a-the athe thex a1the2is THE The"),
+        (2, "a a a and an band randy of sofa of_x of9 of"),
+        (3, "de het de-de een_van niet,op te zijn DE hetx"),
+        (4, "le la de et les des est dans que pour le1 1le"),
+        (5, "di che il la per un non sono una con diche"),
+        (6, "de que o da do em um para com uma dequeo"),
+        (7, None),
+        (8, ""),
+        (9, "это О е а И н все люди ЭТОГО"),
+        (10, "的了是我不在人有他这 的的的"),
+        (11, "のにはをたがでてとし のの"),
+        (12, "der die das und ist von mit den ein zu derdie"),
+        (13, "el la de que y en un por con los el_la"),
+        (14, "\tthe\nand\fof\ris "),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    text = F.coalesce(F.col("text"), F.lit(""))
+    toks = tokens(text)
+    lowered = F.lower(text)
+    cols = []
+    for lang in LANG_PRIORITY:
+        if lang in CHAR_BASED_LANGS:
+            old = F.length(lowered) - F.length(F.regexp_replace(
+                lowered, "[" + "".join(STOPWORDS[lang]) + "]", ""))
+            new = _char_hits(text, lang)
+        else:
+            old = _stopword_hits(toks, lang)
+            new = _stopword_hits_text(lowered, lang)
+        cols += [old.alias(f"old_{lang}"), new.alias(f"new_{lang}")]
+    for row in df.select("doc_id", *cols).collect():
+        for lang in LANG_PRIORITY:
+            assert row[f"old_{lang}"] == row[f"new_{lang}"], (
+                row["doc_id"], lang, row[f"old_{lang}"], row[f"new_{lang}"])
+
+    # triangle leg: the composed verdict still matches the DuckDB oracle
+    got = {r.doc_id: r.lp for r in df.select(
+        "doc_id", language_pred("text").alias("lp")).collect()}
+    con = _duck.connect()
+    con.register("t", pd.DataFrame(docs, columns=["doc_id", "text"]))
+    want = dict(con.execute(
+        f"SELECT doc_id, {language_id_oracle_expr('text')} FROM t "
+        "ORDER BY doc_id").fetchall())
+    assert {int(k): v for k, v in want.items()} == got

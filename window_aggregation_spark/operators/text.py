@@ -101,6 +101,30 @@ def _stopword_hits(toks: Column, lang: str) -> Column:
     return F.size(F.filter(toks, lambda t: t.isin(words)))
 
 
+def _stopword_hits_text(lowered: Column, lang: str) -> Column:
+    """Token-hit count for a Latin-script language as ONE JVM regex scan
+    over the LOWERED text (r13) — value-identical to filtering the
+    ``[a-z0-9]+`` token array against the stopword list: the lookarounds
+    re-create exactly the tokenizer's boundaries (a token is a maximal
+    alnum run, so a listed word counts iff it is not flanked by
+    ``[a-z0-9]``; ``\\b`` would be wrong — it treats ``_`` as a word
+    character the tokenizer splits on). Tokens are disjoint, so
+    non-overlapping regex counting equals token counting; alternatives
+    are ordered longest-first only to curb backtracking. Replaces a
+    per-token interpreted ``filter(toks, isin)`` pass — the detector's
+    hot path runs inside the gate's bound lambda, where every HOF
+    element step pays interpreted-eval overhead, while a single
+    ``regexp_count`` eval is one tight JVM regex call per row (measured
+    ~12% on the gated filter, ~18% on the standalone projection; the
+    all-language sweep in test_text_differential pins value parity)."""
+    words = sorted(STOPWORDS[lang], key=lambda w: (-len(w), w))
+    assert all(w.isalnum() for w in words), lang  # regex-inert by construction
+    alt = "|".join(words)
+    return F.regexp_count(
+        lowered, F.lit(f"(?<![a-z0-9])(?:{alt})(?![a-z0-9])")
+    )
+
+
 def _char_hits(text: Column, lang: str) -> Column:
     """Occurrences of the single-character stopwords in the LOWERCASED
     text — the zh list is CJK characters, which the latin tokenizer
@@ -111,15 +135,16 @@ def _char_hits(text: Column, lang: str) -> Column:
     every Latin language is scored (tokens() lowers internally).
 
     ONE char-class regexp scan per language (r13): every listed char
-    is a length-1 BMP letter with no regex meaning, so the length
-    delta after deleting the class `[c1c2...]` equals the sum of the
-    per-char deltas the r12 form computed — identical value, but 1
-    text scan instead of 10 (the detector showed up in the gated
-    pipeline capstones' profile; 3 char languages paid 30 scans per
-    row per copy)."""
+    is a length-1 BMP letter with no regex meaning, so counting class
+    matches equals the sum of the per-char occurrence counts the r12
+    form computed via length deltas — identical value, but 1 text scan
+    instead of 10, and ``regexp_count`` instead of ``regexp_replace``
+    so no replacement string is ever built (the detector runs inside
+    the gate's bound lambda; allocation per row is pure overhead
+    there)."""
     lowered = F.lower(text)
     cls = "[" + "".join(STOPWORDS[lang]) + "]"
-    return F.length(lowered) - F.length(F.regexp_replace(lowered, cls, ""))
+    return F.regexp_count(lowered, F.lit(cls))
 
 
 def text_profile(df: DataFrame, text_col: str = "text") -> DataFrame:
@@ -199,21 +224,28 @@ def language_pred(text_col: str = "text") -> Column:
 
     Deliberately NOT struct-bound, unlike the DuckDB mirror's
     ``struct_pack`` (r13, measured): wrapping the CASE in a bind-once
-    lambda forces the WHOLE expression — including the otherwise
-    codegen-able char-scan replaces — onto the interpreted path, and
+    lambda forces the WHOLE expression onto the interpreted path, and
     the standalone projection ran ~1.6x SLOWER bound (1.76–1.85 s vs
     1.15 s at sf0.1); the CASE's short-circuit keeps each score
     near-once anyway. Consumers that are interpreted regardless bind
     at their OWN level instead
     (:func:`gopher_quality_pass_by_language` binds the verdict string
-    once per row)."""
+    once per row).
+
+    Fully HOF-free since r13: every language scores via ONE
+    ``regexp_count`` scan (:func:`_stopword_hits_text` re-creates the
+    tokenizer's boundaries with ``[a-z0-9]`` lookarounds;
+    :func:`_char_hits` counts the char class), so the whole CASE is a
+    plain JVM expression — no token array, no per-element interpreted
+    lambda steps — and stays cheap even when a consumer's bound lambda
+    evaluates it interpreted."""
     text = F.coalesce(F.col(text_col), F.lit(""))
-    toks = tokens(text)
+    lowered = F.lower(text)
     scores = {
         lang: (
             _char_hits(text, lang)
             if lang in CHAR_BASED_LANGS
-            else _stopword_hits(toks, lang)
+            else _stopword_hits_text(lowered, lang)
         )
         for lang in LANG_PRIORITY
     }
@@ -247,9 +279,11 @@ def language_id_oracle_expr(text_col: str = "text") -> str:
         if lang in CHAR_BASED_LANGS:
             # lower(), matching _char_hits: the ru list is lowercase
             # Cyrillic and all-caps Russian must not score 0; one
-            # char-class scan mirroring the r13 Spark form (every
-            # listed char is a regex-inert length-1 BMP letter, so the
-            # class delta equals the per-char delta sum)
+            # char-class length-delta scan — value-identical to the
+            # Spark side's regexp_count over the same class (every
+            # listed char is a regex-inert length-1 BMP letter), kept
+            # as the independent formulation the differential tests
+            # compare against
             low = f"lower({text})"
             cls = "[" + "".join(STOPWORDS[lang]) + "]"
             return (
@@ -1028,9 +1062,14 @@ def repetition_signals_table(
 
     NULL ``text_col`` values are treated as empty documents (0 tokens,
     NULL fractions) so the operator stays total over its input on every
-    session config — without the coalesce, ANSI mode silently drops
-    NULL-text rows (``size(NULL)`` fails the short-doc re-attach filter)
-    and legacy mode emits ``n_tokens=-1``.
+    session config — without the coalesce the tokenizer yields NULL,
+    the short-doc sentinel condition goes NULL, and the row vanishes
+    (ANSI) or carries ``n_tokens=-1`` (legacy). Short docs (fewer than
+    min-n tokens) ride the SAME exploded stream as one sentinel row
+    (r13) — the operator reads its input exactly ONCE; the former
+    unionByName re-attach re-ran the whole upstream scan+filter for
+    them, which doubled the pipeline cost once the language-gated
+    Gopher predicate became the upstream.
 
     MEASURED pitfall the token-materializing projection below exists
     for: higher-order functions run INTERPRETED, and an array-typed
@@ -1114,10 +1153,27 @@ def repetition_signals_table(
     # explode row and one less per-group aggregation state instead of a
     # first() carried across millions of mostly-unique gram groups.
     tagged = [_tag(F.col(f"__g{n}"), f"{kind}{n}") for kind, n, _ in fams]
+    min_n = min(ns)
+    # docs too short to form even one n-gram of ANY family (n_tokens <
+    # min n) would produce no exploded rows and silently vanish; ride
+    # them through the SAME stream as one sentinel row (fam 'e' — no
+    # real family name starts with 'e') carrying n_tokens in the gram
+    # slot, instead of a second scan + unionByName re-attach. The r13
+    # motivation is upstream cost, not row counts: the operator's input
+    # is often an expensive filter (the language-gated Gopher predicate
+    # in pipeline_gopher_filter), and the re-attach branch re-ran the
+    # whole scan+filter a second time — one sentinel row per short doc
+    # through two combine-friendly shuffles is free by comparison.
+    stream = F.concat(*tagged) if len(tagged) > 1 else tagged[0]
+    stream = F.when(F.col("n_tokens") >= F.lit(min_n), stream).otherwise(
+        F.array(F.struct(
+            F.lit("e").alias("fam"),
+            F.col("n_tokens").cast("string").alias("g"),
+        ))
+    )
     ex = base.select(
         id_col,
-        F.explode(F.concat(*tagged) if len(tagged) > 1 else tagged[0]
-                  ).alias("fg"),
+        F.explode(stream).alias("fg"),
     ).select(id_col, F.col("fg.fam").alias("fam"),
              F.col("fg.g").alias("g"))
     counts = ex.groupBy(id_col, "fam", "g").agg(
@@ -1136,11 +1192,19 @@ def repetition_signals_table(
         aggs.append(
             F.sum(F.when(F.col("fam") == fam, F.col("c"))).alias(f"__t_{fam}")
         )
+    # short-doc sentinel rows surface n_tokens here (NULL for every
+    # real-family agg above, so they cannot perturb any fraction)
+    aggs.append(
+        F.max(F.when(F.col("fam") == "e", F.col("g").cast("int")))
+        .alias("__e_ntok")
+    )
     per_doc = counts.groupBy(id_col).agg(*aggs)
     min_kind, min_n_fam, _ = min(fams, key=lambda f: f[1])
-    n_tokens_col = (
-        F.col(f"__t_{min_kind}{min_n_fam}") + F.lit(min_n_fam - 1)
-    ).cast("int")
+    n_tokens_col = F.coalesce(
+        (F.col(f"__t_{min_kind}{min_n_fam}") + F.lit(min_n_fam - 1))
+        .cast("int"),
+        F.col("__e_ntok"),
+    )
 
     frac_cols, verdicts = [], []
     for kind, n, thr in fams:
@@ -1153,22 +1217,10 @@ def repetition_signals_table(
     verdict = verdicts[0]
     for v in verdicts[1:]:
         verdict = verdict | v
-    out = per_doc.select(
+    return per_doc.select(
         id_col, n_tokens_col.alias("n_tokens"), *frac_cols,
         verdict.alias("repetitive"),
     )
-    # docs too short to form even one n-gram of ANY family produce no
-    # exploded rows at all: re-attach them with NULL fractions so the
-    # operator is total over its input
-    min_n = min(ns)
-    empties = tok_df.where(F.size(toks) < min_n).select(
-        F.col(id_col),
-        F.size(toks).cast("int").alias("n_tokens"),
-        *[F.lit(None).cast("double").alias(_frac_col_name(kind, n))
-          for kind, n, _ in fams],
-        F.lit(False).alias("repetitive"),
-    )
-    return out.unionByName(empties)
 
 
 def repetition_signals(
@@ -1501,10 +1553,26 @@ def repetition_signals_lines(
             arr, lambda u: F.struct(F.lit(fam).alias("fam"), u.alias("u"))
         )
 
-    base = df.select(
-        F.col(id_col),
-        F.concat(_tag(lines, "line"), _tag(paras, "para")).alias("__fu"),
+    # docs with no non-whitespace line (⇒ no non-whitespace paragraph
+    # either: paragraphs are made of lines) ride the SAME stream as one
+    # sentinel row instead of a second scan + unionByName re-attach —
+    # same one-pass rationale as the n-gram table (r13): the input may
+    # be an expensive upstream filter, and the re-attach branch re-ran
+    # it in full for a handful of empty docs. The unit arrays are
+    # materialized behind a projection boundary first, so the emptiness
+    # test references a column, not a second copy of the HOF filters
+    # (the interpreted re-evaluation pitfall; multi-use non-cheap
+    # aliases keep CollapseProject from inlining them).
+    units = df.select(
+        F.col(id_col), lines.alias("__ls"), paras.alias("__ps")
     )
+    stream = F.concat(
+        _tag(F.col("__ls"), "line"), _tag(F.col("__ps"), "para")
+    )
+    stream = F.when(F.size(F.col("__ls")) > 0, stream).otherwise(
+        F.array(F.struct(F.lit("e").alias("fam"), F.lit("").alias("u")))
+    )
+    base = units.select(F.col(id_col), stream.alias("__fu"))
     ex = base.select(
         id_col, F.explode("__fu").alias("fu")
     ).select(
@@ -1547,26 +1615,18 @@ def repetition_signals_lines(
     verdict = verdicts[0]
     for v in verdicts[1:]:
         verdict = verdict | v
-    out = per_doc.select(
+    # unit-less docs arrive as sentinel rows: every real-family agg is
+    # NULL for them (the 'e' fam matches no when()), so n_lines/n_paras
+    # coalesce to 0 and the NULL fractions are already never-repetitive
+    return per_doc.select(
         id_col,
-        F.col("__t_line").cast("int").alias("n_lines"),
+        F.coalesce(F.col("__t_line"), F.lit(0)).cast("int")
+        .alias("n_lines"),
         F.coalesce(F.col("__t_para"), F.lit(0)).cast("int")
         .alias("n_paras"),
         *frac_cols,
         verdict.alias("repetitive"),
     )
-    # docs with no non-whitespace line produce no exploded rows at all:
-    # re-attach them with NULL fractions so the operator is total
-    empties = df.where(F.size(lines) == 0).select(
-        F.col(id_col),
-        F.lit(0).cast("int").alias("n_lines"),
-        F.lit(0).cast("int").alias("n_paras"),
-        *[F.lit(None).cast("double").alias(n)
-          for n in ("dup_line_frac", "dup_line_char_frac",
-                    "dup_para_frac", "dup_para_char_frac")],
-        F.lit(False).alias("repetitive"),
-    )
-    return out.unionByName(empties)
 
 
 def repetition_signals_lines_oracle_sql(

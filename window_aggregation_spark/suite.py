@@ -4007,19 +4007,21 @@ def _register_pipeline() -> None:
         via the structural 'und' policy, digit soup and hash spam fail
         everywhere, short documents fail in every language
         (operators/text.py::gopher_quality_pass_by_language)."""
-        # lazily checkpoint the synthesized corpus (the pipeline_c4_clean
-        # idiom): t2 must be a real attribute downstream — the gate and
-        # the detector reference it hundreds of times through interpreted
-        # HOFs, and PushDownPredicates would otherwise inline the repeat()
-        # CASE into every reference (measured: 4,175 repeat() copies in
-        # the plan, 12.4 s at sf0.1; checkpointed + the char-class
-        # detector scan: ~4 s)
-        docs = read_table(spark, sf_dir, "documents").select(
+        # lazily checkpoint the synthesized corpus WITH the detector
+        # verdict (the pipeline_c4_clean idiom): t2 and lang_pred must
+        # be real attributes downstream. Two inlining hazards die here
+        # at once — PushDownPredicates would inline the repeat() CASE
+        # into every HOF reference (measured: 4,175 repeat() copies,
+        # 12.4 s at sf0.1), and with only t2 checkpointed it inlined
+        # the full detector into the pushed gate filter while the
+        # projection recomputed it for output (2 detector evaluations,
+        # one interpreted — measured 6.0 s; detector materialized once,
+        # codegen, behind the checkpoint boundary: ~2.5 s)
+        with_lang = read_table(spark, sf_dir, "documents").select(
             "doc_id", F.expr(_ML_PIPE_SYNTH).alias("t2")
-        ).localCheckpoint(eager=False)
-        with_lang = docs.select(
+        ).select(
             "doc_id", "t2", tx.language_pred("t2").alias("lang_pred")
-        )
+        ).localCheckpoint(eager=False)
         gated = with_lang.where(
             tx.gopher_quality_pass_by_language(
                 "t2", lang_col="lang_pred", und_policy="structural"
