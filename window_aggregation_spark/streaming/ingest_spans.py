@@ -175,14 +175,15 @@ def streaming_ingest_spans(
 
     ``compact_every=K`` (VERDICT r12 #5) compacts the store in-loop at
     every K-th epoch, bounding the fold-partition count the per-batch
-    load pays to union. The measured curve
-    (``BENCH_DETAIL.json.span_fold_probe``, sf0.1, shipped recording):
-    serve cost creeps ~+22% by 16 folds and ~+53% by 48, and one
-    compaction buys it back BELOW the fold-free baseline (the merged
-    set is also duplicate-free) at a one-off cost of roughly ten
-    serves — so K in the 16–48 band keeps the curve near-flat while
-    the compaction cost amortizes to a few percent per epoch; smaller
-    K pays compaction more often than the degradation it prevents. The current epoch's
+    load pays to union. The measured curve lives in
+    ``BENCH_DETAIL.json.span_fold_probe`` (re-recorded every shipped
+    bench run — numbers here would drift): serve cost grows tens of
+    percent by 16 folds and roughly doubles by 48, and one compaction
+    buys it back to the fold-free baseline at a one-off cost on the
+    order of ten serves — so K in the 16–48 band bounds the curve
+    while the compaction cost amortizes to a few percent per epoch;
+    smaller K pays compaction more often than the degradation it
+    prevents. The current epoch's
     fold is always kept out of the merge (``keep_folds_from`` — see
     :mod:`module docstring <.ingest_spans>` for the replay contract).
 
