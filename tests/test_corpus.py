@@ -791,3 +791,97 @@ def test_prune_duplicated_lines_join_strategy_matches_array(spark):
     assert run(strategy="auto", blocklist_join_threshold=10) == fast
     with pytest.raises(ValueError, match="unknown strategy"):
         cp.prune_duplicated_lines(df, "doc_id", strategy="bogus")
+
+
+# ---------------------------------------------------------------------------
+# filter_blocklisted_pages — the C4 dirty-word page filter (r13)
+# ---------------------------------------------------------------------------
+
+_BL_DOCS = [
+    (1, "the quick brown fox jumps over the lazy dog"),
+    (2, "CLASS and glass but never that other word"),       # substring traps
+    (3, "bad"),                                             # bare hit
+    (4, "bad bad bad worse bad"),                           # repeats: 2 distinct
+    (5, "embedded badword and bad_word and bad9 and 9bad"),  # token
+    # boundaries: bad_word splits to 'bad'+'word' (hit) but bad9/9bad
+    # are single alnum tokens (digits are token characters — no hit)
+    (6, "punctuation bad, bad. bad! (bad)"),                # punct boundaries
+    (7, "BAD Bad bAd"),                                     # case folding
+    (8, None),
+    (9, ""),
+    (10, "worse\tthings\nhappen at sea"),                   # ws zoo
+]
+_BL_WORDS = ["bad", "WORSE", "ass", "bad"]  # dupes + case + substring bait
+
+
+def _bl_expected():
+    # hand-derived distinct-hit counts under the [a-z0-9]+ tokenizer
+    return {1: 0, 2: 0, 3: 1, 4: 2, 5: 1, 6: 1, 7: 1, 8: 0, 9: 0, 10: 1}
+
+
+def test_blocklist_filter_matches_oracle_and_hand_counts(spark, tmp_path):
+    path = str(tmp_path / "bl_docs.parquet")
+    spark.createDataFrame(_BL_DOCS, "doc_id long, text string") \
+        .coalesce(1).write.parquet(path)
+    frame = spark.read.parquet(path)
+    got = cp.filter_blocklisted_pages(
+        frame, words=_BL_WORDS, strategy="array"
+    ).select("doc_id", "n_blocklist_hits", "blocklist_pass")
+    rows = {r.doc_id: r for r in got.collect()}
+    for did, want in _bl_expected().items():
+        assert rows[did].n_blocklist_hits == want, (did, rows[did])
+        assert rows[did].blocklist_pass == (want == 0)
+    con = duckdb.connect()
+    try:
+        con.execute(
+            f"CREATE VIEW bl_docs AS SELECT * FROM "
+            f"read_parquet('{path}/*.parquet')"
+        )
+        want_rel = con.sql(cp.filter_blocklisted_pages_oracle_sql(
+            "bl_docs", words=_BL_WORDS))
+        from tests.conftest import assert_frames_match
+        assert_frames_match(got, want_rel, sort_cols=["doc_id"])
+    finally:
+        con.close()
+
+
+def test_blocklist_filter_join_strategy_is_value_identical(spark):
+    df = spark.createDataFrame(_BL_DOCS, "doc_id long, text string")
+    a = cp.filter_blocklisted_pages(df, words=_BL_WORDS, strategy="array") \
+        .select("doc_id", "n_blocklist_hits", "blocklist_pass")
+    j = cp.filter_blocklisted_pages(df, words=_BL_WORDS, strategy="join") \
+        .select("doc_id", "n_blocklist_hits", "blocklist_pass")
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, j.collect()))
+    # a DataFrame-typed blocklist routes through join and agrees too
+    bl_df = spark.createDataFrame(
+        [(w,) for w in _BL_WORDS], "word string")
+    d = cp.filter_blocklisted_pages(df, words=bl_df, strategy="auto") \
+        .select("doc_id", "n_blocklist_hits", "blocklist_pass")
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, d.collect()))
+    # auto resolves by list size: tiny list -> array (no exchange)
+    plan_auto = cp.filter_blocklisted_pages(
+        df, words=_BL_WORDS, strategy="auto"
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan_auto
+    # forced join carries only (id, token) through its exchanges —
+    # never the text column
+    plan_join = cp.filter_blocklisted_pages(
+        df, words=_BL_WORDS, strategy="join"
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" in plan_join
+
+
+def test_blocklist_filter_validation(spark):
+    df = spark.createDataFrame(_BL_DOCS, "doc_id long, text string")
+    with pytest.raises(ValueError, match="not a single"):
+        cp.filter_blocklisted_pages(df, words=["two words"])
+    with pytest.raises(ValueError, match="not a single"):
+        cp.filter_blocklisted_pages(df, words=[""])
+    with pytest.raises(ValueError, match="unknown strategy"):
+        cp.filter_blocklisted_pages(df, words=["ok"], strategy="nope")
+    bl_df = spark.createDataFrame([("w",)], "word string")
+    with pytest.raises(ValueError, match="DataFrame blocklist"):
+        cp.filter_blocklisted_pages(df, words=bl_df, strategy="array")
+    # empty list: everything passes, both engines
+    got = cp.filter_blocklisted_pages(df, words=[], strategy="array")
+    assert all(r.blocklist_pass for r in got.collect())

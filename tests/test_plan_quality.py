@@ -445,3 +445,34 @@ def test_span_join_shuffle_regime_shares_the_hash_exchange(spark, sf_dir):
     n_b = plans["broadcast"].count("Exchange hashpartitioning")
     n_s = plans["shuffle"].count("Exchange hashpartitioning")
     assert n_b == n_s == 3, (n_b, n_s)
+
+
+def test_blocklist_and_c4_english_plan_shapes(spark, sf_dir):
+    """r13 additions: (a) the blocklist filter's array regime is a pure
+    projection fused into the scan — zero exchanges; (b) the join
+    regime's exchanges carry only (id, token) — the corpus text column
+    never enters a shuffle; (c) the detector-gated C4 capstone stays
+    ONE scan with zero exchanges — both predicates (regex-scan
+    detector, c4 line/page rules) fuse into it, and the 'の' count
+    pins exactly one detector copy in the pushed filter."""
+    arr = _plan(SUITE["corpus_blocklist_filter"].build(spark, sf_dir))
+    assert "Exchange" not in arr, arr[:800]
+    assert len(re.findall(r"Scan parquet", arr)) == 1
+
+    join = _plan(SUITE["corpus_blocklist_filter_join"].build(spark, sf_dir))
+    assert "Exchange" in join
+    # the hit-count aggregation and the count join shuffle ids+tokens,
+    # never text: no exchange's output schema mentions the text column
+    for m in re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", join):
+        assert "text" not in m.group(1), m.group(0)
+
+    en = _plan(SUITE["pipeline_c4_english"].build(spark, sf_dir))
+    assert "Exchange" not in en, en[:800]
+    assert len(re.findall(r"Scan parquet", en)) == 1
+    # the equality `language_pred(t2) == 'en'` lets Catalyst prune the
+    # whole priority CASE: no non-en branch can yield 'en', so the
+    # filter collapses to the en condition alone — each language score
+    # evaluated exactly once (ja's marker class appears once, inside
+    # greatest()), not the gate's 11-references-per-copy shape
+    assert en.count("の") == 1, en.count("の")
+    assert "Python" not in arr and "Python" not in join and "Python" not in en

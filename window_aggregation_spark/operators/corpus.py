@@ -1382,3 +1382,161 @@ def weighted_sample_n_oracle_sql(
         AND CAST({weight_col} AS DOUBLE) > 0
       ORDER BY __wkey DESC, {id_col} ASC LIMIT {n})
     """
+
+
+def filter_blocklisted_pages(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    words,
+    strategy: str = "auto",
+    blocklist_join_threshold: int = 4096,
+) -> DataFrame:
+    """The C4 dirty-word PAGE filter (Raffel et al. 2020 §2.2, public:
+    "removed any page that contained any word on the [blocklist]") as a
+    bring-your-own-list operator — :func:`..text.c4_clean` deliberately
+    does not bundle a word list, this is the operator a deployment
+    plugs its curated list into. Word-grain, case-insensitive matching
+    under the repo's ``[a-z0-9]+`` tokenizer: a listed word hits iff it
+    occurs as a whole token ('class' never hits on a list containing
+    'ass'; phrases are rejected at validation — split them into their
+    decisive single word or pre-mark pages upstream).
+
+    Appends ``(n_blocklist_hits, blocklist_pass)`` to the input:
+    ``n_blocklist_hits`` counts the DISTINCT listed words present
+    (occurrence counts would make the verdict depend on list
+    duplicates; the list is deduped on entry), ``blocklist_pass`` is
+    the C4 keep verdict (zero hits). Callers filter on the verdict.
+
+    ``words`` is a Python list/tuple of words, or a single-column
+    DataFrame for lists that live in storage. ``strategy``:
+
+    - ``"array"``: one ``array_intersect`` against a literal array —
+      a pure projection fused into the scan, zero shuffles. The
+      membership probe is a hash set build per row over the doc's
+      tokens; the right bound is the broadcast-literal size, same
+      calculus as :func:`prune_duplicated_lines`.
+    - ``"join"``: explode per-doc-DISTINCT tokens, hash-join against
+      the blocklist relation, count hits per doc, left-join the counts
+      back on the id. Two extra shuffles carrying only (id, token) —
+      never the corpus text — and the blocklist side is a relation the
+      planner can broadcast or sort-merge as its size demands: the
+      100 TB shape for six-figure lists no literal array should hold.
+    - ``"auto"``: the list size is KNOWN driver-side (unlike
+      prune_duplicated_lines' lazily-counted frequent-line set, a
+      Python list needs no action to measure): ``len(words) <=
+      blocklist_join_threshold`` picks array, above it join; a
+      DataFrame list always routes to join.
+
+    Both strategies are value-identical (pinned in tests). NULL text
+    reads as the empty page: zero hits, passes.
+    """
+    if strategy not in ("array", "join", "auto"):
+        raise ValueError(f"unknown strategy: {strategy!r}")
+    text = F.coalesce(F.col(text_col), F.lit(""))
+    toks = tokens(text)
+
+    if isinstance(words, DataFrame):
+        if strategy == "array":
+            raise ValueError(
+                "strategy='array' needs an in-memory word list; a "
+                "DataFrame blocklist routes through strategy='join'"
+            )
+        wcol = words.columns[0]
+        bl = words.select(
+            F.lower(F.col(wcol).cast("string")).alias("__bl_word")
+        ).distinct()
+        resolved = "join"
+    else:
+        seen, norm = set(), []
+        for w in words:
+            lw = str(w).lower()
+            if not lw or not all(c.isascii() and c.isalnum() for c in lw):
+                raise ValueError(
+                    f"blocklist word {w!r} is not a single "
+                    f"[a-z0-9]+ token (phrases are not supported)"
+                )
+            if lw not in seen:
+                seen.add(lw)
+                norm.append(lw)
+        if strategy == "auto":
+            resolved = (
+                "array" if len(norm) <= int(blocklist_join_threshold)
+                else "join"
+            )
+        else:
+            resolved = strategy
+        if resolved == "join":
+            spark = df.sparkSession
+            bl = spark.createDataFrame(
+                [(w,) for w in norm], "__bl_word string"
+            )
+
+    if resolved == "array":
+        if norm:
+            hits = F.size(F.array_intersect(
+                toks, F.array(*[F.lit(w) for w in norm])
+            ))
+        else:
+            hits = F.lit(0)
+        return df.select(
+            "*",
+            hits.cast("int").alias("n_blocklist_hits"),
+            (hits == 0).alias("blocklist_pass"),
+        )
+
+    # join regime: per-doc-distinct tokens so the count is distinct
+    # listed words present, matching array_intersect's set semantics
+    doc_toks = df.select(
+        F.col(id_col), F.explode(F.array_distinct(toks)).alias("__tok")
+    )
+    hit_counts = (
+        doc_toks.join(bl, doc_toks["__tok"] == bl["__bl_word"])
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("__n_hits"))
+    )
+    joined = df.join(hit_counts, on=id_col, how="left")
+    n_hits = F.coalesce(F.col("__n_hits"), F.lit(0)).cast("int")
+    return joined.select(
+        *[F.col(c) for c in df.columns],
+        n_hits.alias("n_blocklist_hits"),
+        (n_hits == 0).alias("blocklist_pass"),
+    )
+
+
+def filter_blocklisted_pages_oracle_sql(
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    words,
+    select_cols: str | None = None,
+) -> str:
+    """DuckDB mirror of :func:`filter_blocklisted_pages` — same
+    tokenizer, same distinct-words-present count (``list_filter`` over
+    the DEDUPED word list against the token list, so list duplicates
+    cannot inflate the count in either engine), same NULL-text-as-empty
+    coalesce. One formulation serves both operator strategies: the
+    value-identity of array vs join is an operator-side invariant the
+    shared oracle string then hash-checks end to end."""
+    seen, norm = set(), []
+    for w in words:
+        lw = str(w).lower()
+        if lw not in seen:
+            seen.add(lw)
+            norm.append(lw)
+    toks = (
+        f"regexp_extract_all(lower(coalesce({text_col}, '')), "
+        f"'{TOKEN_RE}')"
+    )
+    wl = "[" + ", ".join(f"'{w}'" for w in norm) + "]"
+    hits = (
+        f"len(list_filter({wl}, w -> list_contains({toks}, w)))"
+        if norm else "0"
+    )
+    cols = select_cols if select_cols is not None else f"{id_col}"
+    return (
+        f"SELECT {cols}, CAST({hits} AS INT) AS n_blocklist_hits, "
+        f"({hits}) = 0 AS blocklist_pass FROM {table}"
+    )

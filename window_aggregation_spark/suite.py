@@ -3735,6 +3735,56 @@ def _register_corpus() -> None:
             F.round(F.avg("n_chars"), 4).alias("avg_chars"),
         )
 
+    # The C4 dirty-word page filter (Raffel et al. 2020 §2.2 step 3) as
+    # a bring-your-own-list operator. Fixture list: 'dup' occurs in ~5%
+    # of the synthetic docs (the only rare token in the fixture
+    # vocabulary), 'lorem'/'javascript' are absent, and 'jo' is the
+    # word-grain trap — a substring of 'join' (in ~80% of docs) that
+    # must hit NOTHING, or the filter is substring-matching. Both
+    # strategy regimes share this ONE oracle string verbatim, so the
+    # array/join value-identity is driver-hash-checked end to end.
+    _BL_FIXTURE_WORDS = ("dup", "lorem", "javascript", "jo")
+    _BL_ORACLE = cp.filter_blocklisted_pages_oracle_sql(
+        "documents", words=_BL_FIXTURE_WORDS
+    )
+
+    @_register("corpus_blocklist_filter", _BL_ORACLE)
+    def corpus_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """C4's dirty-word PAGE filter with a deployment-supplied list
+        (c4_clean deliberately bundles no word list): word-grain,
+        case-insensitive matching under the shared [a-z0-9]+ tokenizer
+        — 'jo' in the fixture list never hits 'join', or word grain is
+        broken. strategy='auto' resolves to the literal-array regime at
+        this list size: one array_intersect projection fused into the
+        scan, zero shuffles
+        (operators/corpus.py::filter_blocklisted_pages)."""
+        docs = read_table(spark, sf_dir, "documents").select(
+            "doc_id", "text"
+        )
+        return cp.filter_blocklisted_pages(
+            docs, words=list(_BL_FIXTURE_WORDS), strategy="auto"
+        ).select("doc_id", "n_blocklist_hits", "blocklist_pass")
+
+    @_register("corpus_blocklist_filter_join", _BL_ORACLE)
+    def corpus_blocklist_filter_join(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        """The blocklist filter's large-list regime, value-identical by
+        construction and sharing the array twin's oracle string
+        VERBATIM: per-doc-DISTINCT tokens explode into a hash join
+        against the blocklist relation (the planner broadcasts or
+        sort-merges as the list size demands — the 100 TB shape for
+        six-figure lists no literal array should hold), hit counts
+        left-join back on the id; the exchanges carry only (id, token),
+        never the corpus text
+        (operators/corpus.py::filter_blocklisted_pages)."""
+        docs = read_table(spark, sf_dir, "documents").select(
+            "doc_id", "text"
+        )
+        return cp.filter_blocklisted_pages(
+            docs, words=list(_BL_FIXTURE_WORDS), strategy="join"
+        ).select("doc_id", "n_blocklist_hits", "blocklist_pass")
+
     @_register(
         "corpus_top_terms",
         f"""
@@ -4152,6 +4202,63 @@ def _register_pipeline() -> None:
         return dd.cut_sentence_spans(
             pruned, spans, "doc_id", "pruned_text", alias="clean_text"
         ).select("doc_id", "clean_text")
+
+    # C4's language step (§2.2 step 8: "we used langdetect to filter
+    # out any pages that were not classified as English with a
+    # probability of at least 0.99" — our detector stands in for
+    # langdetect). Fixture: per doc_id % 4, (0) an English page passing
+    # every heuristic, (1) a RUSSIAN page that passes every C4
+    # STRUCTURAL rule — only the language gate excludes it, so the row
+    # proves the gate bites rather than riding a structural failure,
+    # (2) an English page with too few sentences (heuristics exclude),
+    # (3) a punctuation-less line (no kept lines, detector reads 'und').
+    _C4_EN_SYNTH = (
+        "CASE doc_id % 4 "
+        "WHEN 0 THEN 'This is a good English sentence. Here is another "
+        "fine sentence. The cat sat on the mat. It is a fine day "
+        "today. We end with the fifth sentence.' "
+        "WHEN 1 THEN 'Это новая наука о мире сегодня. Все люди хотят "
+        "знать больше. Мы работаем над проектом вместе. Она читает "
+        "книгу вечером дома. Это пятое предложение здесь.' "
+        "WHEN 2 THEN 'Too few sentences here. Only two exist.' "
+        "ELSE 'no terminal punctuation on this line at all' END"
+    )
+    _c4_en_tbl = (
+        f"(SELECT doc_id, {_C4_EN_SYNTH} AS t2 FROM documents)"
+    )
+
+    @_register(
+        "pipeline_c4_english",
+        f"""
+        SELECT c.doc_id, c.c4_text, c.n_kept_lines, c.n_sentences
+        FROM ({tx.c4_clean_oracle_sql(table=_c4_en_tbl, text_col="t2")}) c
+        JOIN (SELECT doc_id, {tx.language_id_oracle_expr("t2")}
+              FROM {_c4_en_tbl}) l
+          ON l.doc_id = c.doc_id
+        WHERE c.c4_keep AND l.lang_pred = 'en'
+        """,
+    )
+    def pipeline_c4_english(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """C4's OWN language step composed with its heuristics (Raffel
+        et al. 2020 §2.2 step 8 filtered pages to English via
+        langdetect; the repo's 10-language detector stands in): keep
+        pages that pass the line/page heuristics AND detect as English.
+        Closes the r12 observation that the C4 capstones never
+        consulted the detector — the planted Russian bucket passes
+        every STRUCTURAL rule and is excluded by the language gate
+        alone. Both predicates are pure codegen (the detector is
+        regex-scan scoring since r13), so the whole query stays one
+        projection+filter fused into the scan — zero shuffles
+        (operators/text.py::c4_clean, language_pred)."""
+        docs = read_table(spark, sf_dir, "documents").select(
+            "doc_id", F.expr(_C4_EN_SYNTH).alias("t2")
+        )
+        en = docs.where(tx.language_pred("t2") == F.lit("en"))
+        return (
+            tx.c4_clean(en, text_col="t2")
+            .where(F.col("c4_keep"))
+            .select("doc_id", "c4_text", "n_kept_lines", "n_sentences")
+        )
 
     # --- the STEADY-STATE twin (r12): one arriving batch against the
     # persisted corpus hash set. Batch = the %3==0 slice with the page/
@@ -5656,20 +5763,25 @@ _DRIVER_PRIORITY = [
     "dedup_sentence_spans_shuffle",   # shuffle regime, stored oracle
     "dedup_token_spans_increment",    # token-grain batch-ingest policy
     "pipeline_gopher_multilingual",   # per-language gated capstone
+    "corpus_blocklist_filter",        # C4 dirty-word filter, array regime
+    "corpus_blocklist_filter_join",   # join regime, oracle shared verbatim
+    "pipeline_c4_english",            # C4 step 8: detector-gated pages
+    # (three r10-cohort rows ceded slots to the late-r13 additions:
+    # corpus_tar_shards_roundtrip, corpus_sample_weighted,
+    # search_bm25_batch — age 3, re-slotted well before MAX_AGE)
     # --- r7/r8 stragglers (VERDICT r12 what's-missing #5) -------------------
     "corpus_shuffle",
     "dedup_store_deleted", "ts_cohort_retention", "ts_funnel_steps",
     # --- r10 cohort (oldest records in the ledger; 37) ----------------------
     "agg_discrete_percentile", "agg_pivot_orders",
     "corpus_decontaminate_bloom", "corpus_length_quantiles",
-    "corpus_sample_weighted", "corpus_stats",
-    "corpus_tar_shards_roundtrip",
+    "corpus_stats",
     "dq_profile_orders", "dq_quarantine_orders",
     "dq_quarantine_sink_roundtrip",
     "mm_decode_features", "mm_video_mjpeg",
     "pipeline_clean_corpus",
     "pipeline_gopher_filter",  # ALSO changed this round: per-language gate
-    "search_bm25_batch", "search_bm25_deleted", "search_bm25_indexed",
+    "search_bm25_deleted", "search_bm25_indexed",
     "search_hybrid_rrf", "search_tfidf_keywords",
     "skew_salted_running_sum",
     "stream_interval_join_ss", "stream_stateful_ewma",
