@@ -1419,10 +1419,18 @@ def filter_blocklisted_pages(
       calculus as :func:`prune_duplicated_lines`.
     - ``"join"``: explode per-doc-DISTINCT tokens, hash-join against
       the blocklist relation, count hits per doc, left-join the counts
-      back on the id. Two extra shuffles carrying only (id, token) —
-      never the corpus text — and the blocklist side is a relation the
-      planner can broadcast or sort-merge as its size demands: the
-      100 TB shape for six-figure lists no literal array should hold.
+      back on the id. The token-matching shuffles carry only
+      (id, token), and the blocklist side is a relation the planner can
+      broadcast or sort-merge as its size demands: the 100 TB shape for
+      six-figure lists no literal array should hold. The count
+      re-attach join is id-keyed: the hit-count side is (id, count)
+      rows for hit docs only (usually broadcast-able), and when a
+      caller keeps only the verdict columns — the normal
+      filter-pipeline shape, pinned by the suite row — column pruning
+      empties the corpus side down to ids, so no exchange ever carries
+      document text; a caller that carries the text THROUGH a
+      sort-merge-scale re-attach pays one id-keyed payload shuffle,
+      the same price as any enrichment join.
     - ``"auto"``: the list size is KNOWN driver-side (unlike
       prune_duplicated_lines' lazily-counted frequent-line set, a
       Python list needs no action to measure): ``len(words) <=
