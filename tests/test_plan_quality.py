@@ -7,7 +7,9 @@ with .explain("formatted"), pinned as tests.
 
 from __future__ import annotations
 
+import os
 import re
+from contextlib import contextmanager
 
 import pytest
 from pyspark.sql import functions as F
@@ -17,6 +19,20 @@ from window_aggregation_spark.suite import SUITE
 
 def _plan(df) -> str:
     return df._jdf.queryExecution().executedPlan().toString()
+
+
+@contextmanager
+def _no_spread():
+    """Build queries with the fixture-scale scan spread disabled: plan
+    pins assert the AT-SCALE shape, where sources.io.spread_target is a
+    no-op by construction (the input out-fills defaultParallelism many
+    max-size splits). tests/test_sources_lineage.py covers the spread
+    itself."""
+    os.environ["SPARK_GRAFT_NO_SPREAD"] = "1"
+    try:
+        yield
+    finally:
+        os.environ.pop("SPARK_GRAFT_NO_SPREAD", None)
 
 
 def test_multi_aggregate_plan_has_single_window_and_shuffle(spark, sf_dir):
@@ -289,8 +305,9 @@ def test_pipeline_gopher_filter_adds_no_exchange(spark, sf_dir):
     now-expensive language-gated filter a second time), zero Python
     stages — i.e. the pipeline composition adds no shuffle over the
     signals query it composes."""
-    plan = _plan(SUITE["pipeline_gopher_filter"].build(spark, sf_dir))
-    rep = _plan(SUITE["text_repetition_gopher"].build(spark, sf_dir))
+    with _no_spread():
+        plan = _plan(SUITE["pipeline_gopher_filter"].build(spark, sf_dir))
+        rep = _plan(SUITE["text_repetition_gopher"].build(spark, sf_dir))
     assert plan.count("Exchange") == rep.count("Exchange") == 2, plan[:800]
     assert len(re.findall(r"Scan parquet", plan)) == 1, plan[:800]
     assert "Python" not in plan
@@ -306,7 +323,8 @@ def test_language_gated_pipelines_bind_the_detector_once(spark, sf_dir):
     scoring CASE (measured 4 copies, ~3x on the synth fixture). The ja
     hiragana list marks detector copies (11 'の' per copy: the priority
     CASE references the ja score once per WHEN + greatest())."""
-    gated = _plan(SUITE["pipeline_gopher_filter"].build(spark, sf_dir))
+    with _no_spread():
+        gated = _plan(SUITE["pipeline_gopher_filter"].build(spark, sf_dir))
     # ONE scan (r13 one-pass repetition) carrying the pushed gate
     # filter once: 11 hiragana markers per detector copy. The un-bound
     # form read 4 copies per scan (44 here); the r12 two-scan shape

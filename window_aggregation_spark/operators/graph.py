@@ -160,6 +160,15 @@ def _degree_oriented(edges: DataFrame, src: str = "u", dst: str = "v") -> DataFr
     out-degrees are bounded by O(sqrt(m)). THE one definition, shared by
     :func:`triangle_count` and :func:`oriented_out_degrees` so the probe
     measures exactly what the operator runs."""
+    # The dedup'd edge set is referenced FIVE times downstream (twice
+    # per degree union, once per rank join side) and the orientation
+    # result three more — without a materialization barrier every
+    # reference replays the whole upstream edge-generation subtree
+    # (measured on graph_triangle_count: 30 parquet scans / 32
+    # exchanges in one plan; ReuseExchange recovered only 6). One lazy
+    # localCheckpoint pins the 16-byte edge rows instead — the same
+    # barrier the CC loop already uses, and strictly cheaper at any
+    # scale than re-running the distinct shuffle per reference.
     e = (
         edges.select(
             F.least(F.col(src), F.col(dst)).cast("long").alias("a"),
@@ -167,6 +176,7 @@ def _degree_oriented(edges: DataFrame, src: str = "u", dst: str = "v") -> DataFr
         )
         .where(F.col("a") != F.col("b"))
         .distinct()
+        .localCheckpoint(eager=False)
     )
     deg = (
         e.select(F.col("a").alias("n"))
@@ -231,7 +241,12 @@ def triangle_count(
     adjacency groupBy, and the two adjacency joins (broadcast when the
     node list fits, hash otherwise).
     """
-    oriented = _degree_oriented(edges, src, dst)
+    # oriented is consumed three times (the adjacency build twice, the
+    # closing join once) — pin it like `e` above so the rank joins run
+    # once, not per consumer
+    oriented = _degree_oriented(edges, src, dst).localCheckpoint(
+        eager=False
+    )
     # edge-iterator closing: a triangle {p, x, y} with p -> x, p -> y,
     # x -> y is found exactly once, at edge (p, x): y is an out-neighbor
     # of both endpoints (of p directly, of x via the closing edge); at

@@ -665,26 +665,53 @@ def gopher_quality_pass_by_language(
     )
     if und_policy == "structural" and "und" not in overrides:
         overrides["und"] = dict(UND_STRUCTURAL_OVERRIDES)
-    # group languages by their EFFECTIVE rule set (r12): the gopher
-    # expression tree is large and its HOFs evaluate interpreted, so
-    # one copy per LANGUAGE paid ~2.5x what one copy per DISTINCT rule
-    # set pays (es/de/fr/pt/it/nl share one set; zh/ja another) — the
-    # same grouping the oracle builder uses, so branch counts match
+    # group languages by their EFFECTIVE rule set (r12): es/de/fr/pt/
+    # it/nl share one set, zh/ja another — the same grouping the oracle
+    # builder uses, so branch counts match. r13 restructure: every
+    # distinct rule set differs only in THRESHOLDS over the SAME signal
+    # definitions, so the expensive signals (whitespace split, the HOF
+    # word/line passes, the tokenizer) are computed ONCE per row and
+    # each branch is just scalar comparisons over the shared struct —
+    # the former one-full-gopher-tree-per-rule-set CASE paid ~5x the
+    # expression tree (driver-side: Catalyst walks and AQE re-optimizes
+    # the tree per stage; task-side: per-task interpreted-expression
+    # init and serialization all scale with tree size).
     groups: dict = {}
     for lg, ov in overrides.items():
         key = tuple(sorted({**(rules or {}), **ov}.items()))
         groups.setdefault(key, []).append(lg)
+    need_nonnum = any(
+        float(dict(key).get(
+            "min_nonnum_word_frac",
+            GOPHER_QUALITY_RULES["min_nonnum_word_frac"],
+        )) > 0
+        for key in list(groups) + [tuple(sorted((rules or {}).items()))]
+    )
+    signals, _ = _gopher_quality_cols(text_col, rules)
+    if need_nonnum:
+        text = F.coalesce(F.col(text_col), F.lit(""))
+        words = F.filter(F.split(text, WS_RE), lambda w: w != F.lit(""))
+        nonnum = F.size(F.filter(words, lambda w: w.rlike(NONNUM_WORD_RE)))
+        signals = {
+            **signals,
+            "nonnum_word_frac": F.try_divide(nonnum, signals["n_words"]),
+        }
+    bound = F.struct(
+        lang.alias("__lg"),
+        *[c.alias(name) for name, c in signals.items()],
+    )
 
-    def gate(lg_var: Column) -> Column:
-        out = gopher_quality_pass(text_col, rules=rules)
+    def gate(x: Column) -> Column:
+        sig = {name: x[name] for name in signals}
+        out = _gopher_rule_verdict(sig, _gopher_effective_rules(rules))
         for key, langs in sorted(groups.items()):
             out = F.when(
-                lg_var.isin(sorted(langs)),
-                gopher_quality_pass(text_col, rules=dict(key)),
+                x["__lg"].isin(sorted(langs)),
+                _gopher_rule_verdict(sig, _gopher_effective_rules(dict(key))),
             ).otherwise(out)
         return out
 
-    return F.element_at(F.transform(F.array(lang), gate), 1)
+    return F.element_at(F.transform(F.array(bound), gate), 1)
 
 
 def gopher_by_language_oracle_sql(
@@ -762,18 +789,68 @@ def gopher_quality_pass(text_col: str = "text", *, rules: dict | None = None):
     return quality_pass
 
 
-def _gopher_quality_cols(
-    text_col: str, rules: dict | None
-) -> tuple[dict, Column]:
-    """(ordered signal-name → Column, quality_pass Column) — the shared
-    expression builder behind :func:`quality_signals_gopher` and
-    :func:`gopher_quality_pass`."""
+def _gopher_effective_rules(rules: dict | None) -> dict:
+    """Published defaults ⊕ caller overrides, unknown keys rejected."""
     r = dict(GOPHER_QUALITY_RULES)
     if rules:
         unknown = set(rules) - set(r)
         if unknown:
             raise ValueError(f"unknown quality rules: {sorted(unknown)}")
         r.update(rules)
+    return r
+
+
+def _gopher_rule_verdict(sig: dict, r: dict) -> Column:
+    """The Gopher ``quality_pass`` verdict from PRECOMPUTED signal
+    columns at rule set ``r`` — thresholds only, no text work. Split out
+    (r13) so :func:`gopher_quality_pass_by_language` can evaluate the
+    expensive signals ONCE and route each document's rule set over the
+    shared values: every distinct rule set differs only in THRESHOLDS
+    (see GOPHER_PER_LANGUAGE_OVERRIDES / UND_STRUCTURAL_OVERRIDES), so
+    one signal evaluation serves every branch. Comparison set, coalesce-
+    to-False folding and AND order are byte-identical to the pre-split
+    builder — bit-identical verdicts by construction."""
+
+    def ok(cond: Column) -> Column:
+        return F.coalesce(cond, F.lit(False))
+
+    quality_pass = (
+        ok(sig["n_words"] >= F.lit(int(r["min_words"])))
+        & ok(sig["n_words"] <= F.lit(int(r["max_words"])))
+        & ok(sig["mean_word_len"] >= F.lit(float(r["min_mean_word_len"])))
+        & ok(sig["mean_word_len"] <= F.lit(float(r["max_mean_word_len"])))
+        & ok(sig["hash_word_ratio"] <= F.lit(float(r["max_hash_word_ratio"])))
+        & ok(
+            sig["ellipsis_word_ratio"]
+            <= F.lit(float(r["max_ellipsis_word_ratio"]))
+        )
+        & ok(
+            sig["bullet_line_frac"] <= F.lit(float(r["max_bullet_line_frac"]))
+        )
+        & ok(
+            sig["ellipsis_line_frac"]
+            <= F.lit(float(r["max_ellipsis_line_frac"]))
+        )
+        & ok(
+            sig["alpha_word_frac"] >= F.lit(float(r["min_alpha_word_frac"]))
+        )
+        & ok(sig["stopword_hits"] >= F.lit(int(r["min_stopword_hits"])))
+    )
+    if float(r["min_nonnum_word_frac"]) > 0:
+        quality_pass = quality_pass & ok(
+            sig["nonnum_word_frac"]
+            >= F.lit(float(r["min_nonnum_word_frac"]))
+        )
+    return quality_pass
+
+
+def _gopher_quality_cols(
+    text_col: str, rules: dict | None
+) -> tuple[dict, Column]:
+    """(ordered signal-name → Column, quality_pass Column) — the shared
+    expression builder behind :func:`quality_signals_gopher` and
+    :func:`gopher_quality_pass`."""
+    r = _gopher_effective_rules(rules)
     text = F.coalesce(F.col(text_col), F.lit(""))
     words = F.filter(F.split(text, WS_RE), lambda w: w != F.lit(""))
     lines = F.split(text, "\n")
@@ -822,31 +899,12 @@ def _gopher_quality_cols(
         )
     )
 
-    def ok(cond: Column) -> Column:
-        return F.coalesce(cond, F.lit(False))
-
-    quality_pass = (
-        ok(n_words >= F.lit(int(r["min_words"])))
-        & ok(n_words <= F.lit(int(r["max_words"])))
-        & ok(mean_wl >= F.lit(float(r["min_mean_word_len"])))
-        & ok(mean_wl <= F.lit(float(r["max_mean_word_len"])))
-        & ok(hash_ratio <= F.lit(float(r["max_hash_word_ratio"])))
-        & ok(ellipsis_ratio <= F.lit(float(r["max_ellipsis_word_ratio"])))
-        & ok(bullet_frac <= F.lit(float(r["max_bullet_line_frac"])))
-        & ok(ellipsis_frac <= F.lit(float(r["max_ellipsis_line_frac"])))
-        & ok(alpha_frac >= F.lit(float(r["min_alpha_word_frac"])))
-        & ok(stop_hits >= F.lit(int(r["min_stopword_hits"])))
-    )
-    if float(r["min_nonnum_word_frac"]) > 0:
-        # predicate-only script-agnostic junk guard (see the rules-dict
-        # note): words containing a Unicode letter (NONNUM_WORD_RE =
-        # \p{L} — deliberately excludes symbol/emoji-only words; Java
-        # and RE2 agree outside Unicode-version edge codepoints).
-        nonnum = F.size(F.filter(words, lambda w: w.rlike(NONNUM_WORD_RE)))
-        quality_pass = quality_pass & ok(
-            F.try_divide(nonnum, n_words)
-            >= F.lit(float(r["min_nonnum_word_frac"]))
-        )
+    # predicate-only script-agnostic junk guard (see the rules-dict
+    # note): words containing a Unicode letter (NONNUM_WORD_RE =
+    # \p{L} — deliberately excludes symbol/emoji-only words; Java
+    # and RE2 agree outside Unicode-version edge codepoints). Lazy
+    # Column — it enters the plan only when a rule set references it.
+    nonnum = F.size(F.filter(words, lambda w: w.rlike(NONNUM_WORD_RE)))
     signals = {
         "n_words": n_words,
         "mean_word_len": mean_wl,
@@ -857,6 +915,9 @@ def _gopher_quality_cols(
         "alpha_word_frac": alpha_frac,
         "stopword_hits": stop_hits,
     }
+    quality_pass = _gopher_rule_verdict(
+        {**signals, "nonnum_word_frac": F.try_divide(nonnum, n_words)}, r
+    )
     return signals, quality_pass
 
 

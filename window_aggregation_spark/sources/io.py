@@ -95,6 +95,86 @@ def read_orc(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.orc(path)
 
 
+def spread_target(spark: SparkSession, *paths: str) -> "int | None":
+    """Scale-adaptive under-parallelism check for a compute-heavy scan
+    (optimization guide §2: derive partitioning from input size, never a
+    constant). Returns the partition count a narrow scan should be spread
+    to, or None when the scan already parallelizes.
+
+    Spark sizes scan splits by BYTES (``spark.sql.files.maxPartitionBytes``
+    with a 4 MB open-cost floor, one row group minimum), which is right
+    when scan cost is I/O — but a scan whose per-row COMPUTE dominates
+    (regex scoring, shingling, n-gram explode fused into the scan) gets
+    one task per ~128 MB of input and leaves the rest of the cluster
+    idle whenever the table is small or the files are few. The check is
+    pure driver-side arithmetic over on-disk bytes: spread iff the input
+    cannot fill ``defaultParallelism`` max-size splits. At 100 TB every
+    table is thousands of splits and this is a no-op; at fixture scale
+    (one sub-MB file = one task) it unlocks the whole cluster for the
+    expensive projection/filter above the scan.
+    """
+    import os
+
+    if os.environ.get("SPARK_GRAFT_NO_SPREAD") == "1":
+        # kill switch: plan-pin tests assert the AT-SCALE shape (where
+        # the spread is a no-op by construction) with it
+        return None
+    total = 0
+    for p in paths:
+        if os.path.isdir(p):
+            for root, _dirs, files in os.walk(p):
+                total += sum(
+                    os.path.getsize(os.path.join(root, f)) for f in files
+                )
+        elif os.path.exists(p):
+            total += os.path.getsize(p)
+        else:  # unknown size (object store / missing): leave the scan alone
+            return None
+    par = spark.sparkContext.defaultParallelism
+    raw = spark.conf.get(
+        "spark.sql.files.maxPartitionBytes", "134217728"
+    ).strip().lower()
+    units = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30, "t": 1 << 40}
+    mult, digits = 1, raw.rstrip("b")
+    if digits and digits[-1] in units:
+        mult, digits = units[digits[-1]], digits[:-1]
+    max_split = int(digits) * mult
+    if total >= par * max_split:
+        return None
+    return par
+
+
+def spread_scan(
+    df: DataFrame, n: "int | None", *, barrier: bool = False
+) -> DataFrame:
+    """Redistribute a narrow scan over ``n`` partitions before expensive
+    per-row compute (no-op when ``n`` is None — the at-scale path).
+
+    ``barrier=False`` (default): a plain round-robin repartition. Right
+    when the expensive work above is a projection / generator (shingling,
+    scoring, token explodes) — those never sink through the exchange —
+    and it keeps the relation's lineage, so Catalyst size estimates (and
+    therefore broadcast-join choices downstream) are untouched.
+
+    ``barrier=True``: additionally pin the rows behind a lazy
+    ``localCheckpoint``. Required when a deterministic *filter* consumes
+    the spread rows: ``PushDownPredicates`` has no cost model and would
+    push the predicate straight back through the exchange into the
+    single-task scan. The cost is that the checkpointed relation loses
+    its size statistics (LogicalRDD defaults to "huge", measured to flip
+    the minhash verify's broadcast joins to sort-merge — 3.6 s → 9.6 s —
+    which is why the barrier is opt-in), and the materialization itself.
+    The checkpoint holds only the already-pruned columns and by
+    construction only ever fires on inputs too small to fill one
+    max-size split per core, so the pinned bytes are bounded by cores x
+    ``maxPartitionBytes``.
+    """
+    if n is None:
+        return df
+    out = df.repartition(n)
+    return out.localCheckpoint(eager=False) if barrier else out
+
+
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one driver fixture table (TESTDATA.md layout).
 
@@ -112,6 +192,29 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return df
+
+
+def read_table_spread(
+    spark: SparkSession,
+    sf_dir: str,
+    name: str,
+    *cols: str,
+    barrier: bool = False,
+) -> DataFrame:
+    """:func:`read_table` + :func:`spread_scan` for the compute-heavy
+    text/dedup query paths: project to ``cols`` (so the spread rows carry
+    only what the consumer needs) and spread the scan across the cluster
+    when — and only when — it is narrower than ``defaultParallelism``
+    (see :func:`spread_target`; at production scale this returns the
+    plain pruned scan untouched). ``barrier`` as in :func:`spread_scan`:
+    set it iff the consumer filters the rows with an expensive
+    deterministic predicate."""
+    df = read_table(spark, sf_dir, name)
+    if cols:
+        df = df.select(*cols)
+    return spread_scan(
+        df, spread_target(spark, f"{sf_dir}/{name}.parquet"), barrier=barrier
+    )
 
 
 def write_parquet(

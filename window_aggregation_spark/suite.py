@@ -28,7 +28,12 @@ from pyspark.sql import functions as F
 
 from window_aggregation_spark.parser import config_to_plan
 from window_aggregation_spark.plans.sql_gen import plan_to_sql
-from window_aggregation_spark.sources.io import read_table
+from window_aggregation_spark.sources.io import (
+    read_table,
+    read_table_spread,
+    spread_scan,
+    spread_target,
+)
 from window_aggregation_spark.spec import (
     UNBOUNDED_FOLLOWING,
     AggregateDef,
@@ -612,8 +617,8 @@ def _register_text() -> None:
     @_register("text_profile", _text_oracle(tx.text_profile_oracle_exprs()),
                headline=True)
     def text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
-        df = read_table(spark, sf_dir, "documents").select("doc_id", "lang",
-                                                           "source", "text")
+        df = read_table_spread(spark, sf_dir, "documents",
+                               "doc_id", "lang", "source", "text")
         return tx.text_profile(df).drop("text")
 
     @_register("text_language_id", _text_oracle(tx.language_id_oracle_expr()))
@@ -867,8 +872,8 @@ def _register_lm() -> None:
         partially-combined per-doc counts, log-probability table
         broadcast back, per-doc fold in token-sorted order for bit-exact
         cross-engine sums (operators/lm.py)."""
-        docs = read_table(spark, sf_dir, "documents").select(
-            "doc_id", "lang", "source", "text"
+        docs = read_table_spread(
+            spark, sf_dir, "documents", "doc_id", "lang", "source", "text"
         )
         return lm.perplexity_unigram(docs, keep_cols=("lang", "source"))
 
@@ -925,8 +930,8 @@ def _register_search() -> None:
         is a 1-row map-side-combined aggregate broadcast back; scoring is
         a literal-folded whole-stage-codegen scan (no explode, no corpus
         join) into TakeOrderedAndProject (operators/search.py)."""
-        docs = read_table(spark, sf_dir, "documents").select(
-            "doc_id", "lang", "text"
+        docs = read_table_spread(
+            spark, sf_dir, "documents", "doc_id", "lang", "text"
         )
         return se.bm25_topk(docs, _BM25_QUERY, k=20, keep_cols=("lang",))
 
@@ -1078,7 +1083,8 @@ def _register_search() -> None:
         retrievers and the fusion arithmetic from first principles. At
         serving scale the same rrf_fuse seam takes bm25_topk_indexed and
         ivf_topk_index lists unchanged (operators/search.py)."""
-        docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+        docs = read_table_spread(spark, sf_dir, "documents",
+                                 "doc_id", "text")
         emb = read_table(spark, sf_dir, "embeddings")
         qv = emb.where(F.col("vec_id") == 0)
         return se.hybrid_topk_rrf(
@@ -1429,14 +1435,14 @@ def _register_dedup() -> None:
         headline=True,
     )
     def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-        df = read_table(spark, sf_dir, "documents")
+        df = read_table_spread(spark, sf_dir, "documents", "doc_id", "text")
         return dd.ngram_jaccard_pairs(
             df, "doc_id", block_prefix=40, threshold=0.3
         )
 
     @_register("dedup_minhash_lsh", _duck_minhash_lsh_sql(), headline=True)
     def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-        df = read_table(spark, sf_dir, "documents")
+        df = read_table_spread(spark, sf_dir, "documents", "doc_id", "text")
         return dd.minhash_dedup_pairs(df, "doc_id", threshold=0.3)
 
     _NEW_BATCH_WHERE = "doc_id % 7 = 3"  # deterministic ~14% "new batch"
@@ -1511,7 +1517,7 @@ def _register_dedup() -> None:
         components (pure DataFrame joins) over the minhash LSH pair set;
         the DuckDB oracle recomputes the transitive closure with a
         recursive CTE, so the component labels themselves are hash-checked."""
-        df = read_table(spark, sf_dir, "documents")
+        df = read_table_spread(spark, sf_dir, "documents", "doc_id", "text")
         return dd.minhash_components(df, "doc_id", threshold=0.3)
 
     # --- signature-store-backed twins (VERDICT r5 next-round #5) --------
@@ -1705,9 +1711,9 @@ def _register_dedup() -> None:
         dedup_sentence_spans_against by construction (same oracle SQL
         object; the store holds exactly the corpus slice's distinct
         window hashes) (operators/dedup.py::SentenceHashStore)."""
-        base = read_table(spark, sf_dir, "documents").select(
-            "doc_id", F.expr(_SPANS_SYNTH_SQL).alias("t2")
-        )
+        base = read_table_spread(
+            spark, sf_dir, "documents", "doc_id", "text"
+        ).select("doc_id", F.expr(_SPANS_SYNTH_SQL).alias("t2"))
         new = base.where(F.col("doc_id") % 3 == 0)
         store = sentence_hash_store_for(spark, sf_dir)
         return dd.sentence_spans_against(new, store, "doc_id", "t2")
@@ -3602,7 +3608,8 @@ def _register_corpus() -> None:
         side is tiny by construction, so the 100 TB training side is never
         shuffled for the match — explode, broadcast-hash join, one
         map-side-combined count per doc."""
-        docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+        docs = read_table_spread(spark, sf_dir, "documents",
+                                 "doc_id", "text")
         bench = docs.where(F.expr(_BENCH_WHERE))
         return cp.decontaminate(docs, bench, "doc_id", "text", ngram=5)
 
@@ -3900,8 +3907,9 @@ def _register_pipeline() -> None:
         text profiling -> quality filter -> fingerprint dedup -> per-language
         quality ranking via the window operator. Catalyst fuses all four
         stages; the only shuffles are the dedup key and the final window."""
-        docs = read_table(spark, sf_dir, "documents").select(
-            "doc_id", "lang", "text"
+        docs = read_table_spread(
+            spark, sf_dir, "documents", "doc_id", "lang", "text",
+            barrier=True,
         )
         profiled = tx.fingerprint(tx.text_profile(docs)).drop("text")
         filtered = profiled.where(
@@ -3974,8 +3982,12 @@ def _register_pipeline() -> None:
         model-score path pipeline_clean_corpus composes; thresholds are
         fixture-tuned so each stage demonstrably partitions the corpus
         (operators/text.py::gopher_quality_pass_by_language,
-        repetition_signals)."""
-        docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+        repetition_signals). r13: the scan is spread when narrower than
+        the cluster (sources/io.py::spread_scan) — the detector+gate
+        regex work otherwise runs in the scan's ONE task at fixture
+        scale (measured 3.2 s single-task stage; 32-way it is ~0.1 s)."""
+        docs = read_table_spread(spark, sf_dir, "documents",
+                                 "doc_id", "text", barrier=True)
         clean = docs.where(
             tx.gopher_quality_pass_by_language(
                 "text", rules=_gq_rules, und_policy="structural"
@@ -4066,8 +4078,15 @@ def _register_pipeline() -> None:
         # the full detector into the pushed gate filter while the
         # projection recomputed it for output (2 detector evaluations,
         # one interpreted — measured 6.0 s; detector materialized once,
-        # codegen, behind the checkpoint boundary: ~2.5 s)
-        with_lang = read_table(spark, sf_dir, "documents").select(
+        # codegen, behind the checkpoint boundary: ~2.5 s). r13: the
+        # base scan is spread first — synth+detector are projections
+        # ABOVE the round-robin exchange (projections never sink
+        # through it), so the checkpoint materialization itself runs
+        # cluster-wide instead of in the scan's one task.
+        with_lang = spread_scan(
+            read_table(spark, sf_dir, "documents").select("doc_id"),
+            spread_target(spark, f"{sf_dir}/documents.parquet"),
+        ).select(
             "doc_id", F.expr(_ML_PIPE_SYNTH).alias("t2")
         ).select(
             "doc_id", "t2", tx.language_pred("t2").alias("lang_pred")
@@ -4174,9 +4193,9 @@ def _register_pipeline() -> None:
         (operators/text.py::c4_clean,
         operators/corpus.py::prune_duplicated_lines,
         operators/dedup.py::duplicated_sentence_spans)."""
-        docs = read_table(spark, sf_dir, "documents").select(
-            "doc_id", F.expr(_C4_PIPE_SYNTH_SQL).alias("t2")
-        )
+        docs = read_table_spread(
+            spark, sf_dir, "documents", "doc_id", "text", barrier=True
+        ).select("doc_id", F.expr(_C4_PIPE_SYNTH_SQL).alias("t2"))
         pages = (
             tx.c4_clean(docs, text_col="t2")
             .where(F.col("c4_keep"))
@@ -4314,7 +4333,9 @@ def _register_pipeline() -> None:
         (measured in bench.py::span_store_probe)
         (operators/dedup.py::sentence_spans_increment,
         SentenceHashStore)."""
-        docs = read_table(spark, sf_dir, "documents").select(
+        docs = read_table_spread(
+            spark, sf_dir, "documents", "doc_id", "text", barrier=True
+        ).select(
             "doc_id", F.expr(_C4_PIPE_SYNTH_SQL).alias("t2")
         ).where(F.col("doc_id") % 3 == 0)
         pages = (
