@@ -15,12 +15,21 @@ from window_aggregation_spark.sources.io import read_table
 
 @pytest.fixture(scope="module")
 def docs(spark, sf_dir):
-    return read_table(spark, sf_dir, "documents").cache()
+    # unpersist at module teardown: a leaked cache entry makes the
+    # session-wide CacheManager substitute InMemoryRelation into every
+    # LATER test's plan over the same base relation, silently changing
+    # the plan shapes test_plan_quality pins (the suite only stayed
+    # green because test_lm happens to clearCache() in between)
+    df = read_table(spark, sf_dir, "documents").cache()
+    yield df
+    df.unpersist()
 
 
 @pytest.fixture(scope="module")
 def emb(spark, sf_dir):
-    return read_table(spark, sf_dir, "embeddings").cache()
+    df = read_table(spark, sf_dir, "embeddings").cache()
+    yield df
+    df.unpersist()
 
 
 def test_exact_dedup_deterministic_representative(spark):

@@ -1085,8 +1085,13 @@ def _register_search() -> None:
         ivf_topk_index lists unchanged (operators/search.py)."""
         docs = read_table_spread(spark, sf_dir, "documents",
                                  "doc_id", "text")
-        emb = read_table(spark, sf_dir, "embeddings")
-        qv = emb.where(F.col("vec_id") == 0)
+        # spread the corpus side of the cosine scan too (r13): the
+        # per-row HOF dot product is the compute-heavy-scan case
+        # spread_scan exists for; the 1-row query side reads unspread
+        emb = read_table_spread(spark, sf_dir, "embeddings")
+        qv = read_table(spark, sf_dir, "embeddings").where(
+            F.col("vec_id") == 0
+        )
         return se.hybrid_topk_rrf(
             docs, emb, _BM25_QUERY, qv,
             k=_HY_K, n_candidates=_HY_CAND, k_rrf=_HY_KRRF,
@@ -1460,7 +1465,8 @@ def _register_dedup() -> None:
         broadcast — the 100 TB corpus's banded rows are never shuffled.
         Candidates are exact-Jaccard verified, same bar as the self
         variant."""
-        docs = read_table(spark, sf_dir, "documents")
+        docs = read_table_spread(spark, sf_dir, "documents",
+                                 "doc_id", "text")
         new = docs.where(F.expr(_NEW_BATCH_WHERE))
         corpus = docs.where(~F.expr(_NEW_BATCH_WHERE))
         return dd.minhash_dedup_against(
@@ -1483,7 +1489,8 @@ def _register_dedup() -> None:
         The DuckDB oracle recomputes signatures from first principles and
         applies the same agreement fraction — the estimator itself is
         value-checked, not just the candidate set."""
-        docs = read_table(spark, sf_dir, "documents")
+        docs = read_table_spread(spark, sf_dir, "documents",
+                                 "doc_id", "text")
         new = docs.where(F.expr(_NEW_BATCH_WHERE))
         corpus = docs.where(~F.expr(_NEW_BATCH_WHERE))
         return dd.minhash_dedup_against(
@@ -1633,7 +1640,8 @@ def _register_dedup() -> None:
         choice itself is hash-checked."""
         from window_aggregation_spark.operators import text as tx
 
-        docs = read_table(spark, sf_dir, "documents")
+        docs = read_table_spread(spark, sf_dir, "documents",
+                                 "doc_id", "text")
         comp = dd.minhash_components(docs, "doc_id", threshold=0.3)
         scored = tx.quality_model_score(
             docs.select("doc_id", "text")
@@ -1656,7 +1664,8 @@ def _register_dedup() -> None:
         operator, complementing doc-level near-dup. Integer-only pipeline
         (portable window hashes, lag+cumsum interval merge), so the spans
         themselves are hash-checked against the oracle."""
-        docs = read_table(spark, sf_dir, "documents")
+        docs = read_table_spread(spark, sf_dir, "documents",
+                                 "doc_id", "text")
         return dd.duplicated_spans(docs, "doc_id", window=15)
 
     # the EXISTING-corpus / NEW-batch fixture split is module-level
@@ -1778,9 +1787,9 @@ def _register_dedup() -> None:
         exchange-sharing plan shape is pinned in
         tests/test_plan_quality.py
         (operators/dedup.py::_resolve_span_strategy)."""
-        base = read_table(spark, sf_dir, "documents").select(
-            "doc_id", F.expr(_SPANS_SYNTH_SQL).alias("t2")
-        )
+        base = read_table_spread(
+            spark, sf_dir, "documents", "doc_id", "text"
+        ).select("doc_id", F.expr(_SPANS_SYNTH_SQL).alias("t2"))
         new = base.where(F.col("doc_id") % 3 == 0)
         store = sentence_hash_store_for(spark, sf_dir)
         return dd.sentence_spans_against(
@@ -1804,9 +1813,8 @@ def _register_dedup() -> None:
         token-grain streaming serving loop runs
         (streaming/ingest_spans.py)
         (operators/dedup.py::token_spans_increment)."""
-        docs = read_table(spark, sf_dir, "documents").select(
-            "doc_id", "text"
-        )
+        docs = read_table_spread(spark, sf_dir, "documents",
+                                 "doc_id", "text")
         new = docs.where(F.col("doc_id") % 3 == 0)
         corpus = docs.where(F.col("doc_id") % 3 != 0)
         return dd.token_spans_increment(new, corpus, "doc_id", window=15)
@@ -1817,7 +1825,7 @@ def _register_dedup() -> None:
         chunks of 15 bits): wider bars shrink chunks, and candidate volume
         grows quadratically per bucket — measured 4x slower at max_hamming=8
         on the template-heavy fixture corpus."""
-        df = read_table(spark, sf_dir, "documents")
+        df = read_table_spread(spark, sf_dir, "documents", "doc_id", "text")
         return dd.simhash_dedup_pairs(df, "doc_id", max_hamming=_SIMHASH_MH)
 
     def _duck_embedding_lsh_sql() -> str:
@@ -1907,8 +1915,12 @@ def _register_similarity() -> None:
         headline=True,
     )
     def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
-        emb = read_table(spark, sf_dir, "embeddings")
-        queries = emb.where(F.col("vec_id") < 8)
+        # corpus side spread (r13): 8 queries x every corpus vector of
+        # HOF cosine otherwise runs in the single-file scan's one task
+        emb = read_table_spread(spark, sf_dir, "embeddings")
+        queries = read_table(spark, sf_dir, "embeddings").where(
+            F.col("vec_id") < 8
+        )
         corpus = emb.where(F.col("vec_id") >= 8)
         return sim.cosine_topk(queries, corpus, k=5)
 
@@ -3399,9 +3411,8 @@ def _register_corpus() -> None:
         closure, AND the portable hash split over the component label,
         so both the clustering and the assignment are hash-checked
         (operators/corpus.py::split_leakage_safe)."""
-        docs = read_table(spark, sf_dir, "documents").select(
-            "doc_id", "text"
-        )
+        docs = read_table_spread(spark, sf_dir, "documents",
+                                 "doc_id", "text")
         return cp.split_leakage_safe(
             docs, "doc_id", _SPLITS, threshold=0.3
         ).select("doc_id", "component", "split")
@@ -3628,7 +3639,8 @@ def _register_corpus() -> None:
         survivors meet the gram set in a plain left-semi join that
         removes the false positives. SAME oracle as corpus_decontaminate
         — the reduction must be invisible in the result."""
-        docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+        docs = read_table_spread(spark, sf_dir, "documents",
+                                 "doc_id", "text")
         bench = docs.where(F.expr(_BENCH_WHERE))
         return cp.decontaminate(
             docs, bench, "doc_id", "text", ngram=5, mode="bloom"
