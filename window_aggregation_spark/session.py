@@ -22,7 +22,16 @@ def get_spark(
 ) -> SparkSession:
     cpus = os.environ.get("SPARK_GRAFT_CPUS") or str(os.cpu_count() or 4)
     master = master or f"local[{cpus}]"
-    shuffle = str(shuffle_partitions or cpus)
+    # Production sizing (optimization guide §2.2): target 100 MB-1 GB
+    # post-shuffle partitions — set SPARK_GRAFT_SHUFFLE_PARTITIONS high
+    # (e.g. cluster cores x 4) and let AQE coalesce down. The local
+    # default (= core count) is only right because fixture shuffles are
+    # a few MB; it is parameterised, not baked in.
+    shuffle = str(
+        shuffle_partitions
+        or os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS")
+        or cpus
+    )
     builder = (
         SparkSession.builder.master(master)
         .appName(app_name)
