@@ -25,9 +25,9 @@ def _plan(df) -> str:
 def _no_spread():
     """Build queries with the fixture-scale scan spread disabled: plan
     pins assert the AT-SCALE shape, where sources.io.spread_target is a
-    no-op by construction (the input out-fills defaultParallelism many
-    max-size splits). tests/test_sources_lineage.py covers the spread
-    itself."""
+    no-op by construction (the input's estimated split count already
+    fills defaultParallelism). tests/test_scan_spread.py covers the
+    spread decision arithmetic itself."""
     os.environ["SPARK_GRAFT_NO_SPREAD"] = "1"
     try:
         yield

@@ -38,6 +38,27 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _free_checkpoint(df: DataFrame) -> None:
+    """Release a SUPERSEDED checkpointed frame's storage blocks.
+
+    ``DataFrame.unpersist()`` is a CacheManager operation and provably
+    does NOT touch localCheckpoint blocks (measured: 168 MB of blocks
+    survive ``unpersist(blocking=True)`` and the frame stays readable) —
+    the pre-r13 loops' per-round ``unpersist()`` calls never freed
+    anything, and iterative jobs pinned every round's edge/rank set for
+    the session. The real handle is the plan's LogicalRDD: unpersisting
+    ITS rdd drops the blocks (measured to zero) while frames already
+    materialized FROM it keep working. Callers must only invoke this
+    AFTER the successor round has materialized — the freed frame itself
+    becomes unreadable (checkpoint truncated its lineage). Best-effort
+    by design: on any internals mismatch the old behavior (leak until
+    context GC) is the fallback, never an error."""
+    try:
+        df._jdf.queryExecution().analyzed().rdd().unpersist(False)
+    except Exception:
+        pass
+
+
 def _symmetric(e: DataFrame) -> DataFrame:
     return e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
 
@@ -136,12 +157,16 @@ def connected_components(
     for _ in range(max_iter):
         last_e = e
         e = _truncate(_small_star(_large_star(e)))
-        # free the superseded checkpoint's blocks — an iterative loop
-        # that pins every round's RDD leaks storage memory linearly in
-        # iterations (and starves long test sessions / real clusters)
-        last_e.unpersist()
         rounds += 1
         cur = _fingerprint(e)
+        # free the superseded round's blocks ONLY NOW: the fingerprint
+        # action above materialized the new round FROM last_e's blocks;
+        # freeing any earlier would truncate the only copy (checkpoints
+        # have no lineage to recompute from). Without this an iterative
+        # loop pins every round's edge set for the whole session — the
+        # old per-round DataFrame.unpersist() was a CacheManager no-op
+        # on checkpointed frames (see _free_checkpoint).
+        _free_checkpoint(last_e)
         if cur == prev:
             break
         prev = cur
@@ -163,29 +188,41 @@ def connected_components(
     return children.union(roots).distinct()
 
 
-def _degree_oriented(edges: DataFrame, src: str = "u", dst: str = "v") -> DataFrame:
+def _degree_oriented(
+    edges: DataFrame, src: str = "u", dst: str = "v",
+    *, reliable: bool = False,
+) -> DataFrame:
     """Deduplicated undirected edges oriented from the lower-(degree, id)
     endpoint to the higher — the Schank-Wagner orientation whose
     out-degrees are bounded by O(sqrt(m)). THE one definition, shared by
     :func:`triangle_count` and :func:`oriented_out_degrees` so the probe
-    measures exactly what the operator runs."""
+    measures exactly what the operator runs. ``reliable`` as in
+    :func:`connected_components`: local checkpoints (default) are fast
+    but die with their executor — on clusters with churn pass
+    ``reliable=True`` (requires ``setCheckpointDir``) so the pinned edge
+    set survives executor loss instead of failing the whole query with
+    "checkpoint block not found"."""
     # The dedup'd edge set is referenced FIVE times downstream (twice
     # per degree union, once per rank join side) and the orientation
     # result three more — without a materialization barrier every
     # reference replays the whole upstream edge-generation subtree
     # (measured on graph_triangle_count: 30 parquet scans / 32
     # exchanges in one plan; ReuseExchange recovered only 6). One lazy
-    # localCheckpoint pins the 16-byte edge rows instead — the same
-    # barrier the CC loop already uses, and strictly cheaper at any
-    # scale than re-running the distinct shuffle per reference.
-    e = (
+    # checkpoint pins the 16-byte edge rows instead — the same barrier
+    # the CC loop already uses, and cheaper at any scale than re-running
+    # the distinct shuffle per reference (fault-tolerance trade above).
+    def _pin(df: DataFrame) -> DataFrame:
+        return df.checkpoint(eager=False) if reliable else df.localCheckpoint(
+            eager=False
+        )
+
+    e = _pin(
         edges.select(
             F.least(F.col(src), F.col(dst)).cast("long").alias("a"),
             F.greatest(F.col(src), F.col(dst)).cast("long").alias("b"),
         )
         .where(F.col("a") != F.col("b"))
         .distinct()
-        .localCheckpoint(eager=False)
     )
     deg = (
         e.select(F.col("a").alias("n"))
@@ -225,6 +262,7 @@ def triangle_count(
     dst: str = "v",
     *,
     per_node: bool = True,
+    reliable: bool = False,
 ) -> DataFrame:
     """Exact triangle counting over an undirected simple graph via
     degree orientation (Schank-Wagner / MapReduce "compact-forward"):
@@ -248,13 +286,18 @@ def triangle_count(
     co-purchase graph (392k edges): 4.2M oriented wedges avoided,
     0.31M triangle rows materialized. Shuffles: the degree groupBy, the
     adjacency groupBy, and the two adjacency joins (broadcast when the
-    node list fits, hash otherwise).
+    node list fits, hash otherwise). ``reliable`` as in
+    :func:`connected_components` — reliable checkpoints for the two
+    pinned edge sets on clusters where executor loss must not kill the
+    query.
     """
     # oriented is consumed three times (the adjacency build twice, the
     # closing join once) — pin it like `e` above so the rank joins run
     # once, not per consumer
-    oriented = _degree_oriented(edges, src, dst).localCheckpoint(
-        eager=False
+    oriented = _degree_oriented(edges, src, dst, reliable=reliable)
+    oriented = (
+        oriented.checkpoint(eager=False) if reliable
+        else oriented.localCheckpoint(eager=False)
     )
     # edge-iterator closing: a triangle {p, x, y} with p -> x, p -> y,
     # x -> y is found exactly once, at edge (p, x): y is an out-neighbor
@@ -370,6 +413,20 @@ def pagerank(
         )
         if i > 0:
             # superseded iteration checkpoints leak storage linearly —
-            # free them (i == 0 is the un-checkpointed init projection)
-            last_ranks.unpersist()
+            # free them (i == 0 is the un-checkpointed init projection).
+            # Safe here because _truncate is EAGER: ranks_{i+1} is fully
+            # materialized before the free. Plain unpersist() would be a
+            # CacheManager no-op on checkpointed frames.
+            _free_checkpoint(last_ranks)
+    if iterations > 0:
+        # the returned table is checkpoint-materialized by the last
+        # _truncate, so the weight/node tables and the final superseded
+        # rank table are dead weight from here — and w is O(edges)
+        # (measured: 108 MB pinned at sf0.1 without this). With
+        # iterations == 0 the returned projection still READS nodes'
+        # blocks, hence the guard; freeing the never-checkpointed
+        # ranks_0 is a typed no-op inside _free_checkpoint.
+        _free_checkpoint(last_ranks)
+        _free_checkpoint(w)
+        _free_checkpoint(nodes)
     return ranks

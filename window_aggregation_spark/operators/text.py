@@ -689,12 +689,11 @@ def gopher_quality_pass_by_language(
     )
     signals, _ = _gopher_quality_cols(text_col, rules)
     if need_nonnum:
-        text = F.coalesce(F.col(text_col), F.lit(""))
-        words = F.filter(F.split(text, WS_RE), lambda w: w != F.lit(""))
-        nonnum = F.size(F.filter(words, lambda w: w.rlike(NONNUM_WORD_RE)))
         signals = {
             **signals,
-            "nonnum_word_frac": F.try_divide(nonnum, signals["n_words"]),
+            "nonnum_word_frac": _nonnum_word_frac(
+                text_col, signals["n_words"]
+            ),
         }
     bound = F.struct(
         lang.alias("__lg"),
@@ -800,6 +799,20 @@ def _gopher_effective_rules(rules: dict | None) -> dict:
     return r
 
 
+def _nonnum_word_frac(text_col: str, n_words: Column) -> Column:
+    """Fraction of whitespace words containing a Unicode letter — THE one
+    definition of the script-agnostic junk guard, shared by
+    :func:`_gopher_quality_cols` and
+    :func:`gopher_quality_pass_by_language` so the two gates can never
+    desynchronize (predicate-only; see the GOPHER_QUALITY_RULES note:
+    NONNUM_WORD_RE = \\p{L}, deliberately excluding symbol/emoji-only
+    words; Java and RE2 agree outside Unicode-version edge codepoints)."""
+    text = F.coalesce(F.col(text_col), F.lit(""))
+    words = F.filter(F.split(text, WS_RE), lambda w: w != F.lit(""))
+    nonnum = F.size(F.filter(words, lambda w: w.rlike(NONNUM_WORD_RE)))
+    return F.try_divide(nonnum, n_words)
+
+
 def _gopher_rule_verdict(sig: dict, r: dict) -> Column:
     """The Gopher ``quality_pass`` verdict from PRECOMPUTED signal
     columns at rule set ``r`` — thresholds only, no text work. Split out
@@ -899,12 +912,6 @@ def _gopher_quality_cols(
         )
     )
 
-    # predicate-only script-agnostic junk guard (see the rules-dict
-    # note): words containing a Unicode letter (NONNUM_WORD_RE =
-    # \p{L} — deliberately excludes symbol/emoji-only words; Java
-    # and RE2 agree outside Unicode-version edge codepoints). Lazy
-    # Column — it enters the plan only when a rule set references it.
-    nonnum = F.size(F.filter(words, lambda w: w.rlike(NONNUM_WORD_RE)))
     signals = {
         "n_words": n_words,
         "mean_word_len": mean_wl,
@@ -915,8 +922,11 @@ def _gopher_quality_cols(
         "alpha_word_frac": alpha_frac,
         "stopword_hits": stop_hits,
     }
+    # the junk-guard signal is a lazy Column — _gopher_rule_verdict only
+    # references it when the rule set enables min_nonnum_word_frac
     quality_pass = _gopher_rule_verdict(
-        {**signals, "nonnum_word_frac": F.try_divide(nonnum, n_words)}, r
+        {**signals, "nonnum_word_frac": _nonnum_word_frac(text_col, n_words)},
+        r,
     )
     return signals, quality_pass
 

@@ -119,27 +119,42 @@ def spread_target(spark: SparkSession, *paths: str) -> "int | None":
         # kill switch: plan-pin tests assert the AT-SCALE shape (where
         # the spread is a no-op by construction) with it
         return None
-    total = 0
+    def _bytes(conf_key: str, default: str) -> int:
+        raw = spark.conf.get(conf_key, default).strip().lower()
+        units = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30, "t": 1 << 40}
+        mult, digits = 1, raw.rstrip("b")
+        if digits and digits[-1] in units:
+            mult, digits = units[digits[-1]], digits[:-1]
+        return int(digits) * mult
+
+    n_files, padded = 0, 0
+    open_cost = _bytes("spark.sql.files.openCostInBytes", "4194304")
     for p in paths:
         if os.path.isdir(p):
             for root, _dirs, files in os.walk(p):
-                total += sum(
-                    os.path.getsize(os.path.join(root, f)) for f in files
-                )
+                for f in files:
+                    n_files += 1
+                    padded += os.path.getsize(os.path.join(root, f)) + open_cost
         elif os.path.exists(p):
-            total += os.path.getsize(p)
+            n_files += 1
+            padded += os.path.getsize(p) + open_cost
         else:  # unknown size (object store / missing): leave the scan alone
             return None
+    if n_files == 0:
+        return None
     par = spark.sparkContext.defaultParallelism
-    raw = spark.conf.get(
-        "spark.sql.files.maxPartitionBytes", "134217728"
-    ).strip().lower()
-    units = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30, "t": 1 << 40}
-    mult, digits = 1, raw.rstrip("b")
-    if digits and digits[-1] in units:
-        mult, digits = units[digits[-1]], digits[:-1]
-    max_split = int(digits) * mult
-    if total >= par * max_split:
+    # Mirror FilePartition.maxSplitBytes: Spark ALREADY shrinks splits to
+    # fill the cluster when total/cores is under maxPartitionBytes
+    # (bytesPerCore adaptation), so the naive `total < cores x
+    # maxPartitionBytes` test over-fires — e.g. a 3.8 GB table on 32
+    # cores plans ~34 splits by itself and must not be re-exchanged.
+    # What the adaptation canNOT fix is granularity: splits never divide
+    # a row group, so one small file still yields ONE task no matter the
+    # formula — that is the case the spread exists for.
+    max_partition = _bytes("spark.sql.files.maxPartitionBytes", "134217728")
+    max_split = min(max_partition, max(open_cost, padded // par or 1))
+    est_splits = -(-padded // max_split)  # ceil; Spark packs greedily
+    if est_splits >= par:
         return None
     return par
 

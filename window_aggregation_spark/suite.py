@@ -4095,9 +4095,8 @@ def _register_pipeline() -> None:
         # ABOVE the round-robin exchange (projections never sink
         # through it), so the checkpoint materialization itself runs
         # cluster-wide instead of in the scan's one task.
-        with_lang = spread_scan(
-            read_table(spark, sf_dir, "documents").select("doc_id"),
-            spread_target(spark, f"{sf_dir}/documents.parquet"),
+        with_lang = read_table_spread(
+            spark, sf_dir, "documents", "doc_id"
         ).select(
             "doc_id", F.expr(_ML_PIPE_SYNTH).alias("t2")
         ).select(
@@ -4345,11 +4344,17 @@ def _register_pipeline() -> None:
         (measured in bench.py::span_store_probe)
         (operators/dedup.py::sentence_spans_increment,
         SentenceHashStore)."""
-        docs = read_table_spread(
-            spark, sf_dir, "documents", "doc_id", "text", barrier=True
-        ).select(
-            "doc_id", F.expr(_C4_PIPE_SYNTH_SQL).alias("t2")
-        ).where(F.col("doc_id") % 3 == 0)
+        # the cheap %3 batch filter goes BELOW the barrier: a filter
+        # above a localCheckpoint cannot cross it, so the barrier would
+        # otherwise materialize (and the scan read) 3x the rows needed;
+        # only the EXPENSIVE c4 gates must stay above the barrier
+        docs = spread_scan(
+            read_table(spark, sf_dir, "documents")
+            .select("doc_id", "text")
+            .where(F.col("doc_id") % 3 == 0),
+            spread_target(spark, f"{sf_dir}/documents.parquet"),
+            barrier=True,
+        ).select("doc_id", F.expr(_C4_PIPE_SYNTH_SQL).alias("t2"))
         pages = (
             tx.c4_clean(docs, text_col="t2")
             .where(F.col("c4_keep"))
