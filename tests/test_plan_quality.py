@@ -118,7 +118,9 @@ def test_lsh_candidate_generation_has_no_self_join(spark, sf_dir):
     self-join: a self-join computes the shingle/signature pipeline twice
     (Spark does not CSE the branches) and shuffles it twice. With broadcast
     disabled every surviving join is a deliberate one: minhash keeps
-    exactly its two candidate->text verify joins; simhash needs none."""
+    exactly ONE pair-long text-fetch join (r13 — the per-side shape paid
+    two full corpus-text movements; the corpus text relation must appear
+    in the plan exactly once); simhash needs none."""
     from window_aggregation_spark.operators import dedup as dd
     from window_aggregation_spark.sources.io import read_table
 
@@ -130,13 +132,17 @@ def test_lsh_candidate_generation_has_no_self_join(spark, sf_dir):
         sh = _plan(dd.simhash_dedup_pairs(docs, "doc_id"))
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
-    for plan, joins, label in [(mh, 2, "minhash"), (sh, 0, "simhash")]:
+    for plan, joins, label in [(mh, 1, "minhash"), (sh, 0, "simhash")]:
         n = plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin")
         assert n == joins, f"{label}: {n} joins (self-join regressed?)"
         # one bucket-grouping aggregate (rendered once partial, once final)
         assert plan.count("partial_collect_list") == 1, label
         assert "CartesianProduct" not in plan, label
         assert "EvalPython" not in plan, label
+    # the verify's corpus text fetch scans documents exactly once: the
+    # signature scan + ONE fetch scan (pair-long shape); the old per-side
+    # verify showed three
+    assert mh.count("documents.parquet") == 2, "text relation re-fetched"
 
 
 def test_decontaminate_broadcasts_benchmark_side(spark, sf_dir):

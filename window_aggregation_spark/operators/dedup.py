@@ -731,12 +731,35 @@ def minhash_dedup_pairs(
     texts = df.select(
         F.col(id_col).alias("__tid"), F.col(text_col).alias("__txt")
     )
-    joined = candidates.join(
-        texts.select(F.col("__tid").alias("id_a"), F.col("__txt").alias("__ta")),
-        on="id_a",
-    ).join(
-        texts.select(F.col("__tid").alias("id_b"), F.col("__txt").alias("__tb")),
-        on="id_b",
+    # Pair-long text fetch (r13, guide §2.3/§2.4): explode each pair into
+    # its two legs, fetch text with ONE join against the corpus, regroup
+    # by pair. The per-side shape (join texts-as-a then texts-as-b)
+    # consumed the corpus text relation TWICE — two broadcast builds of
+    # the whole corpus locally, and at corpus scale (past broadcast) two
+    # full fat-row text shuffles; this shape pays one (probe at 20k
+    # synthetic docs, SMJ regime: 47.3 -> 36.7 MB shuffled per run, and
+    # one fewer corpus scan in the broadcast regime). The regroup shuffle
+    # carries only 2|candidates| rows. `__legs == 2` reproduces the old
+    # inner-join semantics exactly: a pair survives iff BOTH ids have a
+    # text row in ``df`` (ids are unique per the operator contract, so
+    # each leg matches at most once).
+    long = candidates.select(
+        "id_a", "id_b", F.explode(F.array("id_a", "id_b")).alias("__tid")
+    )
+    joined = (
+        long.join(texts, on="__tid")
+        .groupBy("id_a", "id_b")
+        .agg(
+            F.max(
+                F.when(F.col("__tid") == F.col("id_a"), F.col("__txt"))
+            ).alias("__ta"),
+            F.max(
+                F.when(F.col("__tid") == F.col("id_b"), F.col("__txt"))
+            ).alias("__tb"),
+            F.count(F.lit(1)).alias("__legs"),
+        )
+        .where(F.col("__legs") == 2)
+        .drop("__legs")
     )
     return (
         append_exact_jaccard(joined, "__ta", "__tb", ngram=ngram)
@@ -869,16 +892,24 @@ def _token_windows(
     of :func:`_sentence_windows`, shared by the whole-corpus and
     incremental token-span operators so the window convention cannot
     fork."""
-    # select-then-where: materialize the token array once per row (the
-    # where-then-select shape evaluated the tokenizer twice — Spark
-    # does not CSE across Filter and Project)
+    # Short docs are dropped by a when-guard INSIDE the explode, not a
+    # .where: a Filter on size(__toks) gets predicate-pushed below the
+    # projection with the tokenizer expression substituted into its
+    # condition, so every row paid the full-text tokenizer TWICE (once in
+    # the pushed Filter, once in the Project — Spark does not CSE across
+    # Filter and Project, r13 plan audit). when() without otherwise()
+    # yields NULL for short docs and explode(NULL) emits no row —
+    # identical semantics, one tokenizer pass.
     base = df.select(
         F.col(id_col), tokens(F.col(text_col)).alias("__toks")
-    ).where(F.size("__toks") >= window)
+    )
     return base.select(
         id_col,
         F.explode(
-            F.sequence(F.lit(0), F.size("__toks") - F.lit(window))
+            F.when(
+                F.size("__toks") >= window,
+                F.sequence(F.lit(0), F.size("__toks") - F.lit(window)),
+            )
         ).alias("__pos"),
         F.col("__toks"),
     ).select(
@@ -1020,15 +1051,24 @@ def _sentence_windows(
     convention cannot fork."""
     from window_aggregation_spark.operators.text import sentence_array
 
-    # select-then-where: sentence extraction is three regex passes over
-    # the whole text — materialize it once per row
+    # Short docs are dropped by a when-guard INSIDE the explode, not a
+    # .where: sentence extraction is three regex passes over the whole
+    # text, and a Filter on size(__sents) gets predicate-pushed below
+    # the projection with the WHOLE extraction expression substituted
+    # into its condition — every row paid it twice (r13 plan audit; see
+    # the identical note in :func:`_token_windows`). when() without
+    # otherwise() yields NULL for short docs and explode(NULL) emits no
+    # row — identical semantics, one extraction pass.
     base = df.select(
         F.col(id_col), sentence_array(text_col).alias("__sents")
-    ).where(F.size("__sents") >= window)
+    )
     return base.select(
         id_col,
         F.explode(
-            F.sequence(F.lit(0), F.size("__sents") - F.lit(window))
+            F.when(
+                F.size("__sents") >= window,
+                F.sequence(F.lit(0), F.size("__sents") - F.lit(window)),
+            )
         ).alias("__pos"),
         F.col("__sents"),
     ).select(

@@ -871,9 +871,13 @@ def _register_lm() -> None:
         the token explode), vocabulary aggregated from the already
         partially-combined per-doc counts, log-probability table
         broadcast back, per-doc fold in token-sorted order for bit-exact
-        cross-engine sums (operators/lm.py)."""
-        docs = read_table_spread(
-            spark, sf_dir, "documents", "doc_id", "lang", "source", "text"
+        cross-engine sums (operators/lm.py). NOT spread (r13): the
+        operator's own repartition(doc_id) is the parallelism spreader
+        here — a round-robin spread underneath it is a redundant exchange
+        + sort (measured: median 1.45 s spread vs 1.12 s unspread,
+        interleaved A/B)."""
+        docs = read_table(spark, sf_dir, "documents").select(
+            "doc_id", "lang", "source", "text"
         )
         return lm.perplexity_unigram(docs, keep_cols=("lang", "source"))
 
