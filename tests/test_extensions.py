@@ -118,6 +118,39 @@ def test_connected_components_vs_union_find(spark):
     assert got == truth
 
 
+def test_connected_components_star_early_exit(spark):
+    """The star-forest flag (r13) must stop the loop ON the converged
+    round: a min-rooted star input converges with ZERO star-step rounds,
+    and a 4-hop chain still needs rounds — with labels identical to the
+    digest-only loop's on both (the flag is a sufficient fixpoint test;
+    the digest comparison remains as the fallback terminator)."""
+    from window_aggregation_spark.operators.graph import (
+        connected_components,
+    )
+
+    star = spark.createDataFrame(
+        [(1, 5), (1, 9), (1, 7), (20, 30)], "id_a long, id_b long"
+    )
+    st = {}
+    got = {
+        r["node"]: r["component"]
+        for r in connected_components(star, stats=st).collect()
+    }
+    assert st["rounds"] == 0, "star-forest input must skip the loop"
+    assert got == {1: 1, 5: 1, 9: 1, 7: 1, 20: 20, 30: 20}
+
+    chain = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5)], "id_a long, id_b long"
+    )
+    st = {}
+    got = {
+        r["node"]: r["component"]
+        for r in connected_components(chain, stats=st).collect()
+    }
+    assert st["rounds"] >= 1, "a chain is not a fixpoint"
+    assert got == {n: 1 for n in (1, 2, 3, 4, 5)}
+
+
 def test_minhash_cc_merges_chains(spark):
     """A chain a~b~c with a!~c must collapse to one cluster (the greedy
     pass's documented gap); minhash_dedup_cc keeps exactly the min id."""

@@ -95,15 +95,56 @@ def _small_star(e: DataFrame) -> DataFrame:
     )
 
 
-def _fingerprint(e: DataFrame) -> tuple:
-    # Order-independent edge-set digest: one aggregate, no sort, no collect.
-    # bit_xor (not sum) — xor never overflows a long under ANSI mode, and the
-    # edge set is distinct so duplicate cancellation can't occur.
-    row = e.agg(
-        F.count(F.lit(1)).alias("n"),
-        F.bit_xor(F.xxhash64("u", "v")).alias("h"),
+def _round_stats(e: DataFrame) -> tuple:
+    """One action per CC round: an order-independent edge-set digest
+    ``(count, bit_xor of xxhash64(u, v))`` — xor never overflows a long
+    under ANSI mode, and the edge set is distinct so duplicate
+    cancellation can't occur — PLUS an ``is_star_forest`` flag, computed
+    in one job.
+
+    A disjoint union of stars (every edge child->root, each child in
+    exactly ONE edge, no root also a child) is provably UNCHANGED by
+    both star steps — so the flag is a sufficient fixpoint test that
+    fires ON the converged round itself, where the digest comparison
+    needs one more full round of star steps just to observe "nothing
+    changed". The digest stays as the fallback terminator (r13: flag
+    checked first, digest second), so a fixpoint the flag somehow missed
+    terminates exactly as before rather than looping to max_iter.
+
+    Per-node test via one groupBy over the two endpoint marks of each
+    edge: node ok iff it is a pure root (child-degree 0) or a
+    single-edge pure child (child-degree 1, root-degree 0); the digest
+    rides the child rows so the whole check is one shuffle + one scalar
+    aggregate — strictly cheaper than the round of star-step shuffles
+    it saves."""
+    child = F.greatest("u", "v")
+    root = F.least("u", "v")
+    marks = e.select(
+        child.alias("n"),
+        F.lit(1).alias("c"),
+        F.xxhash64("u", "v").alias("h"),
+    ).union(
+        e.select(root.alias("n"), F.lit(0).alias("c"), F.lit(0).alias("h"))
+    )
+    per_node = marks.groupBy("n").agg(
+        F.sum("c").alias("nc"),
+        F.count(F.lit(1)).alias("deg"),
+        F.bit_xor("h").alias("hx"),
+    )
+    row = per_node.agg(
+        F.coalesce(F.sum("nc"), F.lit(0)).alias("n_edges"),
+        F.bit_xor("hx").alias("h"),
+        F.min(
+            # pure root (nc == 0) or pure single-edge child
+            # (nc == 1 and no root marks: deg == nc)
+            (F.col("nc") == 0)
+            | ((F.col("nc") == 1) & (F.col("deg") == F.col("nc")))
+        ).alias("star"),
     ).first()
-    return (row["n"], row["h"])
+    return (
+        (row["n_edges"], row["h"]),
+        bool(row["star"]) if row["star"] is not None else True,
+    )
 
 
 def connected_components(
@@ -147,34 +188,40 @@ def connected_components(
         )
 
     e = _truncate(e)
-    prev = _fingerprint(e)
+    # one action per round: digest + star-forest flag (see _round_stats).
+    # The flag fires ON the converged round — the digest-only loop paid
+    # one extra full round of star steps just to observe no change (and
+    # an LSH pair set whose clusters are already min-rooted stars skips
+    # the loop entirely). The digest comparison stays as the fallback
+    # terminator, so behavior on a flag-missed fixpoint is unchanged.
+    prev, star = _round_stats(e)
     if stats is not None:
         # observability for scale probes: input pair count before the
         # loop, convergence round count after (bench.py cc_scale_probe —
         # round growth is the CC family's hidden super-linear risk)
         stats["input_pairs"] = prev[0]
     rounds = 0
-    for _ in range(max_iter):
+    while not star:
+        if rounds >= max_iter:
+            raise RuntimeError(
+                f"connected_components did not converge in {max_iter} "
+                "rounds (pathological graph? raise max_iter)"
+            )
         last_e = e
         e = _truncate(_small_star(_large_star(e)))
         rounds += 1
-        cur = _fingerprint(e)
-        # free the superseded round's blocks ONLY NOW: the fingerprint
-        # action above materialized the new round FROM last_e's blocks;
-        # freeing any earlier would truncate the only copy (checkpoints
-        # have no lineage to recompute from). Without this an iterative
-        # loop pins every round's edge set for the whole session — the
-        # old per-round DataFrame.unpersist() was a CacheManager no-op
-        # on checkpointed frames (see _free_checkpoint).
+        cur, star = _round_stats(e)
+        # free the superseded round's blocks ONLY NOW: the stats action
+        # above materialized the new round FROM last_e's blocks; freeing
+        # any earlier would truncate the only copy (checkpoints have no
+        # lineage to recompute from). Without this an iterative loop
+        # pins every round's edge set for the whole session — the old
+        # per-round DataFrame.unpersist() was a CacheManager no-op on
+        # checkpointed frames (see _free_checkpoint).
         _free_checkpoint(last_e)
         if cur == prev:
             break
         prev = cur
-    else:
-        raise RuntimeError(
-            f"connected_components did not converge in {max_iter} rounds "
-            "(pathological graph? raise max_iter)"
-        )
 
     if stats is not None:
         stats["rounds"] = rounds
