@@ -118,6 +118,22 @@ def test_connected_components_vs_union_find(spark):
     assert got == truth
 
 
+def test_token_windows_length_prefilter_measures_lowered_text(spark):
+    """The r13 pushable length pre-filter must be a NECESSARY-only
+    condition: lower() can LENGTHEN text (U+0130 'İ' lowers to 'i' + a
+    combining dot), so a raw-length bound could wrongly drop a doc whose
+    LOWERED form has enough tokens. 'İa' is 2 raw chars but tokenizes to
+    ['i', 'a'] — with window=2 it must still emit a window; and a doc
+    that is genuinely too short must emit none."""
+    from window_aggregation_spark.operators.dedup import _token_windows
+
+    df = spark.createDataFrame(
+        [(1, "İa"), (2, "x")], "doc_id long, text string"
+    )
+    rows = _token_windows(df, "doc_id", "text", 2).collect()
+    assert [r["doc_id"] for r in rows] == [1], rows
+
+
 def test_connected_components_star_early_exit(spark):
     """The star-forest flag (r13) must stop the loop ON the converged
     round: a min-rooted star input converges with ZERO star-step rounds,

@@ -742,7 +742,11 @@ def minhash_dedup_pairs(
     # carries only 2|candidates| rows. `__legs == 2` reproduces the old
     # inner-join semantics exactly: a pair survives iff BOTH ids have a
     # text row in ``df`` (ids are unique per the operator contract, so
-    # each leg matches at most once).
+    # each leg matches at most once). A duplicate-id input is ill-defined
+    # UPSTREAM of this point — minhash_signatures' groupBy already merges
+    # duplicate ids into one signature over the union of their shingles —
+    # so no legs-count policy can make the operator meaningful there; the
+    # contract, not this filter, is the guard.
     long = candidates.select(
         "id_a", "id_b", F.explode(F.array("id_a", "id_b")).alias("__tid")
     )
@@ -899,8 +903,19 @@ def _token_windows(
     # the pushed Filter, once in the Project — Spark does not CSE across
     # Filter and Project, r13 plan audit). when() without otherwise()
     # yields NULL for short docs and explode(NULL) emits no row —
-    # identical semantics, one tokenizer pass.
-    base = df.select(
+    # identical semantics, one tokenizer pass. The length() bound below
+    # is a provably NECESSARY condition for `window` tokens ([a-z0-9]+
+    # matches are >= 1 char and separated by >= 1 char, so `window`
+    # tokens need >= 2*window-1 chars — measured on the LOWERED string,
+    # the one the tokenizer scans, because lower() can LENGTHEN text
+    # (U+0130 lowers to two chars) and a raw-length bound could drop a
+    # qualifying doc; length(NULL) is NULL, dropped like the old
+    # size-of-NULL filter) — a regex-free pushable pre-filter, so
+    # provably-short fragments skip the tokenizer entirely instead of
+    # riding the exchange to die at the explode.
+    base = df.where(
+        F.length(F.lower(F.col(text_col))) >= 2 * window - 1
+    ).select(
         F.col(id_col), tokens(F.col(text_col)).alias("__toks")
     )
     return base.select(
@@ -1058,8 +1073,12 @@ def _sentence_windows(
     # into its condition — every row paid it twice (r13 plan audit; see
     # the identical note in :func:`_token_windows`). when() without
     # otherwise() yields NULL for short docs and explode(NULL) emits no
-    # row — identical semantics, one extraction pass.
-    base = df.select(
+    # row — identical semantics, one extraction pass. The length()
+    # bound is a provably NECESSARY condition for `window` sentences
+    # (every SENT_RE match consumes >= 1 char; sentence_array maps NULL
+    # to [], and length(NULL) is NULL — dropped either way): cheap,
+    # recompute-free, pushable to the scan.
+    base = df.where(F.length(text_col) >= window).select(
         F.col(id_col), sentence_array(text_col).alias("__sents")
     )
     return base.select(
