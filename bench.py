@@ -804,6 +804,64 @@ def cc_scale_probe(spark, sf_dir: str, *, scales=(1, 10, 30)) -> dict:
     return out
 
 
+def spread_scale_probe(spark, sf_dir: str, *, scales=(1, 10, 30)) -> dict:
+    """Growth curve for three spread-scan query families beyond the sf1
+    section's 10x (VERDICT r13 #5): the r13 scaling block proved sf0.1
+    is overhead-bound (8 cores ~= 32 cores), so the at-scale claims for
+    the scan-spread queries rest on growth ratios, not core-count
+    scaling. Records, per scale: docs, wall clock (min-of-2, noop sink)
+    for a gopher-gate, an LSH, and a span-window query over the scaled
+    corpus, plus the ``spread_target`` the documents scan actually gets
+    at that scale — an integer means the round-robin spread fires (the
+    input cannot fill one max-size split per core), ``None`` means the
+    scan already parallelizes and the spread is provably a no-op (the
+    at-scale shape; tests/test_scan_spread.py pins the formula). Shares
+    the CC probe's scaled corpora. ``growth_ratio`` = sec_cx /
+    (c * sec_1x); < 1 is sublinear."""
+    from window_aggregation_spark.sources.io import spread_target
+    from window_aggregation_spark.suite import SUITE
+
+    names = (
+        "pipeline_gopher_filter", "dedup_minhash_lsh",
+        "dedup_substring_spans",
+    )
+    out: dict = {"base_dir": sf_dir, "scales": {}}
+    base: dict[str, float] = {}
+    for c in scales:
+        if c == 1:
+            ddir = sf_dir
+        else:
+            ddir = f"/tmp/spark_graft_ccprobe_{c}x"
+            _ensure_scaled_docs(spark, sf_dir, ddir, c)
+        docs_path = f"{ddir}/documents.parquet"
+        n_docs = spark.read.parquet(docs_path).count()
+        entry: dict = {
+            "documents": int(n_docs),
+            "spread_target": spread_target(spark, docs_path),
+        }
+        for name in names:
+            q = SUITE[name]
+            build = q.bench_build or q.build
+            best = float("inf")
+            for _ in range(2):
+                t0 = time.perf_counter()
+                build(spark, ddir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                best = min(best, time.perf_counter() - t0)
+            sec = round(best, 3)
+            entry[name] = {"sec": sec}
+            if c == 1:
+                base[name] = sec
+            elif base.get(name):
+                entry[name]["growth_ratio"] = round(
+                    sec / (c * base[name]), 2
+                )
+        out["scales"][f"{c}x"] = entry
+        print(f"# spread_scale {c}x: {entry}", file=sys.stderr, flush=True)
+    return out
+
+
 def machine_snapshot() -> dict:
     """Load telemetry recorded into BENCH_DETAIL (VERDICT r7 #1): the r7
     bench drifted 1.09x across queries whose code did not change, and the
@@ -1850,6 +1908,13 @@ def main() -> None:
             sections["cc_scale_probe"] = cc_scale_probe(spark, sf_dir)
         except Exception as e:  # evidence, never the headline's problem
             sections["cc_scale_probe"] = {"err": f"{type(e).__name__}: {e}"[:300]}
+    if sf == "0.1" and os.environ.get("SPARK_GRAFT_SPREAD_PROBE", "1") != "0":
+        try:
+            sections["spread_scale_probe"] = spread_scale_probe(spark, sf_dir)
+        except Exception as e:
+            sections["spread_scale_probe"] = {
+                "err": f"{type(e).__name__}: {e}"[:300]
+            }
     if sf == "0.1" and os.environ.get("SPARK_GRAFT_SF1", "1") != "0":
         try:
             sections["sf1"] = sf1_section(spark, sf_dir, timings)

@@ -98,6 +98,21 @@ def test_cc_scale_probe_shape(spark, sf_dir):
     assert s["component_rows"] == s["documents"]
 
 
+def test_spread_scale_probe_shape(spark, sf_dir):
+    out = bench.spread_scale_probe(spark, sf_dir, scales=(1,))
+    s = out["scales"]["1x"]
+    assert s["documents"] > 0
+    # at fixture scale the one sub-MB documents file cannot fill one
+    # max-size split per core, so the spread must be ACTIVE here (the
+    # probe's point is to record where it turns off as the input grows)
+    assert s["spread_target"] is None or s["spread_target"] >= 1
+    for name in (
+        "pipeline_gopher_filter", "dedup_minhash_lsh",
+        "dedup_substring_spans",
+    ):
+        assert s[name]["sec"] > 0
+
+
 def test_ann_recall_probe_shape_and_monotonicity(spark, sf_dir):
     """Both regimes: recall@k in [0,1] for every setting, the IVF curve
     non-decreasing in nprobe (more lists scanned can only add candidates

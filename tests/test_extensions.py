@@ -119,12 +119,16 @@ def test_connected_components_vs_union_find(spark):
 
 
 def test_token_windows_length_prefilter_measures_lowered_text(spark):
-    """The r13 pushable length pre-filter must be a NECESSARY-only
+    """The pushable length pre-filter must be a NECESSARY-only
     condition: lower() can LENGTHEN text (U+0130 'İ' lowers to 'i' + a
-    combining dot), so a raw-length bound could wrongly drop a doc whose
-    LOWERED form has enough tokens. 'İa' is 2 raw chars but tokenizes to
-    ['i', 'a'] — with window=2 it must still emit a window; and a doc
-    that is genuinely too short must emit none."""
+    combining dot), so a naive raw-length >= 2*window-1 bound could
+    wrongly drop a doc whose LOWERED form has enough tokens. 'İa' is 2
+    raw chars (< 3 = 2*2-1) but tokenizes to ['i', 'a'] — with window=2
+    it must still emit a window. r14 bounds the RAW length by
+    ceil((2w-1)/3) (3x is Unicode's max lowercase expansion), which
+    keeps 'İa' (2 >= 1) without re-running lower() in the filter; and a
+    doc that is genuinely too short must emit none (it passes the cheap
+    bound and dies at the explode guard)."""
     from window_aggregation_spark.operators.dedup import _token_windows
 
     df = spark.createDataFrame(

@@ -10,6 +10,8 @@ from __future__ import annotations
 import pytest
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
+
+from tests.conftest import property_examples
 from pyspark.sql import functions as F
 
 from window_aggregation_spark.operators.window_aggregation import window_aggregate
@@ -114,7 +116,7 @@ def _run_both(spark, plan: WindowPlan):
 
 
 @settings(
-    max_examples=25,
+    max_examples=property_examples(25),
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
@@ -125,7 +127,7 @@ def test_unframed_plans_dual_backend(spark, plan):
 
 
 @settings(
-    max_examples=25,
+    max_examples=property_examples(25),
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
@@ -198,7 +200,7 @@ def range_plan(draw):
 
 
 @settings(
-    max_examples=20,
+    max_examples=property_examples(20),
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
@@ -212,7 +214,7 @@ def test_range_frames_with_nulls_dual_backend(spark, plan):
     assert api == via_sql
 
 
-@settings(max_examples=40, deadline=None)
+@settings(max_examples=property_examples(40), deadline=None)
 @given(plan=st.one_of(unframed_plan(), framed_plan(), range_plan()))
 def test_config_string_round_trip(plan):
     """plan -> reference-shaped config strings -> plan must be lossless."""
@@ -222,7 +224,7 @@ def test_config_string_round_trip(plan):
 
 
 @settings(
-    max_examples=15,
+    max_examples=property_examples(15),
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
@@ -266,7 +268,7 @@ def interval_frame_case(draw):
 
 
 @settings(
-    max_examples=15,
+    max_examples=property_examples(15),
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )

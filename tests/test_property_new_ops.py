@@ -7,6 +7,8 @@ from __future__ import annotations
 from hypothesis import given, settings
 from hypothesis import strategies as st
 
+from tests.conftest import property_examples
+
 from pyspark.sql import functions as F
 
 from window_aggregation_spark.operators.corpus import chunk_documents
@@ -30,7 +32,7 @@ def interval_case(draw):
     return pts, ivs, bucket_s
 
 
-@settings(max_examples=12, deadline=None)
+@settings(max_examples=property_examples(12), deadline=None)
 @given(interval_case())
 def test_range_join_equals_naive_inequality_join(spark, case):
     pts, ivs, bucket_s = case
@@ -61,7 +63,7 @@ def test_range_join_equals_naive_inequality_join(spark, case):
     assert got == want
 
 
-@settings(max_examples=12, deadline=None)
+@settings(max_examples=property_examples(12), deadline=None)
 @given(
     toks=st.lists(st.integers(0, 99), min_size=0, max_size=200),
     chunk=st.integers(2, 40),
@@ -109,7 +111,7 @@ def asof_case(draw):
     return lefts, rights, direction, tol_s
 
 
-@settings(max_examples=14, deadline=None)
+@settings(max_examples=property_examples(14), deadline=None)
 @given(asof_case())
 def test_asof_equals_naive_per_row(spark, case):
     """asof_join (both directions, with and without tolerance) must equal
@@ -180,7 +182,7 @@ def stratum_case(draw):
     return rows, n, safety
 
 
-@settings(max_examples=12, deadline=None)
+@settings(max_examples=property_examples(12), deadline=None)
 @given(stratum_case())
 def test_take_n_per_stratum_equals_plain_ranking(spark, case):
     """The threshold-prune + rescue plan must stay bit-identical to the
@@ -256,7 +258,7 @@ def _naive_spans(docs, window, min_docs=2):
     return sorted(spans)
 
 
-@settings(max_examples=15, deadline=None)
+@settings(max_examples=property_examples(15), deadline=None)
 @given(span_case())
 def test_duplicated_spans_equal_naive(spark, case):
     from window_aggregation_spark.operators.dedup import duplicated_spans
@@ -270,7 +272,7 @@ def test_duplicated_spans_equal_naive(spark, case):
     assert got == _naive_spans(docs, window)
 
 
-@settings(max_examples=12, deadline=None)
+@settings(max_examples=property_examples(12), deadline=None)
 @given(interval_case(), st.booleans())
 def test_left_range_join_equals_naive_with_keys(spark, case, use_keys):
     """LEFT range join (single-pass residual-condition form, r4 rewrite)
@@ -333,7 +335,7 @@ def salted_case(draw):
     return rows, agg, chunks
 
 
-@settings(max_examples=15, deadline=None)
+@settings(max_examples=property_examples(15), deadline=None)
 @given(salted_case())
 def test_salted_running_agg_equals_plain_window_randomized(spark, case):
     """salted_running_agg vs the plain RANGE-frame window on random data
@@ -412,7 +414,7 @@ def _merge_marks(did, toks_len, window, marks):
     return spans
 
 
-@settings(max_examples=15, deadline=None)
+@settings(max_examples=property_examples(15), deadline=None)
 @given(against_case())
 def test_token_spans_against_equals_naive(spark, case):
     """Incremental verbatim-passage dedup (r12): every new-side window
@@ -475,7 +477,7 @@ def sentence_increment_case(draw):
     return corpus, new, window
 
 
-@settings(max_examples=15, deadline=None)
+@settings(max_examples=property_examples(15), deadline=None)
 @given(sentence_increment_case())
 def test_sentence_spans_increment_equals_naive(spark, case):
     """The combined batch-ingest policy (r12): corpus windows cut from

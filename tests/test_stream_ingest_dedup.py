@@ -154,7 +154,13 @@ def test_streaming_ingest_equals_sequential_batch_model(
         ids = {r["doc_id"] for r in surv.select("doc_id").collect()}
         per_batch.append(ids)
         expected |= ids
-        accepted = accepted.unionByName(surv)
+        # checkpoint the growing corpus: each surv is a full dedup-plan
+        # subtree, so the lazy union nests 64-aggregate signature plans
+        # one level deeper per batch and batch 2's model re-plans and
+        # re-executes the whole history (measured: this one test took
+        # 255 s isolated; the value-identical checkpoint cuts it to
+        # 92 s — pure test-infrastructure cost, assertions unchanged)
+        accepted = accepted.unionByName(surv).localCheckpoint()
 
     # the synthetic copy's source doc is accepted in batch 0, so the copy
     # itself must be dropped in batch 2 — the cross-batch fold under test

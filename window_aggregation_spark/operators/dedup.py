@@ -10,7 +10,7 @@ per-group materialization beyond bounded signatures):
   (one portable-hash pass + universal-hash permutations, all columnar) ->
   banded LSH bucketing -> candidate pairs verified with exact Jaccard. The
   standard 100 TB near-dup path: cost is O(n * sig) + one shuffle on
-  (band, key), never O(n^2).
+  the band-seeded bucket key, never O(n^2).
 - :func:`simhash` / :func:`simhash_dedup_pairs` — 64-bit SimHash computed in
   a single array-accumulator fold; candidates = pairs sharing any 16-bit
   chunk (pigeonhole: catches all pairs within Hamming distance 3 when split
@@ -601,27 +601,36 @@ def append_exact_jaccard(
 def _band_keys(
     sigs: DataFrame, id_col: str, *, num_hashes: int, bands: int
 ) -> DataFrame:
-    """Explode a signature row into ``bands`` (band, key) rows, the LSH
-    bucket keys: key = hash of the band's signature slice (equal slices <=>
-    equal keys). One projection, no shuffle."""
+    """Explode a signature row into ``bands`` ``(__id, key)`` rows, the
+    LSH bucket keys: key = hash of (band id, the band's signature slice)
+    — equal slices in the SAME band <=> equal keys. One projection, no
+    shuffle.
+
+    The band id rides only as the hash SEED (r14): a separate 4-byte
+    ``band`` column in every banded row bought nothing — keys from
+    different bands collide only on a cross-band xxhash64 collision,
+    the same ~2^-64-per-pair exposure the within-band bucket hashing
+    already carries (and which the DuckDB oracle, which compares band
+    slices directly, has never modeled). Dropping it narrows every
+    banded shuffle row by the column plus its struct overhead — the
+    banded-rows exchange is the LSH stage's one corpus-order shuffle,
+    so its width is what the stage costs at scale (guide §2.3 narrower
+    types / shuffle fewer bytes)."""
     rows = num_hashes // bands
     return sigs.select(
         F.col(id_col).alias("__id"),
         F.explode(
             F.array(
                 *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.xxhash64(
-                            F.lit(b),
-                            *[F.col(f"m{b * rows + j}") for j in range(rows)],
-                        ).alias("key"),
+                    F.xxhash64(
+                        F.lit(b),
+                        *[F.col(f"m{b * rows + j}") for j in range(rows)],
                     )
                     for b in range(bands)
                 ]
             )
-        ).alias("bk"),
-    ).select("__id", "bk.band", "bk.key")
+        ).alias("key"),
+    )
 
 
 def minhash_candidate_pairs(
@@ -665,15 +674,16 @@ def minhash_candidate_pairs(
         )
     banded = _band_keys(sigs, id_col, num_hashes=num_hashes, bands=bands)
 
-    # Candidate pairs WITHOUT a self-join: group member ids per (band, key)
-    # bucket, then double-explode the id array (a, then b > a). A self-join
+    # Candidate pairs WITHOUT a self-join: group member ids per bucket
+    # key (band id folded into the key's hash seed — see _band_keys),
+    # then double-explode the id array (a, then b > a). A self-join
     # on the bucket key computes the whole shingle->signature pipeline TWICE
     # (Spark does not common-subexpression self-join branches and does not
     # canonicalize the two Exchanges as reusable) and shuffles the banded
     # rows twice; this shape scans the corpus once and shuffles once. The
     # explode fan-out is k^2/2 rows per k-member bucket — exactly the pairs
     # the join would have produced — and stays in whole-stage codegen.
-    buckets = banded.groupBy("band", "key").agg(
+    buckets = banded.groupBy("key").agg(
         F.collect_list("__id").alias("__ids")
     )
     # Degenerate-bucket guard: a bucket of k members yields k^2/2 candidate
@@ -708,7 +718,8 @@ def minhash_dedup_pairs(
     """Near-duplicate pairs via MinHash+LSH, verified with exact Jaccard.
 
     Pipeline: shingle -> signature -> explode ``bands`` band keys -> shuffle
-    on (band, key) -> candidate pairs within buckets -> distinct -> verify.
+    on the band-seeded bucket key -> candidate pairs within buckets ->
+    distinct -> verify.
     Returns ``(id_a, id_b, jaccard)`` with id_a < id_b and jaccard >= t.
     ``max_bucket_size`` drops degenerate buckets before the pair join (see
     :func:`minhash_candidate_pairs`) — set None to disable. ``signatures``
@@ -906,15 +917,23 @@ def _token_windows(
     # identical semantics, one tokenizer pass. The length() bound below
     # is a provably NECESSARY condition for `window` tokens ([a-z0-9]+
     # matches are >= 1 char and separated by >= 1 char, so `window`
-    # tokens need >= 2*window-1 chars — measured on the LOWERED string,
-    # the one the tokenizer scans, because lower() can LENGTHEN text
-    # (U+0130 lowers to two chars) and a raw-length bound could drop a
-    # qualifying doc; length(NULL) is NULL, dropped like the old
-    # size-of-NULL filter) — a regex-free pushable pre-filter, so
-    # provably-short fragments skip the tokenizer entirely instead of
-    # riding the exchange to die at the explode.
+    # tokens need >= 2*window-1 chars ON THE LOWERED STRING, the one the
+    # tokenizer scans). r13 measured the lowered length directly —
+    # length(lower(text)) — which re-ran the full lower() copy of every
+    # document in the Filter on top of the tokenizer's own lower() in
+    # the Project (no CSE across Filter/Project, the very duplication
+    # this guard exists to avoid). r14: bound the RAW length instead.
+    # lower() can LENGTHEN text, but by at most 3x per character
+    # (Unicode SpecialCasing lowercase mappings top out at 3 code
+    # units — the Lithuanian accented i-forms; U+0130 is 2), so
+    # lowered >= 2w-1 requires raw >= ceil((2w-1)/3) — a necessary
+    # bound with ZERO per-row compute (length() of the stored string),
+    # still pushable to the scan. Docs between the two bounds (raw
+    # short, lowered long enough in principle) just run the tokenizer
+    # and die at the explode guard like any other short doc;
+    # length(NULL) is NULL, dropped like the old size-of-NULL filter.
     base = df.where(
-        F.length(F.lower(F.col(text_col))) >= 2 * window - 1
+        F.length(F.col(text_col)) >= -(-(2 * window - 1) // 3)
     ).select(
         F.col(id_col), tokens(F.col(text_col)).alias("__toks")
     )
@@ -2496,8 +2515,8 @@ def minhash_dedup_against(
 
     This is the ingestion-time shape: the corpus is 100 TB and static, the
     new batch is small. Both sides get signatures + band keys, the join
-    runs on ``(band, key)`` with the NEW side broadcast — the corpus's
-    banded rows are never shuffled. Pass ``corpus_signatures`` (the
+    runs on the band-seeded bucket key with the NEW side broadcast —
+    the corpus's banded rows are never shuffled. Pass ``corpus_signatures`` (the
     :class:`SignatureStore` built once by :func:`build_signature_store` —
     THE serving configuration) and the corpus text is touched only to
     verify the few candidates; every ingestion batch then costs
@@ -2544,7 +2563,7 @@ def minhash_dedup_against(
     cband = _band_keys(csig, id_col, num_hashes=num_hashes, bands=bands)
     candidates = (
         F.broadcast(nband.withColumnRenamed("__id", "new_id"))
-        .join(cband.withColumnRenamed("__id", "corpus_id"), on=["band", "key"])
+        .join(cband.withColumnRenamed("__id", "corpus_id"), on="key")
         .select("new_id", "corpus_id")
         .dropDuplicates(["new_id", "corpus_id"])
     )

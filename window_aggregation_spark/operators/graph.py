@@ -59,6 +59,13 @@ def _free_checkpoint(df: DataFrame) -> None:
         pass
 
 
+# public name for non-graph callers (the streaming ingest loops free each
+# epoch's shared-between-two-writes checkpoint once both writes land —
+# without it a long-running stream pins every epoch's cleaned batch for
+# the session, the same leak class the r13 CC/PageRank fix closed)
+free_checkpoint = _free_checkpoint
+
+
 def _symmetric(e: DataFrame) -> DataFrame:
     return e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
 

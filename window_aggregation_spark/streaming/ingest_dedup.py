@@ -188,6 +188,12 @@ def streaming_ingest_dedup(
             ).write.mode("overwrite").parquet(
                 f"{store_path}/{folds}/batch_id={int(epoch_id)}"
             )
+        # both consumers of the checkpoint have written — free its blocks,
+        # or a long-running stream pins every epoch's cleaned batch for
+        # the session (r14; same leak class as the r13 CC/PageRank fix)
+        from window_aggregation_spark.operators.graph import free_checkpoint
+
+        free_checkpoint(clean)
 
     return (
         new_stream.writeStream.foreachBatch(handle)

@@ -148,6 +148,12 @@ def ingest_spans_epoch(
             sentence_hash_store_compact(
                 spark, store_path, keep_folds_from=int(epoch_id)
             )
+    # both consumers of the checkpoint have written — free its blocks,
+    # or a long-running stream pins every epoch's cleaned batch for the
+    # session (r14; same leak class as the r13 CC/PageRank fix)
+    from window_aggregation_spark.operators.graph import free_checkpoint
+
+    free_checkpoint(clean)
 
 
 def streaming_ingest_spans(

@@ -1465,8 +1465,9 @@ def _register_dedup() -> None:
     def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         """Ingestion-time cross-corpus dedup: which docs of a new batch
         near-duplicate the EXISTING corpus. Both sides get minhash band
-        keys; the join runs on (band, key) with the small new side
-        broadcast — the 100 TB corpus's banded rows are never shuffled.
+        keys; the join runs on the band-seeded bucket key with the
+        small new side broadcast — the 100 TB corpus's banded rows are
+        never shuffled.
         Candidates are exact-Jaccard verified, same bar as the self
         variant."""
         docs = read_table_spread(spark, sf_dir, "documents",
