@@ -825,6 +825,29 @@ def spread_scale_probe(spark, sf_dir: str, *, scales=(1, 10, 30)) -> dict:
         "pipeline_gopher_filter", "dedup_minhash_lsh",
         "dedup_substring_spans",
     )
+
+    # pipeline_gopher_filter's barrier spread lazily localCheckpoints the
+    # scaled corpus INSIDE each timed build; without cleanup every rep at
+    # every scale pins another copy for the rest of the bench session
+    # (the streaming-loop leak class, r14 review finding) — distorting
+    # the sections that run after this probe. DataFrame handles to those
+    # internals don't exist here, so free by DIFF: snapshot the persisted
+    # RDD ids before the probe and unpersist only ids this probe created
+    # (the probed queries load no shared store, so new ids are ours).
+    def _persisted_ids() -> set:
+        jmap = spark.sparkContext._jsc.getPersistentRDDs()
+        return {int(k) for k in jmap.keySet().toArray()}
+
+    def _free_new(before: set) -> None:
+        jmap = spark.sparkContext._jsc.getPersistentRDDs()
+        for e in jmap.entrySet().toArray():
+            if int(e.getKey()) not in before:
+                try:
+                    e.getValue().unpersist(False)
+                except Exception:
+                    pass
+
+    pre_probe_ids = _persisted_ids()
     out: dict = {"base_dir": sf_dir, "scales": {}}
     base: dict[str, float] = {}
     for c in scales:
@@ -858,6 +881,7 @@ def spread_scale_probe(spark, sf_dir: str, *, scales=(1, 10, 30)) -> dict:
                     sec / (c * base[name]), 2
                 )
         out["scales"][f"{c}x"] = entry
+        _free_new(pre_probe_ids)
         print(f"# spread_scale {c}x: {entry}", file=sys.stderr, flush=True)
     return out
 

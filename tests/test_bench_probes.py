@@ -99,18 +99,36 @@ def test_cc_scale_probe_shape(spark, sf_dir):
 
 
 def test_spread_scale_probe_shape(spark, sf_dir):
+    ids_before = {
+        int(k)
+        for k in spark.sparkContext._jsc.getPersistentRDDs()
+        .keySet().toArray()
+    }
     out = bench.spread_scale_probe(spark, sf_dir, scales=(1,))
     s = out["scales"]["1x"]
     assert s["documents"] > 0
     # at fixture scale the one sub-MB documents file cannot fill one
     # max-size split per core, so the spread must be ACTIVE here (the
-    # probe's point is to record where it turns off as the input grows)
-    assert s["spread_target"] is None or s["spread_target"] >= 1
+    # probe's point is to record where it turns off as the input grows;
+    # spread_target returns only None or defaultParallelism)
+    assert s["spread_target"] is not None and s["spread_target"] >= 1
     for name in (
         "pipeline_gopher_filter", "dedup_minhash_lsh",
         "dedup_substring_spans",
     ):
         assert s[name]["sec"] > 0
+    # the probe must not leave its builds' barrier checkpoints pinned for
+    # the rest of the session (review finding r14: the gopher build
+    # localCheckpoints the spread corpus per rep) — the per-scale
+    # persisted-RDD diff cleanup has to restore the pre-probe id set
+    ids_after = {
+        int(k)
+        for k in spark.sparkContext._jsc.getPersistentRDDs()
+        .keySet().toArray()
+    }
+    assert ids_after == ids_before, (
+        f"probe leaked persisted RDDs: {sorted(ids_after - ids_before)}"
+    )
 
 
 def test_ann_recall_probe_shape_and_monotonicity(spark, sf_dir):

@@ -1225,3 +1225,34 @@ def test_token_spans_increment_keep_one_and_corpus_cut(spark):
         ).collect()
     }
     assert spans == {10: (2, 7), 12: (2, 7)}  # 11 keeps its copy
+
+
+def test_codegen_path_canary(spark, sf_dir):
+    """The test session runs whole-stage codegen OFF by default (r14 —
+    janino compile per unique tiny plan cost ~12% of suite wall-clock;
+    see conftest). This canary keeps the CODEGEN execution path covered
+    in CI for the suite's widest plan — the 64-aggregate minhash
+    signature groupBy — by running it both ways at runtime and requiring
+    bit-identical results (codegen is an execution strategy, never a
+    semantics change). The driver's oracle gate and bench run codegen-on
+    plain sessions, but this fails closer to the change."""
+    from window_aggregation_spark.operators.dedup import minhash_signatures
+    from window_aggregation_spark.sources.io import read_table
+
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id", "text"
+    ).limit(120)
+    key = "spark.sql.codegen.wholeStage"
+    before = spark.conf.get(key)
+    try:
+        spark.conf.set(key, "false")
+        interpreted = sorted(
+            tuple(r) for r in minhash_signatures(docs, "doc_id").collect()
+        )
+        spark.conf.set(key, "true")
+        codegen = sorted(
+            tuple(r) for r in minhash_signatures(docs, "doc_id").collect()
+        )
+    finally:
+        spark.conf.set(key, before)
+    assert interpreted == codegen and len(codegen) > 0

@@ -38,32 +38,13 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def _free_checkpoint(df: DataFrame) -> None:
-    """Release a SUPERSEDED checkpointed frame's storage blocks.
+from window_aggregation_spark.session import free_checkpoint
 
-    ``DataFrame.unpersist()`` is a CacheManager operation and provably
-    does NOT touch localCheckpoint blocks (measured: 168 MB of blocks
-    survive ``unpersist(blocking=True)`` and the frame stays readable) —
-    the pre-r13 loops' per-round ``unpersist()`` calls never freed
-    anything, and iterative jobs pinned every round's edge/rank set for
-    the session. The real handle is the plan's LogicalRDD: unpersisting
-    ITS rdd drops the blocks (measured to zero) while frames already
-    materialized FROM it keep working. Callers must only invoke this
-    AFTER the successor round has materialized — the freed frame itself
-    becomes unreadable (checkpoint truncated its lineage). Best-effort
-    by design: on any internals mismatch the old behavior (leak until
-    context GC) is the fallback, never an error."""
-    try:
-        df._jdf.queryExecution().analyzed().rdd().unpersist(False)
-    except Exception:
-        pass
-
-
-# public name for non-graph callers (the streaming ingest loops free each
-# epoch's shared-between-two-writes checkpoint once both writes land —
-# without it a long-running stream pins every epoch's cleaned batch for
-# the session, the same leak class the r13 CC/PageRank fix closed)
-free_checkpoint = _free_checkpoint
+# internal alias kept for the loops below; the canonical definition (and
+# its measured rationale) moved to session.free_checkpoint in r14 — it is
+# session-level block management, not a graph operator, and the streaming
+# ingest loops need it too
+_free_checkpoint = free_checkpoint
 
 
 def _symmetric(e: DataFrame) -> DataFrame:

@@ -56,3 +56,26 @@ def get_spark(
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+def free_checkpoint(df) -> None:
+    """Release a SUPERSEDED checkpointed DataFrame's storage blocks.
+
+    ``DataFrame.unpersist()`` is a CacheManager operation and provably
+    does NOT touch localCheckpoint blocks (r13, measured: 168 MB of
+    blocks survive ``unpersist(blocking=True)`` and the frame stays
+    readable) — a per-round/per-epoch ``unpersist()`` is a no-op and the
+    loop pins every iteration's data for the session. The real handle is
+    the plan's LogicalRDD: unpersisting ITS rdd drops the blocks
+    (measured to zero) while frames already materialized FROM it keep
+    working. Callers must only invoke this AFTER every consumer of the
+    frame has materialized — the freed frame itself becomes unreadable
+    (the checkpoint truncated its lineage). Best-effort by design: on
+    any internals mismatch the old behavior (leak until context GC) is
+    the fallback, never an error. Used by the graph iteration loops
+    (CC, PageRank) and the streaming ingest epochs; lives here because
+    it is session-level block management, not an operator."""
+    try:
+        df._jdf.queryExecution().analyzed().rdd().unpersist(False)
+    except Exception:
+        pass

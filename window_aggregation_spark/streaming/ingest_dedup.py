@@ -191,7 +191,7 @@ def streaming_ingest_dedup(
         # both consumers of the checkpoint have written — free its blocks,
         # or a long-running stream pins every epoch's cleaned batch for
         # the session (r14; same leak class as the r13 CC/PageRank fix)
-        from window_aggregation_spark.operators.graph import free_checkpoint
+        from window_aggregation_spark.session import free_checkpoint
 
         free_checkpoint(clean)
 
