@@ -16,6 +16,21 @@ sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 import bench  # noqa: E402
 
 
+@pytest.fixture(scope="module", autouse=True)
+def _codegen_on(spark):
+    """This module's tests are COMPUTE-heavy (real probe workloads /
+    vector math), where whole-stage codegen pays for its compile cost —
+    measured 2x slower interpreted for the CC scale probe (8.9 -> 19.3 s)
+    when r14 turned codegen off session-wide for the tiny-plan majority.
+    Flip it back on for this module only (runtime-settable conf)."""
+    key = "spark.sql.codegen.wholeStage"
+    before = spark.conf.get(key)
+    spark.conf.set(key, "true")
+    yield
+    spark.conf.set(key, before)
+
+
+
 def test_skew_probe_shape(spark, sf_dir):
     out = bench.skew_probe(spark, sf_dir, chunks=4, copies=2)
     assert set(out) >= {
@@ -126,7 +141,9 @@ def test_spread_scale_probe_shape(spark, sf_dir):
         for k in spark.sparkContext._jsc.getPersistentRDDs()
         .keySet().toArray()
     }
-    assert ids_after == ids_before, (
+    # no NEW ids may survive the probe; pre-existing ids are allowed to
+    # DISAPPEAR (the ContextCleaner GCs earlier tests' blocks at any time)
+    assert ids_after - ids_before == set(), (
         f"probe leaked persisted RDDs: {sorted(ids_after - ids_before)}"
     )
 
